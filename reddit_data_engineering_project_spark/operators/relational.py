@@ -1,0 +1,193 @@
+"""Core relational operators: scan, project, filter, sort, top-k, limit.
+
+SURVEY §2.2 Q1-Q6 — the engine-native stand-in for the ad-hoc query role
+the reference delegates to Athena/Redshift (reference ``README.md:21``).
+
+Scale notes baked into each plan:
+- Projections/filters are expressed declaratively so Catalyst pushes them
+  into the parquet scan (check ``PushedFilters``/``ReadSchema`` in
+  ``.explain``) — at 100 TB this is the difference between reading 2
+  columns and reading 11.
+- Top-k never global-sorts: ``orderBy().limit(k)`` compiles to
+  ``TakeOrderedAndProject`` (per-partition heap + driver merge of k·parts
+  rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.numeric import dround
+from ..registry import register
+from ..tables import table
+
+
+@register(
+    "q01_scan_explicit_schema",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    """,
+    tags=("relational", "Q1"),
+)
+def q01_scan_explicit_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1: parquet scan with explicit column contract (reference R1/R3).
+
+    The reference pins an 11-field projection at the source
+    (``etls/reddit_etl.py:22,55``); here the scan itself carries the
+    schema and the select prunes to it.
+    """
+    return table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+
+
+@register(
+    "q02_projection_pruning",
+    oracle="""
+    SELECT
+        l_orderkey,
+        l_linenumber,
+        round(l_extendedprice * (1 - l_discount) * 100.0) / 100.0 AS net_price,
+        round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100.0) / 100.0 AS charged
+    FROM lineitem
+    """,
+    tags=("relational", "Q2"),
+)
+def q02_projection_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2: computed projection over a pruned scan (reference R3).
+
+    Reads 5 of 11 lineitem columns — ``ReadSchema`` in the physical plan
+    must show only those five; at 100 TB the other six are never
+    deserialized.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        dround(net).alias("net_price"),
+        dround(net * (1 + F.col("l_tax"))).alias("charged"),
+    )
+
+
+@register(
+    "q03_filter_predicates",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+    FROM orders
+    WHERE o_orderstatus IN ('F', 'O')
+      AND o_totalprice >= 1000.0
+      AND o_totalprice < 50000.0
+      AND o_orderpriority LIKE '%URGENT%'
+      AND o_custkey IS NOT NULL
+    """,
+    tags=("relational", "Q3"),
+)
+def q03_filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3: predicate battery — =, IN, range, LIKE, IS NULL.
+
+    All five predicates are Catalyst-pushable; the parquet scan shows them
+    under ``PushedFilters`` so row groups outside the ranges are skipped
+    via min/max statistics (partition-pruning analog of the reference's
+    server-side ``time_filter``, ``etls/reddit_etl.py:43,49``).
+    """
+    o = table(spark, sf_dir, "orders")
+    return o.filter(
+        F.col("o_orderstatus").isin("F", "O")
+        & (F.col("o_totalprice") >= 1000.0)
+        & (F.col("o_totalprice") < 50000.0)
+        & F.col("o_orderpriority").like("%URGENT%")
+        & F.col("o_custkey").isNotNull()
+    ).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    )
+
+
+@register(
+    "q04_topk",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 100
+    """,
+    tags=("relational", "Q4"),
+)
+def q04_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4: global top-k — the reference's flagship pattern (R2).
+
+    Compiles to TakeOrderedAndProject: no shuffle of the full table, each
+    task keeps a k-element heap. Deterministic under ties via the
+    orderkey tie-break.
+    """
+    return (
+        table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
+
+
+@register(
+    "q05_multikey_sort",
+    oracle="""
+    SELECT
+        c_custkey,
+        c_mktsegment,
+        nullif(c_acctbal, 0.0) AS acctbal_nullable,
+        c_name
+    FROM customer
+    ORDER BY c_mktsegment ASC,
+             nullif(c_acctbal, 0.0) DESC NULLS LAST,
+             c_custkey ASC
+    LIMIT 500
+    """,
+    tags=("relational", "Q5"),
+)
+def q05_multikey_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5: multi-key sort, mixed direction, explicit null placement.
+
+    The nullable key is synthesized with ``nullif`` so NULLS LAST is
+    actually exercised. Limit keeps it a TakeOrderedAndProject rather
+    than a full range-partitioned sort.
+    """
+    c = table(spark, sf_dir, "customer")
+    return (
+        c.select(
+            "c_custkey",
+            "c_mktsegment",
+            F.nullif(F.col("c_acctbal"), F.lit(0.0)).alias("acctbal_nullable"),
+            "c_name",
+        )
+        .orderBy(
+            F.col("c_mktsegment").asc(),
+            F.col("acctbal_nullable").desc_nulls_last(),
+            F.col("c_custkey").asc(),
+        )
+        .limit(500)
+    )
+
+
+@register(
+    "q06_limit_offset",
+    oracle="""
+    SELECT p_partkey, p_name, p_brand, p_retailprice
+    FROM part
+    ORDER BY p_partkey
+    LIMIT 50 OFFSET 25
+    """,
+    tags=("relational", "Q6"),
+)
+def q06_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6: deterministic pagination — order by key, offset, limit.
+
+    Offset is only well-defined over a total order; the unique key makes
+    the page stable across engines and partitionings.
+    """
+    return (
+        table(spark, sf_dir, "part")
+        .select("p_partkey", "p_name", "p_brand", "p_retailprice")
+        .orderBy("p_partkey")
+        .offset(25)
+        .limit(50)
+    )

@@ -1,0 +1,90 @@
+"""SparkSession construction and session-level tuning.
+
+The reference pins all timestamps to timezone-aware UTC
+(reference ``ARCHITECTURE_EVOLUTION.md:67-78``, ``etls/reddit_etl.py:66-70``);
+we enforce that at the session level (``spark.sql.session.timeZone=UTC``)
+so every timestamp operator is UTC-stable and DuckDB-oracle-comparable.
+
+Scale posture (100 TB design point):
+- AQE on (runtime join-strategy selection, partition coalescing, skew-join
+  splitting) so plans tuned at sf0.1 survive a 1000-executor cluster.
+- Arrow-batched Python<->JVM transfer for the few pandas-UDF operators.
+- Shuffle partitions default to a local-friendly count; on a real cluster
+  AQE's coalescing makes the initial number far less sensitive.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Confs that are runtime-settable: applied defensively to ANY session that
+# enters the engine (the driver harness builds its own SparkSession, so we
+# cannot rely on builder-time config alone).
+RUNTIME_CONFS: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Small dims (region/nation/supplier/part at test SFs) must broadcast;
+    # 64 MB covers every dim table up to far beyond sf0.1.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # ANSI off: the engine reproduces the reference's cast-with-default
+    # semantics via explicit coalesce/nullif, never via error-on-cast
+    # (reference `etls/reddit_etl.py:74-76` treats falsy as missing).
+    "spark.sql.ansi.enabled": "false",
+    # The corpus `events` table stores ns-precision timestamps, which the
+    # parquet reader rejects outright ([PARQUET_TYPE_ILLEGAL]). Read them
+    # as raw ns-since-epoch longs; `tables.table()` converts to µs
+    # timestamps (matching DuckDB's CAST(ts_ns AS TIMESTAMP) truncation).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def ensure_session_confs(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable engine confs to an externally-built session.
+
+    Idempotent and cheap; called by every registered query wrapper so that
+    UTC timestamp semantics and AQE hold no matter who built the session.
+    """
+    for key, value in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(key, value)
+        except Exception:
+            # Some confs may be locked down in exotic deployments; the
+            # engine degrades gracefully rather than failing the query.
+            pass
+    return spark
+
+
+def get_spark(
+    app_name: str = "reddit_data_engineering_project_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or reuse) a tuned local SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32
+    threads is the harness shape; tests use ``local[*]``).
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        cpus_env = os.environ.get("SPARK_GRAFT_CPUS")
+        shuffle_partitions = int(cpus_env) if cpus_env and cpus_env.isdigit() else 32
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.filterPushdown", "true")
+    )
+    for key, value in RUNTIME_CONFS.items():
+        builder = builder.config(key, value)
+    spark = builder.getOrCreate()
+    return ensure_session_confs(spark)

@@ -1,0 +1,75 @@
+"""Corpus table loaders.
+
+The driver corpus (``TESTDATA.md``/``FIXTURES.md``) is one parquet file per
+table under ``{sf_dir}/``. Loading is lazy: ``spark.read.parquet`` only
+reads footers, so per-query loads are cheap and Catalyst sees the scan
+directly (predicate pushdown + column pruning reach the parquet reader).
+
+At 100 TB these would be directory-partitioned parquet/lakehouse tables;
+the API is identical — only the path changes — and every downstream
+operator is written against the DataFrame, not the file layout.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .session import ensure_session_confs
+
+TABLE_NAMES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Dimension tables small enough to broadcast at any realistic SF (region/
+# nation are fixed-size; supplier/part grow slowly). Join operators use
+# this set to decide broadcast hints.
+BROADCASTABLE: frozenset[str] = frozenset({"region", "nation", "supplier", "part"})
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Lazy scan of one corpus table.
+
+    ``events.ts`` is ns-precision in parquet (FIXTURES.md §B); Spark's
+    reader rejects NANOS, so it is read as an ns-since-epoch long
+    (``spark.sql.legacy.parquet.nanosAsLong``) and converted here to a µs
+    TimestampType with integer ``div`` (floor) — exactly DuckDB's
+    ``CAST(ts AS TIMESTAMP)`` truncation, keeping oracle parity. Note
+    ``div`` truncates toward zero, which equals floor for the corpus's
+    post-1970 timestamps.
+    """
+    if name not in TABLE_NAMES:
+        raise KeyError(f"unknown corpus table {name!r}; expected one of {TABLE_NAMES}")
+    ensure_session_confs(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """All corpus tables as a dict of lazy DataFrames."""
+    return {name: table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every corpus table as a temp view for ``spark.sql`` paths.
+
+    This is the engine-native stand-in for the reference's declared
+    Athena/Redshift ad-hoc SQL role (reference ``README.md:21``, SURVEY §2.1
+    R17): the lake is queryable by name.
+    """
+    for name, df in load_all(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
