@@ -1,1 +1,372 @@
-"""(stub — populated in this round)"""
+"""Join operators: the star-schema query surface (SURVEY §2.2 Q10-Q11).
+
+The reference delegates its entire warehouse-query role to Athena/Redshift
+(reference ``README.md:21``); these operators own that role natively:
+inner/outer/semi/anti equi-joins over the corpus star schema, an explicit
+broadcast-dim join, a non-equi banding join, and an as-of join.
+
+Scale notes (100 TB design point):
+- Fact⋈fact joins (orders⋈lineitem) shuffle on the join key; AQE picks
+  sort-merge vs shuffled-hash at runtime and splits skewed keys
+  (``session.RUNTIME_CONFS``). On a managed lake both facts would be
+  bucketed by orderkey so this join is co-located and shuffle-free.
+- Dim tables (region/nation/supplier/part — ``tables.BROADCASTABLE``)
+  are broadcast explicitly: the fact side never shuffles for them.
+- The banding join broadcasts the tiny bands relation → BroadcastNestedLoop
+  over a 5-row build side, the only sane plan for a pure range predicate.
+- The as-of join deliberately avoids the range-join + dedupe formulation
+  (which explodes to |A|·|matching B| intermediates on hot keys): the
+  union + last(ignorenulls) window trick computes it in ONE shuffle by
+  key with zero intermediate blowup — the plan that survives 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..functions.numeric import dround
+from ..registry import register
+from ..tables import table
+
+
+@register(
+    "q10_join_inner_star",
+    oracle="""
+    SELECT
+        n.n_name AS nation,
+        CAST(year(o.o_orderdate) AS INT) AS order_year,
+        count(*) AS n_items,
+        round(sum(l.l_extendedprice * (1 - l.l_discount)) * 100.0) / 100.0
+            AS revenue
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name IN ('ASIA', 'EUROPE')
+    GROUP BY 1, 2
+    """,
+    tags=("joins", "Q10"),
+)
+def q10_join_inner_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five-way star join (TPC-H Q5 shape): facts shuffle, dims broadcast.
+
+    lineitem⋈orders is the one genuine shuffle; customer/nation/region
+    ride in as broadcasts so the fact stream is never repartitioned for
+    them. The region filter lands on the 5-row build side — Catalyst
+    prunes it before the broadcast.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name").isin("ASIA", "EUROPE"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("order_year"),
+        )
+        .agg(
+            F.count("*").alias("n_items"),
+            dround(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "q10_join_left_outer",
+    oracle="""
+    SELECT
+        c.c_custkey,
+        c.c_name,
+        count(o.o_orderkey) AS n_urgent_orders,
+        round(coalesce(sum(o.o_totalprice), 0.0) * 100.0) / 100.0
+            AS urgent_spend
+    FROM customer c
+    LEFT JOIN (
+        SELECT * FROM orders WHERE o_orderpriority = '1-URGENT'
+    ) o ON o.o_custkey = c.c_custkey
+    GROUP BY 1, 2
+    """,
+    tags=("joins", "Q10"),
+)
+def q10_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving unmatched customers (zero urgent orders).
+
+    The urgent filter is applied BEFORE the join (filter-then-join, not
+    join-then-filter — the latter would silently turn the outer join into
+    an inner one and also move the filter off the pushdown path).
+    """
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_urgent_orders"),
+            dround(F.coalesce(F.sum("o_totalprice"), F.lit(0.0))).alias(
+                "urgent_spend"
+            ),
+        )
+    )
+
+
+@register(
+    "q10_join_full_outer",
+    oracle="""
+    WITH y95 AS (
+        SELECT o_custkey, round(sum(o_totalprice) * 100.0) / 100.0 AS spend_1995
+        FROM orders WHERE year(o_orderdate) = 1995 GROUP BY 1
+    ),
+    y96 AS (
+        SELECT o_custkey, round(sum(o_totalprice) * 100.0) / 100.0 AS spend_1996
+        FROM orders WHERE year(o_orderdate) = 1996 GROUP BY 1
+    )
+    SELECT
+        coalesce(y95.o_custkey, y96.o_custkey) AS custkey,
+        coalesce(y95.spend_1995, 0.0) AS spend_1995,
+        coalesce(y96.spend_1996, 0.0) AS spend_1996
+    FROM y95 FULL OUTER JOIN y96 ON y95.o_custkey = y96.o_custkey
+    """,
+    tags=("joins", "Q10"),
+)
+def q10_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two yearly spend aggregates.
+
+    Aggregate-then-join: each side is reduced to ≤|customers| rows before
+    the join, so the full-outer shuffle moves grouped rows, not raw
+    orders — the order-of-magnitude saver at 100 TB.
+    """
+    o = table(spark, sf_dir, "orders")
+
+    def yearly(year: int, alias: str) -> DataFrame:
+        return (
+            o.filter(F.year("o_orderdate") == year)
+            .groupBy("o_custkey")
+            .agg(dround(F.sum("o_totalprice")).alias(alias))
+        )
+
+    y95 = yearly(1995, "spend_1995").withColumnRenamed("o_custkey", "k95")
+    y96 = yearly(1996, "spend_1996").withColumnRenamed("o_custkey", "k96")
+    return y95.join(y96, y95.k95 == y96.k96, "full").select(
+        F.coalesce(F.col("k95"), F.col("k96")).alias("custkey"),
+        F.coalesce(F.col("spend_1995"), F.lit(0.0)).alias("spend_1995"),
+        F.coalesce(F.col("spend_1996"), F.lit(0.0)).alias("spend_1996"),
+    )
+
+
+@register(
+    "q10_join_semi",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer c
+    WHERE EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderpriority = '1-URGENT'
+          AND o.o_totalprice > 100000.0
+    )
+    """,
+    tags=("joins", "Q10"),
+)
+def q10_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left semi join: customers with ≥1 big urgent order (EXISTS).
+
+    Semi joins never duplicate the probe side, so no post-join distinct
+    is needed — the physical plan short-circuits on first match.
+    """
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_totalprice") > 100000.0)
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@register(
+    "q10_join_anti",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer c
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderpriority = '1-URGENT'
+    )
+    """,
+    tags=("joins", "Q10"),
+)
+def q10_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left anti join: customers with NO urgent orders (NOT EXISTS).
+
+    The R16 idempotency primitive in disguise — anti join against
+    already-loaded keys is how an incremental loader skips duplicates.
+    """
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+@register(
+    "q10_join_broadcast_dims",
+    oracle="""
+    SELECT
+        s.s_suppkey,
+        s.s_name,
+        n.n_name AS nation,
+        r.r_name AS region
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    """,
+    tags=("joins", "Q10", "broadcast"),
+)
+def q10_join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit broadcast-hint dim join (plan asserted in tests).
+
+    nation and region are in ``tables.BROADCASTABLE``: the physical plan
+    must be two BroadcastHashJoins with supplier streaming through — no
+    shuffle at any SF. ``tests/test_join_plans.py`` asserts it.
+    """
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("n_name").alias("nation"),
+            F.col("r_name").alias("region"),
+        )
+    )
+
+
+@register(
+    "q11_range_join_bands",
+    oracle="""
+    WITH bands(band_id, lo, hi) AS (
+        VALUES (0, 0.0, 100.0), (1, 100.0, 200.0), (2, 200.0, 300.0),
+               (3, 300.0, 400.0), (4, 400.0, 500.0)
+    )
+    SELECT
+        b.band_id,
+        count(*) AS n_events,
+        round(sum(e.value) * 100.0) / 100.0 AS band_value
+    FROM events e
+    JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+    GROUP BY 1
+    """,
+    tags=("joins", "Q11", "range"),
+)
+def q11_range_join_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi range join: bucket events into value bands.
+
+    A pure range predicate has no hash key; the only scale-sane plan is
+    BroadcastNestedLoopJoin with the 5-row bands relation as the build
+    side. (With a large band table you'd equi-join on a computed bucket
+    id instead — that variant is exactly ``floor(value/100)``, covered by
+    the aggregate battery.)
+    """
+    ev = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    bands = spark.range(5).select(
+        F.col("id").cast("int").alias("band_id"),
+        (F.col("id") * 100.0).alias("lo"),
+        ((F.col("id") + 1) * 100.0).alias("hi"),
+    )
+    return (
+        ev.join(
+            F.broadcast(bands),
+            (ev.value >= bands.lo) & (ev.value < bands.hi),
+        )
+        .groupBy("band_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            dround(F.sum("value")).alias("band_value"),
+        )
+    )
+
+
+@register(
+    "q11_asof_join",
+    oracle="""
+    WITH clicks AS (
+        SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        FROM events WHERE event_type = 'click'
+    ),
+    purchases AS (
+        SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+               coalesce(value, 0.0) AS value
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT
+        p.event_id,
+        p.user_id,
+        p.ts,
+        round(p.value * 100.0) / 100.0 AS purchase_value,
+        c.ts AS last_click_ts
+    FROM purchases p
+    LEFT JOIN clicks c
+      ON c.user_id = p.user_id
+     AND (c.ts < p.ts OR (c.ts = p.ts AND c.event_id < p.event_id))
+    QUALIFY row_number() OVER (
+        PARTITION BY p.event_id ORDER BY c.ts DESC, c.event_id DESC
+    ) = 1
+    """,
+    tags=("joins", "Q11", "asof"),
+)
+def q11_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's latest prior click.
+
+    Implemented with the union + last(ignorenulls) window trick, NOT a
+    range join + dedupe: both streams are unioned, shuffled ONCE by
+    user_id, sorted by (ts, event_id), and the running last non-null
+    click timestamp is carried forward. A range-join formulation would
+    materialize |purchases|·|prior clicks| rows per user before deduping
+    — quadratic on hot users; this plan is strictly linear.
+    """
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    is_click = F.col("event_type") == "click"
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    enriched = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.coalesce(F.col("value"), F.lit(0.0)).alias("value"),
+        F.when(is_click, F.col("ts")).alias("click_ts"),
+    ).withColumn("last_click_ts", F.last("click_ts", ignorenulls=True).over(w))
+    return (
+        enriched.filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            dround(F.col("value")).alias("purchase_value"),
+            # A purchase's own click_ts is null, so last() at the current
+            # row is the latest click at-or-before it in (ts, event_id)
+            # order — exactly the as-of contract.
+            "last_click_ts",
+        )
+    )
