@@ -1,1 +1,260 @@
-"""(stub — populated in this round)"""
+"""Aggregate operators (SURVEY §2.2 Q7-Q9).
+
+Generalizes the reference's only aggregate — the per-run row count logged
+at ``etls/reddit_etl.py:112-117`` — to the full warehouse aggregate
+surface its Redshift role implies: multi-key hash aggregates, distinct /
+approx-distinct, rollup / cube / grouping sets.
+
+Scale notes (100 TB design point):
+- Every groupBy here is a partial (map-side) + final hash aggregate:
+  Spark combines locally before the shuffle, so bytes shuffled scale with
+  |groups|, not |rows|. Group keys are all low-cardinality.
+- ``count(DISTINCT x)`` expands + reshuffles on (group, x); at lake scale
+  prefer ``approx_count_distinct`` (HLL++, one pass, mergeable sketch) —
+  ``q08_approx_distinct`` proves the estimate lands within 2% without
+  shipping exact sets, which is the operative contract for telemetry.
+- rollup/cube compile to a single Expand + one aggregate, not N scans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.numeric import dround
+from ..registry import register
+from ..tables import table
+
+
+@register(
+    "q07_hash_aggregate",
+    oracle="""
+    SELECT
+        l_returnflag,
+        l_linestatus,
+        count(*) AS n_rows,
+        round(sum(l_quantity) * 100.0) / 100.0 AS sum_qty,
+        round(sum(l_extendedprice * (1 - l_discount)) * 100.0) / 100.0
+            AS sum_disc_price,
+        round(avg(l_quantity) * 10000.0) / 10000.0 AS avg_qty,
+        min(l_shipdate) AS first_ship,
+        max(l_shipdate) AS last_ship
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+    GROUP BY 1, 2
+    """,
+    tags=("aggregates", "Q7"),
+)
+def q07_hash_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key hash aggregate with the full agg-function battery (TPC-H Q1 shape).
+
+    Six groups total → the partial aggregate reduces each input partition
+    to ≤6 rows before the shuffle; the exchange is O(partitions), not
+    O(rows), at any scale.
+    """
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp")
+    )
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_rows"),
+        dround(F.sum("l_quantity")).alias("sum_qty"),
+        dround(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        ).alias("sum_disc_price"),
+        dround(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.min("l_shipdate").alias("first_ship"),
+        F.max("l_shipdate").alias("last_ship"),
+    )
+
+
+@register(
+    "q08_distinct_pairs",
+    oracle="""
+    SELECT DISTINCT user_id, event_type
+    FROM events
+    WHERE event_type IN ('click', 'purchase', 'view')
+    """,
+    tags=("aggregates", "Q8"),
+)
+def q08_distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dropDuplicates`` over a key pair — the R16 dedup primitive.
+
+    Compiles to a hash aggregate on the pair (no sort); with partial
+    aggregation the shuffle carries only distinct pairs per partition.
+    """
+    return (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "purchase", "view"))
+        .select("user_id", "event_type")
+        .dropDuplicates()
+    )
+
+
+@register(
+    "q08_count_distinct",
+    oracle="""
+    SELECT
+        event_type,
+        count(DISTINCT user_id) AS n_users,
+        count(*) AS n_events
+    FROM events
+    GROUP BY 1
+    """,
+    tags=("aggregates", "Q8"),
+)
+def q08_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group count-distinct (the small-cardinality case)."""
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+@register(
+    "q08_approx_distinct",
+    oracle="""
+    SELECT
+        event_type,
+        count(DISTINCT user_id) AS exact_users,
+        TRUE AS approx_within_2pct
+    FROM events
+    GROUP BY 1
+    """,
+    tags=("aggregates", "Q8", "approx"),
+)
+def q08_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ approx-distinct proven against the exact count.
+
+    The scale path: ``approx_count_distinct`` is a single-pass mergeable
+    sketch (no expand, no per-value shuffle). The query emits a boolean
+    "estimate within 2% of exact" per group, which the oracle pins to
+    TRUE — so the correctness gate actually verifies the sketch's
+    accuracy contract rather than trusting it.
+    """
+    rsd = 0.01  # HLL++ relative standard deviation; 2% bound ≈ 2σ
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("exact_users"),
+            F.approx_count_distinct("user_id", rsd).alias("approx_users"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                <= F.col("exact_users") * 0.02
+            ).alias("approx_within_2pct"),
+        )
+    )
+
+
+@register(
+    "q09_rollup",
+    oracle="""
+    SELECT
+        n.n_name AS nation,
+        c.c_mktsegment AS segment,
+        grouping(n.n_name) AS g_nation,
+        grouping(c.c_mktsegment) AS g_segment,
+        count(*) AS n_customers,
+        round(sum(c.c_acctbal) * 100.0) / 100.0 AS total_balance
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY ROLLUP (n.n_name, c.c_mktsegment)
+    """,
+    tags=("aggregates", "Q9"),
+)
+def q09_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup: (nation, segment) → (nation) → grand total.
+
+    ``grouping()`` flags disambiguate subtotal rows from genuine NULL
+    keys — required for a lossless multi-grain report. One Expand + one
+    aggregate; the broadcast dim join precedes it.
+    """
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(F.col("n_name").alias("nation"), F.col("c_mktsegment").alias("segment"), "c_acctbal")
+        .rollup("nation", "segment")
+        .agg(
+            F.grouping("nation").alias("g_nation"),
+            F.grouping("segment").alias("g_segment"),
+            F.count("*").alias("n_customers"),
+            dround(F.sum("c_acctbal")).alias("total_balance"),
+        )
+        .select(
+            "nation", "segment", "g_nation", "g_segment",
+            "n_customers", "total_balance",
+        )
+    )
+
+
+@register(
+    "q09_cube",
+    oracle="""
+    SELECT
+        o_orderstatus,
+        o_orderpriority,
+        grouping(o_orderstatus) AS g_status,
+        grouping(o_orderpriority) AS g_priority,
+        count(*) AS n_orders,
+        round(sum(o_totalprice) * 100.0) / 100.0 AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    tags=("aggregates", "Q9"),
+)
+def q09_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full cube over (status, priority): all four grouping combinations."""
+    return (
+        table(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping("o_orderstatus").alias("g_status"),
+            F.grouping("o_orderpriority").alias("g_priority"),
+            F.count("*").alias("n_orders"),
+            dround(F.sum("o_totalprice")).alias("total_price"),
+        )
+    )
+
+
+@register(
+    "q09_grouping_sets",
+    oracle="""
+    SELECT
+        o_orderpriority,
+        CAST(year(o_orderdate) AS INT) AS order_year,
+        grouping(o_orderpriority) AS g_priority,
+        CAST(grouping(CAST(year(o_orderdate) AS INT)) AS INT) AS g_year,
+        count(*) AS n_orders
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority), (CAST(year(o_orderdate) AS INT)))
+    """,
+    tags=("aggregates", "Q9"),
+)
+def q09_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit grouping sets: by-priority and by-year slices in one pass.
+
+    Two independent reports from one scan + one aggregate — the
+    multi-grain daily-reporting pattern (SURVEY Q9) without re-reading
+    100 TB per grain.
+    """
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.year("o_orderdate").cast("int").alias("order_year"),
+    )
+    return o.groupingSets(
+        [["o_orderpriority"], ["order_year"]],
+        "o_orderpriority",
+        "order_year",
+    ).agg(
+        F.grouping("o_orderpriority").alias("g_priority"),
+        F.grouping("order_year").cast("int").alias("g_year"),
+        F.count("*").alias("n_orders"),
+    )
