@@ -1,1 +1,149 @@
-"""(stub — populated in this round)"""
+"""Idempotent upsert (SURVEY §2.2 Q19 / reference R16).
+
+The reference *claims* "Upsert logic … so re-running does not create
+duplicates" (reference ``README.md:13``) but ships no code for it — the
+logic lived in Redshift. Here the engine owns it natively, in two forms:
+
+1. ``q19_upsert_keep_latest`` — the declarative core: given a base load
+   plus a re-run batch with corrections, keep exactly one row per key
+   (the latest), oracle-checked.
+2. :func:`upsert_parquet` — the write-path form: merge a batch into a
+   date-partitioned parquet target with dynamic partition overwrite, so
+   only touched partitions rewrite. ``tests/test_upsert.py`` proves the
+   idempotency contract (apply twice → same table).
+
+Scale notes (100 TB design point):
+- Keep-latest is ONE shuffle by key + per-key sort of the few duplicate
+  rows (WindowGroupLimit prunes to 1 during the sort) — strictly cheaper
+  than groupBy(max_by) on wide rows because only the rank column is
+  evaluated during the sort.
+- The write path never rewrites the whole table: dynamic partition
+  overwrite touches only partitions present in the incoming batch — the
+  daily re-run rewrites one day, not 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..functions.numeric import dround
+from ..registry import register
+from ..tables import table
+
+
+def keep_latest(df: DataFrame, keys: list[str], order_cols: list) -> DataFrame:
+    """One row per key: the first under ``order_cols`` (put DESC recency first).
+
+    The R16 primitive. ``row_number`` (not ``rank``) guarantees exactly
+    one survivor even under full ties.
+    """
+    w = Window.partitionBy(*keys).orderBy(*order_cols)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def upsert_parquet(
+    spark: SparkSession,
+    batch: DataFrame,
+    target_path: str,
+    keys: list[str],
+    recency_col: str,
+    partition_col: str | None = None,
+) -> None:
+    """Merge ``batch`` into a parquet target, keeping the latest row per key.
+
+    Read-merge-overwrite with ``partitionOverwriteMode=dynamic``: only
+    partitions present in the merged output are replaced. Re-applying the
+    same batch is a no-op by construction (the reference's R16 contract).
+    """
+    try:
+        existing: DataFrame | None = spark.read.parquet(target_path)
+    except Exception:
+        existing = None
+    merged = batch if existing is None else existing.unionByName(batch)
+    # Deterministic survivor: latest recency, then stable key tie-break.
+    order = [F.col(recency_col).desc()] + [F.col(k).asc() for k in keys]
+    result = keep_latest(merged, keys, order)
+    writer = result.write.mode("overwrite")
+    if partition_col:
+        writer = writer.partitionBy(partition_col).option(
+            "partitionOverwriteMode", "dynamic"
+        )
+    writer.parquet(target_path)
+
+
+@register(
+    "q19_upsert_keep_latest",
+    oracle="""
+    WITH rerun AS (
+        -- A corrected re-run of the most recent day: same keys, bumped
+        -- ingest version, revised values.
+        SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,
+               coalesce(value, 0.0) * 2.0 AS value, 2 AS ingest_version
+        FROM events
+        WHERE CAST(ts AS TIMESTAMP) >=
+              (SELECT max(CAST(ts AS TIMESTAMP)) FROM events) - INTERVAL 1 DAY
+    ),
+    base AS (
+        SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,
+               coalesce(value, 0.0) AS value, 1 AS ingest_version
+        FROM events
+    ),
+    unioned AS (
+        SELECT * FROM base UNION ALL SELECT * FROM rerun
+    )
+    SELECT event_id, ts, user_id, event_type,
+           round(value * 100.0) / 100.0 AS value,
+           ingest_version
+    FROM unioned
+    QUALIFY row_number() OVER (
+        PARTITION BY event_id ORDER BY ingest_version DESC
+    ) = 1
+    """,
+    tags=("upsert", "Q19", "R16"),
+)
+def q19_upsert_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R16 upsert semantics, oracle-checked: base ∪ corrected re-run → keep latest.
+
+    Row count must equal the base count (no duplicates created — the
+    reference's literal claim) while rows from the re-run window carry
+    the corrected values and version 2.
+    """
+    ev = table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id",
+        "ts",
+        "user_id",
+        "event_type",
+        F.coalesce(F.col("value"), F.lit(0.0)).alias("value"),
+        F.lit(1).alias("ingest_version"),
+    )
+    max_ts = ev.agg(F.max("ts").alias("max_ts"))
+    rerun = (
+        ev.crossJoin(F.broadcast(max_ts))
+        .filter(F.col("ts") >= F.col("max_ts") - F.expr("INTERVAL 1 DAYS"))
+        .select(
+            "event_id",
+            "ts",
+            "user_id",
+            "event_type",
+            (F.coalesce(F.col("value"), F.lit(0.0)) * 2.0).alias("value"),
+            F.lit(2).alias("ingest_version"),
+        )
+    )
+    merged = keep_latest(
+        base.unionByName(rerun),
+        ["event_id"],
+        [F.col("ingest_version").desc()],
+    )
+    return merged.select(
+        "event_id",
+        "ts",
+        "user_id",
+        "event_type",
+        dround(F.col("value")).alias("value"),
+        "ingest_version",
+    )

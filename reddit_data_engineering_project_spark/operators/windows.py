@@ -1,1 +1,234 @@
-"""(stub — populated in this round)"""
+"""Window-function operators (SURVEY §2.2 Q13).
+
+Top-k *per group* is the direct generalization of the reference's
+flagship ``subreddit.top()`` access pattern (reference
+``etls/reddit_etl.py:49``): rank within a partition instead of globally.
+``row_number`` keep-latest is also the engine's upsert primitive (Q19,
+``operators/upsert.py``).
+
+Scale notes (100 TB design point):
+- Every window here partitions by a real key (user_id / segment / nation),
+  so the sort is per-partition after ONE hash shuffle — never a global
+  sort. An ORDER BY without PARTITION BY would single-task the world;
+  none of these do that.
+- Rank-filter queries (top-N per group) push the filter immediately after
+  the window so only N rows per group survive the stage — Spark's
+  WindowGroupLimit optimization even prunes during the sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..functions.numeric import dround
+from ..registry import register
+from ..tables import table
+
+
+@register(
+    "q13_topn_per_group",
+    oracle="""
+    SELECT custkey, order_rank, o_orderkey, o_totalprice
+    FROM (
+        SELECT
+            o_custkey AS custkey,
+            row_number() OVER (
+                PARTITION BY o_custkey
+                ORDER BY o_totalprice DESC, o_orderkey ASC
+            ) AS order_rank,
+            o_orderkey,
+            o_totalprice
+        FROM orders
+    )
+    WHERE order_rank <= 3
+    """,
+    tags=("windows", "Q13"),
+)
+def q13_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer — per-group top-k via row_number.
+
+    The reference's global top-k (R2) partitioned by key. The rank<=N
+    filter sits directly on the window output, enabling Spark's
+    WindowGroupLimit pushdown (per-partition heaps, not full sorts).
+    """
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        table(spark, sf_dir, "orders")
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.row_number().over(w).alias("order_rank"),
+            "o_orderkey",
+            "o_totalprice",
+        )
+        .filter(F.col("order_rank") <= 3)
+    )
+
+
+@register(
+    "q13_rank_dense_rank",
+    oracle="""
+    SELECT
+        c_mktsegment,
+        c_custkey,
+        round(c_acctbal * 100.0) / 100.0 AS acctbal,
+        rank() OVER (
+            PARTITION BY c_mktsegment ORDER BY round(c_acctbal) DESC
+        ) AS bal_rank,
+        dense_rank() OVER (
+            PARTITION BY c_mktsegment ORDER BY round(c_acctbal) DESC
+        ) AS bal_dense_rank,
+        ntile(4) OVER (
+            PARTITION BY c_mktsegment
+            ORDER BY c_acctbal DESC, c_custkey ASC
+        ) AS bal_quartile
+    FROM customer
+    """,
+    tags=("windows", "Q13"),
+)
+def q13_rank_dense_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank (with real ties) + ntile quartiles per segment.
+
+    Ranks order by the ROUNDED balance so ties genuinely occur and the
+    rank-vs-dense_rank gap is exercised; ntile uses the unique custkey
+    tie-break to stay deterministic.
+    """
+    rounded = F.round(F.col("c_acctbal"))
+    w_tie = Window.partitionBy("c_mktsegment").orderBy(rounded.desc())
+    w_det = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    return table(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        "c_custkey",
+        dround(F.col("c_acctbal")).alias("acctbal"),
+        F.rank().over(w_tie).alias("bal_rank"),
+        F.dense_rank().over(w_tie).alias("bal_dense_rank"),
+        F.ntile(4).over(w_det).alias("bal_quartile"),
+    )
+
+
+@register(
+    "q13_lag_lead",
+    oracle="""
+    SELECT
+        user_id,
+        event_id,
+        CAST(ts AS TIMESTAMP) AS ts,
+        lag(event_type) OVER w AS prev_type,
+        lead(event_type) OVER w AS next_type,
+        CAST(floor(
+            epoch(CAST(ts AS TIMESTAMP))
+            - epoch(lag(CAST(ts AS TIMESTAMP)) OVER w)
+        ) AS BIGINT) AS secs_since_prev
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+    """,
+    tags=("windows", "Q13"),
+)
+def q13_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead across each user's event stream + inter-event gap seconds.
+
+    The sessionization primitive: gap-since-previous feeds the session
+    window operator (S3). One shuffle by user_id, per-user sort.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_secs = F.col("ts").cast("double")
+    prev_secs = F.lag(F.col("ts")).over(w).cast("double")
+    return table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+        F.floor(ts_secs - prev_secs).cast("long").alias("secs_since_prev"),
+    )
+
+
+@register(
+    "q13_running_frames",
+    oracle="""
+    SELECT
+        user_id,
+        event_id,
+        CAST(ts AS TIMESTAMP) AS ts,
+        round(sum(coalesce(value, 0.0)) OVER (
+            PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) * 100.0) / 100.0 AS running_value,
+        round(avg(coalesce(value, 0.0)) OVER (
+            PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+        ) * 10000.0) / 10000.0 AS moving_avg_3,
+        first_value(event_type) OVER (
+            PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS first_type
+    FROM events
+    """,
+    tags=("windows", "Q13"),
+)
+def q13_running_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-frame battery: running sum, 3-row moving average, first_value.
+
+    Explicit ROWS frames (not the default RANGE frame) so peer rows with
+    equal timestamps don't collapse — deterministic via the event_id
+    tie-break in the ordering.
+    """
+    order = [F.col("ts").asc(), F.col("event_id").asc()]
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_mov = Window.partitionBy("user_id").orderBy(*order).rowsBetween(-2, 0)
+    val = F.coalesce(F.col("value"), F.lit(0.0))
+    return table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        dround(F.sum(val).over(w_run)).alias("running_value"),
+        dround(F.avg(val).over(w_mov), 4).alias("moving_avg_3"),
+        F.first("event_type").over(w_run).alias("first_type"),
+    )
+
+
+@register(
+    "q13_window_share",
+    oracle="""
+    SELECT
+        n.n_name AS nation,
+        c.c_custkey,
+        round(c.c_acctbal * 100.0) / 100.0 AS acctbal,
+        round(
+            c.c_acctbal / sum(c.c_acctbal) OVER (PARTITION BY n.n_name)
+            * 1000000.0) / 1000000.0 AS nation_share
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE c.c_acctbal > 0
+    """,
+    tags=("windows", "Q13"),
+)
+def q13_window_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unordered analytic window: each customer's share of nation balance.
+
+    PARTITION BY without ORDER BY → whole-partition aggregate broadcast
+    to every row of the partition; no sort at all, just the one shuffle.
+    """
+    c = table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0)
+    n = table(spark, sf_dir, "nation")
+    w = Window.partitionBy("nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            "c_custkey",
+            dround(F.col("c_acctbal")).alias("acctbal"),
+            F.col("c_acctbal").alias("_bal"),
+        )
+        .withColumn(
+            "nation_share", dround(F.col("_bal") / F.sum("_bal").over(w), 6)
+        )
+        .drop("_bal")
+    )
