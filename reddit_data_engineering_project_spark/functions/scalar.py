@@ -1,1 +1,169 @@
-"""(stub — populated in this round)"""
+"""Scalar function batteries (SURVEY §2.2 Q14-Q16).
+
+The reference's transform layer is scalar functions (trim/cast/default,
+reference ``etls/reddit_etl.py:63-85``); its Athena role implies the full
+warehouse scalar surface. Three registered batteries: strings (Q14),
+date/time (Q15), math/conditional (Q16).
+
+All built-ins — JVM-side, whole-stage-codegen, zero Python on the data
+path. Each battery is one narrow projection: no shuffle at any scale.
+
+Oracle-parity notes:
+- Spark ``substring`` is 1-indexed like DuckDB's ``substr``.
+- ``datediff`` → DuckDB ``date_diff('day', ...)`` (argument order flips).
+- Spark ``date_format`` pattern letters → DuckDB ``strftime`` codes.
+- double math rounded via ``dround`` on both sides before hashing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..registry import register
+from ..tables import table
+from .numeric import dround
+
+
+@register(
+    "q14_string_funcs",
+    oracle="""
+    SELECT
+        p_partkey,
+        lower(p_name) AS name_lower,
+        upper(p_brand) AS brand_upper,
+        length(p_name) AS name_len,
+        concat(p_brand, ':', p_type) AS brand_type,
+        substr(p_name, 1, 5) AS name_prefix,
+        replace(p_name, ' ', '_') AS name_snake,
+        regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+        (p_type LIKE '%ECONOMY%') AS is_economy,
+        lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+        trim('  ' || p_brand || '  ') AS brand_roundtrip,
+        split_part(p_name, ' ', 1) AS first_word
+    FROM part
+    """,
+    tags=("functions", "Q14"),
+)
+def q14_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 string battery: case, length, concat, substring, regex, pad, split."""
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lower("p_name").alias("name_lower"),
+        F.upper("p_brand").alias("brand_upper"),
+        F.length("p_name").alias("name_len"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.substring("p_name", 1, 5).alias("name_prefix"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
+        F.regexp_extract("p_name", r"([a-z]+)$", 1).alias("last_word"),
+        F.col("p_type").like("%ECONOMY%").alias("is_economy"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.trim(F.concat(F.lit("  "), F.col("p_brand"), F.lit("  "))).alias(
+            "brand_roundtrip"
+        ),
+        F.split(F.col("p_name"), " ").getItem(0).alias("first_word"),
+    )
+
+
+@register(
+    "q15_datetime_funcs",
+    oracle="""
+    SELECT
+        o_orderkey,
+        CAST(year(o_orderdate) AS INT) AS order_year,
+        CAST(month(o_orderdate) AS INT) AS order_month,
+        CAST(day(o_orderdate) AS INT) AS order_day,
+        CAST(quarter(o_orderdate) AS INT) AS order_quarter,
+        CAST(dayofyear(o_orderdate) AS INT) AS order_doy,
+        CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+        CAST(o_orderdate + INTERVAL 30 DAY AS TIMESTAMP) AS due_date,
+        CAST(date_diff('day', o_orderdate,
+                       TIMESTAMP '2002-01-01 00:00:00') AS INT) AS days_to_2002,
+        strftime(o_orderdate, '%Y-%m-%d') AS iso_day,
+        CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS month_end,
+        CAST(epoch(o_orderdate) AS BIGINT) AS epoch_secs
+    FROM orders
+    WHERE year(o_orderdate) = 1997
+    """,
+    tags=("functions", "Q15"),
+)
+def q15_datetime_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 date/time battery: parts, trunc, arithmetic, diff, format, epoch.
+
+    The R4 epoch↔timestamp conversion (reference ``etls/reddit_etl.py:
+    65-70``) round-trips here as ``unix_timestamp``; everything stays in
+    the session's pinned UTC.
+    """
+    o = table(spark, sf_dir, "orders").filter(F.year("o_orderdate") == 1997)
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("int").alias("order_year"),
+        F.month("o_orderdate").cast("int").alias("order_month"),
+        F.dayofmonth("o_orderdate").cast("int").alias("order_day"),
+        F.quarter("o_orderdate").cast("int").alias("order_quarter"),
+        F.dayofyear("o_orderdate").cast("int").alias("order_doy"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("due_date"),
+        F.datediff(
+            F.lit("2002-01-01").cast("timestamp"), F.col("o_orderdate")
+        ).cast("int").alias("days_to_2002"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("iso_day"),
+        F.last_day("o_orderdate").alias("month_end"),
+        F.unix_timestamp("o_orderdate").alias("epoch_secs"),
+    )
+
+
+@register(
+    "q16_math_conditional",
+    oracle="""
+    SELECT
+        l_orderkey,
+        l_linenumber,
+        abs(l_discount - 0.05) AS disc_dev,
+        ceil(l_quantity) AS qty_ceil,
+        floor(l_extendedprice) AS price_floor,
+        round(sqrt(l_extendedprice) * 10000.0) / 10000.0 AS price_sqrt,
+        round(ln(l_extendedprice + 1.0) * 10000.0) / 10000.0 AS price_ln,
+        CAST(l_orderkey % 7 AS BIGINT) AS key_mod7,
+        CASE
+            WHEN l_quantity >= 40 THEN 'bulk'
+            WHEN l_quantity >= 10 THEN 'standard'
+            ELSE 'small'
+        END AS qty_class,
+        greatest(l_tax, l_discount) AS max_rate,
+        least(l_tax, l_discount) AS min_rate,
+        coalesce(nullif(l_returnflag, 'N'), 'none') AS flag_or_none,
+        sign(l_extendedprice - 30000.0) AS price_side
+    FROM lineitem
+    WHERE l_linenumber <= 2
+    """,
+    tags=("functions", "Q16"),
+)
+def q16_math_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 math/conditional battery: arithmetic, roots/logs, CASE, bounds.
+
+    The reference's when/otherwise defaults (R5-R9) generalized to the
+    full conditional surface; irrational outputs rounded identically on
+    both engines.
+    """
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") <= 2)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.ceil("l_quantity").alias("qty_ceil"),
+        F.floor("l_extendedprice").alias("price_floor"),
+        dround(F.sqrt("l_extendedprice"), 4).alias("price_sqrt"),
+        dround(F.log(F.col("l_extendedprice") + 1.0), 4).alias("price_ln"),
+        (F.col("l_orderkey") % 7).alias("key_mod7"),
+        F.when(F.col("l_quantity") >= 40, "bulk")
+        .when(F.col("l_quantity") >= 10, "standard")
+        .otherwise("small")
+        .alias("qty_class"),
+        F.greatest("l_tax", "l_discount").alias("max_rate"),
+        F.least("l_tax", "l_discount").alias("min_rate"),
+        F.coalesce(F.nullif(F.col("l_returnflag"), F.lit("N")), F.lit("none")).alias(
+            "flag_or_none"
+        ),
+        F.signum(F.col("l_extendedprice") - 30000.0).alias("price_side"),
+    )

@@ -1,1 +1,154 @@
-"""(stub — populated in this round)"""
+"""Array / map / JSON functions (SURVEY §2.2 Q17).
+
+The corpus carries two semi-structured columns: ``events.props`` (JSON
+wire strings — the reference's dict-of-Any rows, ``etls/reddit_etl.py:
+53-55``) and ``documents.text`` (token streams for the X4 text-analysis
+operators in ``operators/text_analysis.py``).
+
+All built-ins; explode is the only row-multiplying op and it is bounded
+by tokens-per-document, so memory per task stays flat at any corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import IntegerType, StructField, StructType
+
+from ..registry import register
+from ..tables import table
+
+
+@register(
+    "q17_json_funcs",
+    oracle="""
+    SELECT
+        event_id,
+        coalesce(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT), -1)
+            AS prop_k,
+        (json_extract_string(props, '$.k') IS NOT NULL) AS has_k,
+        coalesce(json_extract_string(props, '$.missing'), 'absent')
+            AS missing_default
+    FROM events
+    """,
+    tags=("functions", "Q17", "json"),
+)
+def q17_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction: typed path get, existence probe, absent-key default.
+
+    Both path extraction (``get_json_object``) and full parse
+    (``from_json`` with an explicit schema) are exercised; the schema'd
+    parse is what a production pipeline should use — one parse, typed
+    columns, vectorized downstream.
+    """
+    props_schema = StructType([StructField("k", IntegerType(), True)])
+    ev = table(spark, sf_dir, "events").withColumn(
+        "parsed", F.from_json(F.col("props"), props_schema)
+    )
+    return ev.select(
+        "event_id",
+        F.coalesce(F.col("parsed.k").cast("long"), F.lit(-1)).alias("prop_k"),
+        F.get_json_object("props", "$.k").isNotNull().alias("has_k"),
+        F.coalesce(
+            F.get_json_object("props", "$.missing"), F.lit("absent")
+        ).alias("missing_default"),
+    )
+
+
+@register(
+    "q17_array_funcs",
+    oracle="""
+    SELECT
+        doc_id,
+        len(string_split(text, ' ')) AS n_tokens,
+        list_contains(string_split(text, ' '), 'spark') AS mentions_spark,
+        string_split(text, ' ')[1] AS first_token,
+        array_to_string(
+            list_sort(string_split(substr(text, 1, 40), ' ')), '|'
+        ) AS head_sorted
+    FROM documents
+    WHERE lang = 'en'
+    """,
+    tags=("functions", "Q17", "array"),
+)
+def q17_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array battery: split, size, contains, index, sort, re-join.
+
+    Arrays stay inside the JVM row format end-to-end; the sorted head is
+    re-joined to a string so the oracle hash compares scalars.
+    """
+    docs = table(spark, sf_dir, "documents").filter(F.col("lang") == "en")
+    toks = F.split(F.col("text"), " ")
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.array_contains(toks, "spark").alias("mentions_spark"),
+        toks.getItem(0).alias("first_token"),
+        F.array_join(
+            F.sort_array(F.split(F.substring(F.col("text"), 1, 40), " ")), "|"
+        ).alias("head_sorted"),
+    )
+
+
+@register(
+    "q17_explode_tokens",
+    oracle="""
+    SELECT token, count(*) AS n
+    FROM (
+        SELECT unnest(string_split(text, ' ')) AS token
+        FROM documents
+        WHERE lang = 'en'
+    )
+    WHERE token <> ''
+    GROUP BY 1
+    """,
+    tags=("functions", "Q17", "explode"),
+)
+def q17_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode → flat token rows → frequency (the X4 tokenize core).
+
+    The explode multiplies rows by tokens-per-doc but the partial
+    aggregate collapses counts before the shuffle, so the exchange
+    carries |vocabulary| rows, not |tokens|.
+    """
+    docs = table(spark, sf_dir, "documents").filter(F.col("lang") == "en")
+    return (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "q17_map_funcs",
+    oracle="""
+    SELECT
+        event_id,
+        event_type,
+        coalesce(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT), 0)
+            AS k_from_map,
+        2 AS n_map_keys
+    FROM events
+    """,
+    tags=("functions", "Q17", "map"),
+)
+def q17_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map construction + lookup: build a map column, read scalars back.
+
+    The map round-trip (create_map → element_at / map_keys) is verified by
+    extracting scalar values the oracle can hash; the map itself never
+    crosses the comparison boundary.
+    """
+    ev = table(spark, sf_dir, "events")
+    k_val = F.coalesce(
+        F.get_json_object("props", "$.k").cast("long"), F.lit(0)
+    )
+    m = F.create_map(
+        F.lit("k"), k_val, F.lit("uid"), F.col("user_id")
+    )
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.element_at(m, "k").alias("k_from_map"),
+        F.size(F.map_keys(m)).alias("n_map_keys"),
+    )
