@@ -1,1 +1,260 @@
-"""(stub — populated in this round)"""
+"""Vector similarity search (north star X3).
+
+Top-k cosine neighbors over the ``embeddings`` corpus (64-dim float
+vectors), in the two forms a 100 TB pipeline needs:
+
+- ``x03_cosine_topk_bruteforce`` — the exact baseline: a small query set
+  broadcast against the full corpus, dot products in whole-stage codegen
+  (``zip_with`` + ``aggregate`` higher-order functions — no Python, no
+  UDF), per-query top-k via window rank. Exact, and the right plan
+  whenever |queries| is small: broadcast means the corpus is scanned
+  once, never shuffled.
+- ``x03_ann_lsh_bucketed`` — the approximate scale path: random
+  hyperplane LSH (SimHash). Each vector gets a B-bit bucket signature
+  (sign of dot with B seeded planes); candidates are corpus vectors in
+  the SAME bucket or any bucket at Hamming distance 1 (multi-probe), so
+  the join is equi on bucket id — |corpus|·(B+1) small rows shuffle, not
+  |queries|×|corpus| pairs.
+
+All math in float64 on both engines (cast from float32 storage) with
+sequential summation order, so Spark and DuckDB produce bit-identical
+cosines and the top-k sets agree exactly.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
+
+from ..functions.numeric import dround
+from ..registry import register
+from ..tables import table
+
+#: Random hyperplanes for SimHash bucketing — drawn once from a fixed
+#: seed (deterministic across runs and engines).
+_B_PLANES = 8
+_rng = random.Random(7)
+_PLANES: list[list[float]] = [
+    [_rng.gauss(0.0, 1.0) for _ in range(64)] for _ in range(_B_PLANES)
+]
+
+#: Number of query vectors (lowest vec_ids) and neighbors per query.
+_N_QUERIES = 5
+_TOP_K = 10
+
+
+def _vec_double(col: str) -> Column:
+    """float32 storage → float64 math (matches the oracle's CAST)."""
+    return F.transform(F.col(col), lambda x: x.cast("double"))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Sequential-order float64 dot product via higher-order functions."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity, float64 end-to-end."""
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+@register(
+    "x03_cosine_topk_bruteforce",
+    oracle="""
+    WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 5),
+    scored AS (
+        SELECT
+            q.query_id,
+            v.vec_id AS neighbor_id,
+            list_dot_product(q.qe, v.e)
+                / (sqrt(list_dot_product(q.qe, q.qe))
+                   * sqrt(list_dot_product(v.e, v.e))) AS cos
+        FROM q JOIN v ON v.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, rank,
+           round(cos * 1000000.0) / 1000000.0 AS cosine_sim
+    FROM (
+        SELECT query_id, neighbor_id, cos,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC
+               ) AS rank
+        FROM scored
+    )
+    WHERE rank <= 10
+    """,
+    tags=("similarity", "X3"),
+)
+def x03_cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3a: exact top-k cosine neighbors, query set broadcast over corpus.
+
+    The corpus side never shuffles: queries broadcast, dot products run
+    inside codegen, and the per-query window ranks |corpus| rows hashed
+    by query_id. At 1000 executors this reads the corpus once, full stop.
+    """
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", _vec_double("embedding").alias("e")
+    )
+    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    scored = (
+        emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("qe"), F.col("e")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            dround(F.col("cos"), 6).alias("cosine_sim"),
+        )
+    )
+
+
+def _bucket_bits(vec: Column) -> Column:
+    """SimHash bucket id: sign bits against the B fixed hyperplanes."""
+    bucket = F.lit(0)
+    for i, plane in enumerate(_PLANES):
+        plane_col = F.array(*[F.lit(p) for p in plane])
+        bit = (_dot(vec, plane_col) >= 0).cast("int")
+        bucket = bucket + (bit * F.lit(1 << i))
+    return bucket
+
+
+@register(
+    "x03_ann_lsh_bucketed",
+    tags=("similarity", "X3", "lsh", "rows-only"),
+)
+def x03_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3b: approximate neighbors via random-hyperplane (SimHash) buckets.
+
+    Multi-probe: each corpus vector is indexed under its own bucket; each
+    query probes its bucket plus all B single-bit-flip neighbors, so the
+    candidate join stays equi (bucket = bucket) — the shape that scales.
+    Rows-only check (bucket recall is probabilistic by design); the
+    brute-force twin above is the exact oracle-checked baseline.
+    """
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", _vec_double("embedding").alias("e")
+    )
+    indexed = emb.select(
+        "vec_id", "e", _bucket_bits(F.col("e")).alias("bucket")
+    )
+    queries = indexed.filter(F.col("vec_id") < _N_QUERIES)
+    # Multi-probe bucket list: own bucket + B Hamming-1 flips.
+    probes = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.explode(
+            F.array(
+                F.col("bucket"),
+                *[
+                    F.col("bucket").bitwiseXOR(F.lit(1 << i))
+                    for i in range(_B_PLANES)
+                ],
+            )
+        ).alias("bucket"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        indexed.join(F.broadcast(probes), "bucket")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("qe"), F.col("e")).alias("cos"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            dround(F.col("cos"), 6).alias("cosine_sim"),
+        )
+    )
+
+
+@register(
+    "x03_pairwise_label_centroids",
+    oracle="""
+    WITH v AS (
+        SELECT label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    dims AS (
+        SELECT label, gs.i AS dim, e[gs.i + 1] AS val
+        FROM v CROSS JOIN LATERAL (SELECT unnest(range(0, 64)) AS i) gs
+    ),
+    agg AS (
+        SELECT label, dim, avg(val) AS mean_val, count(*) AS n
+        FROM dims GROUP BY 1, 2
+    )
+    SELECT
+        label,
+        max(n) AS n_vectors,
+        round(max(CASE WHEN dim = 0 THEN mean_val END) * 1000000.0)
+            / 1000000.0 AS c0,
+        round(max(CASE WHEN dim = 1 THEN mean_val END) * 1000000.0)
+            / 1000000.0 AS c1,
+        round(max(CASE WHEN dim = 2 THEN mean_val END) * 1000000.0)
+            / 1000000.0 AS c2,
+        round(max(CASE WHEN dim = 3 THEN mean_val END) * 1000000.0)
+            / 1000000.0 AS c3
+    FROM agg
+    GROUP BY label
+    """,
+    tags=("similarity", "X3", "centroid"),
+)
+def x03_pairwise_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3c: per-label centroids — the IVF coarse-quantizer build step.
+
+    An IVF index at scale = k-means centroids + residual buckets; this
+    computes the (label-supervised) centroid pass as a plain aggregate:
+    element-wise vector mean via posexplode + groupBy, one shuffle keyed
+    by (label, dim) then one by label.
+    """
+    emb = table(spark, sf_dir, "embeddings").select(
+        "label", _vec_double("embedding").alias("e")
+    )
+    by_dim = (
+        emb.select("label", F.posexplode(F.col("e")).alias("dim", "val"))
+        .groupBy("label", "dim")
+        .agg(F.avg("val").alias("mean_val"), F.count("*").alias("n"))
+    )
+    per_label = (
+        by_dim.groupBy("label")
+        .agg(
+            F.max("n").alias("n_vectors"),
+            F.map_from_entries(
+                F.collect_list(F.struct("dim", "mean_val"))
+            ).alias("cmap"),
+        )
+    )
+    return per_label.select(
+        "label",
+        "n_vectors",
+        dround(F.element_at("cmap", 0), 6).alias("c0"),
+        dround(F.element_at("cmap", 1), 6).alias("c1"),
+        dround(F.element_at("cmap", 2), 6).alias("c2"),
+        dround(F.element_at("cmap", 3), 6).alias("c3"),
+    )
