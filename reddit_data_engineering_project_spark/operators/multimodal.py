@@ -1,1 +1,161 @@
-"""(stub — populated in this round)"""
+"""Multimodal-corpus operators (north star X5).
+
+Two layers:
+
+1. ``x05_corpus_slice`` — the relational layer: slicing the corpus by
+   (lang, source) with per-slice quality stats. Plain SQL surface over
+   typed metadata columns — this is how a 100 TB multimodal lake is
+   actually navigated (partition/metadata pruning first, bytes last).
+2. ``x05_binary_features`` — the payload layer: media as opaque
+   ``binary`` columns with typed metadata, processed by an Arrow-batched
+   ``mapInPandas`` pipeline. The corpus ships no real media, so the
+   payload is the UTF-8 encoding of ``text`` (deterministic stand-in);
+   the real decode seam is :func:`decode_media`, stubbed exactly where
+   an image/audio codec would plug in. The Spark-side plumbing — schema,
+   batch iteration, column pruning through the Python boundary — is real
+   and oracle-checked.
+
+Scale notes:
+- ``mapInPandas`` transfers Arrow record batches, not rows; per-batch
+  Python overhead is amortized over thousands of payloads, and the
+  output schema is declared so downstream stays columnar.
+- Feature extraction is embarrassingly parallel: no shuffle anywhere in
+  the payload path; only the final (tiny) per-slice aggregate exchanges.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..functions.numeric import dround
+from ..registry import register
+from ..tables import table
+
+
+def decode_media(payload: bytes, media_type: str) -> object:
+    """Decode a media payload — the codec seam.
+
+    In production this dispatches to an image/audio/video decoder
+    (PIL / torchaudio / pyav). Those libraries are not in this
+    environment, so any real media type raises; the pipeline's plumbing
+    is exercised with the deterministic ``text/plain`` fake.
+    """
+    if media_type == "text/plain":
+        return payload.decode("utf-8")
+    raise NotImplementedError(
+        f"media decode for {media_type!r} requires a codec library; "
+        "plug PIL/pyav in here at deployment"
+    )
+
+
+_FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("n_bytes", IntegerType(), False),
+        StructField("header_hex", StringType(), False),
+        StructField("byte_checksum", LongType(), False),
+        StructField("media_type", StringType(), False),
+    ]
+)
+
+
+def _extract_features(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Per-batch feature extraction over binary payloads.
+
+    Vectorized within each Arrow batch; the only per-payload Python is
+    the byte-level feature math itself (what a decoder would do).
+    """
+    for pdf in batches:
+        payloads = pdf["payload"]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": payloads.map(len).astype("int32"),
+                "header_hex": payloads.map(lambda b: b[:4].hex()),
+                "byte_checksum": payloads.map(
+                    lambda b: sum(b) % 997
+                ).astype("int64"),
+                "media_type": "text/plain",
+            }
+        )
+
+
+@register(
+    "x05_corpus_slice",
+    oracle="""
+    SELECT
+        lang,
+        source,
+        count(*) AS n_docs,
+        sum(n_chars) AS total_chars,
+        round(avg(n_chars) * 10000.0) / 10000.0 AS avg_chars,
+        min(doc_id) AS first_doc
+    FROM documents
+    WHERE lang IN ('en', 'de', 'zh')
+    GROUP BY 1, 2
+    """,
+    tags=("multimodal", "X5"),
+)
+def x05_corpus_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5a: metadata slicing — the partition-pruning access pattern.
+
+    On a production lake, lang/source are partition columns and this
+    query never touches payload bytes; here it is the same declarative
+    shape over the parquet scan.
+    """
+    docs = table(spark, sf_dir, "documents").filter(
+        F.col("lang").isin("en", "de", "zh")
+    )
+    return docs.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        dround(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
+@register(
+    "x05_binary_features",
+    oracle="""
+    SELECT
+        doc_id,
+        CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+        lower(hex(encode(substr(text, 1, 4)))) AS header_hex,
+        'text/plain' AS media_type
+    FROM documents
+    WHERE lang = 'en'
+    """,
+    tags=("multimodal", "X5", "pandas-udf"),
+)
+def x05_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5b: binary payload → features through the Arrow/mapInPandas seam.
+
+    text → binary payload column (the opaque-media stand-in) → batched
+    Python feature extraction (size, header bytes, checksum) with a
+    declared output schema. ``byte_checksum`` is computed only Python-side
+    (it is the "decoded feature"); the oracle pins the Spark-side
+    verifiable features, and the ASCII-only ``lang='en'`` slice keeps
+    byte↔char equivalence exact for the header comparison.
+    """
+    docs = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("lang") == "en")
+        .select(
+            "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+        )
+    )
+    feats = docs.mapInPandas(_extract_features, schema=_FEATURE_SCHEMA)
+    return feats.select("doc_id", "n_bytes", "header_hex", "media_type")

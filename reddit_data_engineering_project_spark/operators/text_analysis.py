@@ -1,0 +1,320 @@
+"""Text-analysis operators (north star X4).
+
+The training-data quality layer over ``documents``: per-doc statistics,
+term frequency, heuristic language ID, and rolling-hash fingerprints.
+Everything is built-in-function Spark (split/explode/aggregate/
+higher-order functions) — zero Python on the data path, so each query is
+one or two shuffles over JVM codegen, flat per-row cost at any corpus
+size.
+
+Language-ID heuristic: tiny public stopword lists per language (the
+classic n-gram/stopword-profile approach scaled down to the corpus's
+wire format). The oracle replicates the SAME heuristic in SQL, so the
+gate checks the implementation, not linguistics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from ..functions.numeric import dround
+from ..registry import register
+from ..tables import table
+
+#: Minimal public stopword profiles (top function words per language).
+_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "that"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es"],
+    "de": ["der", "die", "das", "und", "in", "von", "zu", "mit"],
+    "fr": ["le", "la", "de", "et", "un", "en", "que", "pour"],
+}
+
+#: English stopwords used for the quality-score ratio.
+_EN_STOP = ["the", "a", "and", "of", "to", "in", "is", "that", "it", "for"]
+
+_FP_MOD = 1_000_000_007
+_FP_BASE = 131
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization with empties dropped."""
+    return F.filter(F.split(col, " "), lambda t: t != "")
+
+
+@register(
+    "x04_doc_stats",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, lang, n_chars,
+               list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        FROM documents
+    )
+    SELECT
+        doc_id,
+        lang,
+        n_chars,
+        len(toks) AS n_tokens,
+        len(list_distinct(toks)) AS n_unique_tokens,
+        round(
+            list_sum(list_transform(toks, x -> length(x)))::DOUBLE
+            / len(toks) * 10000.0) / 10000.0 AS avg_token_len,
+        round(
+            len(list_distinct(toks))::DOUBLE / len(toks) * 10000.0
+        ) / 10000.0 AS type_token_ratio,
+        round(
+            len(list_filter(toks, x -> list_contains(
+                ['the','a','and','of','to','in','is','that','it','for'], x
+            )))::DOUBLE / len(toks) * 10000.0) / 10000.0 AS stopword_ratio
+    FROM t
+    """,
+    tags=("text", "X4"),
+)
+def x04_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4a: per-document quality statistics (the filter-stage features).
+
+    Token count, vocabulary size, mean token length, type-token ratio,
+    stopword ratio — the standard quality-scoring inputs for pretraining
+    corpora, all computed with array higher-order functions in one
+    narrow projection.
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    stop_arr = F.array(*[F.lit(w) for w in _EN_STOP])
+    n_toks = F.size(toks)
+    return docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        n_toks.alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
+        dround(
+            F.aggregate(
+                F.transform(toks, lambda t: F.length(t)),
+                F.lit(0),
+                lambda acc, v: acc + v,
+            ).cast("double")
+            / n_toks,
+            4,
+        ).alias("avg_token_len"),
+        dround(
+            F.size(F.array_distinct(toks)).cast("double") / n_toks, 4
+        ).alias("type_token_ratio"),
+        dround(
+            F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+            .cast("double")
+            / n_toks,
+            4,
+        ).alias("stopword_ratio"),
+    )
+
+
+@register(
+    "x04_term_frequency",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents WHERE lang = 'en'
+    ),
+    tf AS (
+        SELECT doc_id, token, count(*) AS tf
+        FROM tok WHERE token <> '' GROUP BY 1, 2
+    ),
+    doc_len AS (SELECT doc_id, sum(tf) AS n FROM tf GROUP BY 1),
+    df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1)
+    SELECT
+        tf.doc_id,
+        tf.token,
+        tf.tf,
+        round(tf.tf::DOUBLE / doc_len.n * 10000.0) / 10000.0 AS rel_tf,
+        df.df AS doc_freq
+    FROM tf
+    JOIN doc_len ON tf.doc_id = doc_len.doc_id
+    JOIN df ON tf.token = df.token
+    WHERE tf.tf >= 3
+    """,
+    tags=("text", "X4"),
+)
+def x04_term_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4b: TF / relative-TF / document-frequency (the TF-IDF building blocks).
+
+    explode → (doc, token) counts → join per-doc lengths and corpus
+    document frequencies. The df table is tiny (vocabulary-sized) and
+    broadcasts; only the tf aggregate shuffles token rows — with partial
+    aggregation the exchange is bounded by |doc × vocab|, not token count.
+    """
+    docs = table(spark, sf_dir, "documents").filter(F.col("lang") == "en")
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("token")
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    doc_len = tf.groupBy("doc_id").agg(F.sum("tf").alias("n"))
+    df = tf.groupBy("token").agg(F.count("*").alias("doc_freq"))
+    return (
+        tf.filter(F.col("tf") >= 3)
+        .join(doc_len, "doc_id")
+        .join(F.broadcast(df), "token")
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            dround(F.col("tf").cast("double") / F.col("n"), 4).alias("rel_tf"),
+            "doc_freq",
+        )
+    )
+
+
+def _profile_score(toks: Column, words: list[str]) -> Column:
+    """How many tokens hit the language's stopword profile."""
+    prof = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(prof, t)))
+
+
+@register(
+    "x04_language_id",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, lang,
+               list_filter(string_split(text, ' '), x -> x <> '') AS toks,
+               text
+        FROM documents
+    ),
+    scored AS (
+        SELECT
+            doc_id, lang, toks,
+            (regexp_extract(text, '[\\u4e00-\\u9fff]') <> '') AS has_cjk,
+            len(list_filter(toks, x -> list_contains(
+                ['the','a','and','of','to','in','is','that'], x))) AS s_en,
+            len(list_filter(toks, x -> list_contains(
+                ['el','la','de','que','y','en','un','es'], x))) AS s_es,
+            len(list_filter(toks, x -> list_contains(
+                ['der','die','das','und','in','von','zu','mit'], x))) AS s_de,
+            len(list_filter(toks, x -> list_contains(
+                ['le','la','de','et','un','en','que','pour'], x))) AS s_fr
+        FROM t
+    )
+    SELECT
+        doc_id,
+        lang,
+        CASE
+            WHEN has_cjk THEN 'zh'
+            WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+            WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+            WHEN s_de >= s_fr THEN 'de'
+            ELSE 'fr'
+        END AS guessed_lang,
+        (CASE
+            WHEN has_cjk THEN 'zh'
+            WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+            WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+            WHEN s_de >= s_fr THEN 'de'
+            ELSE 'fr'
+        END = lang) AS guess_correct
+    FROM scored
+    """,
+    tags=("text", "X4", "langid"),
+)
+def x04_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4c: heuristic language ID — CJK codepoint probe + stopword voting.
+
+    zh detection by Unicode block; alphabetic languages by argmax over
+    stopword-profile hit counts with a deterministic preference order on
+    ties. The oracle runs the identical decision tree, so the gate
+    verifies the classifier's implementation end-to-end.
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        (F.regexp_extract(F.col("text"), "[\\u4e00-\\u9fff]", 0) != "").alias(
+            "has_cjk"
+        ),
+        _profile_score(toks, _PROFILES["en"]).alias("s_en"),
+        _profile_score(toks, _PROFILES["es"]).alias("s_es"),
+        _profile_score(toks, _PROFILES["de"]).alias("s_de"),
+        _profile_score(toks, _PROFILES["fr"]).alias("s_fr"),
+    )
+    guess = (
+        F.when(F.col("has_cjk"), F.lit("zh"))
+        .when(
+            (F.col("s_en") >= F.col("s_es"))
+            & (F.col("s_en") >= F.col("s_de"))
+            & (F.col("s_en") >= F.col("s_fr")),
+            F.lit("en"),
+        )
+        .when(
+            (F.col("s_es") >= F.col("s_de")) & (F.col("s_es") >= F.col("s_fr")),
+            F.lit("es"),
+        )
+        .when(F.col("s_de") >= F.col("s_fr"), F.lit("de"))
+        .otherwise(F.lit("fr"))
+    )
+    return scored.select(
+        "doc_id",
+        "lang",
+        guess.alias("guessed_lang"),
+        (guess == F.col("lang")).alias("guess_correct"),
+    )
+
+
+@register(
+    "x04_fingerprint",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        FROM documents
+    )
+    SELECT
+        doc_id,
+        list_reduce(
+            list_prepend(
+                CAST(0 AS BIGINT),
+                list_transform(
+                    toks,
+                    tok -> list_reduce(
+                        list_prepend(
+                            CAST(0 AS BIGINT),
+                            list_transform(string_split_regex(tok, ''),
+                                           c -> CAST(ascii(c) AS BIGINT))
+                        ),
+                        (acc, v) -> (acc * 131 + v) % 1000000007
+                    )
+                )
+            ),
+            (acc, v) -> (acc * 131 + v) % 1000000007
+        ) AS fingerprint,
+        len(toks) AS n_tokens
+    FROM t
+    """,
+    tags=("text", "X4", "fingerprint"),
+)
+def x04_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4d: polynomial rolling-hash document fingerprint.
+
+    Two-level rolling hash (chars → token hash → doc hash), all modular
+    arithmetic in int64 (base 131, mod 1e9+7 — products stay < 2^62).
+    Order-sensitive by construction: a fingerprint equality IS a
+    same-token-stream statement, unlike the set-based MinHash. Pure
+    higher-order functions on both engines.
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+
+    def roll(acc: Column, v: Column) -> Column:
+        return (acc * _FP_BASE + v) % _FP_MOD
+
+    tok_hash = F.transform(
+        toks,
+        lambda tok: F.aggregate(
+            F.transform(F.split(tok, ""), lambda c: F.ascii(c).cast("long")),
+            F.lit(0).cast("long"),
+            roll,
+        ),
+    )
+    doc_hash = F.aggregate(tok_hash, F.lit(0).cast("long"), roll)
+    return docs.select(
+        "doc_id",
+        doc_hash.alias("fingerprint"),
+        F.size(toks).alias("n_tokens"),
+    )

@@ -72,6 +72,7 @@ def load_all_operators() -> None:
         relational,
         setops,
         similarity,
+        text_analysis,
         upsert,
         windows,
     )
