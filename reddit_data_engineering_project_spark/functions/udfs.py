@@ -1,0 +1,140 @@
+"""Pandas-UDF surface (SURVEY §2.2 Q20).
+
+The escape hatch matching ``transform_post``'s arbitrary-Python role
+(reference ``etls/reddit_etl.py:63-85``) — kept OFF the hot path: every
+operator elsewhere in the engine is built-ins; this module exists so the
+engine has a *vetted* pattern for logic that genuinely needs Python
+(model scoring, custom tokenizers), in the two shapes that scale:
+
+- scalar ``@pandas_udf``: Arrow-batched, vectorized numpy inside — the
+  10-100× faster alternative to row-at-a-time ``F.udf``.
+- grouped ``applyInPandas``: per-key pandas frames for whole-group logic
+  (normalization, per-entity models), one shuffle by key.
+
+Both entries are oracle-checked against closed-form SQL, so the UDF
+boundary itself (Arrow transfer, schema declaration, null handling) is
+under the correctness gate.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..functions.numeric import dround
+from ..registry import register
+from ..tables import table
+
+
+@pandas_udf(DoubleType())
+def _sigmoid_score(v: pd.Series) -> pd.Series:
+    """Vectorized sigmoid(v/100) — a stand-in model-scoring kernel."""
+    return 1.0 / (1.0 + np.exp(-v / 100.0))
+
+
+@register(
+    "q20_pandas_scalar_udf",
+    oracle="""
+    SELECT
+        event_id,
+        round(coalesce(value, 0.0) * 100.0) / 100.0 AS value,
+        round(
+            (1.0 / (1.0 + exp(-coalesce(value, 0.0) / 100.0))) * 1000000.0
+        ) / 1000000.0 AS score
+    FROM events
+    """,
+    tags=("udf", "Q20"),
+)
+def q20_pandas_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20a: scalar pandas UDF (Arrow-batched sigmoid scoring).
+
+    The UDF sees whole Arrow batches and computes in numpy; the oracle
+    recomputes the same closed form in SQL — verifying values survive
+    the Python boundary bit-for-bit (to 6 decimals).
+    """
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", F.coalesce(F.col("value"), F.lit(0.0)).alias("v")
+    )
+    return ev.select(
+        "event_id",
+        dround(F.col("v")).alias("value"),
+        dround(_sigmoid_score(F.col("v")), 6).alias("score"),
+    )
+
+
+_ZSCORE_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType(), False),
+        StructField("event_id", LongType(), False),
+        StructField("event_type", StringType(), True),
+        StructField("zscore", DoubleType(), True),
+    ]
+)
+
+
+def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Per-user z-score normalization (population stddev)."""
+    v = pdf["value"].to_numpy(dtype="float64")
+    std = float(v.std())  # ddof=0: population, matches stddev_pop
+    mean = float(v.mean())
+    z = (v - mean) / std if std > 0.0 else np.zeros_like(v)
+    return pd.DataFrame(
+        {
+            "user_id": pdf["user_id"],
+            "event_id": pdf["event_id"],
+            "event_type": pdf["event_type"],
+            "zscore": z,
+        }
+    )
+
+
+@register(
+    "q20_apply_in_pandas_zscore",
+    oracle="""
+    SELECT
+        user_id,
+        event_id,
+        event_type,
+        round(
+            (coalesce(value, 0.0) - avg(coalesce(value, 0.0)) OVER u)
+            / stddev_pop(coalesce(value, 0.0)) OVER u * 10000.0
+        ) / 10000.0 AS zscore
+    FROM events
+    WINDOW u AS (PARTITION BY user_id)
+    """,
+    tags=("udf", "Q20"),
+)
+def q20_apply_in_pandas_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20b: grouped applyInPandas — per-user z-score normalization.
+
+    One shuffle by user_id, then each user's history arrives as a single
+    pandas frame (the per-entity-model shape). The oracle states the
+    same math as window aggregates. Rounded to 4 decimals: numpy's
+    pairwise summation and SQL's streaming aggregate differ in the last
+    float ulps by design.
+    """
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.coalesce(F.col("value"), F.lit(0.0)).alias("value"),
+    )
+    result = ev.groupBy("user_id").applyInPandas(
+        _zscore_group, schema=_ZSCORE_SCHEMA
+    )
+    return result.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        dround(F.col("zscore"), 4).alias("zscore"),
+    )

@@ -1,0 +1,103 @@
+"""Sink operators (SURVEY §2.2 Q18 / reference R10, R13, R15).
+
+The reference's sink is a header CSV per daily run, temp-file-then-upload
+for atomicity (reference ``etls/reddit_etl.py:109-128``). Spark's task
+commit protocol already provides the atomic-rename dance, so the engine's
+sinks are plain ``df.write`` calls:
+
+- :func:`write_csv_header` — R10 parity (header, UTF-8).
+- :func:`write_partitioned_parquet` — the production form: parquet +
+  ``partitionBy(ds)``, the Hive-style rendering of the reference's
+  ``reddit_{ds_nodash}`` filename convention (``dags/reddit_dag.py:37``).
+- ``q18_sink_roundtrip`` — registered, oracle-checked: write the daily
+  partitions, read them back, aggregate — proving schema + values
+  survive the sink/source cycle (partition-column type round-trip
+  included).
+
+Scale notes: a date-partitioned write is the contract that makes
+everything else cheap — partition pruning on read, dynamic-overwrite
+upserts (``operators/upsert.py``), per-day backfills. File counts per
+partition follow the shuffle partitioning, so writers repartition by the
+partition key first (one file per partition per writer wave, not
+partitions × tasks tiny files).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.numeric import dround
+from ..registry import register
+from ..tables import table
+
+
+def write_csv_header(df: DataFrame, path: str) -> None:
+    """R10-parity CSV sink: header row, UTF-8, overwrite."""
+    (
+        df.write.mode("overwrite")
+        .option("header", True)
+        .option("encoding", "UTF-8")
+        .csv(path)
+    )
+
+
+def write_partitioned_parquet(
+    df: DataFrame, path: str, partition_col: str = "ds"
+) -> None:
+    """Date-partitioned parquet sink with writer-side file consolidation.
+
+    ``repartition(partition_col)`` co-locates each partition's rows
+    before the write so each day directory gets a bounded file count —
+    without it, every task writes a sliver of every day (tasks × days
+    small files, the classic lake pathology).
+    """
+    (
+        df.repartition(F.col(partition_col))
+        .write.mode("overwrite")
+        .partitionBy(partition_col)
+        .parquet(path)
+    )
+
+
+@register(
+    "q18_sink_roundtrip",
+    oracle="""
+    SELECT
+        CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS ds,
+        count(*) AS n_rows,
+        round(sum(coalesce(value, 0.0)) * 100.0) / 100.0 AS total_value,
+        count(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY 1
+    """,
+    tags=("sinks", "Q18", "R10", "R13"),
+)
+def q18_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18: partitioned write → read-back → aggregate, oracle vs source.
+
+    The returned values are computed FROM THE FILES WRITTEN, while the
+    oracle reads the original table — any corruption, loss, or type
+    drift through the sink/source cycle breaks the hash. The partition
+    column round-trips through Hive-style directory encoding
+    (``ds=2024-01-01``) and is restored as DATE by partition inference.
+    """
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        "ts",
+        "user_id",
+        F.coalesce(F.col("value"), F.lit(0.0)).alias("value"),
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("ds"),
+    )
+    out = os.path.join(
+        tempfile.gettempdir(), "reddit_data_engineering_project_spark_sink_roundtrip"
+    )
+    write_partitioned_parquet(ev, out, "ds")
+    back = spark.read.parquet(out)
+    return back.groupBy("ds").agg(
+        F.count("*").alias("n_rows"),
+        dround(F.sum("value")).alias("total_value"),
+        F.countDistinct("user_id").alias("n_users"),
+    )

@@ -72,10 +72,11 @@ def load_all_operators() -> None:
         relational,
         setops,
         similarity,
+        sinks,
         text_analysis,
         upsert,
         windows,
     )
-    from .functions import scalar, text  # noqa: F401
+    from .functions import scalar, text, udfs  # noqa: F401
     from .streaming import stream_queries  # noqa: F401
     from .transforms import posts  # noqa: F401

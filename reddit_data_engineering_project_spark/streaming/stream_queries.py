@@ -1,1 +1,273 @@
-"""(stub — populated in this round)"""
+"""Streaming-role operators S1-S5 (SURVEY §2.2), batch-equivalent form.
+
+The reference's "streaming logic" is generator-based incremental ingest
+(reference ``README.md:3``, ``ARCHITECTURE_EVOLUTION.md:17-25``); the
+Spark-native generalization is Structured Streaming over the ``events``
+stream. Every operator here is expressed with the SAME event-time
+semantics a ``readStream`` plan would use, evaluated in batch mode so the
+DuckDB oracle can check values:
+
+- S1/S2/S3 use ``F.window`` / ``F.session_window`` — the *identical*
+  expressions work unchanged under ``readStream`` (the micro-batch
+  engine adds state management, not semantics).
+- S4/S5 model watermark lateness and stateful dedup explicitly over an
+  arrival order (event_id is the arrival sequence in the corpus).
+
+The true ``readStream → trigger(availableNow=True) → foreachBatch``
+end-to-end path lives in :mod:`.runner` and is exercised by
+``tests/test_streaming_runner.py`` — file source in, parquet sink out,
+results asserted equal to the batch plan.
+
+Scale notes: event-time windows aggregate with partial-agg before the
+shuffle keyed by (window, key) — state per window·key, not per event. The
+session window is the only sort-heavy operator (per-key event ordering),
+exactly as in the streaming engine's state store.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..functions.numeric import dround
+from ..registry import register
+from ..tables import table
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "ts",
+        "user_id",
+        "event_type",
+        F.coalesce(F.col("value"), F.lit(0.0)).alias("value"),
+    )
+
+
+@register(
+    "s01_tumbling_window",
+    oracle="""
+    SELECT
+        date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+        event_type,
+        count(*) AS n_events,
+        round(sum(coalesce(value, 0.0)) * 100.0) / 100.0 AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("streaming", "S1"),
+)
+def s01_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1: 1-hour tumbling event-time windows per event type.
+
+    ``F.window(ts, '1 hour')`` — the same expression streams unchanged
+    with ``withWatermark`` bounding state. Window starts align to the
+    epoch hour, which is exactly ``date_trunc('hour')`` for the oracle.
+    """
+    return (
+        _events(spark, sf_dir)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            dround(F.sum("value")).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "s02_sliding_window",
+    oracle="""
+    WITH assigned AS (
+        SELECT
+            time_bucket(INTERVAL 15 MINUTE, CAST(ts AS TIMESTAMP))
+                - gs.k * INTERVAL 15 MINUTE AS window_start,
+            coalesce(value, 0.0) AS value
+        FROM events CROSS JOIN LATERAL (
+            SELECT unnest(range(0, 4)) AS k
+        ) gs
+    )
+    SELECT
+        window_start,
+        count(*) AS n_events,
+        round(sum(value) * 100.0) / 100.0 AS total_value
+    FROM assigned
+    GROUP BY 1
+    """,
+    tags=("streaming", "S2"),
+)
+def s02_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2: 1-hour windows sliding every 15 minutes (4 windows per event).
+
+    ``F.window(ts, '1 hour', '15 minutes')`` replicates each event into
+    hour/slide = 4 overlapping windows; the oracle materializes the same
+    assignment arithmetic (15-minute bucket minus k slides).
+    """
+    return (
+        _events(spark, sf_dir)
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            dround(F.sum("value")).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"), "n_events", "total_value"
+        )
+    )
+
+
+@register(
+    "s03_session_window",
+    oracle="""
+    WITH ordered AS (
+        SELECT
+            user_id,
+            CAST(ts AS TIMESTAMP) AS ts,
+            coalesce(value, 0.0) AS value,
+            CASE WHEN CAST(ts AS TIMESTAMP)
+                      - lag(CAST(ts AS TIMESTAMP), 1,
+                            CAST(ts AS TIMESTAMP) - INTERVAL 1 YEAR)
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                      > INTERVAL 30 MINUTE
+                 THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    sessions AS (
+        SELECT *,
+               sum(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_id
+        FROM ordered
+    )
+    SELECT
+        user_id,
+        min(ts) AS session_start,
+        max(ts) AS session_end,
+        count(*) AS n_events,
+        round(sum(value) * 100.0) / 100.0 AS session_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+    tags=("streaming", "S3"),
+)
+def s03_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3: 30-minute-gap session windows per user.
+
+    ``F.session_window(ts, '30 minutes')`` merges events whose gaps are
+    < 30 min; the oracle sessionizes classically (gap flag → running
+    session counter → group). Session *end* in Spark is last_event+gap,
+    so the comparable end is ``max(ts)`` computed as an aggregate.
+    """
+    return (
+        _events(spark, sf_dir)
+        .groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+            dround(F.sum("value")).alias("session_value"),
+        )
+        .select(
+            "user_id", "session_start", "session_end",
+            "n_events", "session_value",
+        )
+    )
+
+
+@register(
+    "s04_watermark_late_drop",
+    oracle="""
+    WITH arrival AS (
+        SELECT
+            event_id,
+            CAST(ts AS TIMESTAMP) AS ts,
+            coalesce(value, 0.0) AS value,
+            max(CAST(ts AS TIMESTAMP)) OVER (
+                ORDER BY event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            ) AS max_event_time_seen
+        FROM events
+    ),
+    kept AS (
+        SELECT * FROM arrival
+        WHERE ts >= max_event_time_seen - INTERVAL 1 HOUR
+    )
+    SELECT
+        date_trunc('hour', ts) AS window_start,
+        count(*) AS n_events,
+        round(sum(value) * 100.0) / 100.0 AS total_value
+    FROM kept
+    GROUP BY 1
+    """,
+    tags=("streaming", "S4"),
+)
+def s04_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4: watermark semantics made explicit — drop 1-hour-late arrivals.
+
+    A row is late iff its event time trails the max event time already
+    seen (arrival order = event_id) by more than the 1-hour watermark
+    delay — precisely the row ``withWatermark('ts', '1 hour')`` would
+    drop. The single global running-max window is the batch rendering of
+    the stream's monotone watermark clock; in the live engine this state
+    is per-source-partition with a global min, not a sort.
+    """
+    w = (
+        Window.orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    arrival = _events(spark, sf_dir).withColumn(
+        "max_event_time_seen", F.max("ts").over(w)
+    )
+    kept = arrival.filter(
+        F.col("ts")
+        >= F.col("max_event_time_seen") - F.expr("INTERVAL 1 HOURS")
+    )
+    return (
+        kept.groupBy(F.date_trunc("hour", "ts").alias("window_start"))
+        .agg(
+            F.count("*").alias("n_events"),
+            dround(F.sum("value")).alias("total_value"),
+        )
+    )
+
+
+@register(
+    "s05_stateful_dedup",
+    oracle="""
+    SELECT user_id, event_type, event_id AS first_event_id,
+           CAST(ts AS TIMESTAMP) AS ts
+    FROM events
+    QUALIFY row_number() OVER (
+        PARTITION BY user_id, event_type ORDER BY event_id
+    ) = 1
+    """,
+    tags=("streaming", "S5"),
+)
+def s05_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5: stateful dedup — first arrival per (user, event_type) key wins.
+
+    The batch rendering of streaming ``dropDuplicates`` state: one
+    surviving row per key by arrival order. In the stream the state
+    store holds seen keys within the watermark; here the same contract
+    is a keep-first window.
+    """
+    w = Window.partitionBy("user_id", "event_type").orderBy("event_id")
+    return (
+        _events(spark, sf_dir)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("event_id").alias("first_event_id"),
+            "ts",
+        )
+    )
