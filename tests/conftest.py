@@ -1,0 +1,21 @@
+"""Shared Spark session for the test suite (local mode, UTC, AQE on)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from reddit_data_engineering_project_spark.session import get_spark
+
+    spark = get_spark(app_name="pytest", master="local[4]", shuffle_partitions=4)
+    yield spark
+    spark.stop()

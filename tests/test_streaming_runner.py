@@ -1,0 +1,54 @@
+"""Live Structured Streaming path: availableNow batch-of-stream equals the
+batch plan, and a checkpointed re-run ingests nothing (R15/R16)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from reddit_data_engineering_project_spark.streaming.runner import (
+    run_tumbling_stream,
+)
+from reddit_data_engineering_project_spark.tables import table
+
+from conftest import SF_DIR
+
+
+def test_stream_equals_batch_and_rerun_is_noop(spark, tmp_path):
+    src = os.path.join(str(tmp_path), "src")
+    sink = os.path.join(str(tmp_path), "sink")
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+
+    events = table(spark, SF_DIR, "events").select(
+        "event_id",
+        "ts",
+        "event_type",
+        F.coalesce(F.col("value"), F.lit(0.0)).alias("value"),
+    )
+    # Two source files → at least two micro-batches under maxFilesPerTrigger=1.
+    events.repartition(2).write.parquet(src)
+
+    run_tumbling_stream(spark, src, sink, ckpt)
+    streamed = spark.read.option("recursiveFileLookup", True).parquet(sink)
+
+    batch = (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type",
+                "n_events", "total_value")
+    )
+    # availableNow + append mode: with watermarking, only windows at or
+    # below the final watermark are emitted; every emitted row must match
+    # the batch plan exactly, and most windows (all but the last hour)
+    # must have been emitted.
+    diff = streamed.exceptAll(batch)
+    assert diff.count() == 0
+    assert streamed.count() >= batch.count() - 25  # last-watermark holdback
+
+    n_before = streamed.count()
+    run_tumbling_stream(spark, src, sink, ckpt)  # checkpointed re-run
+    n_after = (
+        spark.read.option("recursiveFileLookup", True).parquet(sink).count()
+    )
+    assert n_after == n_before  # nothing re-ingested: idempotent catch-up
