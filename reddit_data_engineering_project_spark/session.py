@@ -16,6 +16,7 @@ Scale posture (100 TB design point):
 from __future__ import annotations
 
 import os
+import warnings
 
 from pyspark.sql import SparkSession
 
@@ -43,19 +44,43 @@ RUNTIME_CONFS: dict[str, str] = {
 }
 
 
+# Confs the engine is CORRECT only with (vs. tuning confs, which merely
+# make it fast): UTC pins timestamp rendering (R4 golden values), ANSI-off
+# preserves cast-with-default semantics (R5-R9), nanosAsLong is required
+# to read `events` at all ([PARQUET_TYPE_ILLEGAL] otherwise).
+CORRECTNESS_CONFS: frozenset[str] = frozenset(
+    {
+        "spark.sql.session.timeZone",
+        "spark.sql.ansi.enabled",
+        "spark.sql.legacy.parquet.nanosAsLong",
+    }
+)
+
+_warned_confs: set[str] = set()
+
+
 def ensure_session_confs(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable engine confs to an externally-built session.
 
     Idempotent and cheap; called by every registered query wrapper so that
     UTC timestamp semantics and AQE hold no matter who built the session.
+    Tuning confs degrade silently when locked down; correctness-required
+    confs warn (once per conf) so a later failure — e.g. an opaque
+    PARQUET_TYPE_ILLEGAL on the events table — is traceable to its cause.
     """
     for key, value in RUNTIME_CONFS.items():
         try:
             spark.conf.set(key, value)
-        except Exception:
-            # Some confs may be locked down in exotic deployments; the
-            # engine degrades gracefully rather than failing the query.
-            pass
+        except Exception as exc:
+            if key in CORRECTNESS_CONFS and key not in _warned_confs:
+                _warned_confs.add(key)
+                warnings.warn(
+                    f"correctness-required Spark conf {key}={value!r} could "
+                    f"not be applied ({exc}); query results involving "
+                    "timestamps, casts, or the events table may be wrong",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
     return spark
 
 

@@ -90,7 +90,15 @@ def trimmed(col: Column) -> Column:
 
 
 def flag_bool(col: Column) -> Column:
-    """``bool(x or False)`` for flag columns; unparsable → False."""
+    """``bool(x or False)`` for flag columns; unparsable → False.
+
+    Scope note: exact parity holds for boolean-typed wire values (the
+    reference's actual input — PRAW sends real booleans). On a STRING
+    wire the two diverge by design: Python ``bool('false')`` is True
+    (non-empty string) while the Spark cast reads 'false' as False —
+    the Spark reading is the correct one for serialized wires, so this
+    divergence is intentional and documented, like ``falsy_long``'s.
+    """
     return F.coalesce(col.cast("boolean"), F.lit(False))
 
 
@@ -180,7 +188,7 @@ def posts_from_rows(spark: SparkSession, rows: list[dict]) -> DataFrame:
         user_id,
         coalesce(nullif(trim(event_type), ''), 'unknown') AS event_type,
         round(coalesce(value, 0.0) * 100.0) / 100.0 AS value_clean,
-        coalesce(CAST(json_extract_string(props, '$.k') AS BIGINT), 0) AS prop_k,
+        coalesce(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT), 0) AS prop_k,
         (coalesce(value, 0.0) > 100.0) AS high_value
     FROM events
     """,
