@@ -299,10 +299,19 @@ def x02_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates()
     )
 
-    # Exact-Jaccard verification restricted to LSH candidates.
+    # Exact-Jaccard verification restricted to LSH candidates. The
+    # shingle set is semi-joined to candidate docs FIRST, so the
+    # intersection join runs over candidate shingles only — at scale the
+    # candidate set is a vanishing fraction of the corpus, and this is
+    # the difference between verifying candidates and re-joining the
+    # whole shingle index.
     counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    cand_docs = candidates.select(
+        F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+    ).dropDuplicates()
+    sh_cand = sh.join(cand_docs, "doc_id", "left_semi")
+    a = sh_cand.alias("a")
+    b = sh_cand.alias("b")
     inter = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(

@@ -174,6 +174,67 @@ def posts_from_rows(spark: SparkSession, rows: list[dict]) -> DataFrame:
     return spark.createDataFrame(normalized, RAW_POST_SCHEMA)
 
 
+#: Golden dirty-wire fixture rows (FIXTURES.md §A, reference
+#: ``tests/test_reddit_etl.py:11-19,36``): the exact inputs the
+#: reference's unit tests feed ``transform_post``.
+GOLDEN_DIRTY_ROWS: list[dict] = [
+    {
+        "id": "12345",
+        "title": "  Messy Title  ",
+        "score": "100",
+        "num_comments": None,
+        "author": "some_user",
+        "created_utc": 1710000000,
+        "over_18": None,
+    },
+    {"id": "123"},
+    {"id": "e1", "edited": "1710000123.0", "score": "7"},
+    {"id": "e2", "edited": "true", "stickied": "true"},
+    {"id": "f1", "score": "", "author": "", "title": None},
+    {"id": "f2", "score": "not-a-number", "num_comments": "3"},
+]
+
+
+@register(
+    "pipeline_posts_clean_wire",
+    oracle="""
+    SELECT * FROM (VALUES
+        ('12345', 'Messy Title', 100, 0, 'some_user',
+         '2024-03-09T16:00:00+00:00', FALSE, FALSE, FALSE, FALSE),
+        ('123', '', 0, 0, 'Unknown', NULL, FALSE, FALSE, FALSE, FALSE),
+        ('e1', '', 7, 0, 'Unknown', NULL, FALSE, FALSE, FALSE, FALSE),
+        ('e2', '', 0, 0, 'Unknown', NULL, FALSE, TRUE, FALSE, TRUE),
+        ('f1', '', 0, 0, 'Unknown', NULL, FALSE, FALSE, FALSE, FALSE),
+        ('f2', '', 0, 3, 'Unknown', NULL, FALSE, FALSE, FALSE, FALSE)
+    ) AS t(id, title, score, num_comments, author, created_utc_iso,
+           over_18, edited, spoiler, stickied)
+    """,
+    tags=("pipeline", "R1", "R5", "R8", "R9", "string-wire"),
+)
+def pipeline_posts_clean_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R5/R8/R9 string-wire coercions as a registered, oracle-pinned query.
+
+    Runs the full ``clean_posts`` transform over the reference's golden
+    dirty rows (R1 dict source → R4-R9 coercions); the oracle is the
+    expected output VALUES verbatim — the reference's unit-test
+    assertions (``tests/test_reddit_etl.py:25-42``) as a hash check,
+    including the golden '2024-03-09T16:00:00+00:00' rendering.
+    """
+    cleaned = clean_posts(posts_from_rows(spark, GOLDEN_DIRTY_ROWS))
+    return cleaned.select(
+        "id",
+        "title",
+        F.col("score").cast("int").alias("score"),
+        F.col("num_comments").cast("int").alias("num_comments"),
+        "author",
+        iso_utc(F.col("created_utc")).alias("created_utc_iso"),
+        "over_18",
+        "edited",
+        "spoiler",
+        "stickied",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registered pipeline queries over the corpus `events` table
 # ---------------------------------------------------------------------------
