@@ -154,6 +154,45 @@ def q08_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q09_pivot",
+    oracle="""
+    SELECT
+        user_id,
+        count(*) FILTER (event_type = 'click') AS n_click,
+        count(*) FILTER (event_type = 'view') AS n_view,
+        count(*) FILTER (event_type = 'purchase') AS n_purchase,
+        count(*) FILTER (event_type = 'signup') AS n_signup,
+        count(*) FILTER (event_type = 'error') AS n_error
+    FROM events
+    GROUP BY 1
+    """,
+    tags=("aggregates", "Q9", "pivot"),
+)
+def q09_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: event types to columns (the wide activity-matrix report).
+
+    ``pivot`` with an EXPLICIT value list — omitting it forces an extra
+    distinct-scan job to discover the columns, and makes the output
+    schema data-dependent (a schema-drift hazard at 100 TB). With the
+    list, this is a single hash aggregate producing one row per user.
+    """
+    types = ["click", "view", "purchase", "signup", "error"]
+    pivoted = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", types)
+        .count()
+    )
+    return pivoted.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}")
+            for t in types
+        ],
+    )
+
+
+@register(
     "q09_rollup",
     oracle="""
     SELECT

@@ -210,6 +210,126 @@ def x02_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "x02_simhash_neardup",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               w[gs.i] || '_' || w[gs.i+1] || '_' || w[gs.i+2] || '_'
+                       || w[gs.i+3] AS shingle
+        FROM toks CROSS JOIN LATERAL (
+            SELECT unnest(range(1, greatest(len(w) - 2, 2))) AS i
+        ) gs
+    ),
+    counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b
+    FROM pairs
+    JOIN counts ca ON doc_a = ca.doc_id
+    JOIN counts cb ON doc_b = cb.doc_id
+    WHERE inter::DOUBLE / (ca.n + cb.n - inter) >= 0.6
+    """,
+    tags=("dedup", "X2", "simhash"),
+)
+def x02_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2c: SimHash near-dup — 64-bit sign-of-weighted-bits fingerprint.
+
+    Per doc: each shingle votes ±1 on every one of 64 bit positions
+    (weight = the shingle hash's bit); the signature is the sign vector.
+    Candidate generation uses the pigeonhole banding for Hamming ≤ 7:
+    signatures within distance 7 must agree EXACTLY on one of 8 8-bit
+    bands, so candidates come from an equi-join on (band, band_value) —
+    never an all-pairs Hamming scan. (J = 0.8 near-dups flip ~4-7 of 64
+    sign bits on short docs, so the 4×16 Hamming-≤3 banding under-recalls;
+    8×8 captures them while random 8-bit band collisions stay rare.)
+    Candidates are verified with exact Jaccard ≥ 0.6; with the planted
+    corpus the verified output equals the ground-truth pair set, so the
+    entry is hash-checked.
+    """
+    docs = table(spark, sf_dir, "documents")
+    sh = shingles(docs)
+    h = F.xxhash64(F.col("shingle"))
+    # 64 signed bit-votes per shingle, summed per doc in ONE aggregate.
+    votes = [
+        F.sum(
+            (F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1).cast("long")
+        ).alias(f"v{j}")
+        for j in range(64)
+    ]
+    sig = sh.groupBy("doc_id").agg(*votes)
+    # Assemble 8 bands of 8 sign bits each.
+    band_cols = []
+    for band in range(8):
+        val = F.lit(0).cast("long")
+        for j in range(8):
+            bit = (F.col(f"v{band * 8 + j}") >= 0).cast("long")
+            val = val + F.shiftleft(bit, j)
+        band_cols.append(
+            F.struct(F.lit(band).alias("band_id"), val.alias("band_val"))
+        )
+    buckets = sig.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bb")
+    ).select("doc_id", "bb.band_id", "bb.band_val")
+
+    lhs = buckets.alias("l")
+    rhs = buckets.alias("r")
+    candidates = (
+        lhs.join(
+            rhs,
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.band_val") == F.col("r.band_val"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
+        )
+        .dropDuplicates()
+    )
+    return _verify_jaccard(sh, candidates)
+
+
+def _verify_jaccard(
+    sh: DataFrame, candidates: DataFrame, threshold: float = 0.6
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs (shared by LSH variants).
+
+    Shingles are semi-joined to candidate docs first so the intersection
+    join touches candidate shingles only.
+    """
+    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    cand_docs = candidates.select(
+        F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+    ).dropDuplicates()
+    sh_cand = sh.join(cand_docs, "doc_id", "left_semi")
+    a = sh_cand.alias("a")
+    b = sh_cand.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .join(candidates, ["doc_a", "doc_b"], "left_semi")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    ca = counts.alias("ca")
+    cb = counts.alias("cb")
+    jac = F.col("inter") / (F.col("ca.n") + F.col("cb.n") - F.col("inter"))
+    return (
+        inter.join(ca, F.col("doc_a") == F.col("ca.doc_id"))
+        .join(cb, F.col("doc_b") == F.col("cb.doc_id"))
+        .filter(jac >= threshold)
+        .select("doc_a", "doc_b")
+    )
+
+
 def minhash_signatures(sh: DataFrame) -> DataFrame:
     """Per-doc MinHash signature: K seeded universal hashes over shingles.
 

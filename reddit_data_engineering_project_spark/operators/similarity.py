@@ -196,6 +196,54 @@ def x03_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x02_embedding_neardup",
+    oracle="""
+    SELECT vec_id AS vec_a, vec_id + 100000 AS vec_b FROM embeddings
+    """,
+    tags=("dedup", "X2", "embedding"),
+)
+def x02_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2d: embedding-cosine near-dup via SimHash buckets (no all-pairs).
+
+    Input is the corpus ∪ a re-encoded copy of every vector (scaled
+    ×1.01, fresh ids) — the "same item re-embedded" scenario. Cosine is
+    scale-invariant, so each copy is an exact near-dup of its source and,
+    crucially, has IDENTICAL hyperplane signs — SimHash recall on scaled
+    duplicates is 1.0 by construction, making the bucketed pipeline
+    deterministic: bucket equi-join → cosine ≥ 0.999 verification →
+    exactly the planted (v, v+100000) pairs. The corpus's organic max
+    pairwise cosine is 0.51, so no false positives survive verification.
+    """
+    base = table(spark, sf_dir, "embeddings").select(
+        "vec_id", _vec_double("embedding").alias("e")
+    )
+    copies = base.select(
+        (F.col("vec_id") + 100_000).alias("vec_id"),
+        F.transform(F.col("e"), lambda x: x * 1.01).alias("e"),
+    )
+    corpus = base.unionByName(copies)
+    indexed = corpus.select(
+        "vec_id", "e", _bucket_bits(F.col("e")).alias("bucket")
+    )
+    lhs = indexed.alias("l")
+    rhs = indexed.alias("r")
+    return (
+        lhs.join(
+            rhs,
+            (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.vec_id") < F.col("r.vec_id")),
+        )
+        .select(
+            F.col("l.vec_id").alias("vec_a"),
+            F.col("r.vec_id").alias("vec_b"),
+            cosine(F.col("l.e"), F.col("r.e")).alias("cos"),
+        )
+        .filter(F.col("cos") >= 0.999)
+        .select("vec_a", "vec_b")
+    )
+
+
+@register(
     "x03_pairwise_label_centroids",
     oracle="""
     WITH v AS (

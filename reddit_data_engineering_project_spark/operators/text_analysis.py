@@ -258,6 +258,57 @@ def x04_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x04_token_count",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, lang,
+               len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]'))
+                   AS n_wordish,
+               len(list_filter(string_split(text, ' '), x -> x <> ''))
+                   AS n_whitespace,
+               length(text) AS n_chars
+        FROM documents
+    )
+    SELECT
+        doc_id,
+        lang,
+        n_whitespace,
+        n_wordish,
+        CAST(ceil(n_chars / 4.0) AS BIGINT) AS n_tokens_estimate,
+        round(n_chars::DOUBLE / greatest(n_wordish, 1) * 10000.0) / 10000.0
+            AS chars_per_token
+    FROM t
+    """,
+    tags=("text", "X4", "tokens"),
+)
+def x04_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4e: token counting — whitespace, BPE-ish regex, and chars/4 estimate.
+
+    Three counters a data-mixing pipeline budget uses: whitespace words,
+    a BPE-flavored regex segmentation (alphanumeric runs + individual
+    punctuation/CJK marks — the pre-tokenizer split every BPE vocab
+    applies), and the chars/4 LLM-token rule of thumb. All in one narrow
+    projection; the regex runs once per row inside codegen.
+    """
+    docs = table(spark, sf_dir, "documents")
+    wordish = F.expr(
+        r"regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]', 0)"
+    )
+    n_wordish = F.size(wordish)
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.size(tokens(F.col("text"))).alias("n_whitespace"),
+        n_wordish.alias("n_wordish"),
+        F.ceil(F.length("text") / 4.0).cast("long").alias("n_tokens_estimate"),
+        dround(
+            F.length("text").cast("double") / F.greatest(n_wordish, F.lit(1)),
+            4,
+        ).alias("chars_per_token"),
+    )
+
+
+@register(
     "x04_fingerprint",
     oracle="""
     WITH t AS (
