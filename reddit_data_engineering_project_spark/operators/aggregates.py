@@ -154,6 +154,38 @@ def q08_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q07_percentiles",
+    oracle="""
+    SELECT
+        l_returnflag,
+        round(quantile_cont(l_extendedprice, 0.5) * 10000.0) / 10000.0
+            AS median_price,
+        round(quantile_cont(l_extendedprice, 0.95) * 10000.0) / 10000.0
+            AS p95_price,
+        round(quantile_cont(l_quantity, 0.25) * 10000.0) / 10000.0
+            AS q1_qty
+    FROM lineitem
+    GROUP BY 1
+    """,
+    tags=("aggregates", "Q7", "percentile"),
+)
+def q07_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (median, p95, Q1).
+
+    ``F.percentile`` (exact, linear interpolation — matches SQL
+    ``quantile_cont``) for the oracle-checked truth. At 100 TB swap in
+    ``approx_percentile`` (KLL-sketch, mergeable, one pass) — same call
+    shape, bounded error; the exact form here pins the semantics.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        dround(F.percentile("l_extendedprice", 0.5), 4).alias("median_price"),
+        dround(F.percentile("l_extendedprice", 0.95), 4).alias("p95_price"),
+        dround(F.percentile("l_quantity", 0.25), 4).alias("q1_qty"),
+    )
+
+
+@register(
     "q09_pivot",
     oracle="""
     SELECT

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..functions.numeric import dround
 from ..registry import register
-from ..tables import table
+from ..tables import register_views, table
 
 
 @register(
@@ -254,6 +254,42 @@ def q10_join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.col("r_name").alias("region"),
         )
+    )
+
+
+@register(
+    "q17_adhoc_sql_correlated",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey,
+           round(o.o_totalprice * 100.0) / 100.0 AS o_totalprice
+    FROM orders o
+    WHERE o.o_totalprice > 2.0 * (
+        SELECT avg(o2.o_totalprice) FROM orders o2
+        WHERE o2.o_custkey = o.o_custkey
+    )
+    """,
+    tags=("joins", "R17", "subquery"),
+)
+def q17_adhoc_sql_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R17 ad-hoc SQL surface: a correlated scalar subquery via ``spark.sql``.
+
+    Exercises the engine's Athena-role entry point end-to-end: corpus
+    registered as views, raw SQL in, Catalyst de-correlates the subquery
+    into an aggregate + join (one scan of orders per side — check the
+    plan: no per-row re-execution, which is what a naive engine does and
+    what kills this query at scale).
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, o.o_custkey,
+               round(o.o_totalprice * 100.0) / 100.0 AS o_totalprice
+        FROM orders o
+        WHERE o.o_totalprice > 2.0 * (
+            SELECT avg(o2.o_totalprice) FROM orders o2
+            WHERE o2.o_custkey = o.o_custkey
+        )
+        """
     )
 
 
