@@ -178,10 +178,20 @@ def q07_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape, bounded error; the exact form here pins the semantics.
     """
     li = table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        dround(F.percentile("l_extendedprice", 0.5), 4).alias("median_price"),
-        dround(F.percentile("l_extendedprice", 0.95), 4).alias("p95_price"),
-        dround(F.percentile("l_quantity", 0.25), 4).alias("q1_qty"),
+    # Both price percentiles share ONE sort buffer (array form) instead of
+    # two independent percentile aggregates — at scale this halves the
+    # per-group sort memory and CPU.
+    agg = li.groupBy("l_returnflag").agg(
+        F.percentile(
+            "l_extendedprice", F.array(F.lit(0.5), F.lit(0.95))
+        ).alias("price_pcts"),
+        F.percentile("l_quantity", F.lit(0.25)).alias("q1"),
+    )
+    return agg.select(
+        "l_returnflag",
+        dround(F.col("price_pcts").getItem(0), 4).alias("median_price"),
+        dround(F.col("price_pcts").getItem(1), 4).alias("p95_price"),
+        dround(F.col("q1"), 4).alias("q1_qty"),
     )
 
 
