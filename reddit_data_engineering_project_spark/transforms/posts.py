@@ -85,8 +85,17 @@ def falsy_string(col: Column, default: str) -> Column:
 
 
 def trimmed(col: Column) -> Column:
-    """``str(x or '').strip()``."""
-    return F.trim(F.coalesce(col, F.lit("")))
+    """``str(x or '').strip()`` — including Unicode whitespace.
+
+    Python ``str.strip()`` removes all Unicode whitespace (NEL, NBSP,
+    ideographic space…), while SQL ``trim`` strips only ASCII spaces —
+    a real divergence surfaced by the property tests. The ``(?U)``
+    regex flag gives Java's whitespace class Unicode semantics matching
+    Python's.
+    """
+    return F.regexp_replace(
+        F.coalesce(col, F.lit("")), r"(?U)^\s+|(?U)\s+$", ""
+    )
 
 
 def flag_bool(col: Column) -> Column:
