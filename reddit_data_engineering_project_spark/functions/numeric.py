@@ -16,12 +16,20 @@ from pyspark.sql import Column, functions as F
 
 
 def dround(col: Column, digits: int = 2) -> Column:
-    """Engine-portable round-to-``digits`` for double expressions."""
+    """Engine-portable round-to-``digits`` for double expressions.
+
+    The trailing ``+ 0.0`` canonicalizes IEEE negative zero: rounding a
+    tiny negative yields ``-0.0`` on some engines and ``0.0`` on others,
+    and value-hash comparators render them differently. ``-0.0 + 0.0``
+    is ``+0.0`` by IEEE 754, and the add is a no-op for everything else.
+    Oracle SQL for negative-capable metrics must append the same
+    ``+ 0.0``.
+    """
     scale = float(10**digits)
-    return F.round(col * F.lit(scale)) / F.lit(scale)
+    return F.round(col * F.lit(scale)) / F.lit(scale) + F.lit(0.0)
 
 
 def dround_sql(expr: str, digits: int = 2) -> str:
     """The DuckDB-side spelling of :func:`dround`."""
     scale = float(10**digits)
-    return f"round(({expr}) * {scale}) / {scale}"
+    return f"round(({expr}) * {scale}) / {scale} + 0.0"

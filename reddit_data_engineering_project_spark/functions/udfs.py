@@ -108,7 +108,7 @@ def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
         round(
             (coalesce(value, 0.0) - avg(coalesce(value, 0.0)) OVER u)
             / stddev_pop(coalesce(value, 0.0)) OVER u * 10000.0
-        ) / 10000.0 AS zscore
+        ) / 10000.0 + 0.0 AS zscore
     FROM events
     WINDOW u AS (PARTITION BY user_id)
     """,

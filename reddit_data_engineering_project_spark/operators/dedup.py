@@ -243,15 +243,18 @@ def x02_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Per doc: each shingle votes ±1 on every one of 64 bit positions
     (weight = the shingle hash's bit); the signature is the sign vector.
-    Candidate generation uses the pigeonhole banding for Hamming ≤ 7:
-    signatures within distance 7 must agree EXACTLY on one of 8 8-bit
-    bands, so candidates come from an equi-join on (band, band_value) —
-    never an all-pairs Hamming scan. (J = 0.8 near-dups flip ~4-7 of 64
-    sign bits on short docs, so the 4×16 Hamming-≤3 banding under-recalls;
-    8×8 captures them while random 8-bit band collisions stay rare.)
-    Candidates are verified with exact Jaccard ≥ 0.6; with the planted
-    corpus the verified output equals the ground-truth pair set, so the
-    entry is hash-checked.
+    Candidate generation uses pigeonhole banding with single-bit
+    multi-probe: 8 bands × 8 bits, and each doc additionally probes every
+    single-bit flip of each band value. Two signatures within Hamming
+    distance 15 must have SOME band at distance ≤ 1 (pigeonhole), so the
+    equi-join on (band, probed_value) captures them — J = 0.8 near-dups
+    on short docs flip up to ~10 of 64 sign bits, beyond what exact-band
+    matching (≤ 7) guarantees. Probing multiplies the probe side by 9,
+    never the candidate space (random 8-bit collisions stay ~9/256 per
+    band pair). Still no all-pairs Hamming scan anywhere. Candidates are
+    verified with exact Jaccard ≥ 0.6; with the planted corpus the
+    verified output equals the ground-truth pair set, so the entry is
+    hash-checked.
     """
     docs = table(spark, sf_dir, "documents")
     sh = shingles(docs)
@@ -278,7 +281,21 @@ def x02_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.array(*band_cols)).alias("bb")
     ).select("doc_id", "bb.band_id", "bb.band_val")
 
-    lhs = buckets.alias("l")
+    # Probe side: the exact band value plus all 8 single-bit flips.
+    probes = buckets.select(
+        "doc_id",
+        "band_id",
+        F.explode(
+            F.array(
+                F.col("band_val"),
+                *[
+                    F.col("band_val").bitwiseXOR(F.lit(1 << j))
+                    for j in range(8)
+                ],
+            )
+        ).alias("band_val"),
+    )
+    lhs = probes.alias("l")
     rhs = buckets.alias("r")
     candidates = (
         lhs.join(

@@ -81,7 +81,7 @@ def cosine(a: Column, b: Column) -> Column:
         FROM q JOIN v ON v.vec_id <> q.query_id
     )
     SELECT query_id, neighbor_id, rank,
-           round(cos * 1000000.0) / 1000000.0 AS cosine_sim
+           round(cos * 1000000.0) / 1000000.0 + 0.0 AS cosine_sim
     FROM (
         SELECT query_id, neighbor_id, cos,
                row_number() OVER (
@@ -261,13 +261,13 @@ def x02_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         label,
         max(n) AS n_vectors,
         round(max(CASE WHEN dim = 0 THEN mean_val END) * 1000000.0)
-            / 1000000.0 AS c0,
+            / 1000000.0 + 0.0 AS c0,
         round(max(CASE WHEN dim = 1 THEN mean_val END) * 1000000.0)
-            / 1000000.0 AS c1,
+            / 1000000.0 + 0.0 AS c1,
         round(max(CASE WHEN dim = 2 THEN mean_val END) * 1000000.0)
-            / 1000000.0 AS c2,
+            / 1000000.0 + 0.0 AS c2,
         round(max(CASE WHEN dim = 3 THEN mean_val END) * 1000000.0)
-            / 1000000.0 AS c3
+            / 1000000.0 + 0.0 AS c3
     FROM agg
     GROUP BY label
     """,

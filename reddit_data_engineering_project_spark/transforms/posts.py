@@ -88,13 +88,15 @@ def trimmed(col: Column) -> Column:
     """``str(x or '').strip()`` — including Unicode whitespace.
 
     Python ``str.strip()`` removes all Unicode whitespace (NEL, NBSP,
-    ideographic space…), while SQL ``trim`` strips only ASCII spaces —
-    a real divergence surfaced by the property tests. The ``(?U)``
-    regex flag gives Java's whitespace class Unicode semantics matching
-    Python's.
+    ideographic space…) plus the C0 separators ``\\x1c``-``\\x1f``,
+    while SQL ``trim`` strips only ASCII spaces — real divergences
+    surfaced by the property tests. ``(?U)\\s`` covers the Unicode
+    White_Space set; the explicit range adds the separators Python's
+    ``isspace()`` includes but Unicode does not.
     """
+    ws = r"[\s\x1c-\x1f]"
     return F.regexp_replace(
-        F.coalesce(col, F.lit("")), r"(?U)^\s+|(?U)\s+$", ""
+        F.coalesce(col, F.lit("")), rf"(?U)^{ws}+|(?U){ws}+$", ""
     )
 
 
