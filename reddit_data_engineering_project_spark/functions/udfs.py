@@ -105,10 +105,13 @@ def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
         user_id,
         event_id,
         event_type,
-        round(
-            (coalesce(value, 0.0) - avg(coalesce(value, 0.0)) OVER u)
-            / stddev_pop(coalesce(value, 0.0)) OVER u * 10000.0
-        ) / 10000.0 + 0.0 AS zscore
+        CASE WHEN stddev_pop(coalesce(value, 0.0)) OVER u = 0.0
+             THEN 0.0
+             ELSE round(
+                 (coalesce(value, 0.0) - avg(coalesce(value, 0.0)) OVER u)
+                 / stddev_pop(coalesce(value, 0.0)) OVER u * 10000.0
+             ) / 10000.0 + 0.0
+        END AS zscore
     FROM events
     WINDOW u AS (PARTITION BY user_id)
     """,

@@ -68,23 +68,6 @@ def shingles(docs: DataFrame, n: int = 4) -> DataFrame:
     )
 
 
-def _with_dup_copies(docs: DataFrame, offset: int = 1_000_000) -> DataFrame:
-    """Base corpus ∪ a re-ingested copy (new keys, same content).
-
-    Models the reference's duplicate-creating failure mode: the daily job
-    re-runs and re-extracts the same posts under fresh row ids
-    (reference ``README.md:13`` is the claim that this never persists).
-    """
-    dup = docs.select(
-        (F.col("doc_id") + offset).alias("doc_id"),
-        "text",
-        "lang",
-        "source",
-        "n_chars",
-    )
-    return docs.unionByName(dup)
-
-
 @register(
     "x01_dedup_exact_key",
     oracle="""
@@ -156,8 +139,9 @@ def x01_dedup_content_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sh AS (
         SELECT DISTINCT doc_id,
-               w[gs.i] || '_' || w[gs.i+1] || '_' || w[gs.i+2] || '_'
-                       || w[gs.i+3] AS shingle
+               -- list slice (not positional ||) so docs shorter than 4
+               -- tokens yield their whole text, matching shingles()
+               array_to_string(w[gs.i:gs.i+3], '_') AS shingle
         FROM toks CROSS JOIN LATERAL (
             SELECT unnest(range(1, greatest(len(w) - 2, 2))) AS i
         ) gs
@@ -218,8 +202,9 @@ def x02_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sh AS (
         SELECT DISTINCT doc_id,
-               w[gs.i] || '_' || w[gs.i+1] || '_' || w[gs.i+2] || '_'
-                       || w[gs.i+3] AS shingle
+               -- list slice (not positional ||) so docs shorter than 4
+               -- tokens yield their whole text, matching shingles()
+               array_to_string(w[gs.i:gs.i+3], '_') AS shingle
         FROM toks CROSS JOIN LATERAL (
             SELECT unnest(range(1, greatest(len(w) - 2, 2))) AS i
         ) gs
@@ -370,8 +355,9 @@ def minhash_signatures(sh: DataFrame) -> DataFrame:
     ),
     sh AS (
         SELECT DISTINCT doc_id,
-               w[gs.i] || '_' || w[gs.i+1] || '_' || w[gs.i+2] || '_'
-                       || w[gs.i+3] AS shingle
+               -- list slice (not positional ||) so docs shorter than 4
+               -- tokens yield their whole text, matching shingles()
+               array_to_string(w[gs.i:gs.i+3], '_') AS shingle
         FROM toks CROSS JOIN LATERAL (
             SELECT unnest(range(1, greatest(len(w) - 2, 2))) AS i
         ) gs
@@ -436,34 +422,4 @@ def x02_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates()
     )
 
-    # Exact-Jaccard verification restricted to LSH candidates. The
-    # shingle set is semi-joined to candidate docs FIRST, so the
-    # intersection join runs over candidate shingles only — at scale the
-    # candidate set is a vanishing fraction of the corpus, and this is
-    # the difference between verifying candidates and re-joining the
-    # whole shingle index.
-    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    cand_docs = candidates.select(
-        F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
-    ).dropDuplicates()
-    sh_cand = sh.join(cand_docs, "doc_id", "left_semi")
-    a = sh_cand.alias("a")
-    b = sh_cand.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .join(candidates, ["doc_a", "doc_b"], "left_semi")
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("inter"))
-    )
-    ca = counts.alias("ca")
-    cb = counts.alias("cb")
-    jac = F.col("inter") / (F.col("ca.n") + F.col("cb.n") - F.col("inter"))
-    return (
-        inter.join(ca, F.col("doc_a") == F.col("ca.doc_id"))
-        .join(cb, F.col("doc_b") == F.col("cb.doc_id"))
-        .filter(jac >= 0.6)
-        .select("doc_a", "doc_b")
-    )
+    return _verify_jaccard(sh, candidates)

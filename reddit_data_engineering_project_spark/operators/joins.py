@@ -61,9 +61,12 @@ def q10_join_inner_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer")
     n = table(spark, sf_dir, "nation")
     r = table(spark, sf_dir, "region").filter(F.col("r_name").isin("ASIA", "EUROPE"))
+    # customer scales with the facts (NOT in BROADCASTABLE) so it gets no
+    # forced hint: below the 64 MB threshold it auto-broadcasts, beyond
+    # it AQE picks the shuffle join. Forcing it would OOM at sf100.
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(

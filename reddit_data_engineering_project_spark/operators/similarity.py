@@ -23,7 +23,6 @@ cosines and the top-k sets agree exactly.
 
 from __future__ import annotations
 
-import math
 import random
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F

@@ -91,8 +91,11 @@ def q18_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("value"), F.lit(0.0)).alias("value"),
         F.to_date(F.date_trunc("day", F.col("ts"))).alias("ds"),
     )
+    # Per-process-unique target: a fixed /tmp path would let two
+    # concurrent gate/bench runs overwrite each other mid-read.
     out = os.path.join(
-        tempfile.gettempdir(), "reddit_data_engineering_project_spark_sink_roundtrip"
+        tempfile.gettempdir(),
+        f"reddit_data_engineering_project_spark_sink_roundtrip_{os.getpid()}",
     )
     write_partitioned_parquet(ev, out, "ds")
     back = spark.read.parquet(out)

@@ -25,6 +25,7 @@ Scale notes (100 TB design point):
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql.utils import AnalysisException
 
 from ..functions.numeric import dround
 from ..registry import register
@@ -61,7 +62,13 @@ def upsert_parquet(
     """
     try:
         existing: DataFrame | None = spark.read.parquet(target_path)
-    except Exception:
+    except AnalysisException as exc:
+        # ONLY first-run path-not-found may be treated as "empty target".
+        # Any other read failure (corrupt footer, listing error) must
+        # abort: proceeding would overwrite the table with just this
+        # batch — silent loss of all previously upserted data.
+        if "PATH_NOT_FOUND" not in str(exc):
+            raise
         existing = None
     merged = batch if existing is None else existing.unionByName(batch)
     # Deterministic survivor: latest recency, then stable key tie-break.

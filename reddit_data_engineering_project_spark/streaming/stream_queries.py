@@ -129,18 +129,22 @@ def s02_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             user_id,
             CAST(ts AS TIMESTAMP) AS ts,
             coalesce(value, 0.0) AS value,
+            event_id,
+            -- >=: Spark's session window is [start, last+gap) with an
+            -- EXCLUSIVE end, so an event at exactly last+gap opens a new
+            -- session.
             CASE WHEN CAST(ts AS TIMESTAMP)
                       - lag(CAST(ts AS TIMESTAMP), 1,
                             CAST(ts AS TIMESTAMP) - INTERVAL 1 YEAR)
                         OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                      > INTERVAL 30 MINUTE
+                      >= INTERVAL 30 MINUTE
                  THEN 1 ELSE 0 END AS new_session
         FROM events
     ),
     sessions AS (
         SELECT *,
                sum(new_session) OVER (
-                   PARTITION BY user_id ORDER BY ts
+                   PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                ) AS session_id
         FROM ordered
