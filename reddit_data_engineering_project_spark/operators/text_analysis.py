@@ -258,6 +258,82 @@ def x04_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x04_quality_filter",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, lang, n_chars,
+               list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        FROM documents
+    ),
+    feat AS (
+        SELECT
+            doc_id, lang, n_chars,
+            len(toks) AS n_tokens,
+            len(list_distinct(toks))::DOUBLE / len(toks) AS ttr,
+            len(list_filter(toks, x -> list_contains(
+                ['the','a','and','of','to','in','is','that','it','for'], x
+            )))::DOUBLE / len(toks) AS stop_ratio
+        FROM t
+    )
+    SELECT
+        doc_id,
+        lang,
+        round((
+            least(n_tokens / 50.0, 1.0) * 0.4
+            + least(stop_ratio / 0.08, 1.0) * 0.3
+            + ttr * 0.3
+        ) * 10000.0) / 10000.0 AS quality_score,
+        (n_tokens >= 20
+         AND n_chars >= 100
+         AND ttr >= 0.3) AS keep
+    FROM feat
+    """,
+    tags=("text", "X4", "quality"),
+)
+def x04_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4f: composite quality score + keep/drop decision (the filter stage).
+
+    Weighted blend of length, stopword density, and lexical diversity —
+    the standard heuristic-filter shape for pretraining corpora (the
+    exact weights are policy, the PLUMBING is the operator). ``keep`` is
+    the hard gate a pipeline would filter on; emitting it as a column
+    (rather than filtering here) lets the gate audit both kept and
+    dropped populations.
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n_toks = F.size(toks)
+    stop_arr = F.array(*[F.lit(w) for w in _EN_STOP])
+    feat = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        n_toks.alias("n_tokens"),
+        (F.size(F.array_distinct(toks)).cast("double") / n_toks).alias("ttr"),
+        (
+            F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+            .cast("double")
+            / n_toks
+        ).alias("stop_ratio"),
+    )
+    score = (
+        F.least(F.col("n_tokens") / 50.0, F.lit(1.0)) * 0.4
+        + F.least(F.col("stop_ratio") / 0.08, F.lit(1.0)) * 0.3
+        + F.col("ttr") * 0.3
+    )
+    return feat.select(
+        "doc_id",
+        "lang",
+        dround(score, 4).alias("quality_score"),
+        (
+            (F.col("n_tokens") >= 20)
+            & (F.col("n_chars") >= 100)
+            & (F.col("ttr") >= 0.3)
+        ).alias("keep"),
+    )
+
+
+@register(
     "x04_token_count",
     oracle="""
     WITH t AS (

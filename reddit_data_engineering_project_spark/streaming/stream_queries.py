@@ -244,6 +244,82 @@ def s04_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "s06_interval_join",
+    oracle="""
+    WITH purchases AS (
+        SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+               coalesce(value, 0.0) AS value
+        FROM events WHERE event_type = 'purchase'
+    ),
+    clicks AS (
+        SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        FROM events WHERE event_type = 'click'
+    )
+    SELECT
+        p.event_id AS purchase_id,
+        p.user_id,
+        p.ts AS purchase_ts,
+        round(p.value * 100.0) / 100.0 AS purchase_value,
+        count(c.event_id) AS clicks_before,
+        min(c.event_id) AS first_click_id
+    FROM purchases p
+    LEFT JOIN clicks c
+      ON c.user_id = p.user_id
+     AND c.ts <= p.ts
+     AND c.ts >= p.ts - INTERVAL 1 HOUR
+    GROUP BY 1, 2, 3, 4
+    """,
+    tags=("streaming", "S6", "interval-join"),
+)
+def s06_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6: stream-stream interval join — purchases ⋈ clicks within 1 hour.
+
+    The batch rendering of a watermarked stream-stream join: each
+    purchase joined to the same user's clicks in the trailing hour
+    (exactly the state-retention window two ``withWatermark`` streams
+    would negotiate). The join key is the EQUI user_id — the interval is
+    a residual predicate, so this shuffles by user like any hash join;
+    no range-join explosion (per-user event counts bound the fan-out,
+    mirroring the stream's per-key state bound).
+    """
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("pvalue"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("c_user_id") == F.col("user_id"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("click_ts")
+            >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOURS")
+        ),
+        "left",
+    )
+    return joined.groupBy(
+        "purchase_id", "user_id", "purchase_ts", "pvalue"
+    ).agg(
+        F.count("click_id").alias("clicks_before"),
+        F.min("click_id").alias("first_click_id"),
+    ).select(
+        "purchase_id",
+        "user_id",
+        "purchase_ts",
+        dround(F.col("pvalue")).alias("purchase_value"),
+        "clicks_before",
+        "first_click_id",
+    )
+
+
+@register(
     "s05_stateful_dedup",
     oracle="""
     SELECT user_id, event_type, event_id AS first_event_id,
