@@ -93,6 +93,89 @@ def _extract_features(
         )
 
 
+_FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("frame_hex", StringType(), False),
+        StructField("frame_bytes", IntegerType(), False),
+    ]
+)
+
+_FRAME_SIZE = 16
+_FRAME_STRIDE = 4  # keep every 4th frame
+
+
+def _sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Fixed-stride frame sampling over binary payloads.
+
+    The video-pipeline shape: payload → frame boundaries → keep every
+    k-th frame → per-frame features. Real codecs would decode here
+    (:func:`decode_media`); the fixed-size byte blocks are the
+    deterministic stand-in, with the Spark-side plumbing (batch iterator,
+    explode-like fan-out, declared schema) identical to production.
+    """
+    for pdf in batches:
+        out_ids, out_idx, out_hex, out_len = [], [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            n_frames = (len(payload) + _FRAME_SIZE - 1) // _FRAME_SIZE
+            for i in range(0, n_frames, _FRAME_STRIDE):
+                frame = payload[i * _FRAME_SIZE : (i + 1) * _FRAME_SIZE]
+                out_ids.append(doc_id)
+                out_idx.append(i)
+                out_hex.append(frame.hex())
+                out_len.append(len(frame))
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(out_ids, dtype="int64"),
+                "frame_idx": pd.Series(out_idx, dtype="int32"),
+                "frame_hex": pd.Series(out_hex, dtype="object"),
+                "frame_bytes": pd.Series(out_len, dtype="int32"),
+            }
+        )
+
+
+@register(
+    "x05_frame_sample",
+    oracle="""
+    WITH frames AS (
+        SELECT
+            d.doc_id,
+            gs.i AS frame_idx,
+            lower(hex(encode(substr(d.text, gs.i * 16 + 1, 16))))
+                AS frame_hex,
+            CAST(octet_length(encode(substr(d.text, gs.i * 16 + 1, 16)))
+                 AS INT) AS frame_bytes
+        FROM documents d
+        CROSS JOIN LATERAL (
+            SELECT unnest(range(0,
+                CAST(ceil(length(d.text) / 16.0) AS BIGINT), 4)) AS i
+        ) gs
+        WHERE d.lang = 'en'
+    )
+    SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+           frame_hex, frame_bytes
+    FROM frames
+    """,
+    tags=("multimodal", "X5", "frames"),
+)
+def x05_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5c: strided frame sampling through the mapInPandas payload path.
+
+    Every 4th 16-byte block of each payload survives — the decimation
+    step of a video ingest (sample 1-in-k frames before expensive
+    feature extraction). Output fan-out is rows-per-payload ∝ payload
+    size / (frame·stride); the oracle reproduces the same byte slicing
+    relationally over the ASCII-only slice so char = byte holds.
+    """
+    docs = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("lang") == "en")
+        .select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
+    )
+    return docs.mapInPandas(_sample_frames, schema=_FRAME_SCHEMA)
+
+
 @register(
     "x05_corpus_slice",
     oracle="""
