@@ -49,12 +49,18 @@ _AB: list[tuple[int, int]] = [
 ]
 
 
-def shingles(docs: DataFrame, n: int = 4) -> DataFrame:
-    """Distinct n-word shingles per document: (doc_id, shingle).
+def shingles(docs: DataFrame, n: int = 4, distinct: bool = True) -> DataFrame:
+    """n-word shingles per document: (doc_id, shingle).
 
     Sliding window over the token array via ``transform`` on an index
     sequence — pure JVM, no Python. Documents shorter than ``n`` tokens
     yield their whole text as the single shingle.
+
+    ``distinct=True`` (the Jaccard-set form) costs a shuffle to dedupe;
+    signature builders that are duplicate-insensitive (MinHash minima)
+    or duplicate-weighted by design (SimHash votes) pass ``False`` and
+    skip that shuffle entirely — their aggregate is then the FIRST
+    shuffle the query pays.
     """
     toks = F.split(F.col("text"), " ")
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
@@ -62,10 +68,8 @@ def shingles(docs: DataFrame, n: int = 4) -> DataFrame:
         idx,
         lambda i: F.array_join(F.slice(toks, i + 1, n), "_"),
     )
-    return (
-        docs.select("doc_id", F.explode(sh).alias("shingle"))
-        .dropDuplicates(["doc_id", "shingle"])
-    )
+    exploded = docs.select("doc_id", F.explode(sh).alias("shingle"))
+    return exploded.dropDuplicates(["doc_id", "shingle"]) if distinct else exploded
 
 
 @register(
@@ -243,6 +247,10 @@ def x02_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = table(spark, sf_dir, "documents")
     sh = shingles(docs)
+    # Frequency-weighted SimHash (the textbook form): votes come from the
+    # raw shingle stream, so the signature build needs NO dedupe shuffle —
+    # its per-doc aggregate is the first exchange.
+    sh_raw = shingles(docs, distinct=False)
     h = F.xxhash64(F.col("shingle"))
     # 64 signed bit-votes per shingle, summed per doc in ONE aggregate.
     votes = [
@@ -251,7 +259,7 @@ def x02_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias(f"v{j}")
         for j in range(64)
     ]
-    sig = sh.groupBy("doc_id").agg(*votes)
+    sig = sh_raw.groupBy("doc_id").agg(*votes)
     # Assemble 8 bands of 8 sign bits each.
     band_cols = []
     for band in range(8):
@@ -390,7 +398,10 @@ def x02_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = table(spark, sf_dir, "documents")
     sh = shingles(docs)
-    sig = minhash_signatures(sh)
+    # MinHash minima are unchanged by duplicates: the signature reads the
+    # raw shingle stream and skips the dedupe shuffle; only the exact
+    # Jaccard verification needs the distinct set.
+    sig = minhash_signatures(shingles(docs, distinct=False))
 
     # Band hash: one 64-bit hash per band over that band's R signature
     # values; stack to (doc_id, band_id, band_hash) long format.
