@@ -195,6 +195,117 @@ def x03_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x03_ivf_topk",
+    tags=("similarity", "X3", "ivf", "rows-only"),
+)
+def x03_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3d: IVF-style probed search — centroid assignment bounds candidates.
+
+    The inverted-file index pattern end-to-end: build coarse centroids
+    (here the per-label means — the supervised stand-in for a k-means
+    pass), assign every corpus vector to its nearest centroid, then
+    answer each query by probing only the lists of its nProbe = 2
+    nearest centroids. The candidate join is equi on centroid id, so the
+    work per query is |corpus| · nProbe / n_centroids instead of
+    |corpus|. Rows-only check (assignment ties are float-order sensitive
+    across engines); the brute-force twin is the exact baseline.
+
+    Honesty note on this corpus: the synthetic embeddings are near-
+    uniform (max organic pairwise cosine 0.51, no cluster structure), so
+    measured recall@10 is ~38% at a 20% probe fraction — better than the
+    20% a random probe would give, but far from the 90%+ IVF delivers on
+    genuinely clustered data. The operator demonstrates the plumbing and
+    its cost model, not a recall guarantee the data cannot support.
+    """
+    n_probe = 2
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _vec_double("embedding").alias("e")
+    )
+    # Coarse quantizer: per-label centroid (see x03_pairwise_label_centroids).
+    by_dim = (
+        emb.select("label", F.posexplode("e").alias("dim", "val"))
+        .groupBy("label", "dim")
+        .agg(F.avg("val").alias("m"))
+    )
+    centroids = (
+        by_dim.groupBy("label")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("dim", "m"))
+            ).alias("cmap")
+        )
+        .select(
+            F.col("label").alias("centroid_id"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(63)),
+                lambda j: F.element_at("cmap", j),
+            ).alias("c"),
+        )
+    )
+    # Assign corpus vectors to their nearest centroid (broadcast 10 rows).
+    dist = F.aggregate(
+        F.zip_with(F.col("e"), F.col("c"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    assigned = (
+        emb.crossJoin(F.broadcast(centroids))
+        .select("vec_id", "e", "centroid_id", dist.alias("d2"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(
+                    F.col("d2").asc(), F.col("centroid_id").asc()
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "e", "centroid_id")
+    )
+    # Queries probe their nProbe nearest centroid lists.
+    probes = (
+        emb.filter(F.col("vec_id") < _N_QUERIES)
+        .crossJoin(F.broadcast(centroids))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("e").alias("qe"),
+            "centroid_id",
+            dist.alias("d2"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("d2").asc(), F.col("centroid_id").asc()
+                )
+            ),
+        )
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", "qe", "centroid_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        assigned.join(F.broadcast(probes), "centroid_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("qe"), F.col("e")).alias("cos"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            dround(F.col("cos"), 6).alias("cosine_sim"),
+        )
+    )
+
+
+@register(
     "x02_embedding_neardup",
     oracle="""
     SELECT vec_id AS vec_a, vec_id + 100000 AS vec_b FROM embeddings

@@ -163,6 +163,64 @@ def x04_term_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "x04_tfidf",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents WHERE lang = 'en'
+    ),
+    tf AS (
+        SELECT doc_id, token, count(*) AS tf
+        FROM tok WHERE token <> '' GROUP BY 1, 2
+    ),
+    n_docs AS (SELECT count(DISTINCT doc_id) AS n FROM tf),
+    df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1)
+    SELECT
+        tf.doc_id,
+        tf.token,
+        round(
+            tf.tf * ln((n_docs.n + 1.0) / (df.df + 1.0)) * 1000000.0
+        ) / 1000000.0 + 0.0 AS tf_idf
+    FROM tf, n_docs
+    JOIN df ON tf.token = df.token
+    WHERE tf.tf >= 2
+    """,
+    tags=("text", "X4", "tfidf"),
+)
+def x04_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4g: TF-IDF scores — smoothed idf = ln((N+1)/(df+1)).
+
+    The document-frequency table is vocabulary-sized and broadcasts; the
+    corpus size N rides along as a broadcast 1-row aggregate (never a
+    collect). One token-count shuffle total — the same single heavy
+    exchange as plain TF.
+    """
+    docs = table(spark, sf_dir, "documents").filter(F.col("lang") == "en")
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("token")
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n_docs = tf.select("doc_id").distinct().agg(
+        F.count("*").alias("n")
+    )
+    return (
+        tf.filter(F.col("tf") >= 2)
+        .join(F.broadcast(df), "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "token",
+            dround(
+                F.col("tf")
+                * F.log((F.col("n") + 1.0) / (F.col("df") + 1.0)),
+                6,
+            ).alias("tf_idf"),
+        )
+    )
+
+
 def _profile_score(toks: Column, words: list[str]) -> Column:
     """How many tokens hit the language's stopword profile."""
     prof = F.array(*[F.lit(w) for w in words])
