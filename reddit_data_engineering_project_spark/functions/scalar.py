@@ -66,6 +66,49 @@ def q14_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q14_string_funcs2",
+    oracle="""
+    SELECT
+        c_custkey,
+        -- initcap differs subtly across engines on non-alpha boundaries;
+        -- the corpus names are plain words so both agree.
+        upper(substr(c_name, 1, 1)) || lower(substr(c_name, 2)) AS name_title,
+        reverse(c_mktsegment) AS seg_reversed,
+        repeat(substr(c_mktsegment, 1, 2), 2) AS seg_rep,
+        left(c_name, 4) AS name_left,
+        right(c_name, 3) AS name_right,
+        CAST(strpos(c_name, 'a') AS INT) AS first_a,
+        translate(c_mktsegment, 'AEIOU', 'aeiou') AS seg_lowvowel,
+        (c_name ILIKE '%CUSTOMER%') AS has_customer_ci,
+        md5(c_name) AS name_md5
+    FROM customer
+    """,
+    tags=("functions", "Q14"),
+)
+def q14_string_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 string battery 2: title-case, reverse, repeat, left/right,
+    position, translate, case-insensitive match, MD5."""
+    c = table(spark, sf_dir, "customer")
+    name = F.col("c_name")
+    seg = F.col("c_mktsegment")
+    return c.select(
+        "c_custkey",
+        F.concat(
+            F.upper(F.substring(name, 1, 1)),
+            F.lower(F.expr("substring(c_name, 2)")),
+        ).alias("name_title"),
+        F.reverse(seg).alias("seg_reversed"),
+        F.repeat(F.substring(seg, 1, 2), 2).alias("seg_rep"),
+        F.substring(name, 1, 4).alias("name_left"),
+        F.expr("right(c_name, 3)").alias("name_right"),
+        F.instr(name, "a").cast("int").alias("first_a"),
+        F.translate(seg, "AEIOU", "aeiou").alias("seg_lowvowel"),
+        F.upper(name).contains("CUSTOMER").alias("has_customer_ci"),
+        F.md5(name).alias("name_md5"),
+    )
+
+
+@register(
     "q15_datetime_funcs",
     oracle="""
     SELECT

@@ -42,6 +42,54 @@ def q01_scan_explicit_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q01_csv_scan",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    """,
+    tags=("relational", "Q1", "csv"),
+)
+def q01_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1 (CSV form): header-CSV sink → explicit-schema CSV scan (R10).
+
+    The reference's wire format is header CSV (``etls/reddit_etl.py:
+    109-117``); this round-trips a table through it with an EXPLICIT
+    StructType on the read — never ``inferSchema``, which costs an extra
+    full pass over 100 TB and can silently mis-type columns. Values are
+    oracle-checked against the parquet original, so the CSV
+    serialization itself is under the gate.
+    """
+    import os as _os
+    import tempfile as _tempfile
+
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    src = table(spark, sf_dir, "nation")
+    path = _os.path.join(
+        _tempfile.gettempdir(),
+        f"reddit_data_engineering_project_spark_csv_scan_{_os.getpid()}",
+    )
+    src.write.mode("overwrite").option("header", True).csv(path)
+    schema = StructType(
+        [
+            StructField("n_nationkey", IntegerType(), True),
+            StructField("n_name", StringType(), True),
+            StructField("n_regionkey", IntegerType(), True),
+        ]
+    )
+    return (
+        spark.read.schema(schema)
+        .option("header", True)
+        .csv(path)
+        .select("n_nationkey", "n_name", "n_regionkey")
+    )
+
+
+@register(
     "q02_projection_pruning",
     oracle="""
     SELECT
