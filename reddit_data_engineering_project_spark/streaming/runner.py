@@ -21,6 +21,65 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..session import ensure_session_confs
 
 
+def run_upsert_stream(
+    spark: SparkSession,
+    source_dir: str,
+    target_dir: str,
+    checkpoint_dir: str,
+    keys: list[str],
+    recency_col: str,
+    partition_col: str | None = None,
+) -> None:
+    """File-source stream → per-micro-batch idempotent upsert (R16, live form).
+
+    Each micro-batch merges into the parquet target through
+    :func:`..operators.upsert.upsert_parquet` — keep-latest per key,
+    dynamic partition overwrite, so a batch touching one day rewrites one
+    day. Two idempotency layers compose:
+
+    1. the checkpoint: a re-run with the same checkpoint re-reads nothing;
+    2. the merge: even a *fresh* checkpoint re-delivering every file
+       produces zero duplicates, because upsert keeps one row per key.
+
+    Layer 2 is what the reference claims ("re-running does not create
+    duplicates", reference ``README.md:13``) and never implemented;
+    layer 1 is the exactly-once bookkeeping Structured Streaming adds.
+
+    Scale note: within a micro-batch the merge reads only the target's
+    existing partitions; at 100 TB the target must be partitioned (pass
+    ``partition_col``) so each micro-batch's read-merge-overwrite touches
+    the touched days, not the table.
+    """
+    ensure_session_confs(spark)
+    from ..operators.upsert import upsert_parquet
+
+    schema = spark.read.parquet(source_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+    )
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        upsert_parquet(
+            spark,
+            batch_df,
+            target_dir,
+            keys=keys,
+            recency_col=recency_col,
+            partition_col=partition_col,
+        )
+
+    (
+        stream.writeStream.outputMode("update")
+        .foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
 def run_tumbling_stream(
     spark: SparkSession,
     source_dir: str,
