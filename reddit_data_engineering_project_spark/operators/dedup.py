@@ -61,7 +61,18 @@ def shingles(docs: DataFrame, n: int = 4, distinct: bool = True) -> DataFrame:
     or duplicate-weighted by design (SimHash votes) pass ``False`` and
     skip that shuffle entirely — their aggregate is then the FIRST
     shuffle the query pays.
+
+    Shingling is CPU-bound (the ``transform`` lambda runs interpreted,
+    outside whole-stage codegen), so the stage must not be narrower than
+    the machine: when the source scan yields fewer partitions than the
+    cluster's default parallelism (a small corpus in one parquet file —
+    the sf0.01/0.1 shape), redistribute first. At 100 TB the scan already
+    carries thousands of partitions and this is a no-op — no shuffle is
+    added on the scale path.
     """
+    target = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < target:
+        docs = docs.repartition(target)
     toks = F.split(F.col("text"), " ")
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
     sh = F.transform(
@@ -329,13 +340,16 @@ def _verify_jaccard(
     """Exact-Jaccard verification of candidate pairs (shared by LSH variants).
 
     Shingles are semi-joined to candidate docs first so the intersection
-    join touches candidate shingles only.
+    join touches candidate shingles only — and the per-doc size counts
+    are computed from that candidate-restricted stream too (they are only
+    ever joined back to candidate pairs), so NO stage of verification
+    aggregates the full corpus.
     """
-    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     cand_docs = candidates.select(
         F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
     ).dropDuplicates()
     sh_cand = sh.join(cand_docs, "doc_id", "left_semi")
+    counts = sh_cand.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh_cand.alias("a")
     b = sh_cand.alias("b")
     inter = (
