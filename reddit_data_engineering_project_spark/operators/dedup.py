@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions.numeric import dround
 from ..registry import register
-from ..tables import table
+from ..tables import ensure_min_parallelism, table
 
 #: MinHash parameters: K hashes, banded B bands × R rows (K = B*R).
 #: Universal-hash coefficients drawn once from a fixed seed so every run
@@ -64,15 +64,10 @@ def shingles(docs: DataFrame, n: int = 4, distinct: bool = True) -> DataFrame:
 
     Shingling is CPU-bound (the ``transform`` lambda runs interpreted,
     outside whole-stage codegen), so the stage must not be narrower than
-    the machine: when the source scan yields fewer partitions than the
-    cluster's default parallelism (a small corpus in one parquet file —
-    the sf0.01/0.1 shape), redistribute first. At 100 TB the scan already
-    carries thousands of partitions and this is a no-op — no shuffle is
-    added on the scale path.
+    the machine: ``ensure_min_parallelism`` redistributes a too-narrow
+    scan first and is a no-op on the 100 TB path.
     """
-    target = docs.sparkSession.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < target:
-        docs = docs.repartition(target)
+    docs = ensure_min_parallelism(docs)
     toks = F.split(F.col("text"), " ")
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
     sh = F.transform(

@@ -40,7 +40,7 @@ from pyspark.sql.types import (
 
 from ..functions.numeric import dround
 from ..registry import register
-from ..tables import table
+from ..tables import ensure_min_parallelism, table
 
 
 def decode_media(payload: bytes, media_type: str) -> object:
@@ -173,7 +173,9 @@ def x05_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("lang") == "en")
         .select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
     )
-    return docs.mapInPandas(_sample_frames, schema=_FRAME_SCHEMA)
+    return ensure_min_parallelism(docs).mapInPandas(
+        _sample_frames, schema=_FRAME_SCHEMA
+    )
 
 
 @register(
@@ -240,5 +242,7 @@ def x05_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
         )
     )
-    feats = docs.mapInPandas(_extract_features, schema=_FEATURE_SCHEMA)
+    feats = ensure_min_parallelism(docs).mapInPandas(
+        _extract_features, schema=_FEATURE_SCHEMA
+    )
     return feats.select("doc_id", "n_bytes", "header_hex", "media_type")

@@ -90,6 +90,58 @@ def q01_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q01_json_scan",
+    oracle="""
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+    FROM customer
+    """,
+    tags=("relational", "Q1", "json"),
+)
+def q01_json_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1 (JSON form): JSON-lines sink → explicit-schema JSON scan.
+
+    The third lake wire format after parquet and header CSV: newline-
+    delimited JSON, written and re-read with an EXPLICIT StructType —
+    ``inferSchema`` on JSON costs a full extra pass at 100 TB and can
+    demote longs to doubles on mixed shards. Doubles survive the text
+    round trip bit-exactly (Spark writes shortest-round-trip decimal),
+    which the oracle hash against the parquet original proves.
+    """
+    import os as _os
+    import tempfile as _tempfile
+
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    src = table(spark, sf_dir, "customer")
+    path = _os.path.join(
+        _tempfile.gettempdir(),
+        f"reddit_data_engineering_project_spark_json_scan_{_os.getpid()}",
+    )
+    src.write.mode("overwrite").json(path)
+    schema = StructType(
+        [
+            StructField("c_custkey", LongType(), True),
+            StructField("c_name", StringType(), True),
+            StructField("c_nationkey", IntegerType(), True),
+            StructField("c_acctbal", DoubleType(), True),
+            StructField("c_mktsegment", StringType(), True),
+        ]
+    )
+    return (
+        spark.read.schema(schema)
+        .json(path)
+        .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    )
+
+
+@register(
     "q02_projection_pruning",
     oracle="""
     SELECT

@@ -29,7 +29,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
 from ..functions.numeric import dround
 from ..registry import register
-from ..tables import table
+from ..tables import ensure_min_parallelism, table
 
 #: Random hyperplanes for SimHash bucketing — drawn once from a fixed
 #: seed (deterministic across runs and engines).
@@ -99,7 +99,7 @@ def x03_cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     inside codegen, and the per-query window ranks |corpus| rows hashed
     by query_id. At 1000 executors this reads the corpus once, full stop.
     """
-    emb = table(spark, sf_dir, "embeddings").select(
+    emb = ensure_min_parallelism(table(spark, sf_dir, "embeddings")).select(
         "vec_id", _vec_double("embedding").alias("e")
     )
     q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
@@ -151,7 +151,7 @@ def x03_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rows-only check (bucket recall is probabilistic by design); the
     brute-force twin above is the exact oracle-checked baseline.
     """
-    emb = table(spark, sf_dir, "embeddings").select(
+    emb = ensure_min_parallelism(table(spark, sf_dir, "embeddings")).select(
         "vec_id", _vec_double("embedding").alias("e")
     )
     indexed = emb.select(
@@ -218,7 +218,7 @@ def x03_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     its cost model, not a recall guarantee the data cannot support.
     """
     n_probe = 2
-    emb = table(spark, sf_dir, "embeddings").select(
+    emb = ensure_min_parallelism(table(spark, sf_dir, "embeddings")).select(
         "vec_id", "label", _vec_double("embedding").alias("e")
     )
     # Coarse quantizer: per-label centroid (see x03_pairwise_label_centroids).
@@ -324,7 +324,7 @@ def x02_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly the planted (v, v+100000) pairs. The corpus's organic max
     pairwise cosine is 0.51, so no false positives survive verification.
     """
-    base = table(spark, sf_dir, "embeddings").select(
+    base = ensure_min_parallelism(table(spark, sf_dir, "embeddings")).select(
         "vec_id", _vec_double("embedding").alias("e")
     )
     copies = base.select(
@@ -391,7 +391,7 @@ def x03_pairwise_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     element-wise vector mean via posexplode + groupBy, one shuffle keyed
     by (label, dim) then one by label.
     """
-    emb = table(spark, sf_dir, "embeddings").select(
+    emb = ensure_min_parallelism(table(spark, sf_dir, "embeddings")).select(
         "label", _vec_double("embedding").alias("e")
     )
     by_dim = (

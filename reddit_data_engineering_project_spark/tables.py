@@ -59,6 +59,28 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def ensure_min_parallelism(df: DataFrame) -> DataFrame:
+    """Redistribute a too-narrow scan before a CPU-bound stage.
+
+    Interpreted expression paths (higher-order-function lambdas, Arrow →
+    Python workers for ``mapInPandas``/``applyInPandas``) parallelize only
+    as far as the input partitioning, and a small corpus in one
+    single-row-group parquet file scans as ONE partition — serializing
+    the whole stage on one core. When the scan is narrower than the
+    cluster's default parallelism, round-robin the rows first.
+
+    At 100 TB the scan already carries thousands of splits, the condition
+    is false, and NO shuffle is added — the scale path is untouched. Only
+    use this in front of interpreted/Python stages; codegen'd relational
+    plans should keep the scan's own partitioning (an extra exchange
+    there is pure cost).
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """All corpus tables as a dict of lazy DataFrames."""
     return {name: table(spark, sf_dir, name) for name in TABLE_NAMES}
