@@ -160,3 +160,85 @@ def q17_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(m, "k").alias("k_from_map"),
         F.size(F.map_keys(m)).alias("n_map_keys"),
     )
+
+
+@register(
+    "q17_json_corrupt_records",
+    oracle="""
+    WITH wire AS (
+        SELECT * FROM (VALUES
+            (1, '{"k": 7, "tag": "ok"}'),
+            (2, '{"k": "not_a_number", "tag": "typed-wrong"}'),
+            (3, '{broken json'),
+            (4, NULL),
+            (5, '[]'),
+            (6, '{"tag": "missing-k"}')
+        ) AS t(rec_id, payload)
+    )
+    SELECT
+        rec_id,
+        CASE
+            WHEN payload IS NULL THEN FALSE
+            WHEN NOT json_valid(payload) THEN TRUE
+            WHEN json_type(payload) <> 'OBJECT' THEN TRUE
+            WHEN json_extract_string(payload, '$.k') IS NOT NULL
+                 AND TRY_CAST(json_extract_string(payload, '$.k') AS BIGINT)
+                     IS NULL THEN TRUE
+            ELSE FALSE
+        END AS is_corrupt,
+        CASE WHEN json_valid(payload) AND json_type(payload) = 'OBJECT'
+             THEN TRY_CAST(json_extract_string(payload, '$.k') AS BIGINT)
+        END AS k,
+        CASE WHEN json_valid(payload) AND json_type(payload) = 'OBJECT'
+             THEN json_extract_string(payload, '$.tag')
+        END AS tag
+    FROM wire
+    """,
+    tags=("json", "Q17", "corrupt-records"),
+)
+def q17_json_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17: malformed-JSON tolerance — the ingest wire is never clean.
+
+    ``from_json`` in PERMISSIVE mode (the default) never fails the job:
+    with ``columnNameOfCorruptRecord`` declared, broken syntax, non-object
+    payloads, and type-mismatched fields land in the corrupt column while
+    every salvageable field is still extracted (note the type-mismatch
+    row keeps its good ``tag``). Exactly the total-function semantics a
+    100 TB ingest needs — one bad shard must not kill the run, and the
+    bad records stay queryable for quarantine. The fixture covers the
+    failure ladder: valid, wrong-typed field, broken syntax, NULL input,
+    non-object, missing field; the oracle reproduces each verdict with
+    DuckDB's json_valid/json_type/TRY_CAST (lazy CASE guards — DuckDB
+    json functions raise on malformed input if evaluated eagerly).
+    One projection per record, no shuffle.
+    """
+    from pyspark.sql.types import LongType
+
+    rows = [
+        (1, '{"k": 7, "tag": "ok"}'),
+        (2, '{"k": "not_a_number", "tag": "typed-wrong"}'),
+        (3, "{broken json"),
+        (4, None),
+        (5, "[]"),
+        (6, '{"tag": "missing-k"}'),
+    ]
+    wire = spark.createDataFrame(rows, ["rec_id", "payload"])
+    schema = StructType(
+        [
+            StructField("k", LongType(), True),
+            StructField("tag", StringType(), True),
+            StructField("_corrupt", StringType(), True),
+        ]
+    )
+    parsed = wire.select(
+        "rec_id",
+        F.from_json(
+            F.col("payload"), schema, {"columnNameOfCorruptRecord": "_corrupt"}
+        ).alias("j"),
+    )
+    return parsed.select(
+        "rec_id",
+        F.col("j._corrupt").isNotNull().alias("is_corrupt"),
+        F.col("j.k").alias("k"),
+        F.col("j.tag").alias("tag"),
+    )

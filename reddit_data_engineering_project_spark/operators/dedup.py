@@ -326,24 +326,36 @@ def x02_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .dropDuplicates()
     )
-    return _verify_jaccard(sh, candidates)
+    return _verify_jaccard(docs, candidates)
 
 
 def _verify_jaccard(
-    sh: DataFrame, candidates: DataFrame, threshold: float = 0.6
+    docs: DataFrame, candidates: DataFrame, threshold: float = 0.6
 ) -> DataFrame:
     """Exact-Jaccard verification of candidate pairs (shared by LSH variants).
 
-    Shingles are semi-joined to candidate docs first so the intersection
-    join touches candidate shingles only — and the per-doc size counts
-    are computed from that candidate-restricted stream too (they are only
-    ever joined back to candidate pairs), so NO stage of verification
-    aggregates the full corpus.
+    DOCS are semi-joined to candidate ids before any shingling, so the
+    verification stage tokenizes only candidate documents — the corpus is
+    never re-shingled to verify a candidate set that banding has already
+    shrunk by orders of magnitude. Per-doc size counts likewise come from
+    the candidate-restricted stream: NO stage of verification touches the
+    full corpus.
+
+    Verification runs the sparse inverted-index join over ALL pairs of
+    candidate documents, not just the generated pairs: any extra pair it
+    surfaces passed the exact-Jaccard threshold, so keeping it is free
+    recall, and dropping the pair-level semi-join means the expensive
+    candidate-generation DAG is consumed exactly ONCE — as the persisted
+    id list ``cand_docs`` (O(candidate docs), tiny by construction at any
+    scale). The candidate shingle stream is persisted for the same
+    reason: three plan branches (both join sides + counts) read it.
     """
-    cand_docs = candidates.select(
-        F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
-    ).dropDuplicates()
-    sh_cand = sh.join(cand_docs, "doc_id", "left_semi")
+    cand_docs = (
+        candidates.select(F.explode(F.array("doc_a", "doc_b")).alias("doc_id"))
+        .dropDuplicates()
+        .persist()
+    )
+    sh_cand = shingles(docs.join(cand_docs, "doc_id", "left_semi")).persist()
     counts = sh_cand.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh_cand.alias("a")
     b = sh_cand.alias("b")
@@ -352,7 +364,6 @@ def _verify_jaccard(
         .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
-        .join(candidates, ["doc_a", "doc_b"], "left_semi")
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("inter"))
     )
@@ -424,7 +435,6 @@ def x02_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     than the rows-only check the scheme nominally needs.
     """
     docs = table(spark, sf_dir, "documents")
-    sh = shingles(docs)
     # MinHash minima are unchanged by duplicates: the signature reads the
     # raw shingle stream and skips the dedupe shuffle (doc-level
     # repartition parallelizes the map-side aggregate); only the exact
@@ -463,4 +473,4 @@ def x02_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates()
     )
 
-    return _verify_jaccard(sh, candidates)
+    return _verify_jaccard(docs, candidates)

@@ -62,6 +62,38 @@ def write_partitioned_parquet(
     )
 
 
+def compact_partition(
+    spark: SparkSession,
+    path: str,
+    target_rows_per_file: int = 1_000_000,
+) -> int:
+    """Rewrite a partition directory into right-sized files; return file count.
+
+    The maintenance half of the sink contract: streaming micro-batches
+    and per-day re-runs accrete small files, and at 100 TB scan cost is
+    dominated by file-open overhead long before bytes. Compaction reads
+    the directory once, coalesces to ``ceil(rows / target)`` files
+    (``coalesce``, not ``repartition`` — narrowing needs no shuffle), and
+    atomically replaces the directory via write-to-temp + rename, so a
+    concurrent reader sees the old files or the new ones, never a mix.
+    Run per-partition (one day at a time): each compaction touches one
+    day's bytes, never the table.
+    """
+    import math
+    import shutil
+
+    df = spark.read.parquet(path)
+    n_rows = df.count()
+    n_files = max(1, math.ceil(n_rows / target_rows_per_file))
+    tmp = path.rstrip("/") + "__compacting"
+    df.coalesce(n_files).write.mode("overwrite").parquet(tmp)
+    old = path.rstrip("/") + "__old"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return n_files
+
+
 @register(
     "q18_sink_roundtrip",
     oracle="""

@@ -503,3 +503,33 @@ def x04_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         doc_hash.alias("fingerprint"),
         F.size(toks).alias("n_tokens"),
     )
+
+
+@register(
+    "x04_hash_sample",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars
+    FROM documents
+    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 20 = 0
+    """,
+    tags=("sampling", "X4"),
+)
+def x04_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 1-in-20 corpus sample by key hash.
+
+    Training pipelines sample for eval splits, ablations, and dev loops —
+    and the sample must be REPRODUCIBLE across runs, engines, and corpus
+    repartitioning, which ``df.sample()`` (seeded per-partition RNG) is
+    not. Hashing the key instead makes membership a pure function of the
+    row: ``md5(doc_id) % 20 == 0``. Both engines implement md5 bit-
+    identically, so the oracle pins exact sample membership, not just the
+    rate. Stateless, shuffle-free, trivially pushdown-friendly — at
+    100 TB the sample is one codegen'd filter over the scan, and the same
+    predicate in a WHERE clause drives partial reads from any SQL engine
+    over the same lake.
+    """
+    docs = table(spark, sf_dir, "documents")
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long") % 20
+    return docs.filter(bucket == 0).select("doc_id", "lang", "source", "n_chars")
