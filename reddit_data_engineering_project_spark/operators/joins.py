@@ -409,3 +409,81 @@ def q11_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "last_click_ts",
         )
     )
+
+
+@register(
+    "q10_star_report",
+    oracle="""
+    WITH rev AS (
+        SELECT
+            n.n_name AS nation,
+            c.c_custkey AS custkey,
+            c.c_name AS customer,
+            sum(l.l_extendedprice * (1 - l.l_discount)) AS raw_rev
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE o.o_orderdate >= DATE '1996-01-01'
+        GROUP BY 1, 2, 3
+    )
+    SELECT nation, custkey, customer,
+           round(raw_rev * 100.0) / 100.0 AS revenue, rank
+    FROM (
+        SELECT *,
+               row_number() OVER (
+                   PARTITION BY nation ORDER BY raw_rev DESC, custkey ASC
+               ) AS rank
+        FROM rev
+    )
+    WHERE rank <= 3
+    """,
+    tags=("joins", "windows", "Q10", "Q13", "report"),
+)
+def q10_star_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite reporting query: top-3 customers by revenue per nation.
+
+    The end-to-end warehouse shape (the Redshift/Athena role R17 in one
+    statement): date-filtered fact scan → star join → revenue aggregate →
+    per-group window top-k. Execution-wise: the date predicate pushes to
+    the orders scan, lineitem⋈orders is the one real shuffle, nation
+    broadcasts, the aggregate combines map-side on (nation, customer),
+    and the final rank runs over |nations × customers| aggregated rows —
+    WindowGroupLimit prunes to 3 per nation during the sort. Ranking on
+    the unrounded revenue keeps order stable; rounding happens at output.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1996-01-01").cast("date")
+    )
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_name").alias("customer"),
+        )
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "raw_rev"
+            )
+        )
+    )
+    w = Window.partitionBy("nation").orderBy(
+        F.col("raw_rev").desc(), F.col("custkey").asc()
+    )
+    return (
+        rev.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "nation",
+            "custkey",
+            "customer",
+            dround(F.col("raw_rev")).alias("revenue"),
+            "rank",
+        )
+    )

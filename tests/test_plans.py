@@ -53,6 +53,15 @@ def test_global_topk_avoids_total_sort(spark):
     assert "Exchange rangepartitioning" not in plan
 
 
+def test_star_report_plan_contracts(spark):
+    plan = _plan(spark, "q10_star_report")
+    # Per-nation top-3 prunes during the sort, nation rides as broadcast,
+    # and the date predicate reaches the orders parquet scan.
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "PushedFilters" in plan and "o_orderdate" in plan
+
+
 def test_range_join_broadcasts_tiny_side(spark):
     plan = _plan(spark, "q11_range_join_bands")
     assert "BroadcastNestedLoopJoin" in plan
