@@ -141,3 +141,57 @@ def q20_apply_in_pandas_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         dround(F.col("zscore"), 4).alias("zscore"),
     )
+
+
+@register(
+    "q20_udtf_chunks",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS w
+        FROM documents WHERE lang = 'en'
+    )
+    SELECT
+        d.doc_id,
+        CAST(gs.i AS INT) AS chunk_idx,
+        array_to_string(w[gs.i * 8 + 1 : gs.i * 8 + 8], ' ') AS chunk,
+        CAST(least(8, len(w) - gs.i * 8) AS INT) AS n_tokens
+    FROM d CROSS JOIN LATERAL (
+        SELECT unnest(range(0, CAST(ceil(len(w) / 8.0) AS BIGINT))) AS i
+    ) gs
+    """,
+    tags=("udf", "udtf", "Q20", "chunking"),
+)
+def q20_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20c: Python UDTF — fixed-size token-window chunking, one row → N.
+
+    The canonical training-data prep fan-out: split each document into
+    8-token context windows (chunk_idx, chunk text, token count) for
+    downstream tokenize/embed stages. A UDTF is the table-function escape
+    hatch for row-to-rows transforms that aren't a fixed-arity explode
+    (parsers, segmenters, samplers with carry-over state). UDTFs run
+    row-at-a-time Python — the slowest UDF tier, kept OFF hot paths (a
+    production chunker of this exact shape belongs in codegen via
+    split+sequence+transform, or batched in mapInPandas); this entry pins
+    the API surface and the exact fan-out semantics against a relational
+    oracle.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id: long, chunk_idx: int, chunk: string, n_tokens: int")
+    class ChunkTokens:
+        def eval(self, doc_id: int, text: str):  # noqa: ANN001
+            if text is None:
+                return
+            w = [t for t in text.split(" ") if t]
+            for i in range(0, (len(w) + 7) // 8):
+                part = w[i * 8 : i * 8 + 8]
+                yield doc_id, i, " ".join(part), len(part)
+
+    spark.udtf.register("chunk_tokens", ChunkTokens)
+    docs = table(spark, sf_dir, "documents").filter(F.col("lang") == "en")
+    docs.select("doc_id", "text").createOrReplaceTempView("udtf_docs_en")
+    return spark.sql(
+        "SELECT s.doc_id, s.chunk_idx, s.chunk, s.n_tokens "
+        "FROM udtf_docs_en t, LATERAL chunk_tokens(t.doc_id, t.text) s"
+    )
