@@ -195,3 +195,43 @@ def q20_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT s.doc_id, s.chunk_idx, s.chunk, s.n_tokens "
         "FROM udtf_docs_en t, LATERAL chunk_tokens(t.doc_id, t.text) s"
     )
+
+
+@register(
+    "q20_arrow_udf_ttr",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS w
+        FROM documents WHERE lang = 'de'
+    )
+    SELECT doc_id,
+           round(CAST(len(list_distinct(w)) AS DOUBLE) / len(w) * 10000.0)
+               / 10000.0 AS ttr
+    FROM d
+    """,
+    tags=("udf", "arrow", "Q20"),
+)
+def q20_arrow_udf_ttr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20d: Arrow-optimized scalar Python UDF — type-token ratio per doc.
+
+    The middle tier of the UDF ladder: scalar signature like a classic
+    Python UDF, but ``useArrow=True`` ships columns as Arrow batches
+    (``ArrowEvalPython`` in the plan — the row-pickling
+    ``BatchEvalPython`` path is banned by ``tools/audit_plans.py``).
+    Type-token ratio (distinct/total tokens) is a standard lexical-
+    diversity quality signal; sets are genuinely convenient in Python,
+    which is what the escape hatch is for. Hot-path equivalent stays
+    codegen (`array_distinct`/`size` — see the oracle's relational twin).
+    """
+    from pyspark.sql.types import DoubleType
+
+    @F.udf(returnType=DoubleType(), useArrow=True)
+    def ttr(text: str) -> float | None:
+        w = [t for t in text.split(" ") if t]
+        if not w:
+            return None
+        return len(set(w)) / len(w)
+
+    docs = table(spark, sf_dir, "documents").filter(F.col("lang") == "de")
+    return docs.select("doc_id", dround(ttr(F.col("text")), 4).alias("ttr"))
