@@ -434,6 +434,15 @@ def x02_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH output ≡ ground truth and the entry is hash-checked — stronger
     than the rows-only check the scheme nominally needs.
     """
+    return minhash_verified_pairs(spark, sf_dir)
+
+
+def minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full MinHash-LSH near-dup pipeline: verified (doc_a, doc_b) pairs.
+
+    Shared by the pair query (``x02_minhash_lsh_neardup``) and the
+    cluster-assignment operator (``x02_dedup_clusters``).
+    """
     docs = table(spark, sf_dir, "documents")
     # MinHash minima are unchanged by duplicates: the signature reads the
     # raw shingle stream and skips the dedupe shuffle (doc-level
@@ -474,3 +483,113 @@ def x02_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return _verify_jaccard(docs, candidates)
+
+
+@register(
+    "x02_dedup_clusters",
+    oracle="""
+    WITH RECURSIVE toks AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(w[gs.i:gs.i+3], '_') AS shingle
+        FROM toks CROSS JOIN LATERAL (
+            SELECT unnest(range(1, greatest(len(w) - 2, 2))) AS i
+        ) gs
+    ),
+    counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    rawpairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b FROM rawpairs
+        JOIN counts ca ON doc_a = ca.doc_id
+        JOIN counts cb ON doc_b = cb.doc_id
+        WHERE inter::DOUBLE / (ca.n + cb.n - inter) >= 0.6
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL SELECT doc_b, doc_a FROM pairs
+    ),
+    reach AS (
+        SELECT src AS doc, src AS root FROM edges
+        UNION
+        SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.doc
+    )
+    SELECT doc AS doc_id,
+           min(root) AS canonical_doc_id,
+           count(*) AS cluster_size,
+           (doc = min(root)) AS is_canonical
+    FROM reach GROUP BY doc
+    """,
+    tags=("dedup", "X2", "clusters", "iterative"),
+)
+def x02_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2d: near-dup CLUSTER assignment — pairs → connected components.
+
+    The step that makes pairwise dedup actionable: a training pipeline
+    keeps one canonical doc per duplicate CLUSTER, and pairs alone
+    under-delete chains (a~b, b~c with a≁c must still collapse to one
+    survivor). Connected components via iterative min-label propagation
+    over the verified-pair edge set: every doc starts as its own label;
+    each round every doc takes the min label among itself and its
+    neighbors; fixpoint = per-component min doc_id, the deterministic
+    canonical survivor.
+
+    Scale shape: the edge set is the LSH-verified pair list — orders of
+    magnitude smaller than the corpus — so every iteration shuffles
+    O(edges), never O(docs); rounds = component diameter, and near-dup
+    components are short chains in practice. Labels are localCheckpointed
+    per round (lineage stays flat); the convergence test moves ONE scalar
+    to the driver per round — control plane, not a data collect. The
+    oracle computes the same components with a recursive CTE, so even
+    this iterative operator is hash-checked end-to-end.
+    """
+    pairs = minhash_verified_pairs(spark, sf_dir)
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(
+                F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+            )
+        )
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc"))
+        .dropDuplicates()
+        .withColumn("label", F.col("doc"))
+        .localCheckpoint()
+    )
+    for _ in range(20):  # diameter bound; planted chains converge in ≤ 3
+        nbr = edges.join(labels, edges.src == labels.doc).select(
+            F.col("dst").alias("doc"), "label"
+        )
+        new_labels = (
+            labels.unionByName(nbr)
+            .groupBy("doc")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
+    return (
+        labels.join(sizes, "label")
+        .select(
+            F.col("doc").alias("doc_id"),
+            F.col("label").alias("canonical_doc_id"),
+            "cluster_size",
+            (F.col("doc") == F.col("label")).alias("is_canonical"),
+        )
+    )
