@@ -533,3 +533,81 @@ def x04_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
     ).cast("long") % 20
     return docs.filter(bucket == 0).select("doc_id", "lang", "source", "n_chars")
+
+
+@register(
+    "x04_stratified_sample",
+    oracle="""
+    WITH rated AS (
+        SELECT doc_id, lang, source, n_chars,
+               CASE lang WHEN 'en' THEN 2 WHEN 'de' THEN 5
+                         WHEN 'es' THEN 5 ELSE 10 END AS keep_1_in,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                   AS h
+        FROM documents
+    )
+    SELECT doc_id, lang, source, n_chars
+    FROM rated WHERE h % keep_1_in = 0
+    """,
+    tags=("sampling", "X4", "stratified"),
+)
+def x04_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic STRATIFIED sample: per-language keep rates by key hash.
+
+    The language-rebalancing op every multilingual training mix needs:
+    downsample the dominant strata harder (en keeps 1-in-2, de/es 1-in-5,
+    tail languages 1-in-10) while membership stays a pure function of the
+    key — reproducible across runs, engines, and repartitioning, unlike
+    ``df.sampleBy`` (per-partition RNG). Same md5 bucket as
+    ``x04_hash_sample``; the rate map rides as a CASE expression, so the
+    whole operator is one codegen'd filter over the scan — no shuffle, no
+    state, and the identical WHERE clause reproduces the split anywhere.
+    """
+    docs = table(spark, sf_dir, "documents")
+    keep_1_in = (
+        F.when(F.col("lang") == "en", 2)
+        .when(F.col("lang").isin("de", "es"), 5)
+        .otherwise(10)
+    )
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    return docs.filter(h % keep_1_in == 0).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+@register(
+    "x04_length_histogram",
+    oracle="""
+    SELECT
+        CAST(least(floor(n_chars / 100.0), 10) AS BIGINT) AS bucket,
+        count(*) AS n_docs,
+        min(n_chars) AS min_chars,
+        max(n_chars) AS max_chars,
+        round(avg(n_chars) * 100.0) / 100.0 AS avg_chars
+    FROM documents
+    GROUP BY 1
+    """,
+    tags=("stats", "X4", "histogram"),
+)
+def x04_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus length histogram: fixed-width buckets with a tail cap.
+
+    The length profile drives truncation/packing decisions in a training
+    pipeline (sequence-length budgeting). 100-char buckets, everything
+    past 1000 pooled into the cap bucket — a single map-side-combined
+    aggregate whose shuffle moves |buckets| rows, so the histogram costs
+    one corpus scan at any size.
+    """
+    docs = table(spark, sf_dir, "documents")
+    bucket = F.least(F.floor(F.col("n_chars") / 100.0), F.lit(10)).cast("long")
+    return (
+        docs.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            dround(F.avg("n_chars")).alias("avg_chars"),
+        )
+    )
