@@ -32,6 +32,7 @@ def main() -> int:
     args = ap.parse_args()
 
     import __spark_entry__ as entrymod
+    from reddit_data_engineering_project_spark import registry
     from reddit_data_engineering_project_spark.session import get_spark
 
     spark = get_spark(app_name="audit_plans", master="local[4]")
@@ -50,8 +51,17 @@ def main() -> int:
         flags = []
         if "CartesianProduct" in plan:
             flags.append("CARTESIAN")
-        if "BatchEvalPython" in plan:
+        # Row-pickling scalar Python UDFs are banned. UDTF nodes
+        # (BatchEvalPythonUDTF) are row-Python by the API's nature and
+        # allowed ONLY for queries explicitly registered with the "udtf"
+        # tag (the declared table-function surface, kept off hot paths).
+        scalar_row_udf = re.sub(r"BatchEvalPythonUDTF", "", plan)
+        if "BatchEvalPython" in scalar_row_udf:
             flags.append("ROW_PYTHON_UDF")
+        elif "BatchEvalPythonUDTF" in plan and "udtf" not in registry.TAGS.get(
+            name, ()
+        ):
+            flags.append("UNDECLARED_UDTF")
         for scan in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
             ncols = len(scan.group(1).split(",")) if scan.group(1) else 0
             if ncols >= 10:
