@@ -49,7 +49,9 @@ _AB: list[tuple[int, int]] = [
 ]
 
 
-def shingles(docs: DataFrame, n: int = 4, distinct: bool = True) -> DataFrame:
+def shingles(
+    docs: DataFrame, n: int = 4, distinct: bool = True, widen: bool = True
+) -> DataFrame:
     """n-word shingles per document: (doc_id, shingle).
 
     Sliding window over the token array via ``transform`` on an index
@@ -65,9 +67,14 @@ def shingles(docs: DataFrame, n: int = 4, distinct: bool = True) -> DataFrame:
     Shingling is CPU-bound (the ``transform`` lambda runs interpreted,
     outside whole-stage codegen), so the stage must not be narrower than
     the machine: ``ensure_min_parallelism`` redistributes a too-narrow
-    scan first and is a no-op on the 100 TB path.
+    scan first and is a no-op on the 100 TB path. Callers whose input
+    already passed a shuffle (a join or repartition) MUST pass
+    ``widen=False``: they are already parallel, and probing partition
+    counts there would execute the upstream DAG at plan time (see
+    ``ensure_min_parallelism``).
     """
-    docs = ensure_min_parallelism(docs)
+    if widen:
+        docs = ensure_min_parallelism(docs)
     toks = F.split(F.col("text"), " ")
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
     sh = F.transform(
@@ -355,7 +362,9 @@ def _verify_jaccard(
         .dropDuplicates()
         .persist()
     )
-    sh_cand = shingles(docs.join(cand_docs, "doc_id", "left_semi")).persist()
+    sh_cand = shingles(
+        docs.join(cand_docs, "doc_id", "left_semi"), widen=False
+    ).persist()
     counts = sh_cand.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh_cand.alias("a")
     b = sh_cand.alias("b")
@@ -449,7 +458,7 @@ def minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # repartition parallelizes the map-side aggregate); only the exact
     # Jaccard verification needs the distinct set.
     sig = minhash_signatures(
-        shingles(docs.repartition(F.col("doc_id")), distinct=False)
+        shingles(docs.repartition(F.col("doc_id")), distinct=False, widen=False)
     )
 
     # Band hash: one 64-bit hash per band over that band's R signature
@@ -583,6 +592,15 @@ def x02_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # Exhausting the iteration budget without a fixpoint would
+        # silently split components — fail loudly instead; a corpus with
+        # >20-hop duplicate chains needs a larger bound (or doubling
+        # rounds via label-of-label joins), not wrong clusters.
+        raise RuntimeError(
+            "label propagation did not converge within 20 rounds"
+        )
+    edges.unpersist()
     sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
     return (
         labels.join(sizes, "label")

@@ -427,12 +427,13 @@ def q11_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE o.o_orderdate >= DATE '1996-01-01'
         GROUP BY 1, 2, 3
     )
-    SELECT nation, custkey, customer,
-           round(raw_rev * 100.0) / 100.0 AS revenue, rank
+    SELECT nation, custkey, customer, revenue, rank
     FROM (
-        SELECT *,
+        SELECT nation, custkey, customer,
+               round(raw_rev * 100.0) / 100.0 AS revenue,
                row_number() OVER (
-                   PARTITION BY nation ORDER BY raw_rev DESC, custkey ASC
+                   PARTITION BY nation
+                   ORDER BY round(raw_rev * 100.0) / 100.0 DESC, custkey ASC
                ) AS rank
         FROM rev
     )
@@ -449,8 +450,11 @@ def q10_star_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     the orders scan, lineitem⋈orders is the one real shuffle, nation
     broadcasts, the aggregate combines map-side on (nation, customer),
     and the final rank runs over |nations × customers| aggregated rows —
-    WindowGroupLimit prunes to 3 per nation during the sort. Ranking on
-    the unrounded revenue keeps order stable; rounding happens at output.
+    WindowGroupLimit prunes to 3 per nation during the sort. The rank
+    orders by the ROUNDED revenue (cent precision, custkey tiebreak):
+    raw double sums depend on summation order, which differs between
+    engines and across partitionings — ranking on them would make top-3
+    membership flaky at ulp-close boundaries.
     """
     li = table(spark, sf_dir, "lineitem")
     o = table(spark, sf_dir, "orders").filter(
@@ -473,17 +477,12 @@ def q10_star_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+    rev = rev.withColumn("revenue", dround(F.col("raw_rev")))
     w = Window.partitionBy("nation").orderBy(
-        F.col("raw_rev").desc(), F.col("custkey").asc()
+        F.col("revenue").desc(), F.col("custkey").asc()
     )
     return (
         rev.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 3)
-        .select(
-            "nation",
-            "custkey",
-            "customer",
-            dround(F.col("raw_rev")).alias("revenue"),
-            "rank",
-        )
+        .select("nation", "custkey", "customer", "revenue", "rank")
     )

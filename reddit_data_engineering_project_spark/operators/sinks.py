@@ -74,20 +74,36 @@ def compact_partition(
     dominated by file-open overhead long before bytes. Compaction reads
     the directory once, coalesces to ``ceil(rows / target)`` files
     (``coalesce``, not ``repartition`` — narrowing needs no shuffle), and
-    atomically replaces the directory via write-to-temp + rename, so a
-    concurrent reader sees the old files or the new ones, never a mix.
-    Run per-partition (one day at a time): each compaction touches one
-    day's bytes, never the table.
+    replaces the directory via write-to-temp + two renames. A reader
+    never sees a MIX of old and new files, but the swap is two metadata
+    ops, not one atomic exchange: a reader listing the path in that
+    window must retry, and a crash inside it leaves the data intact
+    under ``__old`` — which the next invocation rolls back before
+    compacting (plain filesystems have no two-directory atomic swap; a
+    table format's metadata commit is the 100 TB answer). Run
+    per-partition (one day at a time): each compaction touches one day's
+    bytes, never the table.
     """
     import math
     import shutil
 
+    tmp = path.rstrip("/") + "__compacting"
+    old = path.rstrip("/") + "__old"
+    # Crash recovery: a leftover __old means a previous swap died midway.
+    # If the live path vanished with it, roll the old data back; either
+    # way clear the stale dirs so the renames below cannot collide.
+    if os.path.exists(old):
+        if not os.path.exists(path):
+            os.rename(old, path)
+        else:
+            shutil.rmtree(old)
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+
     df = spark.read.parquet(path)
     n_rows = df.count()
     n_files = max(1, math.ceil(n_rows / target_rows_per_file))
-    tmp = path.rstrip("/") + "__compacting"
     df.coalesce(n_files).write.mode("overwrite").parquet(tmp)
-    old = path.rstrip("/") + "__old"
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old)

@@ -47,8 +47,15 @@ def run_enrich_stream(
     )
     enriched = stream.join(F.broadcast(dim), on, "left")
 
+    # foreachBatch is at-least-once: a batch whose files were written but
+    # whose checkpoint commit was lost is REPLAYED on restart. Writing
+    # each batch to its own overwrite-mode directory makes the replay
+    # rewrite the same files instead of appending duplicates — the
+    # standard idempotent-sink contract keyed on batch_id.
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.write.mode("append").parquet(sink_dir)
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(sink_dir, f"batch={batch_id}")
+        )
 
     (
         enriched.writeStream.outputMode("append")
@@ -156,7 +163,10 @@ def run_tumbling_stream(
     )
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.write.mode("append").parquet(
+        # overwrite (not append) into the per-batch dir: an at-least-once
+        # replay of a committed-but-unacked batch rewrites its own files
+        # rather than duplicating them.
+        batch_df.write.mode("overwrite").parquet(
             os.path.join(sink_dir, f"batch={batch_id}")
         )
 

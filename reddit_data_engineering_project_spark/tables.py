@@ -74,6 +74,14 @@ def ensure_min_parallelism(df: DataFrame) -> DataFrame:
     use this in front of interpreted/Python stages; codegen'd relational
     plans should keep the scan's own partitioning (an extra exchange
     there is pure cost).
+
+    ONLY apply this to scan/filter/project chains. ``df.rdd`` forces AQE
+    to finalize the plan, which EXECUTES any upstream shuffle or
+    broadcast stages at DataFrame-construction time — on a post-join or
+    post-repartition input this runs real jobs before any action (and
+    the caller's deliberate partitioning would be destroyed anyway).
+    Inputs that already passed a shuffle are already parallel; skip the
+    widening there.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:

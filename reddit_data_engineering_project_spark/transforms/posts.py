@@ -75,7 +75,14 @@ RAW_POST_SCHEMA = StructType(
 
 
 def falsy_long(col: Column, default: int = 0) -> Column:
-    """``int(x or default)`` — falsy ('' / null / non-numeric) → default."""
+    """``int(x or default)`` — falsy ('' / null / non-numeric) → default.
+
+    Wire divergences from Python ``int()`` (which raises where the cast
+    is total), pinned by ``tests/test_coercion_properties.py``:
+    non-numeric garbage → default; ASCII control-char padding (ord ≤
+    0x20) is trimmed by the cast; decimal strings truncate toward zero
+    ('1.5' → 1); non-ASCII digits are rejected → default.
+    """
     return F.coalesce(F.nullif(F.trim(col), F.lit("")).cast("long"), F.lit(default))
 
 

@@ -11,6 +11,8 @@ documented in ``transforms/posts.py``).
 
 from __future__ import annotations
 
+import re
+
 from hypothesis import HealthCheck, given, settings, strategies as st
 
 from pyspark.sql import functions as F
@@ -35,6 +37,33 @@ def _eval(spark, col_expr, values):
     return [r[0] for r in df.select(col_expr(F.col("x"))).collect()]
 
 
+#: Characters Spark's string→long cast strips from both ends before
+#: parsing: ASCII control chars and space (ord ≤ 0x20). Verified
+#: empirically: CAST('1\\x1b' AS LONG) = 1, CAST('\\x085\\x00') = 5,
+#: while \\xa0 and Unicode spaces are NOT stripped (cast → null → 0).
+_CAST_STRIP = "".join(chr(i) for i in range(0x21))
+
+#: What Spark's non-ANSI cast accepts after that strip: optional sign,
+#: digits, optionally a fraction (truncated toward zero). No exponent,
+#: no separators.
+_CASTABLE = re.compile(r"([+-]?\d+)(?:\.\d*)?", re.ASCII)
+
+
+def _spark_long(v: str | None) -> int:
+    """Model of ``falsy_long``: trim, cast-or-null, default 0.
+
+    Documented divergences from Python ``int(x or 0)`` (which raises on
+    anything non-integral): control-char padding is tolerated, decimal
+    strings truncate toward zero, and all other garbage maps to the
+    default instead of crashing.
+    """
+    if v is None:
+        return 0
+    core = v.strip(_CAST_STRIP)
+    m = _CASTABLE.fullmatch(core)
+    return int(m.group(1)) if m else 0
+
+
 @settings(
     max_examples=20,
     deadline=None,
@@ -44,19 +73,18 @@ def _eval(spark, col_expr, values):
 def test_falsy_long_matches_python_semantics(spark, values):
     got = _eval(spark, falsy_long, values)
     for v, g in zip(values, got):
+        expected = _spark_long(v)
+        # On the reference's own domain (clean integer wires or falsy),
+        # the model must also agree with Python int(x or 0) exactly.
         s = v.strip() if v is not None else None
-        try:
-            expected = int(s or 0)
-        except (ValueError, TypeError):
-            expected = 0  # documented divergence: default, never crash
-        if s is not None and s != "" and not _is_long(s):
-            expected = 0
+        if s is None or s == "" or _is_long(s):
+            assert expected == int(s or 0)
         assert g == expected, (v, g, expected)
 
 
 def _is_long(s: str) -> bool:
     t = s[1:] if s[:1] in "+-" else s
-    return t.isdigit()
+    return t.isascii() and t.isdigit()  # Spark's cast rejects non-ASCII digits
 
 
 @settings(

@@ -43,7 +43,10 @@ def test_fact_scan_partition_pruned_by_dim_filter(spark, tmp_path):
         joined._jdf.queryExecution(), "formatted"
     )
     assert "dynamicpruning" in plan.lower(), plan
-    # And the pruning is real: execution reads 1 of 25 partitions' rows.
+    # Sanity (NOT a pruning proof — the join result is the same either
+    # way): the query runs and selects a proper nonempty subset. The
+    # pruning contract itself is the plan assertion above; verifying
+    # files-read would need scan-metrics introspection.
     n_match = joined.count()
     n_total = fact.count()
     assert 0 < n_match < n_total

@@ -34,7 +34,7 @@ def test_stream_static_join_equals_batch(spark, tmp_path):
     )
 
     run_enrich_stream(spark, src, dim, sink, ckpt, on="event_type")
-    streamed = spark.read.parquet(sink)
+    streamed = spark.read.option("recursiveFileLookup", True).parquet(sink)
 
     batch = events.join(F.broadcast(dim), "event_type", "left")
     assert streamed.exceptAll(batch).count() == 0
