@@ -1,0 +1,116 @@
+"""Product-analytics query patterns (reference R17 warehouse role).
+
+The two workhorse analyses every Athena/Redshift deployment over an
+events stream runs — expressed as single-scan Spark plans:
+
+- Funnel conversion (view → click → purchase): per-user conditional-min
+  first-touch times in ONE hash aggregate, ordering checks as column
+  expressions, then a global roll-up. No self-joins — the classic
+  N-way-join funnel formulation touches the fact table once per step;
+  this shape touches it once, full stop.
+- Cohort retention: first-seen day per user ⋈ distinct activity days →
+  (cohort, day-offset) matrix. Two aggregates and one user-keyed join;
+  the join is on the natural shuffle key (user_id), so at 100 TB it
+  co-partitions with the activity dedup rather than adding an exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..registry import register
+from ..tables import table
+
+
+@register(
+    "q21_funnel_conversion",
+    oracle="""
+    WITH firsts AS (
+        SELECT
+            user_id,
+            min(CASE WHEN event_type = 'view'
+                     THEN CAST(ts AS TIMESTAMP) END) AS t_view,
+            min(CASE WHEN event_type = 'click'
+                     THEN CAST(ts AS TIMESTAMP) END) AS t_click,
+            min(CASE WHEN event_type = 'purchase'
+                     THEN CAST(ts AS TIMESTAMP) END) AS t_buy
+        FROM events
+        GROUP BY user_id
+    )
+    SELECT
+        count(*) AS n_users,
+        count(*) FILTER (WHERE t_view IS NOT NULL) AS n_view,
+        count(*) FILTER (WHERE t_view IS NOT NULL AND t_click > t_view)
+            AS n_view_click,
+        count(*) FILTER (WHERE t_view IS NOT NULL AND t_click > t_view
+                           AND t_buy > t_click) AS n_converted
+    FROM firsts
+    """,
+    tags=("analytics", "funnel", "R17"),
+)
+def q21_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: users whose FIRST view precedes their first click
+    precedes their first purchase.
+
+    One scan → one per-user conditional-min aggregate → one 1-row
+    roll-up. Strict ordering on first-touch times (a click before any
+    view does not count) — the standard time-ordered funnel definition.
+    """
+    ev = table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_buy"),
+    )
+    viewed = F.col("t_view").isNotNull()
+    clicked = viewed & (F.col("t_click") > F.col("t_view"))
+    converted = clicked & (F.col("t_buy") > F.col("t_click"))
+    return firsts.agg(
+        F.count("*").alias("n_users"),
+        F.count(F.when(viewed, 1)).alias("n_view"),
+        F.count(F.when(clicked, 1)).alias("n_view_click"),
+        F.count(F.when(converted, 1)).alias("n_converted"),
+    )
+
+
+@register(
+    "q21_cohort_retention",
+    oracle="""
+    WITH activity AS (
+        SELECT DISTINCT user_id,
+               CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS d
+        FROM events
+    ),
+    cohorts AS (
+        SELECT user_id, min(d) AS cohort_day FROM activity GROUP BY user_id
+    )
+    SELECT
+        c.cohort_day,
+        (a.d - c.cohort_day) AS day_offset,
+        count(*) AS n_active
+    FROM activity a JOIN cohorts c ON a.user_id = c.user_id
+    GROUP BY 1, 2
+    """,
+    tags=("analytics", "cohort", "R17"),
+)
+def q21_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users first seen on day D active D+k later.
+
+    Activity is deduped to (user, day) first — the count is then a plain
+    ``count(*)``, not a count-distinct, and the matrix is |cohorts × max
+    offset| rows regardless of event volume. Both aggregates and the
+    join share the user_id shuffle key.
+    """
+    ev = table(spark, sf_dir, "events")
+    activity = ev.select(
+        "user_id", F.to_date(F.date_trunc("day", F.col("ts"))).alias("d")
+    ).dropDuplicates(["user_id", "d"])
+    cohorts = activity.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
+    return (
+        activity.join(cohorts, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff(F.col("d"), F.col("cohort_day")).alias("day_offset"),
+        )
+        .agg(F.count("*").alias("n_active"))
+    )

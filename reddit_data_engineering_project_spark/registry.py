@@ -69,6 +69,7 @@ def load_all_operators() -> None:
         dedup,
         joins,
         multimodal,
+        product_analytics,
         relational,
         setops,
         similarity,
