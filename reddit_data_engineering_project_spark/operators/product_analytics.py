@@ -1,6 +1,6 @@
 """Product-analytics query patterns (reference R17 warehouse role).
 
-The two workhorse analyses every Athena/Redshift deployment over an
+The workhorse analyses every Athena/Redshift deployment over an
 events stream runs — expressed as single-scan Spark plans:
 
 - Funnel conversion (view → click → purchase): per-user conditional-min
@@ -12,6 +12,8 @@ events stream runs — expressed as single-scan Spark plans:
   (cohort, day-offset) matrix. Two aggregates and one user-keyed join;
   the join is on the natural shuffle key (user_id), so at 100 TB it
   co-partitions with the activity dedup rather than adding an exchange.
+- Event-transition matrix: one user-keyed window pass, then a
+  |event types|² aggregate — the Markov/journey building block.
 """
 
 from __future__ import annotations
@@ -113,4 +115,42 @@ def q21_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.datediff(F.col("d"), F.col("cohort_day")).alias("day_offset"),
         )
         .agg(F.count("*").alias("n_active"))
+    )
+
+
+@register(
+    "q21_event_transitions",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id
+                   ORDER BY CAST(ts AS TIMESTAMP), event_id
+               ) AS prev_type
+        FROM events
+    )
+    SELECT prev_type, event_type AS next_type, count(*) AS n
+    FROM ordered
+    WHERE prev_type IS NOT NULL
+    GROUP BY 1, 2
+    """,
+    tags=("analytics", "transitions", "R17", "Q13"),
+)
+def q21_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-transition matrix: counts of consecutive (prev → next) pairs
+    per user stream — the journey/Markov-chain building block.
+
+    One shuffle by user_id, per-user sort by (ts, event_id) — event_id
+    is unique, so the order (and therefore every lag pair) is fully
+    deterministic — then a tiny (|event types|²) aggregate.
+    """
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("n"))
     )
