@@ -50,6 +50,13 @@ def q07_hash_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     Six groups total → the partial aggregate reduces each input partition
     to ≤6 rows before the shuffle; the exchange is O(partitions), not
     O(rows), at any scale.
+
+    Determinism audit (round-3 avg sweep): ``l_quantity`` holds whole
+    numbers stored as double; sums of exactly-representable integers
+    below 2^53 are exact under IEEE addition in any order, so
+    ``sum``/``avg(l_quantity)`` are partition-order-insensitive —
+    unlike integral-typed columns, which Spark's ``Average`` sums as
+    inexact doubles (see x05_corpus_slice).
     """
     li = table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp")

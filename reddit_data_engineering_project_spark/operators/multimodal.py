@@ -186,7 +186,8 @@ def x05_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         source,
         count(*) AS n_docs,
         sum(n_chars) AS total_chars,
-        round(avg(n_chars) * 10000.0) / 10000.0 AS avg_chars,
+        round((sum(n_chars)::DOUBLE / count(*)) * 10000.0) / 10000.0
+            AS avg_chars,
         min(doc_id) AS first_doc
     FROM documents
     WHERE lang IN ('en', 'de', 'zh')
@@ -200,6 +201,12 @@ def x05_corpus_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
     On a production lake, lang/source are partition columns and this
     query never touches payload bytes; here it is the same declarative
     shape over the parquet scan.
+
+    The mean comes from the exact integer sum divided once
+    (``sum/count``), NOT ``avg``: Spark's ``Average`` sums integral
+    input as double, making the sum partition-order-sensitive on
+    last-bit boundaries (the round-2 flaky hash). Integer sums are
+    exact in both engines, so one final division is deterministic.
     """
     docs = table(spark, sf_dir, "documents").filter(
         F.col("lang").isin("en", "de", "zh")
@@ -207,7 +214,9 @@ def x05_corpus_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.groupBy("lang", "source").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
-        dround(F.avg("n_chars"), 4).alias("avg_chars"),
+        dround(
+            F.sum("n_chars").cast("double") / F.count("*"), 4
+        ).alias("avg_chars"),
         F.min("doc_id").alias("first_doc"),
     )
 

@@ -585,7 +585,8 @@ def x04_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         count(*) AS n_docs,
         min(n_chars) AS min_chars,
         max(n_chars) AS max_chars,
-        round(avg(n_chars) * 100.0) / 100.0 AS avg_chars
+        round((sum(n_chars)::DOUBLE / count(*)) * 100.0) / 100.0
+            AS avg_chars
     FROM documents
     GROUP BY 1
     """,
@@ -608,6 +609,10 @@ def x04_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_docs"),
             F.min("n_chars").alias("min_chars"),
             F.max("n_chars").alias("max_chars"),
-            dround(F.avg("n_chars")).alias("avg_chars"),
+            # Exact-sum/count, not avg(): integral input summed as
+            # double inside Average is partition-order-sensitive.
+            dround(F.sum("n_chars").cast("double") / F.count("*")).alias(
+                "avg_chars"
+            ),
         )
     )

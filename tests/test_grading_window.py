@@ -1,0 +1,122 @@
+"""Guard: the driver's 50-entry correctness window is a reviewed artifact.
+
+Round 2 discovered the driver grades at most the first 50 entries of
+``queries()`` in dict order — and 38 registered queries had silently
+never received a correctness row because import order, not intent,
+decided the window. These tests make that impossible to regress:
+
+1. The first 50 of ``queries()`` must equal ``registry.GRADING_PRIORITY``
+   exactly — adding a query can never silently displace a graded one.
+2. Every SURVEY §2 family must have driver evidence: at least one entry
+   inside the current window, or all-green rows in a committed past
+   CORRECTNESS file. A family with neither fails loudly.
+
+No SparkSession needed: these are pure registry/metadata checks.
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+import re
+
+import pytest
+
+from reddit_data_engineering_project_spark import registry
+
+registry.load_all_operators()
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+
+# SURVEY §2 family = the name prefix before the first underscore
+# (q01..q21, s01..s06 collapse to the S-family rows, x01..x05,
+# pipeline_* is the R-layer).
+_FAMILY_RE = re.compile(r"^(q\d+|s\d+|x\d+|pipeline)")
+
+
+def family_of(name: str) -> str:
+    m = _FAMILY_RE.match(name)
+    assert m, f"query name {name!r} does not map to a SURVEY §2 family"
+    return m.group(1)
+
+
+def _past_green_families() -> set[str]:
+    """Families where EVERY registered entry has a green row (hash pass,
+    or declared rows-only) in some committed CORRECTNESS_r*.json."""
+    greens: dict[str, set[str]] = {}
+    for path in sorted(REPO.glob("CORRECTNESS_r*.json")):
+        try:
+            rows = json.loads(path.read_text())
+        except (OSError, json.JSONDecodeError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name, row in rows.items():
+            if not isinstance(row, dict):
+                continue
+            ok = row.get("hash_match") is True or (
+                row.get("err") == "no_oracle"
+                and name not in registry.ORACLES  # rows-only by design
+            )
+            if ok:
+                greens.setdefault(name, set()).add(path.name)
+    out = set()
+    for fam in {family_of(n) for n in registry.QUERIES}:
+        members = [n for n in registry.QUERIES if family_of(n) == fam]
+        if all(m in greens for m in members):
+            out.add(fam)
+    return out
+
+
+def test_priority_names_are_registered_and_unique():
+    names = registry.GRADING_PRIORITY
+    assert len(names) == len(set(names)) == registry.GRADED_WINDOW
+    missing = [n for n in names if n not in registry.QUERIES]
+    assert not missing, f"GRADING_PRIORITY names not registered: {missing}"
+
+
+def test_window_is_exactly_the_priority_list():
+    ordered = list(registry.ordered_queries())
+    assert (
+        tuple(ordered[: registry.GRADED_WINDOW]) == registry.GRADING_PRIORITY
+    ), "first 50 queries() entries drifted from GRADING_PRIORITY"
+    # and nothing was dropped: every registration still appears
+    assert set(ordered) == set(registry.QUERIES)
+
+
+def test_every_family_has_driver_evidence():
+    window = set(registry.GRADING_PRIORITY)
+    in_window = {family_of(n) for n in window}
+    past_green = _past_green_families()
+    all_fams = {family_of(n) for n in registry.QUERIES}
+    uncovered = sorted(all_fams - in_window - past_green)
+    assert not uncovered, (
+        f"families with no driver evidence (not in the graded window and "
+        f"no all-green past CORRECTNESS rows): {uncovered}"
+    )
+
+
+def test_previously_ungraded_entries_are_all_in_window():
+    """The 38 round-2 ungraded entries + the re-fixed red cell must all
+    sit inside the graded window this round."""
+    graded_r02 = set(
+        json.loads((REPO / "CORRECTNESS_r02.json").read_text())
+    )
+    never_graded = {
+        n
+        for n in registry.QUERIES
+        if n not in graded_r02
+        and not any(
+            n in json.loads(p.read_text())
+            for p in REPO.glob("CORRECTNESS_r*.json")
+        )
+    }
+    window = set(registry.GRADING_PRIORITY)
+    left_out = sorted(never_graded - window)
+    assert not left_out, f"never-graded queries outside window: {left_out}"
+    assert "x05_corpus_slice" in window  # the round-2 red cell, re-fixed
+
+
+@pytest.mark.parametrize("name", sorted(registry.ORACLES))
+def test_oracle_entries_have_query(name):
+    assert name in registry.QUERIES

@@ -10,6 +10,7 @@ import os
 from reddit_data_engineering_project_spark.pipeline import run_pipeline
 from reddit_data_engineering_project_spark.transforms.posts import (
     GOLDEN_DIRTY_ROWS,
+    POST_FIELDS,
 )
 
 
@@ -23,7 +24,14 @@ def test_pipeline_writes_clean_csv_and_counts(spark, tmp_path):
     rows = []
     for f in files:
         with open(f, newline="", encoding="utf-8") as fh:
-            rows.extend(csv.DictReader(fh))
+            reader = csv.DictReader(fh)
+            # R10 wire contract: header row present, in the reference's
+            # canonical POST_FIELDS order (etls/reddit_etl.py:110-111 —
+            # DictWriter fieldnames=POST_FIELDS). The shipped sample CSVs
+            # predate the tz fix; the code+tests are authoritative
+            # (SURVEY §1.2), hence the ISO '+00:00' assertion below.
+            assert reader.fieldnames == POST_FIELDS
+            rows.extend(reader)
     assert len(rows) == n
     by_id = {r["id"]: r for r in rows}
     # Reference golden values survive to the wire (tests/test_reddit_etl.py).
