@@ -12,16 +12,33 @@ reflects distributed execution cost, not driver materialization. This is
 deliberately the opposite of ``tools/check_oracle.py`` (which collects for
 value comparison): the bench measures the plan, the oracle checks the
 values.
+
+Noise handling: single-shot timings on a shared host swing inside a
+documented 67-102 s band for the full suite, which makes one-pass
+comparisons meaningless. The bench therefore runs
+``$SPARK_GRAFT_BENCH_REPEATS`` (default 2) interleaved full passes —
+repeats of a query are separated by the whole suite, so a transient host
+stall cannot bias one query's every sample — and reports per-query MIN
+(the least-noise estimate of plan cost) plus per-query spread and
+per-family subtotals so regressions localize to an operator family.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+_FAMILY_RE = re.compile(r"^(q\d+|s\d+|x\d+|pipeline)")
+
+
+def _family(name: str) -> str:
+    m = _FAMILY_RE.match(name)
+    return m.group(1) if m else "other"
 
 
 def _sf_from_dir(sf_dir: str) -> float:
@@ -34,6 +51,7 @@ def _sf_from_dir(sf_dir: str) -> float:
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2")))
 
     import __spark_entry__ as entrymod
     from reddit_data_engineering_project_spark.session import get_spark
@@ -41,7 +59,7 @@ def main() -> int:
     spark = get_spark(app_name="bench")
     queries = entrymod.queries()
 
-    timings: dict[str, float] = {}
+    samples: dict[str, list[float]] = {n: [] for n in queries}
     failures: dict[str, str] = {}
     # Warm the JVM + parquet footer caches once so q-to-q timings are not
     # dominated by first-touch JIT; the warmup query is not recorded.
@@ -50,15 +68,41 @@ def main() -> int:
     except Exception:
         pass
 
-    for name in sorted(queries):
-        fn = queries[name]
-        t0 = time.time()
-        try:
-            df = fn(spark, sf_dir)
-            df.write.mode("overwrite").format("noop").save()
-            timings[name] = round(time.time() - t0, 3)
-        except Exception as exc:  # keep benching the rest
-            failures[name] = f"{type(exc).__name__}: {exc}"[:200]
+    for _ in range(repeats):
+        for name in sorted(queries):
+            if name in failures:
+                continue
+            fn = queries[name]
+            t0 = time.time()
+            try:
+                df = fn(spark, sf_dir)
+                df.write.mode("overwrite").format("noop").save()
+                samples[name].append(time.time() - t0)
+            except Exception as exc:  # keep benching the rest
+                failures[name] = f"{type(exc).__name__}: {exc}"[:200]
+            finally:
+                # Queries that persist() intermediates (the LSH dedup
+                # family) would otherwise leave cached RDDs in the shared
+                # session and degrade every LATER query's timing (measured:
+                # a 10x dedup run went 126 s -> 12 s once prior cache
+                # pressure was cleared). Clearing between queries makes
+                # each timing an isolated cold-cache measurement.
+                spark.catalog.clearCache()
+
+    timings = {
+        n: round(min(s), 3) for n, s in samples.items() if s
+    }
+    # max-min spread per query: how much host noise moved this timing
+    # across passes (0.0 when repeats == 1).
+    spread = {
+        n: round(max(s) - min(s), 3)
+        for n, s in samples.items()
+        if len(s) > 1
+    }
+    families: dict[str, float] = {}
+    for n, t in timings.items():
+        fam = _family(n)
+        families[fam] = round(families.get(fam, 0.0) + t, 3)
 
     total = round(sum(timings.values()), 3)
     result = {
@@ -67,7 +111,18 @@ def main() -> int:
         "unit": "sec",
         "queries": timings,
         "sf": _sf_from_dir(sf_dir),
+        "repeats": repeats,
+        "aggregation": "per-query min over interleaved full passes",
+        "families": dict(sorted(families.items())),
     }
+    if spread:
+        worst = sorted(
+            spread.items(), key=lambda kv: kv[1], reverse=True
+        )[:5]
+        result["noise"] = {
+            "per_query_spread_max_minus_min": dict(worst),
+            "spread_total": round(sum(spread.values()), 3),
+        }
     if failures:
         result["failures"] = failures
     print(json.dumps(result))

@@ -356,6 +356,16 @@ def _verify_jaccard(
     id list ``cand_docs`` (O(candidate docs), tiny by construction at any
     scale). The candidate shingle stream is persisted for the same
     reason: three plan branches (both join sides + counts) read it.
+
+    Persist lifecycle: the cached intermediates stay in the session's
+    CacheManager after the caller's action completes (Spark has no
+    scoped unpersist). Harness loops that run many queries in one
+    session must ``spark.catalog.clearCache()`` between queries or
+    accumulated cache pressure inflates later timings ~10x (measured;
+    bench.py / tools/check_oracle.py / tools/scale_curve.py all do).
+    At 100 TB the equivalent is an explicit checkpoint of cand_docs and
+    sh_cand with TTL cleanup — the candidate set is small by
+    construction, so the cost is bounded either way.
     """
     cand_docs = (
         candidates.select(F.explode(F.array("doc_a", "doc_b")).alias("doc_id"))
@@ -452,7 +462,13 @@ def minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shared by the pair query (``x02_minhash_lsh_neardup``) and the
     cluster-assignment operator (``x02_dedup_clusters``).
     """
-    docs = table(spark, sf_dir, "documents")
+    return minhash_pairs_over(table(spark, sf_dir, "documents"))
+
+
+def minhash_pairs_over(docs: DataFrame) -> DataFrame:
+    """MinHash-LSH near-dup pairs over an arbitrary ``(doc_id, text)``
+    corpus DataFrame — the scale-curve seam (``tools/scale_curve.py``
+    times this over synthesized multiples of the sf0.1 corpus)."""
     # MinHash minima are unchanged by duplicates: the signature reads the
     # raw shingle stream and skips the dedupe shuffle (doc-level
     # repartition parallelizes the map-side aggregate); only the exact

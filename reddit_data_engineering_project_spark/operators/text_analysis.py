@@ -578,6 +578,124 @@ def x04_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x04_sequence_packing",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               doc_id % 16 AS shard,
+               len(list_filter(string_split(text, ' '), x -> x <> ''))
+                   AS n_tokens
+        FROM documents
+    ),
+    w AS (
+        SELECT *,
+               sum(n_tokens) OVER (
+                   PARTITION BY shard ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING
+               ) - n_tokens AS start_tok
+        FROM toks
+    )
+    SELECT doc_id, shard, n_tokens,
+           CAST(floor(start_tok / 2048.0) AS BIGINT) AS bin_id,
+           start_tok % 2048 AS bin_offset
+    FROM w
+    """,
+    tags=("text", "X4", "packing"),
+)
+def x04_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4j: sequence packing — concat-and-chunk bin assignment.
+
+    The pretraining data-prep step after dedup/filtering: documents are
+    concatenated in a deterministic order and cut into fixed
+    token-budget bins (2048 here), so each doc gets (bin_id,
+    bin_offset) — docs straddling a boundary spill into the next bin,
+    which is exactly concat-and-chunk training semantics.
+
+    Scale shape: packing is per-SHARD (doc_id % 16), not global — a
+    single global running sum would serialize the corpus through one
+    partition, while per-shard windows are one hash shuffle and
+    embarrassingly parallel, which is how a distributed packer actually
+    shards work. Shard count scales with the cluster; the window sort is
+    per-shard and spills gracefully.
+    """
+    budget = 2048
+    docs = table(spark, sf_dir, "documents")
+    shard = (F.col("doc_id") % 16).alias("shard")
+    base = docs.select(
+        "doc_id", shard, F.size(tokens(F.col("text"))).alias("n_tokens")
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias(
+        "start_tok"
+    )
+    packed = base.select("doc_id", "shard", "n_tokens", start)
+    return packed.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        F.floor(F.col("start_tok") / budget).alias("bin_id"),
+        (F.col("start_tok") % budget).alias("bin_offset"),
+    )
+
+
+@register(
+    "x04_ngram_vocab",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS w
+        FROM documents
+    ),
+    grams AS (
+        SELECT w[gs.i] || ' ' || w[gs.i + 1] AS bigram
+        FROM toks CROSS JOIN LATERAL (
+            SELECT unnest(range(1, len(w))) AS i
+        ) gs
+    )
+    SELECT bigram, count(*) AS n
+    FROM grams
+    GROUP BY bigram
+    ORDER BY n DESC, bigram ASC
+    LIMIT 50
+    """,
+    tags=("text", "X4", "vocab"),
+)
+def x04_ngram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4k: corpus-level bigram vocabulary (tokenizer-training input).
+
+    Top-50 bigrams by frequency with a deterministic tiebreak — the
+    counting pass a BPE/wordpiece trainer starts from. Explode to
+    bigrams, one map-side-combined count aggregate (shuffle moves
+    |vocab| partial counts, not tokens), then TakeOrderedAndProject for
+    the cutoff — no global sort of the vocabulary.
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    # bigram_i = tok_i || ' ' || tok_{i+1}: zip the array with itself
+    # shifted by one — stays codegen'd, no posexplode self-join.
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(
+            toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))
+        ),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    return (
+        docs.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram").asc())
+        .limit(50)
+    )
+
+
+@register(
     "x04_length_histogram",
     oracle="""
     SELECT

@@ -92,6 +92,10 @@ def main() -> int:
         if only and name not in only:
             continue
         t0 = time.time()
+        # Cold-cache isolation between queries: persisted intermediates
+        # from earlier entries (LSH dedup family) otherwise accumulate in
+        # the shared session and slow later queries.
+        spark.catalog.clearCache()
         try:
             sdf = fn(spark, args.sf)
             scols = sdf.columns
