@@ -1,0 +1,135 @@
+"""Differential fuzzing: random ANSI-SQL queries, Spark vs DuckDB.
+
+The driver's correctness gate compares hand-written query pairs; this
+harness generalizes it — hypothesis draws queries from a small ANSI
+grammar (filters, IN-lists, group-bys, aggregate batteries over
+lineitem), runs the SAME SQL text through ``spark.sql`` (over the
+engine's registered views, the R17 ad-hoc surface) and DuckDB, and
+compares row count + order-insensitive value hash with the identical
+normalization the oracle gate uses (``tools/check_oracle.py``).
+
+Grammar constraints keep comparisons exact by construction (the SURVEY
+§7 "float aggregation drift" rule): sums only over integers or
+whole-number-valued doubles (exact under IEEE in any order), no
+double-fraction sums, timestamps compared as typed values.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools")
+)
+from check_oracle import table_hash  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# --- query grammar -------------------------------------------------------
+
+_NUM_COLS = ["l_quantity", "l_linenumber", "l_suppkey"]
+_CMP_OPS = ["<", "<=", ">", ">=", "="]
+_FLAGS = ["A", "N", "R"]
+_STATUS = ["O", "F"]
+
+_num_pred = st.builds(
+    lambda col, op, v: f"{col} {op} {v}",
+    st.sampled_from(_NUM_COLS),
+    st.sampled_from(_CMP_OPS),
+    st.integers(min_value=0, max_value=50),
+)
+_in_pred = st.builds(
+    lambda vals: "l_returnflag IN ({})".format(
+        ", ".join(f"'{v}'" for v in sorted(vals))
+    ),
+    st.sets(st.sampled_from(_FLAGS), min_size=1, max_size=3),
+)
+_status_pred = st.builds(
+    lambda v: f"l_linestatus = '{v}'", st.sampled_from(_STATUS)
+)
+_null_pred = st.just("l_shipdate IS NOT NULL")
+
+_atom = st.one_of(_num_pred, _in_pred, _status_pred, _null_pred)
+
+_predicate = st.builds(
+    lambda atoms, joiner: f" {joiner} ".join(f"({a})" for a in atoms),
+    st.lists(_atom, min_size=1, max_size=3),
+    st.sampled_from(["AND", "OR"]),
+)
+
+# exact-by-construction aggregates (integer sums / whole-number doubles /
+# min-max / counts)
+_AGGS = [
+    "count(*) AS n_rows",
+    "sum(l_linenumber) AS sum_ln",
+    "CAST(sum(l_quantity) AS BIGINT) AS sum_qty",
+    "min(l_shipdate) AS min_ship",
+    "max(l_shipdate) AS max_ship",
+    "count(DISTINCT l_returnflag) AS n_flags",
+    "min(l_partkey) AS min_pk",
+]
+
+_GROUPS = [
+    None,
+    "l_returnflag",
+    "l_linestatus",
+    "l_returnflag, l_linestatus",
+]
+
+
+@st.composite
+def _queries(draw) -> str:
+    pred = draw(_predicate)
+    aggs = draw(
+        st.lists(st.sampled_from(_AGGS), min_size=1, max_size=4, unique=True)
+    )
+    group = draw(st.sampled_from(_GROUPS))
+    select = list(aggs)
+    tail = ""
+    if group is not None:
+        select = [group] + select
+        tail = f" GROUP BY {group}"
+    return (
+        f"SELECT {', '.join(select)} FROM lineitem WHERE {pred}{tail}"
+    )
+
+
+@pytest.fixture(scope="module")
+def engines(spark):
+    import duckdb
+
+    from reddit_data_engineering_project_spark.tables import register_views
+
+    register_views(spark, SF_DIR)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/lineitem.parquet')"
+    )
+    return spark, con
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(sql=_queries())
+def test_spark_and_duckdb_agree(engines, sql):
+    spark, con = engines
+    sdf = spark.sql(sql)
+    srows = [tuple(r) for r in sdf.collect()]
+    res = con.execute(sql)
+    ocols = [d[0] for d in res.description]
+    orows = res.fetchall()
+    assert len(srows) == len(orows), sql
+    assert sorted(c.lower() for c in sdf.columns) == sorted(
+        c.lower() for c in ocols
+    ), sql
+    assert table_hash(srows, [c.lower() for c in sdf.columns]) == table_hash(
+        orows, [c.lower() for c in ocols]
+    ), sql
