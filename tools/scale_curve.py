@@ -89,13 +89,97 @@ def measure(label: str, docs: DataFrame) -> dict:
     return row
 
 
+def similarity_curve(spark: SparkSession, sf_dir: str, multiplier: int) -> None:
+    """X3 scale datapoints: brute-force vs ANN-LSH top-k at 1x and Nx.
+
+    The registered X3 queries read ``{sf_dir}/embeddings.parquet``, so the
+    Nx corpus is materialized as a real parquet file in a temp dir and the
+    queries run UNMODIFIED against it — the measurement exercises the
+    exact registered plans. Replicas re-key vec_id upward (the query set
+    is the lowest ids, so it stays fixed at 5 queries while the corpus
+    grows), and each replica's vectors are deterministically negated/
+    permuted-sign via a per-replica alternating flip so replicas are not
+    bitwise duplicates of the query neighborhoods.
+    """
+    import shutil
+    import tempfile
+
+    from reddit_data_engineering_project_spark.registry import QUERIES
+
+    emb = table(spark, sf_dir, "embeddings")
+    base_n = emb.count()
+    tmp = tempfile.mkdtemp(prefix="simscale_")
+    try:
+        reps = []
+        for r in range(multiplier):
+            flip = 1.0 if r % 2 == 0 else -1.0
+            reps.append(
+                emb.select(
+                    (F.col("vec_id") + F.lit(r * 100_000_000)).alias(
+                        "vec_id"
+                    ),
+                    F.transform(
+                        F.col("embedding"),
+                        lambda x: (x * F.lit(flip)).cast("float"),
+                    ).alias("embedding"),
+                    "label",
+                )
+            )
+        big = reps[0]
+        for df in reps[1:]:
+            big = big.unionAll(df)
+        big.write.mode("overwrite").parquet(
+            os.path.join(tmp, "embeddings.parquet")
+        )
+        for label, d, n in (
+            (f"emb {os.path.basename(sf_dir.rstrip('/'))}", sf_dir, base_n),
+            (f"emb x{multiplier}", tmp, base_n * multiplier),
+        ):
+            for qname in (
+                "x03_cosine_topk_bruteforce",
+                "x03_ann_lsh_bucketed",
+            ):
+                spark.catalog.clearCache()
+                t0 = time.time()
+                rows = QUERIES[qname](spark, d).count()
+                print(
+                    json.dumps(
+                        {
+                            "corpus": label,
+                            "query": qname,
+                            "vectors": n,
+                            "result_rows": rows,
+                            "wall_sec": round(time.time() - t0, 2),
+                        }
+                    ),
+                    flush=True,
+                )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     ap.add_argument("--multiplier", type=int, default=10)
+    ap.add_argument(
+        "--family",
+        choices=("dedup", "similarity", "all"),
+        default="dedup",
+    )
     args = ap.parse_args()
 
     spark = get_spark(app_name="scale_curve")
+    if args.family in ("similarity", "all"):
+        from reddit_data_engineering_project_spark.registry import (
+            load_all_operators,
+        )
+
+        load_all_operators()
+        similarity_curve(spark, args.sf, args.multiplier)
+        if args.family == "similarity":
+            spark.stop()
+            return 0
     results = []
     for sf_dir in (
         "/root/testdata/sf0.001",
