@@ -98,6 +98,73 @@ def _queries(draw) -> str:
     )
 
 
+# --- join + window grammar ----------------------------------------------
+
+_join_agg = st.sampled_from(
+    [
+        "count(*) AS n_rows",
+        "sum(l_linenumber) AS sum_ln",
+        "min(o_orderdate) AS min_od",
+        "count(DISTINCT o_orderstatus) AS n_status",
+    ]
+)
+
+
+@st.composite
+def _join_queries(draw) -> str:
+    """lineitem ⋈ orders with a filter on each side, grouped aggregate."""
+    pred = draw(_predicate)
+    status = draw(st.sampled_from(["O", "F", "P"]))
+    aggs = draw(st.lists(_join_agg, min_size=1, max_size=3, unique=True))
+    group = draw(st.sampled_from([None, "o_orderstatus", "l_returnflag"]))
+    select = list(aggs)
+    tail = ""
+    if group is not None:
+        select = [group] + select
+        tail = f" GROUP BY {group}"
+    return (
+        f"SELECT {', '.join(select)} "
+        f"FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        f"WHERE ({pred}) AND o_orderstatus <> '{status}'{tail}"
+    )
+
+
+@st.composite
+def _window_queries(draw) -> str:
+    """Deterministic window functions over a filtered slice.
+
+    Rank functions need a total order for cross-engine determinism, so
+    every ORDER BY ends with the (l_orderkey, l_linenumber) primary key.
+    """
+    pred = draw(_predicate)
+    fn = draw(
+        st.sampled_from(
+            [
+                "row_number()",
+                "rank()",
+                "dense_rank()",
+                "lag(l_linenumber, 1, 0)",
+                "lead(l_linenumber, 1, 0)",
+                "sum(l_linenumber)",
+                "count(*)",
+            ]
+        )
+    )
+    part = draw(st.sampled_from(["l_returnflag", "l_linestatus", "l_suppkey"]))
+    order_col = draw(st.sampled_from(["l_quantity", "l_partkey"]))
+    frame = (
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+        if fn.startswith(("sum", "count"))
+        else ""
+    )
+    return (
+        f"SELECT l_orderkey, l_linenumber, {fn} OVER ("
+        f"PARTITION BY {part} ORDER BY {order_col}, l_orderkey, "
+        f"l_linenumber{frame}) AS wval "
+        f"FROM lineitem WHERE {pred}"
+    )
+
+
 @pytest.fixture(scope="module")
 def engines(spark):
     import duckdb
@@ -106,20 +173,15 @@ def engines(spark):
 
     register_views(spark, SF_DIR)
     con = duckdb.connect()
-    con.execute(
-        "CREATE VIEW lineitem AS SELECT * FROM "
-        f"read_parquet('{SF_DIR}/lineitem.parquet')"
-    )
+    for t in ("lineitem", "orders"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF_DIR}/{t}.parquet')"
+        )
     return spark, con
 
 
-@settings(
-    max_examples=25,
-    deadline=None,
-    suppress_health_check=[HealthCheck.function_scoped_fixture],
-)
-@given(sql=_queries())
-def test_spark_and_duckdb_agree(engines, sql):
+def _assert_agree(engines, sql: str) -> None:
     spark, con = engines
     sdf = spark.sql(sql)
     srows = [tuple(r) for r in sdf.collect()]
@@ -133,3 +195,33 @@ def test_spark_and_duckdb_agree(engines, sql):
     assert table_hash(srows, [c.lower() for c in sdf.columns]) == table_hash(
         orows, [c.lower() for c in ocols]
     ), sql
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(sql=_queries())
+def test_spark_and_duckdb_agree(engines, sql):
+    _assert_agree(engines, sql)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(sql=_join_queries())
+def test_join_queries_agree(engines, sql):
+    _assert_agree(engines, sql)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(sql=_window_queries())
+def test_window_queries_agree(engines, sql):
+    _assert_agree(engines, sql)
