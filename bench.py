@@ -52,6 +52,13 @@ def _sf_from_dir(sf_dir: str) -> float:
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2")))
+    # Never let repeat passes push total wall past the budget: a partial
+    # second pass still improves min-estimates for the queries it reached,
+    # and a finished JSON line always beats a harness timeout.
+    time_budget = float(
+        os.environ.get("SPARK_GRAFT_BENCH_TIME_BUDGET", "600")
+    )
+    bench_start = time.time()
 
     import __spark_entry__ as entrymod
     from reddit_data_engineering_project_spark.session import get_spark
@@ -68,8 +75,12 @@ def main() -> int:
     except Exception:
         pass
 
-    for _ in range(repeats):
+    budget_hit = False
+    for pass_no in range(repeats):
         for name in sorted(queries):
+            if pass_no > 0 and time.time() - bench_start > time_budget:
+                budget_hit = True
+                break
             if name in failures:
                 continue
             fn = queries[name]
@@ -123,6 +134,8 @@ def main() -> int:
             "per_query_spread_max_minus_min": dict(worst),
             "spread_total": round(sum(spread.values()), 3),
         }
+    if budget_hit:
+        result["time_budget_hit"] = True
     if failures:
         result["failures"] = failures
     print(json.dumps(result))
