@@ -459,6 +459,24 @@ def x02_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_verified_pairs(spark, sf_dir)
 
 
+def band_buckets(sig: DataFrame) -> DataFrame:
+    """Banded LSH index rows: one 64-bit hash per band over that band's R
+    signature values, stacked to (doc_id, band_id, band_hash) long format
+    — the storable index a production deployment precomputes."""
+    band_cols = []
+    for band in range(_B):
+        ms = [F.col(f"m{band * _R + r}") for r in range(_R)]
+        band_cols.append(
+            F.struct(
+                F.lit(band).alias("band_id"),
+                F.xxhash64(F.lit(band), *ms).alias("band_hash"),
+            )
+        )
+    return sig.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bb")
+    ).select("doc_id", "bb.band_id", "bb.band_hash")
+
+
 def minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full MinHash-LSH near-dup pipeline: verified (doc_a, doc_b) pairs.
 
@@ -480,20 +498,7 @@ def minhash_pairs_over(docs: DataFrame) -> DataFrame:
         shingles(docs.repartition(F.col("doc_id")), distinct=False, widen=False)
     )
 
-    # Band hash: one 64-bit hash per band over that band's R signature
-    # values; stack to (doc_id, band_id, band_hash) long format.
-    band_cols = []
-    for band in range(_B):
-        ms = [F.col(f"m{band * _R + r}") for r in range(_R)]
-        band_cols.append(
-            F.struct(
-                F.lit(band).alias("band_id"),
-                F.xxhash64(F.lit(band), *ms).alias("band_hash"),
-            )
-        )
-    buckets = sig.select(
-        "doc_id", F.explode(F.array(*band_cols)).alias("bb")
-    ).select("doc_id", "bb.band_id", "bb.band_hash")
+    buckets = band_buckets(sig)
 
     lhs = buckets.alias("l")
     rhs = buckets.alias("r")
@@ -628,5 +633,96 @@ def x02_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("label").alias("canonical_doc_id"),
             "cluster_size",
             (F.col("doc") == F.col("label")).alias("is_canonical"),
+        )
+    )
+
+
+@register(
+    "x02_incremental_neardup",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(w[gs.i:gs.i+3], '_') AS shingle
+        FROM toks CROSS JOIN LATERAL (
+            SELECT unnest(range(1, greatest(len(w) - 2, 2))) AS i
+        ) gs
+    ),
+    counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT
+        CASE WHEN doc_a % 10 = 0 THEN doc_a ELSE doc_b END AS inc_doc,
+        CASE WHEN doc_a % 10 = 0 THEN doc_b ELSE doc_a END AS corpus_doc
+    FROM pairs
+    JOIN counts ca ON doc_a = ca.doc_id
+    JOIN counts cb ON doc_b = cb.doc_id
+    WHERE inter::DOUBLE / (ca.n + cb.n - inter) >= 0.6
+      AND ((doc_a % 10 = 0) <> (doc_b % 10 = 0))
+    """,
+    tags=("dedup", "X2", "lsh", "incremental"),
+)
+def x02_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2f: incremental near-dup — new batch vs indexed corpus.
+
+    The shape a 100 TB deployment actually runs daily: the increment
+    (here doc_id % 10 == 0, ~10% of docs — standing in for "today's
+    crawl") is checked against the existing corpus WITHOUT any
+    corpus×corpus work. The corpus side's signatures/band index are a
+    plain DataFrame here; in production they are precomputed once and
+    stored (:func:`band_buckets` is the storable long format), so the
+    recurring cost is only: shingle+sign the increment, equi-join its
+    bands against the index, verify candidates. Work per day scales with
+    |increment| + |collisions|, never |corpus|².
+
+    Output: (inc_doc, corpus_doc) verified pairs — the increment docs to
+    drop or canonicalize before they enter the lake.
+    """
+    docs = table(spark, sf_dir, "documents")
+    is_inc = F.col("doc_id") % 10 == 0
+    inc = docs.filter(is_inc)
+    corpus = docs.filter(~is_inc)
+    sig_inc = minhash_signatures(
+        shingles(inc.repartition(F.col("doc_id")), distinct=False, widen=False)
+    )
+    sig_cor = minhash_signatures(
+        shingles(
+            corpus.repartition(F.col("doc_id")), distinct=False, widen=False
+        )
+    )
+    lhs = band_buckets(sig_inc).alias("l")
+    rhs = band_buckets(sig_cor).alias("r")
+    candidates = (
+        lhs.join(
+            rhs,
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.band_hash") == F.col("r.band_hash")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+        )
+        .dropDuplicates()
+    )
+    # _verify_jaccard re-derives all-pairs >= threshold among candidate
+    # docs (free recall, see its docstring); keep only cross-side pairs
+    # and normalize to (inc_doc, corpus_doc).
+    pairs = _verify_jaccard(docs, candidates)
+    a_inc = F.col("doc_a") % 10 == 0
+    b_inc = F.col("doc_b") % 10 == 0
+    return (
+        pairs.filter(a_inc != b_inc)
+        .select(
+            F.when(a_inc, F.col("doc_a")).otherwise(F.col("doc_b")).alias(
+                "inc_doc"
+            ),
+            F.when(a_inc, F.col("doc_b")).otherwise(F.col("doc_a")).alias(
+                "corpus_doc"
+            ),
         )
     )

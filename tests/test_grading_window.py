@@ -103,6 +103,7 @@ def test_every_family_has_driver_evidence():
 QUEUED_FOR_NEXT_WINDOW = {
     "x04_sequence_packing",
     "x04_ngram_vocab",
+    "x02_incremental_neardup",
 }
 
 
