@@ -137,29 +137,32 @@ def x04_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x04_term_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X4b: TF / relative-TF / document-frequency (the TF-IDF building blocks).
 
-    explode → (doc, token) counts → join per-doc lengths and corpus
-    document frequencies. The df table is tiny (vocabulary-sized) and
-    broadcasts; only the tf aggregate shuffles token rows — with partial
-    aggregation the exchange is bounded by |doc × vocab|, not token count.
+    Single-derivation plan (round-3 rework, same reasoning as
+    ``x04_tfidf``): per-doc length and per-token document frequency are
+    WINDOW aggregates over the tf rows rather than separate re-derived
+    groupBys — the corpus is tokenized and counted exactly once, then
+    two window shuffles (by doc, by token) decorate the same stream.
+    Every exchange after the first moves |doc × vocab| count rows, never
+    raw tokens, and the plan is join-free.
     """
     docs = table(spark, sf_dir, "documents").filter(F.col("lang") == "en")
     tok = docs.select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("token")
     )
     tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
-    doc_len = tf.groupBy("doc_id").agg(F.sum("tf").alias("n"))
-    df = tf.groupBy("token").agg(F.count("*").alias("doc_freq"))
-    return (
-        tf.filter(F.col("tf") >= 3)
-        .join(doc_len, "doc_id")
-        .join(F.broadcast(df), "token")
-        .select(
-            "doc_id",
-            "token",
-            "tf",
-            dround(F.col("tf").cast("double") / F.col("n"), 4).alias("rel_tf"),
-            "doc_freq",
-        )
+    from pyspark.sql import Window
+
+    w_doc = Window.partitionBy("doc_id")
+    w_tok = Window.partitionBy("token")
+    decorated = tf.withColumn("n", F.sum("tf").over(w_doc)).withColumn(
+        "doc_freq", F.count("*").over(w_tok)
+    )
+    return decorated.filter(F.col("tf") >= 3).select(
+        "doc_id",
+        "token",
+        "tf",
+        dround(F.col("tf").cast("double") / F.col("n"), 4).alias("rel_tf"),
+        "doc_freq",
     )
 
 
@@ -191,23 +194,33 @@ def x04_term_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x04_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X4g: TF-IDF scores — smoothed idf = ln((N+1)/(df+1)).
 
-    The document-frequency table is vocabulary-sized and broadcasts; the
-    corpus size N rides along as a broadcast 1-row aggregate (never a
-    collect). One token-count shuffle total — the same single heavy
-    exchange as plain TF.
+    Single-derivation plan (round-3 rework): the naive formulation
+    (separate ``tf.groupBy(token)`` for df and ``tf.distinct`` for N)
+    recomputed the token aggregate per branch — 6 scans / 14 exchanges,
+    no exchange reuse because each branch prunes the aggregate
+    differently. Here document frequency is a ``count over
+    (partition by token)`` WINDOW on the tf rows themselves (df = number
+    of (doc, token) rows per token), so the corpus is tokenized and
+    aggregated exactly once, plus one vocabulary-keyed window shuffle.
+    N comes from a direct count of the docs scan (no token explosion) and
+    broadcasts as a 1-row aggregate — never a collect. 2 scans, 2 heavy
+    exchanges at any scale.
     """
     docs = table(spark, sf_dir, "documents").filter(F.col("lang") == "en")
     tok = docs.select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("token")
     )
     tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
-    df = tf.groupBy("token").agg(F.count("*").alias("df"))
-    n_docs = tf.select("doc_id").distinct().agg(
-        F.count("*").alias("n")
+    from pyspark.sql import Window
+
+    w_tok = Window.partitionBy("token")
+    tf_df = tf.withColumn("df", F.count("*").over(w_tok))
+    n_docs = (
+        docs.filter(F.size(tokens(F.col("text"))) > 0)
+        .agg(F.count("*").alias("n"))
     )
     return (
-        tf.filter(F.col("tf") >= 2)
-        .join(F.broadcast(df), "token")
+        tf_df.filter(F.col("tf") >= 2)
         .crossJoin(F.broadcast(n_docs))
         .select(
             "doc_id",
