@@ -747,3 +747,116 @@ def x04_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "pipeline_training_prep",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, text, n_chars,
+               list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        FROM documents
+    ),
+    feat AS (
+        SELECT doc_id, text, n_chars,
+               len(toks) AS n_tokens,
+               len(list_distinct(toks))::DOUBLE / len(toks) AS ttr
+        FROM t
+    ),
+    kept AS (
+        SELECT * FROM feat
+        WHERE n_tokens >= 20 AND n_chars >= 100 AND ttr >= 0.3
+    ),
+    dedup AS (
+        SELECT min(doc_id) AS doc_id, min(n_tokens) AS n_tokens
+        FROM kept GROUP BY text
+    ),
+    w AS (
+        SELECT doc_id, doc_id % 16 AS shard, n_tokens,
+               sum(n_tokens) OVER (
+                   PARTITION BY doc_id % 16 ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING
+               ) - n_tokens AS start_tok
+        FROM dedup
+    )
+    SELECT doc_id, shard, n_tokens,
+           CAST(floor(start_tok / 2048.0) AS BIGINT) AS bin_id,
+           start_tok % 2048 AS bin_offset
+    FROM w
+    """,
+    tags=("pipeline", "X4", "training-prep", "composition"),
+)
+def pipeline_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data prep: quality gate → dedup → packing.
+
+    The composed workload a pretraining pipeline actually runs, as ONE
+    DataFrame chain the optimizer sees whole:
+
+    1. quality gate — the ``x04_quality_filter`` hard criteria
+       (n_tokens ≥ 20, n_chars ≥ 100, type-token ratio ≥ 0.3), a narrow
+       codegen projection + filter over the scan;
+    2. exact content dedup — groupBy ``sha2(text)``, survivor = min
+       doc_id (one shuffle of 32-byte hashes + counts, never text);
+    3. sequence packing — ``x04_sequence_packing``'s per-shard
+       concat-and-chunk bins over the surviving docs (one window
+       shuffle by shard).
+
+    Two shuffles end to end, both over reduced streams; each stage's
+    semantics are individually oracle-pinned by their standalone
+    entries, and this entry pins the COMPOSITION (stage order matters:
+    packing offsets depend on exactly which docs survive).
+
+    The near-dup stage is deliberately not in the composed chain: its
+    banding sub-pipeline is oracle-checked standalone
+    (``x02_minhash_lsh_neardup``, ``x02_incremental_neardup``) and at
+    scale it runs as its own amortized index job between filter and
+    pack, not inline per batch.
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n_toks = F.size(toks)
+    feat = docs.select(
+        "doc_id",
+        "text",
+        "n_chars",
+        n_toks.alias("n_tokens"),
+        (F.size(F.array_distinct(toks)).cast("double") / n_toks).alias(
+            "ttr"
+        ),
+    )
+    kept = feat.filter(
+        (F.col("n_tokens") >= 20)
+        & (F.col("n_chars") >= 100)
+        & (F.col("ttr") >= 0.3)
+    )
+    dedup = (
+        kept.groupBy(F.sha2(F.col("text"), 256).alias("__h"))
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min("n_tokens").alias("n_tokens"),
+        )
+        .drop("__h")
+    )
+    from pyspark.sql import Window
+
+    budget = 2048
+    shard = (F.col("doc_id") % 16).alias("shard")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    staged = dedup.select("doc_id", shard, "n_tokens")
+    start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias(
+        "start_tok"
+    )
+    return (
+        staged.select("doc_id", "shard", "n_tokens", start)
+        .select(
+            "doc_id",
+            "shard",
+            "n_tokens",
+            F.floor(F.col("start_tok") / budget).alias("bin_id"),
+            (F.col("start_tok") % budget).alias("bin_offset"),
+        )
+    )

@@ -104,6 +104,7 @@ QUEUED_FOR_NEXT_WINDOW = {
     "x04_sequence_packing",
     "x04_ngram_vocab",
     "x02_incremental_neardup",
+    "pipeline_training_prep",
 }
 
 
