@@ -178,3 +178,63 @@ def run_tumbling_stream(
         .start()
         .awaitTermination()
     )
+
+
+def run_session_stream(
+    spark: SparkSession,
+    source_dir: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> None:
+    """File-source stream → watermarked session windows → parquet sink.
+
+    The live form of ``s03_session_window`` with the same aggregation
+    expressions (batch/stream semantic equivalence is the guarantee
+    under test). Session-window state is MERGEABLE: late-but-in-watermark
+    events can join or bridge existing sessions, so the state store keeps
+    only open sessions and the watermark closes them — state ∝ active
+    users × open sessions, independent of stream length. Completed
+    sessions emit on watermark advance (append mode), which is why the
+    sink sees a session only after its gap has provably expired.
+    """
+    ensure_session_confs(spark)
+    schema = spark.read.parquet(source_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+    )
+    agg = (
+        stream.withColumn("value", F.coalesce(F.col("value"), F.lit(0.0)))
+        .withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            "session_start",
+            "session_end",
+            "n_events",
+            "session_value",
+        )
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(sink_dir, f"batch={batch_id}")
+        )
+
+    (
+        agg.writeStream.outputMode("append")
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

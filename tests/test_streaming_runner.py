@@ -52,3 +52,50 @@ def test_stream_equals_batch_and_rerun_is_noop(spark, tmp_path):
         spark.read.option("recursiveFileLookup", True).parquet(sink).count()
     )
     assert n_after == n_before  # nothing re-ingested: idempotent catch-up
+
+
+def test_session_stream_equals_batch_sessionization(spark, tmp_path):
+    """Live session windows: every emitted session matches the batch
+    sessionization exactly (same 30-min gap, same aggregates)."""
+    from reddit_data_engineering_project_spark.streaming.runner import (
+        run_session_stream,
+    )
+
+    src = os.path.join(str(tmp_path), "src")
+    sink = os.path.join(str(tmp_path), "sink")
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+
+    events = table(spark, SF_DIR, "events").select("user_id", "ts", "value")
+    events.repartition(2).write.parquet(src)
+
+    run_session_stream(spark, src, sink, ckpt)
+    streamed = spark.read.option("recursiveFileLookup", True).parquet(sink)
+
+    batch = (
+        events.withColumn("value", F.coalesce(F.col("value"), F.lit(0.0)))
+        .groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .select(
+            "user_id", "session_start", "session_end",
+            "n_events", "session_value",
+        )
+    )
+    # Append mode emits only watermark-closed sessions; all emitted rows
+    # must be exact batch sessions, and nearly all sessions close.
+    assert streamed.exceptAll(batch).count() == 0
+    assert streamed.count() > 0
+    assert streamed.count() >= batch.count() * 0.8
+
+    n_before = streamed.count()
+    run_session_stream(spark, src, sink, ckpt)  # checkpointed re-run
+    n_after = (
+        spark.read.option("recursiveFileLookup", True).parquet(sink).count()
+    )
+    assert n_after == n_before
