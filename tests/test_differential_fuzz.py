@@ -165,6 +165,54 @@ def _window_queries(draw) -> str:
     )
 
 
+# --- event-time grammar (the ns-timestamp seam) --------------------------
+
+_ts_unit = st.sampled_from(["hour", "day", "week", "month"])
+_etype = st.sampled_from(["view", "click", "purchase", "error", "signup"])
+
+
+@st.composite
+def _event_queries(draw) -> str:
+    """Event-time aggregations over the ns-precision events table.
+
+    The engine reads events via nanosAsLong + µs conversion
+    (``tables.table``); the DuckDB view below applies the equivalent
+    ``CAST(ts AS TIMESTAMP)`` once, so the same SQL text must agree —
+    fuzzing the trickiest cross-engine seam (SURVEY §7 hard part #1).
+
+    Harness catch (first fuzz run): ``date_trunc('day'|'week'|'month')``
+    returns DATE in DuckDB but TIMESTAMP in Spark — values identical,
+    rendered types not. The grammar pins the portable spelling
+    (explicit CAST AS TIMESTAMP), the same rule hand-written oracles
+    must follow.
+    """
+    unit = draw(_ts_unit)
+    types = draw(st.sets(_etype, min_size=1, max_size=3))
+    vmax = draw(st.integers(min_value=10, max_value=500))
+    aggs = draw(
+        st.lists(
+            st.sampled_from(
+                [
+                    "count(*) AS n",
+                    "min(ts) AS first_ts",
+                    "max(ts) AS last_ts",
+                    "count(DISTINCT user_id) AS n_users",
+                ]
+            ),
+            min_size=1,
+            max_size=3,
+            unique=True,
+        )
+    )
+    in_list = ", ".join(f"'{t}'" for t in sorted(types))
+    return (
+        f"SELECT CAST(date_trunc('{unit}', ts) AS TIMESTAMP) AS bucket, "
+        f"{', '.join(aggs)} "
+        f"FROM events WHERE event_type IN ({in_list}) "
+        f"AND coalesce(value, 0.0) <= {vmax} GROUP BY bucket"
+    )
+
+
 @pytest.fixture(scope="module")
 def engines(spark):
     import duckdb
@@ -178,6 +226,13 @@ def engines(spark):
             f"CREATE VIEW {t} AS SELECT * FROM "
             f"read_parquet('{SF_DIR}/{t}.parquet')"
         )
+    # events: pre-cast ns→µs in the view so the SAME SQL text runs on
+    # both engines (the Spark view already has µs via tables.table()).
+    con.execute(
+        "CREATE VIEW events AS SELECT event_id, "
+        "CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props "
+        f"FROM read_parquet('{SF_DIR}/events.parquet')"
+    )
     return spark, con
 
 
@@ -224,4 +279,14 @@ def test_join_queries_agree(engines, sql):
 )
 @given(sql=_window_queries())
 def test_window_queries_agree(engines, sql):
+    _assert_agree(engines, sql)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(sql=_event_queries())
+def test_event_time_queries_agree(engines, sql):
     _assert_agree(engines, sql)
