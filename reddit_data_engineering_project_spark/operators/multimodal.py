@@ -255,3 +255,84 @@ def x05_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         _extract_features, schema=_FEATURE_SCHEMA
     )
     return feats.select("doc_id", "n_bytes", "header_hex", "media_type")
+
+
+_RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("orig_bytes", IntegerType(), False),
+        StructField("resized_bytes", IntegerType(), False),
+        StructField("resized_head_hex", StringType(), False),
+    ]
+)
+
+_RESIZE_STRIDE = 4  # keep every 4th byte
+
+
+def _resize_payloads(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Stride-downsample binary payloads — the resize/thumbnail step.
+
+    An image pipeline would decode (:func:`decode_media`), resample
+    pixels, and re-encode; the byte-stride slice is the deterministic
+    stand-in with identical Spark-side plumbing: binary in, smaller
+    binary out, metadata columns describing the reduction.
+    """
+    for pdf in batches:
+        payloads = pdf["payload"]
+        resized = payloads.map(lambda b: b[::_RESIZE_STRIDE])
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "orig_bytes": payloads.map(len).astype("int32"),
+                "resized_bytes": resized.map(len).astype("int32"),
+                "resized_head_hex": resized.map(lambda b: b[:8].hex()),
+            }
+        )
+
+
+@register(
+    "x05_payload_resize",
+    oracle="""
+    WITH chars AS (
+        SELECT doc_id,
+               length(text) AS orig_bytes,
+               list_filter(
+                   string_split(text, ''),
+                   (x, i) -> (i - 1) % 4 = 0
+               ) AS kept
+        FROM documents
+        WHERE lang = 'en'
+    )
+    SELECT
+        doc_id,
+        CAST(orig_bytes AS INT) AS orig_bytes,
+        CAST(len(kept) AS INT) AS resized_bytes,
+        lower(hex(encode(substr(array_to_string(kept, ''), 1, 8))))
+            AS resized_head_hex
+    FROM chars
+    """,
+    tags=("multimodal", "X5", "resize", "pandas-udf"),
+)
+def x05_payload_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5d: payload resize — stride byte-downsampling via mapInPandas.
+
+    Completes the multimodal op set (decode-stub / features / resize /
+    frame-sample): every 4th byte of each payload survives, modeling the
+    thumbnail/decimation step before storage or featurization. The
+    ``lang='en'`` slice keeps byte ↔ char equivalence exact so the
+    oracle can reproduce the slice relationally (index-aware
+    ``list_filter`` over the character array). No shuffle anywhere: the
+    resize is embarrassingly parallel over Arrow batches.
+    """
+    docs = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("lang") == "en")
+        .select(
+            "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+        )
+    )
+    return ensure_min_parallelism(docs).mapInPandas(
+        _resize_payloads, schema=_RESIZE_SCHEMA
+    )

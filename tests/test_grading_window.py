@@ -105,6 +105,7 @@ QUEUED_FOR_NEXT_WINDOW = {
     "x04_ngram_vocab",
     "x02_incremental_neardup",
     "pipeline_training_prep",
+    "x05_payload_resize",
 }
 
 
