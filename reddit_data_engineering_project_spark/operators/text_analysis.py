@@ -860,3 +860,65 @@ def pipeline_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("start_tok") % budget).alias("bin_offset"),
         )
     )
+
+
+@register(
+    "x04_decontamination",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(w[gs.i:gs.i+5], '_') AS shingle
+        FROM toks CROSS JOIN LATERAL (
+            SELECT unnest(range(1, greatest(len(w) - 4, 2))) AS i
+        ) gs
+    ),
+    eval_sh AS (
+        SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0
+    ),
+    hits AS (
+        SELECT s.doc_id, count(*) AS n_hits
+        FROM sh s JOIN eval_sh e ON s.shingle = e.shingle
+        WHERE s.doc_id % 50 <> 0
+        GROUP BY 1
+    )
+    SELECT doc_id, n_hits, (n_hits >= 3) AS contaminated
+    FROM hits
+    """,
+    tags=("text", "X4", "decontamination"),
+)
+def x04_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4l: benchmark decontamination — eval-set n-gram overlap scan.
+
+    The pretraining hygiene step dedup does NOT cover: a corpus doc that
+    merely QUOTES benchmark material (low Jaccard, high local overlap)
+    must still be dropped before training. Docs with doc_id % 50 == 0
+    stand in for the benchmark/eval set; every other doc is scored by
+    how many distinct 6-gram shingles it shares with ANY eval doc, and
+    ``contaminated`` flags ≥ 3 overlapping shingles (the n-gram-overlap
+    rule used in practice).
+
+    Scale shape: the eval side is tiny by construction (benchmarks are
+    KBs, corpora are TBs) — its distinct-shingle set broadcasts, so the
+    corpus-side scan is one pass with a broadcast-hash semi-probe and a
+    per-doc count aggregate. No corpus×corpus anything.
+    """
+    from .dedup import shingles
+
+    docs = table(spark, sf_dir, "documents")
+    is_eval = F.col("doc_id") % 50 == 0
+    sh = shingles(docs, n=6)
+    eval_sh = (
+        sh.filter(is_eval).select("shingle").dropDuplicates()
+    )
+    corpus_sh = sh.filter(~is_eval)
+    hits = (
+        corpus_sh.join(F.broadcast(eval_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return hits.select(
+        "doc_id", "n_hits", (F.col("n_hits") >= 3).alias("contaminated")
+    )

@@ -106,6 +106,7 @@ QUEUED_FOR_NEXT_WINDOW = {
     "x02_incremental_neardup",
     "pipeline_training_prep",
     "x05_payload_resize",
+    "x04_decontamination",
 }
 
 
