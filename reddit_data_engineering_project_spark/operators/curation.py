@@ -1,0 +1,365 @@
+"""Corpus-curation operators: repetition metrics, PII scrub, splits, chunking.
+
+The four curation stages a pretraining pipeline runs after dedup/quality
+(X4 family, extending `text_analysis.py`):
+
+- repetition metrics (Gopher-style duplicate-n-gram fractions) feed the
+  repetition filter;
+- PII scrub detects and redacts emails/phones/IPs before anything is
+  exported;
+- deterministic hash splits assign every doc a stable train/val/test
+  label with no shuffle and no RNG state;
+- overlapping token chunking windows long docs into model-context-sized
+  pieces.
+
+All four are built-in-function Spark (higher-order array functions,
+``explode``, ``regexp_replace``) — zero Python on the data path. Scale
+notes per op in the docstrings: the only shuffle in the family is the
+per-(doc, bigram) aggregate in repetition metrics, keyed on a
+high-cardinality composite, so nothing hotspots at 100 TB.
+
+Reference parity: the reference (ManojGowda27/Reddit_Data_Engineering_project)
+has no curation layer — these extend the engine per the north-star X4
+charter in SURVEY §2.3.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.numeric import dround
+from ..registry import register
+from ..tables import table
+from .text_analysis import tokens
+
+#: Hash-split constants: Knuth multiplicative hash under a Mersenne-ish
+#: prime. Pure 64-bit-safe integer arithmetic so Spark and any oracle
+#: engine compute bit-identical buckets (doc_id < ~1e13 keeps the
+#: product below 2^63).
+_SPLIT_PRIME = 1_000_000_007
+_SPLIT_MULT = 2_654_435_761
+
+#: Chunking geometry: 64-token windows, stride 48 (25% overlap).
+_CHUNK_SIZE = 64
+_CHUNK_STRIDE = 48
+
+
+@register(
+    "x04_repetition_metrics",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id,
+               len(toks) AS n_tokens,
+               len(list_distinct(toks)) AS n_distinct,
+               list_transform(range(1, len(toks)),
+                              i -> toks[i] || ' ' || toks[i + 1]) AS bigrams
+        FROM t
+        WHERE len(toks) >= 2
+    ),
+    e AS (
+        SELECT doc_id, n_tokens, n_distinct, unnest(bigrams) AS bg FROM s
+    ),
+    c AS (
+        SELECT doc_id, n_tokens, n_distinct, bg, count(*) AS cnt
+        FROM e GROUP BY ALL
+    )
+    SELECT
+        doc_id,
+        n_tokens,
+        round((1.0 - n_distinct::DOUBLE / n_tokens) * 10000.0) / 10000.0
+            AS dup_token_frac,
+        round(max(cnt)::DOUBLE / sum(cnt) * 10000.0) / 10000.0
+            AS top_bigram_frac,
+        round(coalesce(sum(cnt) FILTER (cnt > 1), 0)::DOUBLE / sum(cnt)
+              * 10000.0) / 10000.0 AS dup_bigram_frac
+    FROM c
+    GROUP BY doc_id, n_tokens, n_distinct
+    """,
+    tags=("text", "X4", "repetition"),
+)
+def x04_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: Gopher-style intra-document repetition metrics.
+
+    Three signals the standard repetition filter thresholds on:
+    duplicate-token fraction (1 - TTR), the fraction of bigram instances
+    claimed by the single most frequent bigram, and the fraction of
+    bigram instances whose bigram occurs more than once (the
+    "duplicate n-gram fraction" from the Gopher/MassiveText filters).
+
+    Scale shape: one narrow projection builds the bigram array in
+    codegen, one explode, one aggregate keyed on (doc_id, bigram) — a
+    high-cardinality composite key that cannot hotspot — then a per-doc
+    re-aggregate that reuses the same hash partitioning on doc_id, so
+    AQE coalesces rather than reshuffles. Token stats (n_tokens,
+    n_distinct) ride through both group-bys as grouping constants,
+    avoiding a self-join back to the corpus.
+    """
+    docs = table(spark, sf_dir, "documents")
+    base = (
+        docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+        .select(
+            "doc_id",
+            F.size("toks").alias("n_tokens"),
+            F.size(F.array_distinct("toks")).alias("n_distinct"),
+            F.expr(
+                "transform(sequence(0, size(toks) - 2), "
+                "i -> concat(toks[i], ' ', toks[i + 1]))"
+            ).alias("bigrams"),
+        )
+        .where(F.col("n_tokens") >= 2)
+    )
+    counted = (
+        base.select(
+            "doc_id",
+            "n_tokens",
+            "n_distinct",
+            F.explode("bigrams").alias("bg"),
+        )
+        .groupBy("doc_id", "n_tokens", "n_distinct", "bg")
+        .agg(F.count("*").alias("cnt"))
+    )
+    n_bigrams = F.sum("cnt")
+    return counted.groupBy("doc_id", "n_tokens", "n_distinct").agg(
+        dround(
+            (1.0 - F.col("n_distinct").cast("double") / F.col("n_tokens")),
+            4,
+        ).alias("dup_token_frac"),
+        dround(F.max("cnt").cast("double") / n_bigrams, 4).alias(
+            "top_bigram_frac"
+        ),
+        dround(
+            F.coalesce(
+                F.sum(F.when(F.col("cnt") > 1, F.col("cnt"))), F.lit(0)
+            ).cast("double")
+            / n_bigrams,
+            4,
+        ).alias("dup_bigram_frac"),
+    ).drop("n_distinct")
+
+
+#: PII regexes — simple alternation-free patterns that parse identically
+#: under Java regex (Spark) and RE2 (DuckDB): no lookaround, no
+#: backreferences.
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\b555-[0-9]{4}\b"
+_IP_RE = r"\b10\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+@register(
+    "x04_pii_scrub",
+    oracle=f"""
+    WITH aug AS (
+        SELECT doc_id,
+               text || ' contact ' || source || doc_id::VARCHAR
+                    || '@example.com phone 555-01'
+                    || lpad((doc_id % 100)::VARCHAR, 2, '0')
+                    || ' ip 10.0.' || (doc_id % 256)::VARCHAR || '.1'
+                   AS text
+        FROM documents
+    )
+    SELECT
+        doc_id,
+        len(regexp_extract_all(text, '{_EMAIL_RE}')) AS n_emails,
+        len(regexp_extract_all(text, '{_PHONE_RE}')) AS n_phones,
+        len(regexp_extract_all(text, '{_IP_RE}')) AS n_ips,
+        md5(
+            regexp_replace(
+                regexp_replace(
+                    regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                    '{_PHONE_RE}', '<PHONE>', 'g'),
+                '{_IP_RE}', '<IP>', 'g')
+        ) AS redacted_md5
+    FROM aug
+    """,
+    tags=("text", "X4", "pii"),
+)
+def x04_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: PII detection + redaction (emails, phone numbers, IPv4).
+
+    The synthetic corpus carries no organic PII, so the op first appends
+    a DETERMINISTIC contact line derived from (source, doc_id) — giving
+    every doc exactly one planted email/phone/IP — then runs the real
+    detection/redaction pipeline over the combined text. The oracle
+    plants the identical line and hashes the identical redaction, so the
+    gate checks the full regex machinery end-to-end (counts AND the
+    md5 of the redacted text), not just the plumbing.
+
+    Scale shape: pure per-row codegen — three ``regexp_replace`` passes
+    and three extract-counts, no shuffle at all. Patterns are
+    lookaround-free so they mean the same thing under Java regex and
+    RE2. Redaction order (email → phone → IP) is fixed; replacements
+    cannot create new matches for later patterns.
+    """
+    docs = table(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact "),
+            F.col("source"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com phone 555-01"),
+            F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+            F.lit(" ip 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".1"),
+        ).alias("text"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), _EMAIL_RE, "<EMAIL>"),
+            _PHONE_RE,
+            "<PHONE>",
+        ),
+        _IP_RE,
+        "<IP>",
+    )
+    # NB: patterns go through the Python API (F.lit), never F.expr — a SQL
+    # string literal would eat the \b word boundaries as escape sequences.
+    return aug.select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(_EMAIL_RE), F.lit(0))
+        ).alias("n_emails"),
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(_PHONE_RE), F.lit(0))
+        ).alias("n_phones"),
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(_IP_RE), F.lit(0))
+        ).alias("n_ips"),
+        F.md5(redacted).alias("redacted_md5"),
+    )
+
+
+@register(
+    "x04_dataset_split",
+    oracle=f"""
+    WITH h AS (
+        SELECT doc_id, lang,
+               ((doc_id % {_SPLIT_PRIME}) * {_SPLIT_MULT})
+                   % {_SPLIT_PRIME} % 100 AS bucket
+        FROM documents
+    )
+    SELECT doc_id, lang, bucket,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM h
+    """,
+    tags=("text", "X4", "split"),
+)
+def x04_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: deterministic hash-based train/val/test split assignment.
+
+    Knuth multiplicative hash of ``doc_id`` under a prime modulus →
+    bucket 0-99 → 80/10/10 split. Pure integer arithmetic (no engine
+    hash function, no RNG, no seed state), so the assignment is
+    reproducible across engines, runs, and partitionings — the property
+    a training pipeline needs so that re-runs never leak val docs into
+    train. The product stays below 2^63 for any doc_id under ~1e13, so
+    there is no overflow wrap to disagree on.
+
+    Scale shape: a narrow stateless projection — no shuffle; the split
+    column is a pushdown-able predicate for downstream
+    ``WHERE split = 'train'`` scans.
+    """
+    docs = table(spark, sf_dir, "documents")
+    bucket = (
+        (F.col("doc_id") % _SPLIT_PRIME) * _SPLIT_MULT
+    ) % _SPLIT_PRIME % 100
+    return docs.select(
+        "doc_id",
+        "lang",
+        bucket.alias("bucket"),
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+@register(
+    "x04_chunking",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id, toks, len(toks) AS n_tokens,
+               unnest(list_filter(
+                   range(0, len(toks) + {_CHUNK_STRIDE}, {_CHUNK_STRIDE}),
+                   st -> st < len(toks))) AS start
+        FROM t
+    )
+    SELECT
+        doc_id,
+        start // {_CHUNK_STRIDE} AS chunk_idx,
+        start,
+        least({_CHUNK_SIZE}, n_tokens - start) AS chunk_len,
+        md5(array_to_string(
+            list_slice(toks, start + 1,
+                       least(start + {_CHUNK_SIZE}, n_tokens)), ' '))
+            AS chunk_md5
+    FROM s
+    """,
+    tags=("text", "X4", "chunking"),
+)
+def x04_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: overlapping token chunking (context windows for training).
+
+    Windows each doc into 64-token chunks at stride 48 (25% overlap), the standard long-doc → model-context
+    preprocessing step. Emits per-chunk geometry plus an md5 of the
+    chunk's reassembled text so the gate verifies the actual token
+    content of every chunk, not just the arithmetic.
+
+    Scale shape: chunk starts come from ``sequence`` + ``filter`` inside
+    codegen, one explode, then per-row ``slice``/``concat_ws``/``md5`` —
+    no shuffle, and output size is a bounded multiple of input
+    (ceil(n_tokens / stride) rows per doc).
+    """
+    docs = table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        tokens(F.col("text")).alias("toks"),
+    ).select(
+        "doc_id",
+        "toks",
+        F.size("toks").alias("n_tokens"),
+    )
+    starts = F.filter(
+        F.sequence(
+            F.lit(0),
+            F.col("n_tokens") + _CHUNK_STRIDE,
+            F.lit(_CHUNK_STRIDE),
+        ),
+        lambda st: st < F.col("n_tokens"),
+    )
+    exploded = base.select(
+        "doc_id",
+        "toks",
+        "n_tokens",
+        F.explode(starts).alias("start"),
+    )
+    chunk_len = F.least(
+        F.lit(_CHUNK_SIZE), F.col("n_tokens") - F.col("start")
+    )
+    return exploded.select(
+        "doc_id",
+        F.floor(F.col("start") / _CHUNK_STRIDE).cast("long").alias(
+            "chunk_idx"
+        ),
+        "start",
+        chunk_len.alias("chunk_len"),
+        F.md5(
+            F.concat_ws(
+                " ", F.slice(F.col("toks"), F.col("start") + 1, chunk_len)
+            )
+        ).alias("chunk_md5"),
+    )

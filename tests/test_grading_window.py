@@ -107,6 +107,10 @@ QUEUED_FOR_NEXT_WINDOW = {
     "pipeline_training_prep",
     "x05_payload_resize",
     "x04_decontamination",
+    "x04_repetition_metrics",
+    "x04_pii_scrub",
+    "x04_dataset_split",
+    "x04_chunking",
 }
 
 
