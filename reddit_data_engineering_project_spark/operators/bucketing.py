@@ -21,6 +21,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..registry import register
+
 
 def write_bucketed(
     df: DataFrame,
@@ -70,3 +72,59 @@ def salted_join(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
     )
     return left_s.join(right_s, [key, "__salt"]).drop("__salt")
+
+
+@register(
+    "q10_join_salted_skew",
+    oracle="""
+    WITH stats AS (
+        SELECT user_id,
+               count(*) AS user_n,
+               sum(value) / count(*) AS user_avg
+        FROM events
+        GROUP BY user_id
+    )
+    SELECT
+        e.event_type,
+        count(*) AS n_events,
+        count(*) FILTER (e.value > s.user_avg) AS n_above_user_avg,
+        round(sum(e.value), 2) AS total_value
+    FROM events e JOIN stats s ON e.user_id = s.user_id
+    GROUP BY e.event_type
+    """,
+    tags=("join", "Q10", "skew"),
+)
+def q10_join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10h: fact⋈fact join under explicit skew salting, salt-invariant.
+
+    Enriches event rows with their user's lifetime stats — the
+    fact⋈aggregate self-join shape where, at 100 TB, the right side
+    (hundreds of millions of users) is NOT broadcastable and a handful
+    of bot/whale users can put 30% of the left side on one key. The join
+    runs through :func:`salted_join`: the aggregate side is replicated
+    across 8 salts, event rows scatter by a row hash, so a hot key fans
+    out over 8 tasks. Results are provably salt-invariant (the salt
+    never reaches the aggregation), which is exactly what the oracle's
+    plain unsalted join checks.
+
+    This synthetic corpus is deliberately uniform — the entry pins the
+    *machinery* (plan shape + result invariance); AQE's skew splitting
+    (on in session confs) covers the adaptive case for sort-merge joins.
+    """
+    from ..tables import table
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "value"
+    )
+    stats = ev.groupBy("user_id").agg(
+        F.count("*").alias("user_n"),
+        (F.sum("value") / F.count("*")).alias("user_avg"),
+    )
+    joined = salted_join(ev, stats, "user_id", n_salts=8)
+    return joined.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.count(F.when(F.col("value") > F.col("user_avg"), 1)).alias(
+            "n_above_user_avg"
+        ),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )

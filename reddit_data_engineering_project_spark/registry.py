@@ -172,6 +172,7 @@ def load_all_operators() -> None:
     """Import every operator module so registrations run."""
     from .operators import (  # noqa: F401
         aggregates,
+        bucketing,
         curation,
         dedup,
         joins,

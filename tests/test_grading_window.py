@@ -111,6 +111,8 @@ QUEUED_FOR_NEXT_WINDOW = {
     "x04_pii_scrub",
     "x04_dataset_split",
     "x04_chunking",
+    "x03_sq8_topk",
+    "q10_join_salted_skew",
 }
 
 
