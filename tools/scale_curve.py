@@ -138,6 +138,7 @@ def similarity_curve(spark: SparkSession, sf_dir: str, multiplier: int) -> None:
             for qname in (
                 "x03_cosine_topk_bruteforce",
                 "x03_ann_lsh_bucketed",
+                "x03_sq8_topk",
             ):
                 spark.catalog.clearCache()
                 t0 = time.time()
