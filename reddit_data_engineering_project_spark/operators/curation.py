@@ -373,3 +373,148 @@ def x04_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("chunk_md5"),
     )
+
+
+@register(
+    "pipeline_curation_full",
+    oracle=f"""
+    WITH rep AS (
+        SELECT doc_id, source, text,
+               1.0 - len(list_distinct(list_filter(string_split(text, ' '),
+                                                   x -> x <> '')))::DOUBLE
+                   / len(list_filter(string_split(text, ' '),
+                                     x -> x <> '')) AS rep_frac
+        FROM documents
+    ),
+    kept AS (SELECT * FROM rep WHERE rep_frac <= 0.62),
+    aug AS (
+        SELECT doc_id, rep_frac,
+               regexp_replace(
+                   regexp_replace(
+                       regexp_replace(
+                           text || ' contact ' || source || doc_id::VARCHAR
+                               || '@example.com phone 555-01'
+                               || lpad((doc_id % 100)::VARCHAR, 2, '0')
+                               || ' ip 10.0.' || (doc_id % 256)::VARCHAR
+                               || '.1',
+                           '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                       '{_PHONE_RE}', '<PHONE>', 'g'),
+                   '{_IP_RE}', '<IP>', 'g') AS red
+        FROM kept
+    ),
+    toks2 AS (
+        SELECT doc_id, rep_frac,
+               ((doc_id % {_SPLIT_PRIME}) * {_SPLIT_MULT})
+                   % {_SPLIT_PRIME} % 100 AS bucket,
+               list_filter(string_split(red, ' '), x -> x <> '') AS toks
+        FROM aug
+    )
+    SELECT
+        doc_id,
+        CASE WHEN bucket < 80 THEN 'train'
+             WHEN bucket < 90 THEN 'val'
+             ELSE 'test' END AS split,
+        round(rep_frac * 10000.0) / 10000.0 AS rep_frac,
+        len(toks) AS n_tokens,
+        len(list_filter(range(0, len(toks) + {_CHUNK_STRIDE},
+                              {_CHUNK_STRIDE}),
+                        st -> st < len(toks))) AS n_chunks,
+        md5(array_to_string(
+            list_slice(toks, 1, least({_CHUNK_SIZE}, len(toks))), ' '))
+            AS first_chunk_md5
+    FROM toks2
+    """,
+    tags=("pipeline", "X4", "curation", "composition"),
+)
+def pipeline_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation chain: repetition gate → PII scrub → split → chunk.
+
+    The second composed pipeline (companion to ``pipeline_training_prep``,
+    which covers quality gate → exact dedup → packing): this one chains
+    the curation stages, as ONE DataFrame plan the optimizer sees whole:
+
+    1. repetition gate — drop docs with duplicate-token fraction > 0.62
+       (the Gopher-style repetition filter; keeps ~69% of this corpus);
+    2. PII scrub — plant the deterministic contact line, then redact
+       emails/phones/IPs (same regexes as ``x04_pii_scrub``);
+    3. split assignment — the multiplicative-hash 80/10/10 bucket of
+       ``x04_dataset_split``;
+    4. chunking — 64/48 window geometry of ``x04_chunking`` over the
+       REDACTED token stream; ``first_chunk_md5`` pins the actual
+       post-redaction chunk content, so stage order is observable
+       (redact-then-chunk ≠ chunk-then-redact).
+
+    Every stage is individually oracle-pinned by its standalone entry;
+    this entry pins the composition. Zero shuffles end to end — the
+    whole chain is narrow projections and filters, which is the point:
+    curation at 100 TB is a single scan-shaped pass, and anything that
+    introduces a shuffle here is a plan bug.
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks1 = tokens(F.col("text"))
+    rep = docs.select(
+        "doc_id",
+        "source",
+        "text",
+        (
+            1.0
+            - F.size(F.array_distinct(toks1)).cast("double")
+            / F.size(toks1)
+        ).alias("rep_frac"),
+    ).where(F.col("rep_frac") <= 0.62)
+    aug = rep.select(
+        "doc_id",
+        "rep_frac",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact "),
+            F.col("source"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com phone 555-01"),
+            F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+            F.lit(" ip 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".1"),
+        ).alias("full_text"),
+    )
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("full_text"), _EMAIL_RE, "<EMAIL>"),
+            _PHONE_RE,
+            "<PHONE>",
+        ),
+        _IP_RE,
+        "<IP>",
+    )
+    bucket = (
+        (F.col("doc_id") % _SPLIT_PRIME) * _SPLIT_MULT
+    ) % _SPLIT_PRIME % 100
+    staged = aug.select(
+        "doc_id",
+        "rep_frac",
+        bucket.alias("bucket"),
+        tokens(red).alias("toks"),
+    )
+    n_toks = F.size("toks")
+    starts = F.filter(
+        F.sequence(
+            F.lit(0), n_toks + _CHUNK_STRIDE, F.lit(_CHUNK_STRIDE)
+        ),
+        lambda st: st < n_toks,
+    )
+    return staged.select(
+        "doc_id",
+        F.when(F.col("bucket") < 80, "train")
+        .when(F.col("bucket") < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+        dround(F.col("rep_frac"), 4).alias("rep_frac"),
+        n_toks.alias("n_tokens"),
+        F.size(starts).alias("n_chunks"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.slice(F.col("toks"), 1, F.least(F.lit(_CHUNK_SIZE), n_toks)),
+            )
+        ).alias("first_chunk_md5"),
+    )

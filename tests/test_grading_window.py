@@ -113,6 +113,7 @@ QUEUED_FOR_NEXT_WINDOW = {
     "x04_chunking",
     "x03_sq8_topk",
     "q10_join_salted_skew",
+    "pipeline_curation_full",
 }
 
 
