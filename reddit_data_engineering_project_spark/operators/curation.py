@@ -25,7 +25,7 @@ charter in SURVEY §2.3.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..functions.numeric import dround
 from ..registry import register
@@ -517,4 +517,106 @@ def pipeline_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.slice(F.col("toks"), 1, F.least(F.lit(_CHUNK_SIZE), n_toks)),
             )
         ).alias("first_chunk_md5"),
+    )
+
+
+#: Tokenizer vocabulary size; OOV tokens map to the single UNK id.
+_VOCAB_SIZE = 256
+_UNK_ID = _VOCAB_SIZE
+
+
+@register(
+    "x04_tokenize_to_ids",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        FROM documents
+    ),
+    tokc AS (
+        SELECT unnest(toks) AS token FROM t
+    ),
+    freq AS (
+        SELECT token, count(*) AS cnt FROM tokc GROUP BY token
+        ORDER BY cnt DESC, token ASC LIMIT {_VOCAB_SIZE}
+    ),
+    vocab AS (
+        SELECT token,
+               row_number() OVER (ORDER BY cnt DESC, token ASC) - 1 AS id
+        FROM freq
+    ),
+    e AS (
+        SELECT t.doc_id, t.toks[gs.i] AS tok, gs.i AS pos
+        FROM t CROSS JOIN LATERAL (
+            SELECT unnest(range(1, len(t.toks) + 1)) AS i
+        ) gs
+    ),
+    mapped AS (
+        SELECT e.doc_id, e.pos, coalesce(v.id, {_UNK_ID}) AS id
+        FROM e LEFT JOIN vocab v ON e.tok = v.token
+    )
+    SELECT
+        doc_id,
+        count(*) AS n_tokens,
+        count(*) FILTER (id = {_UNK_ID}) AS n_unk,
+        md5(array_to_string(list(id ORDER BY pos), ',')) AS ids_md5
+    FROM mapped
+    GROUP BY doc_id
+    """,
+    tags=("text", "X4", "tokenizer"),
+)
+def x04_tokenize_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: tokenize to vocabulary ids — the text → training-input step.
+
+    Builds a 256-entry vocabulary (corpus top tokens by frequency, ties
+    broken lexicographically, id = rank) and maps every document's token
+    stream to ids, OOV → the single UNK id. ``ids_md5`` hashes the full
+    ordered id sequence, so the gate pins the entire tokenization of
+    every document.
+
+    Scale shape — the part worth copying: the vocab is aggregated once
+    (map-side-combined count, top-k via ``TakeOrderedAndProject``),
+    collapsed to ONE map literal row, and broadcast; per-doc encoding is
+    then ``transform(toks, t -> coalesce(vmap[t], UNK))`` — a stateless
+    per-row lookup with NO explode-rejoin and NO shuffle of the token
+    stream. The oracle deliberately takes the dumb explode + join + 
+    re-sort route: different plan, same answer, which is the point of
+    differential checking.
+    """
+    docs = table(spark, sf_dir, "documents")
+    toksed = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    freq = (
+        toksed.select(F.explode("toks").alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("token").asc())
+        .limit(_VOCAB_SIZE)
+    )
+    # Global (unpartitioned) window — safe by construction: its input is
+    # the ≤256-row vocab from the limit above, at ANY corpus size.
+    w = Window.orderBy(F.col("cnt").desc(), F.col("token").asc())
+    vocab = freq.select(
+        "token", (F.row_number().over(w) - 1).alias("id")
+    )
+    vmap = vocab.agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("token", "id")))
+        ).alias("vmap")
+    )
+    encoded = toksed.crossJoin(F.broadcast(vmap)).select(
+        "doc_id",
+        F.transform(
+            "toks",
+            lambda t: F.coalesce(
+                F.element_at(F.col("vmap"), t), F.lit(_UNK_ID)
+            ),
+        ).alias("ids"),
+    )
+    return encoded.select(
+        "doc_id",
+        F.size("ids").alias("n_tokens"),
+        F.size(F.filter("ids", lambda i: i == _UNK_ID)).alias("n_unk"),
+        F.md5(F.concat_ws(",", F.transform("ids", lambda i: i.cast("string")))).alias(
+            "ids_md5"
+        ),
     )

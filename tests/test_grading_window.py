@@ -114,6 +114,7 @@ QUEUED_FOR_NEXT_WINDOW = {
     "x03_sq8_topk",
     "q10_join_salted_skew",
     "pipeline_curation_full",
+    "x04_tokenize_to_ids",
 }
 
 
