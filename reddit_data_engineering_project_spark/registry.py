@@ -80,6 +80,16 @@ def register(
 # relational ops with green r02 rows; tests/test_grading_window.py
 # enforces that every family has driver evidence from SOME round.
 # Round 4+: rotate representatives so coverage stays fresh.
+#
+# ROUND-4 ROTATION PLAN: once CORRECTNESS_r03 lands green, swap this
+# list for (a) the never-graded queue pinned in
+# tests/test_grading_window.py::QUEUED_FOR_NEXT_WINDOW (round-3
+# additions: sequence packing, ngram vocab, incremental neardup,
+# training-prep + curation pipelines, payload resize, decontamination,
+# repetition metrics, PII scrub, dataset split, chunking, SQ8 top-k,
+# salted skew join, tokenize-to-ids), then (b) rotate back in the
+# families whose only driver evidence is r02 (q02-q06, q08, remaining
+# q01/q07/q09-q12/q17-q18/q21/x01-x03/x05 entries) to refresh them.
 GRADING_PRIORITY: tuple[str, ...] = (
     # Q13 window functions (5)
     "q13_topn_per_group",
