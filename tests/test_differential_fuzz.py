@@ -110,6 +110,70 @@ _join_agg = st.sampled_from(
 )
 
 
+# --- string-function grammar (curation-family primitives) ---------------
+#
+# Only spellings with IDENTICAL semantics in Spark SQL and DuckDB are
+# drawn: regexp_replace is deliberately absent (Spark replaces globally,
+# DuckDB needs the 'g' flag — same TEXT would mean different things),
+# as are split/string_split and array_join/array_to_string (different
+# names per engine). substr starts stay >= 1; split_part fields stay in
+# 1..3 (both engines return '' past the end).
+
+_STR_INNER = [
+    "text",
+    "substr(text, {i}, {n})",
+    "replace(text, '{a}', '{b}')",
+    "split_part(text, ' ', {f})",
+    "lpad(text, {n}, '_')",
+    "left(text, {n})",
+    "right(text, {n})",
+]
+
+_STR_OUTER = [
+    "upper({e})",
+    "lower({e})",
+    "reverse({e})",
+    "trim({e})",
+    "md5({e})",
+    "left({e}, 12)",
+]
+
+_WORDS = ["the", "a", "scan", "join", "merge"]
+
+
+@st.composite
+def _string_exprs(draw) -> str:
+    inner = draw(st.sampled_from(_STR_INNER)).format(
+        i=draw(st.integers(min_value=1, max_value=20)),
+        n=draw(st.integers(min_value=1, max_value=30)),
+        f=draw(st.integers(min_value=1, max_value=3)),
+        a=draw(st.sampled_from(_WORDS)),
+        b=draw(st.sampled_from(_WORDS)),
+    )
+    if draw(st.booleans()):
+        inner = draw(st.sampled_from(_STR_OUTER)).format(e=inner)
+    return inner
+
+
+@st.composite
+def _string_queries(draw) -> str:
+    exprs = draw(st.lists(_string_exprs(), min_size=1, max_size=3))
+    select = ["doc_id"] + [
+        f"{e} AS e{k}" for k, e in enumerate(exprs)
+    ]
+    agg = draw(st.booleans())
+    if agg:
+        return (
+            "SELECT lang, count(*) AS n, min(md5({})) AS h "
+            "FROM documents GROUP BY lang".format(exprs[0])
+        )
+    lo = draw(st.integers(min_value=0, max_value=300))
+    return (
+        f"SELECT {', '.join(select)} FROM documents "
+        f"WHERE length(text) > {lo}"
+    )
+
+
 @st.composite
 def _join_queries(draw) -> str:
     """lineitem ⋈ orders with a filter on each side, grouped aggregate."""
@@ -221,7 +285,7 @@ def engines(spark):
 
     register_views(spark, SF_DIR)
     con = duckdb.connect()
-    for t in ("lineitem", "orders"):
+    for t in ("lineitem", "orders", "documents"):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM "
             f"read_parquet('{SF_DIR}/{t}.parquet')"
@@ -289,4 +353,14 @@ def test_window_queries_agree(engines, sql):
 )
 @given(sql=_event_queries())
 def test_event_time_queries_agree(engines, sql):
+    _assert_agree(engines, sql)
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(sql=_string_queries())
+def test_string_function_queries_agree(engines, sql):
     _assert_agree(engines, sql)
