@@ -450,7 +450,17 @@ def pipeline_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     curation at 100 TB is a single scan-shaped pass, and anything that
     introduces a shuffle here is a plan bug.
     """
-    docs = table(spark, sf_dir, "documents")
+    return curate(table(spark, sf_dir, "documents"))
+
+
+def curate(docs: DataFrame) -> DataFrame:
+    """The curation chain over any ``(doc_id, source, text)`` frame.
+
+    Every stage is a stateless narrow transformation, so this SAME
+    function applies unchanged to a ``readStream`` DataFrame — the
+    streaming rendering is pinned by
+    ``tests/test_stream_curation.py`` (stream output ≡ batch output).
+    """
     toks1 = tokens(F.col("text"))
     rep = docs.select(
         "doc_id",
