@@ -630,3 +630,91 @@ def x04_tokenize_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ids_md5"
         ),
     )
+
+
+#: Second-stage multiplier for the mixing hash (decorrelates acceptance
+#: from the dataset-split buckets, which use _SPLIT_MULT once).
+_MIX_MULT = 2_246_822_519
+#: Fraction of the corpus the rebalanced sample targets.
+_MIX_KEEP = 0.5
+
+
+@register(
+    "x04_mixing_rebalance",
+    oracle=f"""
+    WITH c AS (
+        SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+    ),
+    w AS (SELECT source, n_docs, sqrt(n_docs::DOUBLE) AS wt FROM c),
+    tot AS (SELECT sum(wt) AS sw, sum(n_docs) AS sn FROM w),
+    r AS (
+        SELECT source, n_docs,
+               least(1.0, {_MIX_KEEP} * sn * (wt / sw) / n_docs) AS rate
+        FROM w, tot
+    ),
+    acc AS (
+        SELECT d.source,
+               ((((d.doc_id % {_SPLIT_PRIME}) * {_SPLIT_MULT})
+                   % {_SPLIT_PRIME} % {_SPLIT_PRIME}) * {_MIX_MULT})
+                   % {_SPLIT_PRIME} % 1000000 AS h,
+               r.rate
+        FROM documents d JOIN r ON d.source = r.source
+    )
+    SELECT
+        acc.source,
+        count(*) AS n_docs,
+        count(*) FILTER (h < rate * 1000000.0) AS n_kept,
+        round(max(rate) * 10000.0) / 10000.0 + 0.0 AS rate
+    FROM acc
+    GROUP BY acc.source
+    """,
+    tags=("text", "X4", "mixing"),
+)
+def x04_mixing_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: temperature-based source rebalancing (data-mixing sampler).
+
+    Rebalances a multi-source corpus toward sqrt-weighted source shares
+    (temperature T=2 resampling — the standard fix for head-heavy source
+    distributions in pretraining mixes): per-source acceptance rate
+    r_s = min(1, K·N·(√n_s / Σ√n) / n_s), membership decided by a
+    second-stage multiplicative hash of doc_id — deterministic, seedless,
+    and independent of the train/val/test split hash (different
+    multiplier stage, so acceptance does not correlate with split
+    bucket).
+
+    Scale shape: the per-source count is one map-side-combined aggregate
+    collapsing to |sources| rows; rates broadcast back onto the corpus
+    (20-row join side); acceptance is a per-row integer hash compare.
+    The only data-sized shuffles are the two tiny aggregates — the
+    corpus itself never moves. Output reports per-source kept counts so
+    the realized mix is auditable against the target.
+    """
+    docs = table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    w = counts.select(
+        "source", "n_docs", F.sqrt(F.col("n_docs").cast("double")).alias("wt")
+    )
+    tot = w.agg(
+        F.sum("wt").alias("sw"), F.sum("n_docs").alias("sn")
+    )
+    rates = w.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        F.least(
+            F.lit(1.0),
+            _MIX_KEEP * F.col("sn") * (F.col("wt") / F.col("sw"))
+            / F.col("n_docs"),
+        ).alias("rate"),
+    )
+    h1 = ((F.col("doc_id") % _SPLIT_PRIME) * _SPLIT_MULT) % _SPLIT_PRIME
+    h = ((h1 % _SPLIT_PRIME) * _MIX_MULT) % _SPLIT_PRIME % 1_000_000
+    acc = docs.select("doc_id", "source", h.alias("h")).join(
+        F.broadcast(rates), "source"
+    )
+    return acc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.count(
+            F.when(F.col("h") < F.col("rate") * 1_000_000.0, 1)
+        ).alias("n_kept"),
+        dround(F.max("rate"), 4).alias("rate"),
+    )

@@ -115,6 +115,7 @@ QUEUED_FOR_NEXT_WINDOW = {
     "q10_join_salted_skew",
     "pipeline_curation_full",
     "x04_tokenize_to_ids",
+    "x04_mixing_rebalance",
 }
 
 
