@@ -718,3 +718,85 @@ def x04_mixing_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_kept"),
         dround(F.max("rate"), 4).alias("rate"),
     )
+
+
+@register(
+    "q18_export_training_shards",
+    oracle=f"""
+    WITH rep AS (
+        SELECT doc_id, source, text,
+               1.0 - len(list_distinct(list_filter(string_split(text, ' '),
+                                                   x -> x <> '')))::DOUBLE
+                   / len(list_filter(string_split(text, ' '),
+                                     x -> x <> '')) AS rep_frac
+        FROM documents
+    ),
+    kept AS (SELECT * FROM rep WHERE rep_frac <= 0.62),
+    aug AS (
+        SELECT doc_id,
+               regexp_replace(
+                   regexp_replace(
+                       regexp_replace(
+                           text || ' contact ' || source || doc_id::VARCHAR
+                               || '@example.com phone 555-01'
+                               || lpad((doc_id % 100)::VARCHAR, 2, '0')
+                               || ' ip 10.0.' || (doc_id % 256)::VARCHAR
+                               || '.1',
+                           '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                       '{_PHONE_RE}', '<PHONE>', 'g'),
+                   '{_IP_RE}', '<IP>', 'g') AS red,
+               ((doc_id % {_SPLIT_PRIME}) * {_SPLIT_MULT})
+                   % {_SPLIT_PRIME} % 100 AS bucket
+        FROM kept
+    ),
+    rows_out AS (
+        SELECT doc_id,
+               CASE WHEN bucket < 80 THEN 'train'
+                    WHEN bucket < 90 THEN 'val'
+                    ELSE 'test' END AS split,
+               len(list_filter(string_split(red, ' '), x -> x <> ''))
+                   AS n_tokens
+        FROM aug
+    )
+    SELECT split,
+           count(*) AS n_docs,
+           sum(n_tokens) AS total_tokens,
+           min(doc_id) AS min_doc_id,
+           max(doc_id) AS max_doc_id
+    FROM rows_out
+    GROUP BY split
+    """,
+    tags=("sinks", "Q18", "X4", "export"),
+)
+def q18_export_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18/X4: the end deliverable — curated corpus as split-partitioned shards.
+
+    Runs the full curation chain (:func:`curate`), writes the result as
+    Hive-partitioned parquet (``split=train/val/test`` — the layout a
+    training job's reader prunes on), reads the FILES back, and
+    aggregates per split. As with ``q18_sink_roundtrip``, the returned
+    values come from the written files while the oracle recomputes from
+    the source table, so loss/corruption/type drift through the sink
+    cycle breaks the hash. Partition pruning on ``split`` is what makes
+    ``WHERE split = 'train'`` a directory-level skip at 100 TB.
+    """
+    import os
+    import tempfile
+
+    from .sinks import write_partitioned_parquet
+
+    curated = curate(table(spark, sf_dir, "documents")).select(
+        "doc_id", "split", "n_tokens"
+    )
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"reddit_data_engineering_project_spark_training_shards_{os.getpid()}",
+    )
+    write_partitioned_parquet(curated, out, "split")
+    back = spark.read.parquet(out)
+    return back.groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )

@@ -116,6 +116,7 @@ QUEUED_FOR_NEXT_WINDOW = {
     "pipeline_curation_full",
     "x04_tokenize_to_ids",
     "x04_mixing_rebalance",
+    "q18_export_training_shards",
 }
 
 
