@@ -11,6 +11,9 @@ logic lived in Redshift. Here the engine owns it natively, in two forms:
    date-partitioned parquet target with dynamic partition overwrite, so
    only touched partitions rewrite. ``tests/test_upsert.py`` proves the
    idempotency contract (apply twice → same table).
+3. ``q19_scd2_history`` — the keep-HISTORY dual of keep-latest: slowly
+   changing dimension type 2. Where R16 overwrites, SCD2 versions — the
+   other half of what the reference's Redshift layer would serve.
 
 Scale notes (100 TB design point):
 - Keep-latest is ONE shuffle by key + per-key sort of the few duplicate
@@ -153,4 +156,74 @@ def q19_upsert_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         dround(F.col("value")).alias("value"),
         "ingest_version",
+    )
+
+
+@register(
+    "q19_scd2_history",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_type,
+               CAST(ts AS TIMESTAMP) AS ts, event_id,
+               lag(event_type) OVER (
+                   PARTITION BY user_id
+                   ORDER BY CAST(ts AS TIMESTAMP), event_id
+               ) AS prev_type
+        FROM events
+    ),
+    changes AS (
+        SELECT user_id, event_type, ts, event_id
+        FROM ordered
+        WHERE prev_type IS NULL OR prev_type IS DISTINCT FROM event_type
+    )
+    SELECT user_id, event_type,
+           ts AS valid_from,
+           lead(ts) OVER w AS valid_to,
+           (lead(ts) OVER w IS NULL) AS is_current,
+           CAST(row_number() OVER w AS INT) AS version
+    FROM changes
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    tags=("upsert", "scd2", "Q19", "R16"),
+)
+def q19_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19b: slowly-changing-dimension type 2 from a change stream.
+
+    Treat events as attribute observations of a keyed entity (user_id's
+    current ``event_type``): collapse consecutive repeats to change
+    points, then emit one VERSIONED row per change with
+    ``[valid_from, valid_to)`` effectivity and an ``is_current`` flag —
+    the keep-history dual of ``q19_upsert_keep_latest``'s overwrite.
+
+    Scale: both windows partition by the entity key, so the whole
+    operator is ONE hash shuffle by ``user_id`` + one per-key sort that
+    Catalyst reuses across lag/lead/row_number (the three functions
+    share a single Window node per frame). State per key is the change
+    list, not the event list — at 100 TB the output is |changes| rows,
+    and no stage holds more than one entity's events ordered. No
+    self-join against the table's own history (the naive SCD2 MERGE
+    formulation), so cost is linear in input.
+    """
+    ev = table(spark, sf_dir, "events")
+    order_w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    changes = (
+        ev.select("user_id", "event_type", "ts", "event_id")
+        .withColumn("prev_type", F.lag("event_type").over(order_w))
+        .filter(
+            F.col("prev_type").isNull()
+            | ~F.col("prev_type").eqNullSafe(F.col("event_type"))
+        )
+    )
+    version_w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    return changes.select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(version_w).alias("valid_to"),
+        F.lead("ts").over(version_w).isNull().alias("is_current"),
+        F.row_number().over(version_w).alias("version"),
     )

@@ -117,6 +117,7 @@ QUEUED_FOR_NEXT_WINDOW = {
     "x04_tokenize_to_ids",
     "x04_mixing_rebalance",
     "q18_export_training_shards",
+    "q19_scd2_history",
 }
 
 
