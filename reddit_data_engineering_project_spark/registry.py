@@ -186,6 +186,7 @@ def load_all_operators() -> None:
         curation,
         dedup,
         joins,
+        layout,
         multimodal,
         product_analytics,
         relational,

@@ -118,6 +118,7 @@ QUEUED_FOR_NEXT_WINDOW = {
     "x04_mixing_rebalance",
     "q18_export_training_shards",
     "q19_scd2_history",
+    "q18_zorder_key",
 }
 
 
