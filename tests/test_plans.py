@@ -73,3 +73,64 @@ def test_asof_join_has_single_shuffle_no_range_join(spark):
     assert "Join" not in plan
     assert plan.count("+- Exchange") == 1
     assert "hashpartitioning(user_id" in plan
+
+
+def test_runtime_bloom_filter_reaches_fact_side(spark):
+    """A selective dim filter should inject a runtime bloom filter on the
+    fact side of a shuffle join (`spark.sql.optimizer.runtime.bloomFilter`
+    — the shuffle-join sibling of DPP's partition pruning). At 100 TB
+    this is what keeps a fact⋈filtered-dim sort-merge join from
+    shuffling fact rows that cannot match; at test scale the dim is
+    broadcast-able (so the rule correctly declines — asserted too) and
+    the thresholds must be forced to surface the shuffle-join shape.
+
+    Ordering trap this test pins: `tables.table()` re-asserts the
+    session's standard confs (64 MB broadcast threshold), so the
+    overrides must be set AFTER the DataFrames are built — conf state at
+    OPTIMIZATION time is what the rule sees."""
+    from pyspark.sql import functions as F
+
+    from reddit_data_engineering_project_spark.tables import table
+
+    orders = table(spark, SF_DIR, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    lineitem = table(spark, SF_DIR, "lineitem")
+    joined = lineitem.join(
+        orders, lineitem.l_orderkey == orders.o_orderkey
+    ).select("l_orderkey", "l_quantity", "o_orderpriority")
+
+    # Broadcast-able dim -> no runtime filter (broadcast join already
+    # prunes during the probe; a bloom filter would be pure overhead).
+    baseline = joined._jdf.queryExecution().optimizedPlan().toString()
+    assert "bloom_filter_agg" not in baseline
+
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+        )
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold",
+        "1b",
+    )
+    try:
+        # Fresh DataFrame: a QueryExecution caches optimizedPlan, so the
+        # baseline probe above must not be reused post-conf-change.
+        rejoined = lineitem.join(
+            orders, lineitem.l_orderkey == orders.o_orderkey
+        ).select("l_orderkey", "l_quantity", "o_orderpriority")
+        optimized = rejoined._jdf.queryExecution().optimizedPlan().toString()
+        # Creation side: bloom built from the filtered dim's join keys.
+        assert "bloom_filter_agg" in optimized, optimized
+        # Application side: fact rows probed before the join shuffle.
+        assert "might_contain" in optimized, optimized
+        assert rejoined.count() > 0
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
