@@ -142,6 +142,101 @@ def q01_json_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q01_orc_scan",
+    oracle="""
+    SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
+    """,
+    tags=("relational", "Q1", "orc"),
+)
+def q01_orc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1 (ORC form): ORC sink → ORC scan, the second columnar lake format.
+
+    ORC carries its own typed schema (no inference pass needed, unlike
+    the text formats) and the same pushdown surface as parquet —
+    Catalyst pushes filters and prunes columns into the ORC reader too,
+    so a 100 TB lake standardized on ORC loses nothing against the
+    parquet plans pinned in ``tests/test_plans.py``. Values are
+    oracle-checked against the parquet original, putting the ORC
+    round-trip itself (including double bit-exactness) under the gate.
+    """
+    import os as _os
+    import tempfile as _tempfile
+
+    src = table(spark, sf_dir, "supplier")
+    path = _os.path.join(
+        _tempfile.gettempdir(),
+        f"reddit_data_engineering_project_spark_orc_scan_{_os.getpid()}",
+    )
+    src.write.mode("overwrite").orc(path)
+    return spark.read.orc(path).select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )
+
+
+@register(
+    "q01_xml_scan",
+    oracle="""
+    SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice
+    FROM part
+    """,
+    tags=("relational", "Q1", "xml"),
+)
+def q01_xml_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1 (XML form): rowTag XML sink → explicit-schema XML scan.
+
+    Spark 4's built-in XML source (no external package) — the
+    interchange format feeds/exports still arrive in. Read with an
+    EXPLICIT StructType like the other text formats: schema inference
+    on XML is an extra full pass at scale. The oracle hash against the
+    parquet original proves the angle-bracket round trip preserves
+    longs, ints, and doubles exactly.
+    """
+    import os as _os
+    import tempfile as _tempfile
+
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    src = table(spark, sf_dir, "part")
+    path = _os.path.join(
+        _tempfile.gettempdir(),
+        f"reddit_data_engineering_project_spark_xml_scan_{_os.getpid()}",
+    )
+    (
+        src.write.mode("overwrite")
+        .option("rowTag", "part")
+        .format("xml")
+        .save(path)
+    )
+    schema = StructType(
+        [
+            StructField("p_partkey", LongType(), True),
+            StructField("p_name", StringType(), True),
+            StructField("p_brand", StringType(), True),
+            StructField("p_type", StringType(), True),
+            StructField("p_size", IntegerType(), True),
+            StructField("p_retailprice", DoubleType(), True),
+        ]
+    )
+    return (
+        spark.read.schema(schema)
+        .option("rowTag", "part")
+        .format("xml")
+        .load(path)
+        .select(
+            "p_partkey", "p_name", "p_brand", "p_type", "p_size",
+            "p_retailprice",
+        )
+    )
+
+
+@register(
     "q02_projection_pruning",
     oracle="""
     SELECT

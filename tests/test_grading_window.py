@@ -119,6 +119,8 @@ QUEUED_FOR_NEXT_WINDOW = {
     "q18_export_training_shards",
     "q19_scd2_history",
     "q18_zorder_key",
+    "q01_orc_scan",
+    "q01_xml_scan",
 }
 
 
