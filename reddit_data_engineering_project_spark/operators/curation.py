@@ -800,3 +800,59 @@ def q18_export_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_doc_id"),
         F.max("doc_id").alias("max_doc_id"),
     )
+
+
+@register(
+    "x04_corpus_profile",
+    oracle="""
+    SELECT
+        source,
+        count(*) AS n_docs,
+        CAST(count(text) AS BIGINT) AS n_text_nonnull,
+        CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct_ids,
+        min(n_chars) AS min_chars,
+        max(n_chars) AS max_chars,
+        CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        round(
+            CAST(sum(n_chars) AS DOUBLE) / count(*) * 10000
+        ) / 10000.0 AS mean_chars,
+        CAST(sum(CASE WHEN n_chars < 16 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_too_short
+    FROM documents
+    GROUP BY source
+    """,
+    tags=("text", "profiling", "X4"),
+)
+def x04_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4s: one-pass per-source corpus profile — the ingest health check.
+
+    Every column's null rate, cardinality, and length envelope over ONE
+    scan: the profile a 100 TB ingest runs before anything else touches
+    the data (nulls where the schema says none, a source suddenly
+    emitting 8-char stubs, duplicate ids). The two exact
+    ``count(DISTINCT)`` columns make Catalyst plan an Expand (3× rows
+    into the aggregate) — kept here because exact counts are what the
+    oracle can pin; the 100 TB path swaps them for
+    ``approx_count_distinct`` per the Q8 contract (mergeable sketch, no
+    Expand, one true pass). Mean length
+    uses the exact-integer-sum formulation (``sum/count``, not ``avg``)
+    — double ``avg`` over longs is partition-order-sensitive on the
+    last bit (the round-2 ``x05_corpus_slice`` flake).
+    """
+    docs = table(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.count("text").alias("n_text_nonnull"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("doc_id").alias("n_distinct_ids"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.sum("n_chars").alias("total_chars"),
+        dround(
+            F.sum("n_chars").cast("double") / F.count("*"), 4
+        ).alias("mean_chars"),
+        F.sum(
+            (F.col("n_chars") < 16).cast("bigint")
+        ).alias("n_too_short"),
+    )

@@ -121,6 +121,7 @@ QUEUED_FOR_NEXT_WINDOW = {
     "q18_zorder_key",
     "q01_orc_scan",
     "q01_xml_scan",
+    "x04_corpus_profile",
 }
 
 
