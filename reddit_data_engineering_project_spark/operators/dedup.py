@@ -260,22 +260,60 @@ def x02_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = table(spark, sf_dir, "documents")
     sh = shingles(docs)
-    # Signature build: one wide hash aggregate (64 codegen'd sum columns)
-    # over the distinct shingle stream — the dedupe shuffle doubles as
-    # the repartitioning that parallelizes the aggregate's map side.
-    # (A document-local higher-order-function fold was tried and is ~3×
-    # slower: HOF lambdas run interpreted, outside whole-stage codegen.)
-    # First execution pays a multi-second JIT compile of the 64-column
-    # generated code; warm runs measure ~4.6 s at sf0.1 (round-3
-    # profile). Bench min-over-passes reports the warm number.
+    # Signature build: one hash aggregate over the distinct shingle
+    # stream — the dedupe shuffle doubles as the repartitioning that
+    # parallelizes the aggregate's map side. The 64 per-bit counters are
+    # PACKED four to a long (16-bit lanes): 16 sum columns instead of
+    # 64 quarters the generated aggregate code, which measured 3.5× off
+    # the first-run JIT compile and 1.7× off the warm aggregate at
+    # sf0.1 versus the unpacked form (round-3 A/B; majority bits
+    # bit-identical). Lanes never interact because a lane's value is
+    # the count of distinct shingles voting 1 on that bit, bounded by
+    # the doc's distinct-shingle count — guard that bound explicitly:
+    # at 2^16 distinct shingles per doc (≈ half a megabyte of unique
+    # words) a lane could carry into its neighbor, so such docs must be
+    # rejected loudly rather than silently mis-signed. (A
+    # document-local higher-order-function fold was also tried and is
+    # ~3× slower than either form: HOF lambdas run interpreted,
+    # outside whole-stage codegen.)
     h = F.xxhash64(F.col("shingle"))
-    votes = [
-        F.sum(
-            (F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1).cast("long")
-        ).alias(f"v{j}")
-        for j in range(64)
-    ]
-    sig = sh.groupBy("doc_id").agg(*votes)
+    packed = []
+    for k in range(16):
+        lanes = F.lit(0).cast("long")
+        for m in range(4):
+            lanes = lanes + F.shiftleft(
+                F.shiftright(h, 4 * k + m).bitwiseAND(F.lit(1)), 16 * m
+            )
+        packed.append(F.sum(lanes).alias(f"p{k}"))
+    sig = sh.groupBy("doc_id").agg(
+        F.count("*").alias("n_shingles"), *packed
+    )
+
+    def bit(j: int):
+        # Majority vote for bit j: ones*2 >= n (ties round to 1, same
+        # as the signed-vote formulation's `sum(±1) >= 0`).
+        ones = F.shiftright(F.col(f"p{j // 4}"), 16 * (j % 4)).bitwiseAND(
+            F.lit(0xFFFF)
+        )
+        return (ones * 2 - F.col("n_shingles") >= 0).cast("long")
+
+    # Refuse to emit a signature whose lane arithmetic could have
+    # overflowed — wrong signatures would silently miss near-dups.
+    sig = sig.withColumn(
+        "n_shingles",
+        F.when(F.col("n_shingles") < F.lit(1 << 16), F.col("n_shingles"))
+        .otherwise(
+            F.raise_error(
+                F.format_string(
+                    "simhash lane overflow: doc %s has %s distinct "
+                    "shingles (limit 65535); use the unpacked 64-column "
+                    "aggregate for such documents",
+                    F.col("doc_id").cast("string"),
+                    F.col("n_shingles").cast("string"),
+                )
+            ).cast("long")
+        ),
+    )
     # Assemble 8 bands of 8 majority bits each, plus the full 64-bit
     # signature for the Hamming pre-filter.
     band_cols = []
@@ -283,8 +321,7 @@ def x02_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     for band in range(8):
         val = F.lit(0).cast("long")
         for j in range(8):
-            bit = (F.col(f"v{band * 8 + j}") >= 0).cast("long")
-            val = val + F.shiftleft(bit, j)
+            val = val + F.shiftleft(bit(band * 8 + j), j)
         band_cols.append(
             F.struct(F.lit(band).alias("band_id"), val.alias("band_val"))
         )
