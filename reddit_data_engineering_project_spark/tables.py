@@ -42,20 +42,33 @@ BROADCASTABLE: frozenset[str] = frozenset({"region", "nation", "supplier", "part
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Lazy scan of one corpus table.
 
-    ``events.ts`` is ns-precision in parquet (FIXTURES.md §B); Spark's
-    reader rejects NANOS, so it is read as an ns-since-epoch long
-    (``spark.sql.legacy.parquet.nanosAsLong``) and converted here to a µs
-    TimestampType with integer ``div`` (floor) — exactly DuckDB's
-    ``CAST(ts AS TIMESTAMP)`` truncation, keeping oracle parity. Note
-    ``div`` truncates toward zero, which equals floor for the corpus's
-    post-1970 timestamps.
+    ``events.ts`` normalization is schema-conditional because the corpus
+    format has changed across driver regenerations:
+
+    * legacy corpus: ns-precision parquet, which Spark's reader rejects
+      unless ``spark.sql.legacy.parquet.nanosAsLong`` maps it to an
+      ns-since-epoch ``bigint`` — converted here to a µs TimestampType
+      with integer ``div`` (floor), matching DuckDB's ``CAST(ts AS
+      TIMESTAMP)`` truncation;
+    * current corpus: plain ``timestamp[us]`` parquet, which Spark reads
+      as ``TIMESTAMP_NTZ`` — cast to session-TZ ``timestamp`` (session TZ
+      is pinned UTC in ``session.py``) so downstream schemas stay the
+      ``TimestampType`` every oracle comparison hashes against.
+
+    Branching on the observed dtype keeps both corpora loadable and makes
+    the next fixture regeneration a test failure, not a silent grade zero
+    (see ``tests/test_corpus_canary.py``).
     """
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown corpus table {name!r}; expected one of {TABLE_NAMES}")
     ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_dtype = dict(df.dtypes)["ts"]
+        if ts_dtype == "bigint":  # legacy ns corpus via nanosAsLong
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        else:  # µs corpus: NTZ → session-TZ (UTC) timestamp
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
