@@ -163,10 +163,10 @@ def q15_datetime_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         l_orderkey,
         l_linenumber,
         abs(l_discount - 0.05) AS disc_dev,
-        ceil(l_quantity) AS qty_ceil,
-        floor(l_extendedprice) AS price_floor,
-        round(sqrt(l_extendedprice) * 10000.0) / 10000.0 AS price_sqrt,
-        round(ln(l_extendedprice + 1.0) * 10000.0) / 10000.0 AS price_ln,
+        CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil,
+        CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+        CAST(round(sqrt(l_extendedprice) * 10000.0) AS BIGINT) AS price_sqrt_e4,
+        CAST(round(ln(l_extendedprice + 1.0) * 10000.0) AS BIGINT) AS price_ln_e4,
         CAST(l_orderkey % 7 AS BIGINT) AS key_mod7,
         CASE
             WHEN l_quantity >= 40 THEN 'bulk'
@@ -176,7 +176,7 @@ def q15_datetime_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         greatest(l_tax, l_discount) AS max_rate,
         least(l_tax, l_discount) AS min_rate,
         coalesce(nullif(l_returnflag, 'N'), 'none') AS flag_or_none,
-        sign(l_extendedprice - 30000.0) AS price_side
+        CAST(sign(l_extendedprice - 30000.0) AS BIGINT) AS price_side
     FROM lineitem
     WHERE l_linenumber <= 2
     """,
@@ -186,19 +186,33 @@ def q16_math_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q16 math/conditional battery: arithmetic, roots/logs, CASE, bounds.
 
     The reference's when/otherwise defaults (R5-R9) generalized to the
-    full conditional surface; irrational outputs rounded identically on
-    both engines.
+    full conditional surface.
+
+    Cross-engine float discipline: every column that the two engines
+    compute through DIFFERENT numeric paths is emitted as BIGINT on both
+    sides. DuckDB's ceil/floor return DOUBLE (Python float 23.0) while
+    Spark's return LONG (int 23) — same value, different rendered type —
+    and its sign() returns an integer while Spark's signum() returns a
+    double, so without explicit casts the value hash can diverge on every
+    row even when the math agrees. The irrational metrics (sqrt/ln) are
+    kept as scaled integers with the SAME multiply-then-round shape on
+    both engines (never round-then-divide-back, which re-exposes the
+    decimal tie after the rounding step).
     """
     li = table(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") <= 2)
     return li.select(
         "l_orderkey",
         "l_linenumber",
         F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
-        F.ceil("l_quantity").alias("qty_ceil"),
-        F.floor("l_extendedprice").alias("price_floor"),
-        dround(F.sqrt("l_extendedprice"), 4).alias("price_sqrt"),
-        dround(F.log(F.col("l_extendedprice") + 1.0), 4).alias("price_ln"),
-        (F.col("l_orderkey") % 7).alias("key_mod7"),
+        F.ceil("l_quantity").cast("bigint").alias("qty_ceil"),
+        F.floor("l_extendedprice").cast("bigint").alias("price_floor"),
+        F.round(F.sqrt("l_extendedprice") * 10000.0, 0)
+        .cast("bigint")
+        .alias("price_sqrt_e4"),
+        F.round(F.log(F.col("l_extendedprice") + 1.0) * 10000.0, 0)
+        .cast("bigint")
+        .alias("price_ln_e4"),
+        (F.col("l_orderkey") % 7).cast("bigint").alias("key_mod7"),
         F.when(F.col("l_quantity") >= 40, "bulk")
         .when(F.col("l_quantity") >= 10, "standard")
         .otherwise("small")
@@ -208,5 +222,5 @@ def q16_math_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.nullif(F.col("l_returnflag"), F.lit("N")), F.lit("none")).alias(
             "flag_or_none"
         ),
-        F.signum(F.col("l_extendedprice") - 30000.0).alias("price_side"),
+        F.signum(F.col("l_extendedprice") - 30000.0).cast("bigint").alias("price_side"),
     )

@@ -760,7 +760,7 @@ def x04_mixing_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT split,
            count(*) AS n_docs,
-           sum(n_tokens) AS total_tokens,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
            min(doc_id) AS min_doc_id,
            max(doc_id) AS max_doc_id
     FROM rows_out

@@ -185,9 +185,9 @@ def x05_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         lang,
         source,
         count(*) AS n_docs,
-        sum(n_chars) AS total_chars,
-        round((sum(n_chars)::DOUBLE / count(*)) * 10000.0) / 10000.0
-            AS avg_chars,
+        CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        CAST(round((sum(n_chars)::DOUBLE / count(*)) * 10000.0) AS BIGINT)
+            AS avg_chars_e4,
         min(doc_id) AS first_doc
     FROM documents
     WHERE lang IN ('en', 'de', 'zh')
@@ -207,6 +207,13 @@ def x05_corpus_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
     input as double, making the sum partition-order-sensitive on
     last-bit boundaries (the round-2 flaky hash). Integer sums are
     exact in both engines, so one final division is deterministic.
+
+    Cross-engine type discipline (this entry hash-failed at the driver
+    four rounds running with rows and schema matching): DuckDB's
+    ``sum(BIGINT)`` yields HUGEINT, which some fetch paths widen to
+    float — the oracle casts it back to BIGINT; and the mean is emitted
+    as a scaled BIGINT on both sides (multiply-then-round, never a
+    post-round divide-back) so no double ever reaches the value hash.
     """
     docs = table(spark, sf_dir, "documents").filter(
         F.col("lang").isin("en", "de", "zh")
@@ -214,9 +221,11 @@ def x05_corpus_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.groupBy("lang", "source").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
-        dround(
-            F.sum("n_chars").cast("double") / F.count("*"), 4
-        ).alias("avg_chars"),
+        F.round(
+            (F.sum("n_chars").cast("double") / F.count("*")) * 10000.0, 0
+        )
+        .cast("bigint")
+        .alias("avg_chars_e4"),
         F.min("doc_id").alias("first_doc"),
     )
 

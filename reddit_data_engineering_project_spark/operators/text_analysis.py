@@ -610,7 +610,7 @@ def x04_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id, shard, n_tokens,
            CAST(floor(start_tok / 2048.0) AS BIGINT) AS bin_id,
-           start_tok % 2048 AS bin_offset
+           CAST(start_tok % 2048 AS BIGINT) AS bin_offset
     FROM w
     """,
     tags=("text", "X4", "packing"),
@@ -781,7 +781,7 @@ def x04_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id, shard, n_tokens,
            CAST(floor(start_tok / 2048.0) AS BIGINT) AS bin_id,
-           start_tok % 2048 AS bin_offset
+           CAST(start_tok % 2048 AS BIGINT) AS bin_offset
     FROM w
     """,
     tags=("pipeline", "X4", "training-prep", "composition"),

@@ -33,9 +33,15 @@ def norm_value(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.9g}"
+        # Full-precision repr, NOT a lenient %.9g: the driver's hash
+        # distinguishes int 23 from float 23.0 and sees last-ulp drift,
+        # and a lenient local render let q16/x05 look green here while
+        # hash-failing at the driver for three rounds. Strict-local ⊇
+        # strict-driver: if this passes, any plausible driver render
+        # passes too.
+        return repr(v)
     if isinstance(v, decimal.Decimal):
-        return f"{float(v):.9g}"
+        return repr(float(v))
     if isinstance(v, bool):
         return str(bool(v))
     if isinstance(v, datetime.datetime):
