@@ -81,76 +81,87 @@ def register(
 # enforces that every family has driver evidence from SOME round.
 # Round 4+: rotate representatives so coverage stays fresh.
 #
-# ROUND-4 ROTATION PLAN: once CORRECTNESS_r03 lands green, swap this
-# list for (a) the never-graded queue pinned in
-# tests/test_grading_window.py::QUEUED_FOR_NEXT_WINDOW (round-3
-# additions: sequence packing, ngram vocab, incremental neardup,
-# training-prep + curation pipelines, payload resize, decontamination,
-# repetition metrics, PII scrub, dataset split, chunking, SQ8 top-k,
-# salted skew join, tokenize-to-ids), then (b) rotate back in the
-# families whose only driver evidence is r02 (q02-q06, q08, remaining
-# q01/q07/q09-q12/q17-q18/q21/x01-x03/x05 entries) to refresh them.
+# ROUND-6 ROTATION (executes the plan the round-5 verdict re-ordered):
+#   (a) the 21 never-graded LLM-pipeline entries queued since round 3
+#       (sequence packing, ngram vocab, incremental neardup,
+#       training-prep + curation pipelines, payload resize,
+#       decontamination, repetition metrics, PII scrub, dataset split,
+#       chunking, SQ8 top-k, salted skew join, tokenize-to-ids, mixing
+#       rebalance, shard export, SCD2, Z-order key, ORC/XML scans,
+#       corpus profile);
+#   (b) the two chronic hash-fails re-graded after the type-alignment
+#       fix (q16_math_conditional, x05_corpus_slice);
+#   (c) the 20 events-family entries that errored in r04/r05 on the
+#       regenerated corpus — their only green rows predate the fixture
+#       regeneration, so they stay in-window to earn current evidence
+#       now that the loader handles the µs corpus;
+#   (d) 6 stale-family representatives (q02-q06, q08) whose only
+#       evidence is r02 against the OLD corpus, plus x02_simhash
+#       (perf-reworked in commit 375ef21, correctness never re-graded).
+# Rotated out: families with green r05 rows on the current corpus
+# (q01 parquet scan, q07, q09, q10 star, q13 top-n/rank/share, q14, q15,
+# q17 array/explode/corrupt, q20 udtf/arrow, pipeline_posts_clean_wire,
+# x01, x02 minhash, x03 brute-force, 9 x04 entries). Next rotation:
+# old-corpus-only leftovers (q01 csv/json scans, q07_percentiles,
+# q08 approx/pairs, q09 cube/pivot/rollup, q10 join battery variants,
+# q11_range_join_bands, q12 unions/intersect, q17_adhoc_sql_correlated,
+# q21 transitions/funnel, x01_dedup_exact_key, x02 clusters/embedding/
+# jaccard, x03_pairwise_label_centroids, x04_doc_stats).
 GRADING_PRIORITY: tuple[str, ...] = (
-    # Q13 window functions (5)
-    "q13_topn_per_group",
-    "q13_rank_dense_rank",
+    # (a) the 21-entry queued rotation payload
+    "x04_sequence_packing",
+    "x04_ngram_vocab",
+    "x04_decontamination",
+    "x04_repetition_metrics",
+    "x04_pii_scrub",
+    "x04_dataset_split",
+    "x04_chunking",
+    "x04_tokenize_to_ids",
+    "x04_mixing_rebalance",
+    "x04_corpus_profile",
+    "x02_incremental_neardup",
+    "x03_sq8_topk",
+    "x05_payload_resize",
+    "q10_join_salted_skew",
+    "q18_export_training_shards",
+    "q18_zorder_key",
+    "q19_scd2_history",
+    "q01_orc_scan",
+    "q01_xml_scan",
+    "pipeline_training_prep",
+    "pipeline_curation_full",
+    # (b) chronic hash-fails, re-graded after the type-alignment fix
+    "q16_math_conditional",
+    "x05_corpus_slice",
+    # (c) events-family re-grades on the regenerated corpus
+    "q11_asof_join",
+    "q12_except_all",
     "q13_lag_lead",
     "q13_running_frames",
-    "q13_window_share",
-    # Q14-Q16 scalar batteries (4)
-    "q14_string_funcs",
-    "q14_string_funcs2",
-    "q15_datetime_funcs",
-    "q16_math_conditional",
-    # Q17 array/map/JSON functions (5)
     "q17_json_funcs",
-    "q17_array_funcs",
-    "q17_explode_tokens",
     "q17_map_funcs",
-    "q17_json_corrupt_records",
-    # Q19 upsert (1)
+    "q18_sink_roundtrip",
     "q19_upsert_keep_latest",
-    # Q20 UDF surface (4)
     "q20_pandas_scalar_udf",
     "q20_apply_in_pandas_zscore",
-    "q20_udtf_chunks",
-    "q20_arrow_udf_ttr",
-    # S1-S6 streaming (batch-equivalent forms) (6)
+    "q21_cohort_retention",
     "s01_tumbling_window",
     "s02_sliding_window",
     "s03_session_window",
     "s04_watermark_late_drop",
     "s05_stateful_dedup",
     "s06_interval_join",
-    # R-layer pipeline wire queries (4)
-    "pipeline_posts_clean_wire",
     "pipeline_clean_coerce",
     "pipeline_topk_window",
     "pipeline_daily_ingest",
-    # X4 text analysis, the 9 entries without an r02 row (9)
-    "x04_term_frequency",
-    "x04_tfidf",
-    "x04_language_id",
-    "x04_quality_filter",
-    "x04_token_count",
-    "x04_fingerprint",
-    "x04_hash_sample",
-    "x04_stratified_sample",
-    "x04_length_histogram",
-    # X5: the round-2 red cell, re-graded after the exact-mean fix (1)
-    "x05_corpus_slice",
-    # Representatives of already-green families (11)
-    "q01_scan_explicit_schema",
-    "q07_hash_aggregate",
-    "q09_grouping_sets",
-    "q10_star_report",
-    "q11_asof_join",
-    "q12_except_all",
-    "q18_sink_roundtrip",
-    "q21_cohort_retention",
-    "x01_dedup_content_hash",
-    "x02_minhash_lsh_neardup",
-    "x03_cosine_topk_bruteforce",
+    # (d) stale families (old-corpus r02 evidence only) + SimHash rework
+    "q02_projection_pruning",
+    "q03_filter_predicates",
+    "q04_topk",
+    "q05_multikey_sort",
+    "q06_limit_offset",
+    "q08_count_distinct",
+    "x02_simhash_neardup",
 )
 
 GRADED_WINDOW = 50

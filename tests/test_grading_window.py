@@ -96,33 +96,14 @@ def test_every_family_has_driver_evidence():
     )
 
 
-# Queries registered AFTER the round-3 window was pinned: consciously
-# queued for the next window rotation (they hold check_oracle + pytest
-# coverage meanwhile). Adding a name here is the explicit act the guard
-# demands — silent additions fail the test below.
-QUEUED_FOR_NEXT_WINDOW = {
-    "x04_sequence_packing",
-    "x04_ngram_vocab",
-    "x02_incremental_neardup",
-    "pipeline_training_prep",
-    "x05_payload_resize",
-    "x04_decontamination",
-    "x04_repetition_metrics",
-    "x04_pii_scrub",
-    "x04_dataset_split",
-    "x04_chunking",
-    "x03_sq8_topk",
-    "q10_join_salted_skew",
-    "pipeline_curation_full",
-    "x04_tokenize_to_ids",
-    "x04_mixing_rebalance",
-    "q18_export_training_shards",
-    "q19_scd2_history",
-    "q18_zorder_key",
-    "q01_orc_scan",
-    "q01_xml_scan",
-    "x04_corpus_profile",
-}
+# Queries registered after a window was pinned: consciously queued for
+# the next window rotation (they hold check_oracle + pytest coverage
+# meanwhile). Adding a name here is the explicit act the guard demands —
+# silent additions fail the test below. The round-6 rotation moved the
+# entire 21-entry round-3 queue into the graded window, so the queue is
+# currently empty; any NEW registration this round must either enter
+# GRADING_PRIORITY or be added here.
+QUEUED_FOR_NEXT_WINDOW: set[str] = set()
 
 
 def test_previously_ungraded_entries_are_all_in_window():
