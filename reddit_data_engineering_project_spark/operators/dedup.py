@@ -634,6 +634,12 @@ def x02_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("label", F.col("doc"))
         .localCheckpoint()
     )
+    # Fixpoint detection: per-doc labels are monotonically non-increasing
+    # (min over a growing neighborhood), so the total label sum strictly
+    # decreases every round until convergence. Comparing one scalar sum
+    # per round replaces the previous join-based diff — one cheap agg
+    # over the just-checkpointed labels instead of a join + count job.
+    prev_sum = labels.agg(F.sum("label")).first()[0]
     for _ in range(20):  # diameter bound; planted chains converge in ≤ 3
         nbr = edges.join(labels, edges.src == labels.doc).select(
             F.col("dst").alias("doc"), "label"
@@ -644,15 +650,11 @@ def x02_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("label").alias("label"))
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        new_sum = new_labels.agg(F.sum("label")).first()[0]
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     else:
         # Exhausting the iteration budget without a fixpoint would
         # silently split components — fail loudly instead; a corpus with
