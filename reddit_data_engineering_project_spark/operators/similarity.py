@@ -138,9 +138,60 @@ def _bucket_bits(vec: Column) -> Column:
     return bucket
 
 
+def _plane_sql(plane: list[float]) -> str:
+    """One hyperplane as a DuckDB DOUBLE[] literal (repr round-trips)."""
+    return "[" + ", ".join(repr(p) for p in plane) + "]"
+
+
+#: DuckDB spelling of :func:`_bucket_bits` over a column ``e`` — the same
+#: seeded planes embedded as literals, the same float64 sign test.
+_BUCKET_SQL = " + ".join(
+    f"(CASE WHEN list_dot_product(e, {_plane_sql(_PLANES[i])}) >= 0"
+    f" THEN {1 << i} ELSE 0 END)"
+    for i in range(_B_PLANES)
+)
+
+_PROBE_LIST_SQL = "[bucket, " + ", ".join(
+    f"xor(bucket, {1 << i})" for i in range(_B_PLANES)
+) + "]"
+
+
 @register(
     "x03_ann_lsh_bucketed",
-    tags=("similarity", "X3", "lsh", "rows-only"),
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    b AS (SELECT vec_id, e, {_BUCKET_SQL} AS bucket FROM v),
+    q AS (
+        SELECT vec_id AS query_id, e AS qe, bucket
+        FROM b WHERE vec_id < 5
+    ),
+    probes AS (
+        SELECT query_id, qe, unnest({_PROBE_LIST_SQL}) AS bucket FROM q
+    ),
+    scored AS (
+        SELECT
+            p.query_id,
+            c.vec_id AS neighbor_id,
+            list_dot_product(p.qe, c.e)
+                / (sqrt(list_dot_product(p.qe, p.qe))
+                   * sqrt(list_dot_product(c.e, c.e))) AS cos
+        FROM probes p JOIN b c USING (bucket)
+        WHERE c.vec_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, rank,
+           round(cos * 1000000.0) / 1000000.0 + 0.0 AS cosine_sim
+    FROM (
+        SELECT query_id, neighbor_id, cos,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC
+               ) AS rank
+        FROM scored
+    )
+    WHERE rank <= 10
+    """,
+    tags=("similarity", "X3", "lsh"),
 )
 def x03_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3b: approximate neighbors via random-hyperplane (SimHash) buckets.
@@ -148,8 +199,14 @@ def x03_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     Multi-probe: each corpus vector is indexed under its own bucket; each
     query probes its bucket plus all B single-bit-flip neighbors, so the
     candidate join stays equi (bucket = bucket) — the shape that scales.
-    Rows-only check (bucket recall is probabilistic by design); the
-    brute-force twin above is the exact oracle-checked baseline.
+
+    Oracle-checked (upgraded from rows-only): recall is probabilistic
+    with respect to the TRUE neighbors, but the computation itself is
+    deterministic — the seeded planes are embedded in the oracle as
+    float literals, both engines run the same float64 sign test (a
+    bucket-bit flip would need |dot| < ~1e-13, vanishing for Gaussian
+    planes against unit-scale data), and candidate scoring reuses the
+    bit-identical dot-product form the brute-force twin already pins.
     """
     emb = ensure_min_parallelism(table(spark, sf_dir, "embeddings")).select(
         "vec_id", _vec_double("embedding").alias("e")
