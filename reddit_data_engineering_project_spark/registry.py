@@ -7,12 +7,20 @@ compares row-count + schema + order-insensitive value hash at sf=0.01.
 
 Conventions (oracle-parity rules, SURVEY §7 "hard parts"):
 - Alias EVERY computed/aggregate column identically on both sides.
-- ``events.ts`` is ns-precision parquet; Spark truncates to µs. Oracle SQL
-  must therefore ``CAST(ts AS TIMESTAMP)`` (ns→µs) wherever it is output
-  or compared.
+- ``events.ts`` loads through ``tables.table()``, which normalizes both
+  corpus generations (legacy ns-precision, current ``timestamp[us]``) to
+  a session-TZ (UTC) TimestampType; oracle SQL keeps
+  ``CAST(ts AS TIMESTAMP)`` wherever it is output or compared.
 - Money sums: round the FINAL aggregate (``round(sum(x), 2)``) — both
   engines then snap to the same double.
-- Averages/ratios: round to 4-6 decimals.
+- Averages/ratios: round to 4-6 decimals — and when the two engines
+  compute a metric through DIFFERENT numeric paths, emit a scaled
+  BIGINT (multiply-then-round) instead of a double.
+- Integer outputs must be integer-typed on BOTH engines: DuckDB's
+  ceil/floor return DOUBLE, sign() returns an integer, and sum(BIGINT)
+  returns HUGEINT — cast each to BIGINT in the oracle (and mirror the
+  cast in Spark when its type differs). Value hashes distinguish
+  ``23`` from ``23.0``.
 """
 
 from __future__ import annotations

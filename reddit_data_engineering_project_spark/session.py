@@ -36,10 +36,12 @@ RUNTIME_CONFS: dict[str, str] = {
     # semantics via explicit coalesce/nullif, never via error-on-cast
     # (reference `etls/reddit_etl.py:74-76` treats falsy as missing).
     "spark.sql.ansi.enabled": "false",
-    # The corpus `events` table stores ns-precision timestamps, which the
-    # parquet reader rejects outright ([PARQUET_TYPE_ILLEGAL]). Read them
-    # as raw ns-since-epoch longs; `tables.table()` converts to µs
-    # timestamps (matching DuckDB's CAST(ts_ns AS TIMESTAMP) truncation).
+    # Legacy-corpus compatibility: earlier driver fixtures stored
+    # events.ts as ns-precision parquet, which the reader rejects
+    # ([PARQUET_TYPE_ILLEGAL]) unless mapped to ns-since-epoch longs.
+    # The current corpus stores plain timestamp[us] (the conf is then a
+    # no-op); `tables.table()` branches on the observed dtype so both
+    # corpus generations load identically.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
@@ -47,7 +49,8 @@ RUNTIME_CONFS: dict[str, str] = {
 # Confs the engine is CORRECT only with (vs. tuning confs, which merely
 # make it fast): UTC pins timestamp rendering (R4 golden values), ANSI-off
 # preserves cast-with-default semantics (R5-R9), nanosAsLong is required
-# to read `events` at all ([PARQUET_TYPE_ILLEGAL] otherwise).
+# to read the LEGACY ns-precision events fixtures at all
+# ([PARQUET_TYPE_ILLEGAL] otherwise; no-op on the current µs corpus).
 CORRECTNESS_CONFS: frozenset[str] = frozenset(
     {
         "spark.sql.session.timeZone",
