@@ -555,6 +555,117 @@ def minhash_pairs_over(docs: DataFrame) -> DataFrame:
     return _verify_jaccard(docs, candidates)
 
 
+def build_band_index(docs: DataFrame, table_name: str, n_buckets: int = 16) -> None:
+    """Persist the corpus band index as a BUCKETED table — the amortized
+    half of production incremental dedup.
+
+    ``band_hash`` already folds ``band_id`` into the hash
+    (:func:`band_buckets` computes ``xxhash64(band, m...)``), so the
+    single column is a complete join key: a cross-band 64-bit collision
+    merely creates a false candidate that exact-Jaccard verification
+    kills. Bucketing (and sorting) the stored index by ``band_hash``
+    means every later increment join reads bucket *i* straight into task
+    *i* — the corpus-side shuffle was paid ONCE at index-build time and
+    never again. At 100 TB this is the difference between a daily job
+    that shuffles |increment| rows and one that re-shuffles the corpus
+    index every day. ``tests/test_band_index.py`` pins the plan contract
+    (no Exchange above the index scan) and result parity with the
+    recompute-everything path.
+    """
+    sig = minhash_signatures(
+        shingles(docs.repartition(F.col("doc_id")), distinct=False, widen=False)
+    )
+    (
+        band_buckets(sig)
+        .write.mode("overwrite")
+        .bucketBy(n_buckets, "band_hash")
+        .sortBy("band_hash")
+        .format("parquet")
+        .saveAsTable(table_name)
+    )
+
+
+def incremental_candidates_against_index(
+    spark: SparkSession, inc_docs: DataFrame, index_table: str
+) -> DataFrame:
+    """Candidate (inc_doc, corpus_doc) pairs: increment bands ⋈ stored index.
+
+    Only the increment side is signed and shuffled; the index side is the
+    bucketed table from :func:`build_band_index`, read in place. Output
+    is candidates only — callers verify with exact Jaccard over a corpus
+    covering both sides (see :func:`incremental_neardup_with_index`).
+    """
+    sig_inc = minhash_signatures(
+        shingles(
+            inc_docs.repartition(F.col("doc_id")), distinct=False, widen=False
+        )
+    )
+    lhs = band_buckets(sig_inc).alias("l")
+    rhs = spark.table(index_table).alias("r")
+    return (
+        lhs.join(rhs, F.col("l.band_hash") == F.col("r.band_hash"))
+        .filter(F.col("l.doc_id") != F.col("r.doc_id"))
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+        )
+        .dropDuplicates()
+    )
+
+
+def incremental_neardup_with_index(
+    spark: SparkSession,
+    inc_docs: DataFrame,
+    all_docs: DataFrame,
+    index_table: str,
+) -> DataFrame:
+    """Verified (inc_doc, corpus_doc) near-dup pairs via the stored index.
+
+    The production recurrence of ``x02_incremental_neardup``: identical
+    output contract, but the corpus is never re-signed — its band index
+    comes from the bucketed table. ``all_docs`` must cover the text of
+    both sides for verification.
+    """
+    inc_ids = inc_docs.select("doc_id").withColumn("__inc", F.lit(True))
+    candidates = incremental_candidates_against_index(
+        spark, inc_docs, index_table
+    )
+    pairs = _verify_jaccard(all_docs, candidates)
+    flagged = (
+        pairs.join(
+            inc_ids.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
+                "__inc", "__a_inc"
+            ),
+            "doc_a",
+            "left",
+        )
+        .join(
+            inc_ids.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+                "__inc", "__b_inc"
+            ),
+            "doc_b",
+            "left",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.coalesce("__a_inc", F.lit(False)).alias("a_inc"),
+            F.coalesce("__b_inc", F.lit(False)).alias("b_inc"),
+        )
+    )
+    return (
+        flagged.filter(F.col("a_inc") != F.col("b_inc"))
+        .select(
+            F.when(F.col("a_inc"), F.col("doc_a"))
+            .otherwise(F.col("doc_b"))
+            .alias("inc_doc"),
+            F.when(F.col("a_inc"), F.col("doc_b"))
+            .otherwise(F.col("doc_a"))
+            .alias("corpus_doc"),
+        )
+    )
+
+
 @register(
     "x02_dedup_clusters",
     oracle="""
