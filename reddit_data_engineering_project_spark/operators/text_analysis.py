@@ -405,6 +405,59 @@ def x04_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x04_quality_percentile_gate",
+    oracle="""
+    WITH thr AS (
+        SELECT source, quantile_cont(n_chars, 0.25) AS q25
+        FROM documents GROUP BY source
+    )
+    SELECT d.doc_id, d.source, d.n_chars, thr.q25 AS q25_chars
+    FROM documents d JOIN thr USING (source)
+    WHERE d.n_chars >= thr.q25
+    """,
+    tags=("text", "X4", "quality", "adaptive"),
+)
+def x04_quality_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4f': ADAPTIVE quality gate — per-source percentile threshold.
+
+    Fixed thresholds (``x04_quality_filter``) mis-cut heterogeneous
+    corpora: a length floor tuned for web text deletes half of a
+    short-form source. The adaptive form computes the cutoff per source
+    from the data itself — here "drop each source's bottom quartile by
+    length" — which is how production curation actually sets thresholds
+    (per-source/per-language quantiles, re-derived on every corpus
+    build).
+
+    Cross-engine determinism: Spark's exact ``percentile`` and DuckDB's
+    ``quantile_cont`` both linearly interpolate at rank p·(n−1), and the
+    inputs are INTEGERS at quartile points — the interpolated value is
+    k + f with f ∈ {0, .25, .5, .75}, exactly representable, so the two
+    engines produce bit-identical thresholds and the gate comparison
+    can never straddle an ulp.
+
+    Scale shape: one map-side-combined aggregate to |sources| rows, the
+    thresholds broadcast back onto the corpus scan, and the gate is a
+    codegen comparison — the corpus itself never shuffles (same shape as
+    ``x04_mixing_rebalance``). At 100 TB swap the exact percentile for
+    ``approx_percentile`` (mergeable sketch) without touching the join.
+    """
+    docs = table(spark, sf_dir, "documents")
+    thr = docs.groupBy("source").agg(
+        F.percentile(F.col("n_chars"), F.lit(0.25)).alias("q25")
+    )
+    return (
+        docs.join(F.broadcast(thr), "source")
+        .filter(F.col("n_chars") >= F.col("q25"))
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.col("q25").alias("q25_chars"),
+        )
+    )
+
+
+@register(
     "x04_token_count",
     oracle="""
     WITH t AS (

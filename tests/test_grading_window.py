@@ -103,7 +103,9 @@ def test_every_family_has_driver_evidence():
 # entire 21-entry round-3 queue into the graded window, so the queue is
 # currently empty; any NEW registration this round must either enter
 # GRADING_PRIORITY or be added here.
-QUEUED_FOR_NEXT_WINDOW: set[str] = set()
+QUEUED_FOR_NEXT_WINDOW: set[str] = {
+    "x04_quality_percentile_gate",  # round-6 addition: adaptive gate
+}
 
 
 def test_previously_ungraded_entries_are_all_in_window():
