@@ -32,7 +32,7 @@ from __future__ import annotations
 
 import random
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from ..functions.numeric import dround
 from ..registry import register
@@ -876,3 +876,88 @@ def x02_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "pipeline_split_leakage_audit",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(w[gs.i:gs.i+3], '_') AS shingle
+        FROM toks CROSS JOIN LATERAL (
+            SELECT unnest(range(1, greatest(len(w) - 2, 2))) AS i
+        ) gs
+    ),
+    counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    verified AS (
+        SELECT doc_a, doc_b
+        FROM pairs
+        JOIN counts ca ON doc_a = ca.doc_id
+        JOIN counts cb ON doc_b = cb.doc_id
+        WHERE inter::DOUBLE / (ca.n + cb.n - inter) >= 0.6
+    ),
+    labeled AS (
+        SELECT doc_a, doc_b,
+               CASE WHEN ((doc_a % 1000000007) * 2654435761)
+                         % 1000000007 % 100 < 80 THEN 'train'
+                    WHEN ((doc_a % 1000000007) * 2654435761)
+                         % 1000000007 % 100 < 90 THEN 'val'
+                    ELSE 'test' END AS split_a,
+               CASE WHEN ((doc_b % 1000000007) * 2654435761)
+                         % 1000000007 % 100 < 80 THEN 'train'
+                    WHEN ((doc_b % 1000000007) * 2654435761)
+                         % 1000000007 % 100 < 90 THEN 'val'
+                    ELSE 'test' END AS split_b
+        FROM verified
+    )
+    SELECT doc_a, doc_b, split_a, split_b
+    FROM labeled
+    WHERE split_a <> split_b
+    """,
+    tags=("pipeline", "X2", "X4", "leakage", "composition"),
+)
+def pipeline_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-leakage audit: near-dup pairs that straddle train/val/test.
+
+    The eval-integrity check a training pipeline must run AFTER splitting:
+    a hash split is uniform over doc_ids, so two near-duplicate documents
+    routinely land in different splits — and a val/test doc with a train
+    near-twin silently inflates eval scores. This entry composes the
+    verified MinHash-LSH pair set (``x02_minhash_lsh_neardup``) with the
+    deterministic split assignment (``x04_dataset_split``'s Knuth
+    multiplicative hash) and reports every cross-split pair — the docs to
+    re-home (move the whole dedup cluster into one split) or drop before
+    training.
+
+    Split membership is pure integer arithmetic on doc_id, so NO join
+    against a split table is needed on either engine — the audit costs
+    one projection over the (tiny) verified-pair set on top of the LSH
+    pipeline it reuses. At 100 TB the pair set is the already-amortized
+    dedup artifact; the audit itself is a free scan over it.
+    """
+    from .curation import _SPLIT_MULT, _SPLIT_PRIME
+
+    def split_of(c: Column) -> Column:
+        bucket = ((c % _SPLIT_PRIME) * _SPLIT_MULT) % _SPLIT_PRIME % 100
+        return (
+            F.when(bucket < 80, "train")
+            .when(bucket < 90, "val")
+            .otherwise("test")
+        )
+
+    pairs = minhash_verified_pairs(spark, sf_dir)
+    labeled = pairs.select(
+        "doc_a",
+        "doc_b",
+        split_of(F.col("doc_a")).alias("split_a"),
+        split_of(F.col("doc_b")).alias("split_b"),
+    )
+    return labeled.filter(F.col("split_a") != F.col("split_b"))

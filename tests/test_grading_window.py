@@ -100,11 +100,11 @@ def test_every_family_has_driver_evidence():
 # the next window rotation (they hold check_oracle + pytest coverage
 # meanwhile). Adding a name here is the explicit act the guard demands —
 # silent additions fail the test below. The round-6 rotation moved the
-# entire 21-entry round-3 queue into the graded window, so the queue is
-# currently empty; any NEW registration this round must either enter
-# GRADING_PRIORITY or be added here.
+# entire 21-entry round-3 queue into the graded window; the entries
+# below are round-6 NEW registrations awaiting the round-7 rotation.
 QUEUED_FOR_NEXT_WINDOW: set[str] = {
     "x04_quality_percentile_gate",  # round-6 addition: adaptive gate
+    "pipeline_split_leakage_audit",  # round-6 addition: eval integrity
 }
 
 
