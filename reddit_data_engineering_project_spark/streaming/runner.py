@@ -238,3 +238,65 @@ def run_session_stream(
         .start()
         .awaitTermination()
     )
+
+
+def run_dedup_index_stream(
+    spark: SparkSession,
+    source_dir: str,
+    index_table: str,
+    docs: DataFrame,
+    sink_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """Streaming increment ⋈ persisted band index → flagged near-dups.
+
+    The live form of incremental near-dup (``x02_incremental_neardup`` /
+    ``dedup.incremental_neardup_with_index``): document micro-batches
+    arrive as parquet files, each batch is shingled + MinHash-signed +
+    banded INSIDE ``foreachBatch`` (signature aggregation needs a batch
+    boundary, which foreachBatch provides — the stream itself stays
+    unaggregated), joined against the stored bucketed band index, and the
+    exact-Jaccard-verified (inc_doc, corpus_doc) pairs land in a
+    per-batch idempotent sink.
+
+    Scale shape: per micro-batch work ∝ |batch| + |collisions| — the
+    corpus index is read in place (bucketed by band_hash, no index-side
+    shuffle; ``tests/test_band_index.py`` pins that plan) and the batch
+    side is bounded by trigger sizing. This is the always-on ingest gate
+    a 100 TB lake runs: new crawl files stream in, near-dups of the
+    resident corpus are flagged before they enter the lake.
+
+    ``docs`` must cover the TEXT of the indexed corpus (verification
+    re-shingles candidates); batch text comes from the batch itself.
+    """
+    ensure_session_confs(spark)
+    from ..operators.dedup import incremental_neardup_with_index
+
+    schema = spark.read.parquet(source_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+    )
+
+    def flag_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        pairs = incremental_neardup_with_index(
+            spark,
+            batch_df,
+            docs.unionByName(batch_df),
+            index_table,
+        )
+        pairs.write.mode("overwrite").parquet(
+            os.path.join(sink_dir, f"batch={batch_id}")
+        )
+
+    (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(flag_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
