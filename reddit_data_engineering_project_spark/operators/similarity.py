@@ -253,19 +253,94 @@ def x03_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "x03_ivf_topk",
-    tags=("similarity", "X3", "ivf", "rows-only"),
+    oracle="""
+    WITH v AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+        FROM embeddings
+    ),
+    dims AS (
+        SELECT label, gs.i AS dim, e[gs.i + 1] AS val
+        FROM v CROSS JOIN LATERAL (SELECT unnest(range(0, 64)) AS i) gs
+    ),
+    cent_dims AS (
+        SELECT label, dim, quantile_cont(val, 0.5) AS m
+        FROM dims GROUP BY 1, 2
+    ),
+    centroids AS (
+        SELECT label AS centroid_id, list(m ORDER BY dim) AS c
+        FROM cent_dims GROUP BY label
+    ),
+    assigned AS (
+        SELECT vec_id, e, centroid_id
+        FROM (
+            SELECT v.vec_id, v.e, ct.centroid_id,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY list_dot_product(ct.c, ct.c)
+                                - 2 * list_dot_product(v.e, ct.c) ASC,
+                                ct.centroid_id ASC
+                   ) AS rn
+            FROM v CROSS JOIN centroids ct
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT vec_id AS query_id, e AS qe, centroid_id
+        FROM (
+            SELECT v.vec_id, v.e, ct.centroid_id,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY list_dot_product(ct.c, ct.c)
+                                - 2 * list_dot_product(v.e, ct.c) ASC,
+                                ct.centroid_id ASC
+                   ) AS rn
+            FROM v CROSS JOIN centroids ct
+            WHERE v.vec_id < 5
+        ) WHERE rn <= 2
+    ),
+    scored AS (
+        SELECT
+            p.query_id,
+            a.vec_id AS neighbor_id,
+            list_dot_product(p.qe, a.e)
+                / (sqrt(list_dot_product(p.qe, p.qe))
+                   * sqrt(list_dot_product(a.e, a.e))) AS cos
+        FROM assigned a JOIN probes p USING (centroid_id)
+        WHERE a.vec_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, rank,
+           round(cos * 1000000.0) / 1000000.0 + 0.0 AS cosine_sim
+    FROM (
+        SELECT query_id, neighbor_id, cos,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC
+               ) AS rank
+        FROM scored
+    )
+    WHERE rank <= 10
+    """,
+    tags=("similarity", "X3", "ivf"),
 )
 def x03_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3d: IVF-style probed search — centroid assignment bounds candidates.
 
-    The inverted-file index pattern end-to-end: build coarse centroids
-    (here the per-label means — the supervised stand-in for a k-means
-    pass), assign every corpus vector to its nearest centroid, then
-    answer each query by probing only the lists of its nProbe = 2
-    nearest centroids. The candidate join is equi on centroid id, so the
-    work per query is |corpus| · nProbe / n_centroids instead of
-    |corpus|. Rows-only check (assignment ties are float-order sensitive
-    across engines); the brute-force twin is the exact baseline.
+    The inverted-file index pattern end-to-end: build coarse centroids,
+    assign every corpus vector to its nearest centroid, then answer each
+    query by probing only the lists of its nProbe = 2 nearest centroids.
+    The candidate join is equi on centroid id, so the work per query is
+    |corpus| · nProbe / n_centroids instead of |corpus|.
+
+    Oracle-checked (upgraded from rows-only) via two determinism moves:
+
+    * centroids are per-label element-wise MEDIANS (a k-medians coarse
+      quantizer), not means — exact ``percentile`` is sort-based, so it
+      is partition-order-INsensitive and both engines interpolate
+      ``lower + (higher-lower)·frac`` over identical doubles, giving
+      bit-identical centroids (a distributed mean's summation order
+      varies run to run, which is why the old form was rows-only);
+    * nearest-centroid ranking uses ``dot(c,c) − 2·dot(e,c)`` — the
+      same ``list_dot_product``/sequential-fold form the brute-force
+      twin already pins bit-identically — instead of a ``(x−y)²`` fold
+      the two engines would evaluate through different expression trees.
 
     Honesty note on this corpus: the synthetic embeddings are near-
     uniform (max organic pairwise cosine 0.51, no cluster structure), so
@@ -278,11 +353,11 @@ def x03_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = ensure_min_parallelism(table(spark, sf_dir, "embeddings")).select(
         "vec_id", "label", _vec_double("embedding").alias("e")
     )
-    # Coarse quantizer: per-label centroid (see x03_pairwise_label_centroids).
+    # Coarse quantizer: per-label element-wise median (k-medians).
     by_dim = (
         emb.select("label", F.posexplode("e").alias("dim", "val"))
         .groupBy("label", "dim")
-        .agg(F.avg("val").alias("m"))
+        .agg(F.percentile(F.col("val"), F.lit(0.5)).alias("m"))
     )
     centroids = (
         by_dim.groupBy("label")
@@ -299,12 +374,9 @@ def x03_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("c"),
         )
     )
-    # Assign corpus vectors to their nearest centroid (broadcast 10 rows).
-    dist = F.aggregate(
-        F.zip_with(F.col("e"), F.col("c"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+    # Nearest-centroid proxy distance: dot(c,c) - 2*dot(e,c), the
+    # engine-portable form (see docstring). Broadcast 10 centroid rows.
+    dist = _dot(F.col("c"), F.col("c")) - 2.0 * _dot(F.col("e"), F.col("c"))
     assigned = (
         emb.crossJoin(F.broadcast(centroids))
         .select("vec_id", "e", "centroid_id", dist.alias("d2"))
