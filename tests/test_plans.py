@@ -134,3 +134,33 @@ def test_runtime_bloom_filter_reaches_fact_side(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_percentile_gate_broadcasts_thresholds(spark):
+    # The per-source threshold relation is |sources| rows: it must ride
+    # in as a broadcast so the corpus scan never shuffles.
+    plan = _plan(spark, "x04_quality_percentile_gate")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_ivf_centroids_broadcast_both_probe_joins(spark):
+    # Centroids (10 rows) broadcast into BOTH the corpus assignment and
+    # the query probe; the candidate join broadcasts the probe rows.
+    plan = _plan(spark, "x03_ivf_topk")
+    assert plan.count("BroadcastNestedLoopJoin") + plan.count(
+        "BroadcastHashJoin"
+    ) >= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_split_leakage_audit_adds_no_join_for_split(spark):
+    # Split membership is integer arithmetic on doc_id: the audit's plan
+    # must contain exactly the LSH pipeline's joins (shingle self-join +
+    # two count joins in verification), no split-table join on top.
+    import re
+
+    plan = _plan(spark, "pipeline_split_leakage_audit")
+    base = _plan(spark, "x02_minhash_lsh_neardup")
+    n_joins = lambda p: len(re.findall(r"\(\d+\) \w*Join", p))
+    assert n_joins(plan) == n_joins(base)
