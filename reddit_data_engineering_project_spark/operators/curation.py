@@ -856,3 +856,97 @@ def x04_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_chars") < 16).cast("bigint")
         ).alias("n_too_short"),
     )
+
+
+@register(
+    "x04_data_quality_report",
+    oracle="""
+    WITH ev AS (
+        SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+               event_type, value, props
+        FROM events
+    ),
+    scan AS (
+        SELECT
+            count(*) AS n_rows,
+            CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS null_event_id,
+            CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS null_ts,
+            CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS null_value,
+            CAST(sum(CASE WHEN value < 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS negative_value,
+            CAST(sum(CASE WHEN ts < TIMESTAMP '2000-01-01'
+                           OR ts >= TIMESTAMP '2100-01-01'
+                          THEN 1 ELSE 0 END) AS BIGINT) AS ts_out_of_range,
+            CAST(sum(CASE WHEN event_type NOT IN
+                          ('click','view','purchase','signup','share')
+                          THEN 1 ELSE 0 END) AS BIGINT) AS unknown_event_type,
+            count(*) - count(DISTINCT event_id) AS duplicate_event_ids
+        FROM ev
+    ),
+    orphans AS (
+        SELECT CAST(count(*) AS BIGINT) AS orphan_user_rows
+        FROM ev WHERE user_id NOT IN (SELECT c_custkey FROM customer)
+    )
+    SELECT
+        n_rows, null_event_id, null_ts, null_value, negative_value,
+        ts_out_of_range, unknown_event_type, duplicate_event_ids,
+        orphan_user_rows
+    FROM scan, orphans
+    """,
+    tags=("text", "X4", "quality", "constraints"),
+)
+def x04_data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: one-pass constraint audit (the deequ/dbt-test role).
+
+    The acceptance gate a production lake runs on every ingest batch:
+    completeness (null counts on contract columns), domain validity
+    (value range, timestamp sanity window, event-type enum), uniqueness
+    (duplicate key count), and referential integrity (event rows whose
+    user_id has no dimension row). All row-level constraints fold into
+    ONE conditional aggregate over a single scan — adding a constraint
+    is one more aggregate expression, not another pass — and the
+    referential check is a broadcast left-anti count against the
+    dimension.
+
+    Scale shape: one scan + one broadcast anti-join; output is a 1-row
+    report, so shuffled bytes are the aggregation's partials only. At
+    100 TB the same plan holds with the dim side broadcast; a too-big
+    dim falls back to the bloom-filter path ``tests/test_plans.py`` pins
+    for shuffle joins.
+    """
+    ev = table(spark, sf_dir, "events")
+    dim = table(spark, sf_dir, "customer").select("c_custkey")
+    known = ("click", "view", "purchase", "signup", "share")
+    lo = F.lit("2000-01-01").cast("timestamp")
+    hi = F.lit("2100-01-01").cast("timestamp")
+    scan = ev.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("event_id").isNull().cast("bigint")).alias(
+            "null_event_id"
+        ),
+        F.sum(F.col("ts").isNull().cast("bigint")).alias("null_ts"),
+        F.sum(F.col("value").isNull().cast("bigint")).alias("null_value"),
+        F.sum((F.col("value") < 0).cast("bigint")).alias("negative_value"),
+        F.sum(
+            ((F.col("ts") < lo) | (F.col("ts") >= hi)).cast("bigint")
+        ).alias("ts_out_of_range"),
+        F.sum((~F.col("event_type").isin(*known)).cast("bigint")).alias(
+            "unknown_event_type"
+        ),
+        (F.count("*") - F.countDistinct("event_id")).alias(
+            "duplicate_event_ids"
+        ),
+    )
+    orphans = (
+        ev.select("user_id")
+        .join(
+            F.broadcast(dim),
+            ev.user_id == dim.c_custkey,
+            "left_anti",
+        )
+        .agg(F.count("*").alias("orphan_user_rows"))
+    )
+    return scan.crossJoin(orphans)
