@@ -152,3 +152,20 @@ def q18_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.sum("value")).alias("total_value"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+def read_evolving_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Read a parquet directory whose files span schema versions.
+
+    The additive-evolution contract a long-lived lake needs: files
+    written before a column existed coexist with files that carry it.
+    ``mergeSchema`` unions every footer's schema (an O(|files|) metadata
+    operation at planning time — at 100 TB pin the canonical schema in a
+    catalog instead and pass it explicitly; the read semantics below are
+    identical) and back-fills the missing columns with NULL, so readers
+    see one stable wide schema regardless of file vintage.
+    ``tests/test_schema_evolution.py`` pins the union, the NULL
+    back-fill, and that predicate pushdown on common columns still
+    reaches every file.
+    """
+    return spark.read.option("mergeSchema", True).parquet(path)
