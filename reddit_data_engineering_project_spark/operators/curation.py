@@ -875,6 +875,8 @@ def x04_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                  AS BIGINT) AS null_ts,
             CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)
                  AS BIGINT) AS null_value,
+            CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS null_user_id,
             CAST(sum(CASE WHEN value < 0 THEN 1 ELSE 0 END)
                  AS BIGINT) AS negative_value,
             CAST(sum(CASE WHEN ts < TIMESTAMP '2000-01-01'
@@ -887,13 +889,19 @@ def x04_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM ev
     ),
     orphans AS (
+        -- user_id IS NOT NULL guard: NOT IN returns NULL (drops the row)
+        -- for NULL probes while Spark's left-anti keeps them; pinning
+        -- the same explicit semantics on both engines keeps a future
+        -- corpus regeneration with NULL user_ids from silently
+        -- diverging. NULL user_ids are already counted by null checks.
         SELECT CAST(count(*) AS BIGINT) AS orphan_user_rows
-        FROM ev WHERE user_id NOT IN (SELECT c_custkey FROM customer)
+        FROM ev WHERE user_id IS NOT NULL
+          AND user_id NOT IN (SELECT c_custkey FROM customer)
     )
     SELECT
-        n_rows, null_event_id, null_ts, null_value, negative_value,
-        ts_out_of_range, unknown_event_type, duplicate_event_ids,
-        orphan_user_rows
+        n_rows, null_event_id, null_ts, null_value, null_user_id,
+        negative_value, ts_out_of_range, unknown_event_type,
+        duplicate_event_ids, orphan_user_rows
     FROM scan, orphans
     """,
     tags=("text", "X4", "quality", "constraints"),
@@ -929,6 +937,9 @@ def x04_data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.sum(F.col("ts").isNull().cast("bigint")).alias("null_ts"),
         F.sum(F.col("value").isNull().cast("bigint")).alias("null_value"),
+        F.sum(F.col("user_id").isNull().cast("bigint")).alias(
+            "null_user_id"
+        ),
         F.sum((F.col("value") < 0).cast("bigint")).alias("negative_value"),
         F.sum(
             ((F.col("ts") < lo) | (F.col("ts") >= hi)).cast("bigint")
@@ -942,6 +953,7 @@ def x04_data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     orphans = (
         ev.select("user_id")
+        .filter(F.col("user_id").isNotNull())
         .join(
             F.broadcast(dim),
             ev.user_id == dim.c_custkey,
