@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..functions.numeric import dround
 from ..registry import register
 from ..tables import table
 
@@ -153,4 +154,72 @@ def q21_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("prev_type").isNotNull())
         .groupBy("prev_type", F.col("event_type").alias("next_type"))
         .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "q21_dau_wau_stickiness",
+    oracle="""
+    WITH ud AS (
+        SELECT DISTINCT user_id,
+               CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+        FROM events
+    ),
+    dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY day),
+    contrib AS (
+        SELECT DISTINCT user_id, day + gs.i::INTEGER AS day
+        FROM ud CROSS JOIN LATERAL (SELECT unnest(range(0, 7)) AS i) gs
+    ),
+    wau AS (SELECT day, count(*) AS wau FROM contrib GROUP BY day)
+    SELECT d.day, d.dau, w.wau,
+           round((d.dau::DOUBLE / w.wau) * 10000.0) / 10000.0 + 0.0
+               AS stickiness
+    FROM dau d JOIN wau w USING (day)
+    """,
+    tags=("product", "Q21", "growth"),
+)
+def q21_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21d: growth accounting — DAU, trailing-7-day WAU, stickiness.
+
+    The standard engagement triple. The WAU formulation matters at
+    scale: a naive "count distinct users over a 7-day range window" is a
+    per-day self-join (7× the fact scan, or an unbounded-state window).
+    Instead each (user, day) activity row CONTRIBUTES to the 7 window
+    ends it can influence (day .. day+6) via a `sequence` explode, and
+    WAU(d) is a plain distinct-count of contributors at day d — the
+    standard fan-out-then-aggregate rewrite that turns a sliding
+    distinct window into two hash shuffles with map-side combine,
+    no self-join, state bounded by |users ∩ window| per day.
+
+    Early days carry partial (shorter) windows; both engines compute the
+    same partial-window values, so the hash pins that semantic too.
+
+    Scale shape: events → (user, day) dedup is one shuffle on a
+    high-cardinality composite; the 7× explode happens AFTER dedup (7
+    rows per user-day, not per event); both day-keyed aggregates have
+    |days| groups with map-side combine. Stickiness is a final
+    1-row-per-day arithmetic projection.
+    """
+    ev = table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).dropDuplicates(["user_id", "day"])
+    dau = ud.groupBy("day").agg(F.count("*").alias("dau"))
+    contrib = (
+        ud.select(
+            "user_id",
+            F.explode(
+                F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+            ).alias("day"),
+        )
+        .dropDuplicates(["user_id", "day"])
+    )
+    wau = contrib.groupBy("day").agg(F.count("*").alias("wau"))
+    return dau.join(wau, "day").select(
+        "day",
+        "dau",
+        "wau",
+        dround(F.col("dau").cast("double") / F.col("wau"), 4).alias(
+            "stickiness"
+        ),
     )

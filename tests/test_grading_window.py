@@ -106,6 +106,7 @@ QUEUED_FOR_NEXT_WINDOW: set[str] = {
     "x04_quality_percentile_gate",  # round-6 addition: adaptive gate
     "pipeline_split_leakage_audit",  # round-6 addition: eval integrity
     "x04_data_quality_report",  # round-6 addition: constraint audit
+    "q21_dau_wau_stickiness",  # round-6 addition: growth accounting
 }
 
 
