@@ -109,12 +109,23 @@ def register(
 # Rotated out: families with green r05 rows on the current corpus
 # (q01 parquet scan, q07, q09, q10 star, q13 top-n/rank/share, q14, q15,
 # q17 array/explode/corrupt, q20 udtf/arrow, pipeline_posts_clean_wire,
-# x01, x02 minhash, x03 brute-force, 9 x04 entries). Next rotation:
-# old-corpus-only leftovers (q01 csv/json scans, q07_percentiles,
-# q08 approx/pairs, q09 cube/pivot/rollup, q10 join battery variants,
-# q11_range_join_bands, q12 unions/intersect, q17_adhoc_sql_correlated,
-# q21 transitions/funnel, x01_dedup_exact_key, x02 clusters/embedding/
-# jaccard, x03_pairwise_label_centroids, x04_doc_stats).
+# x01, x02 minhash, x03 brute-force, 9 x04 entries).
+#
+# ROUND-7 ROTATION PLAN (execute once CORRECTNESS_r06 lands green):
+#   (a) the round-6 new registrations queued in
+#       tests/test_grading_window.py::QUEUED_FOR_NEXT_WINDOW
+#       (x04_quality_percentile_gate, pipeline_split_leakage_audit,
+#       x04_data_quality_report, q21_dau_wau_stickiness) and the two
+#       rows-only-to-oracle upgrades needing fresh hash evidence
+#       (x03_ann_lsh_bucketed, x03_ivf_topk);
+#   (b) old-corpus-only leftovers whose last evidence is r02/r03
+#       (q01 csv/json scans, q07_percentiles, q08 approx/pairs,
+#       q09 cube/pivot/rollup, q10 join battery variants,
+#       q11_range_join_bands, q12 unions/intersect,
+#       q17_adhoc_sql_correlated, q21 transitions/funnel,
+#       x01_dedup_exact_key, x02 clusters/embedding/jaccard,
+#       x03_pairwise_label_centroids, x04_doc_stats);
+#   (c) keep ≥1 green r06 representative per family for continuity.
 GRADING_PRIORITY: tuple[str, ...] = (
     # (a) the 21-entry queued rotation payload
     "x04_sequence_packing",
