@@ -44,6 +44,27 @@ _CHUNK_SIZE = 64
 _CHUNK_STRIDE = 48
 
 
+def split_bucket(col):
+    """Knuth multiplicative hash bucket 0-99 for the train/val/test split.
+
+    THE split definition — every Spark-side consumer (dataset split,
+    curation pipeline, leakage audit) must use this helper so a ratio or
+    hash change can never leave one copy stale. The oracle-SQL spellings
+    embed the same constants from _SPLIT_PRIME/_SPLIT_MULT.
+    """
+    return ((col % _SPLIT_PRIME) * _SPLIT_MULT) % _SPLIT_PRIME % 100
+
+
+def split_of(col):
+    """80/10/10 train/val/test label for :func:`split_bucket`."""
+    bucket = split_bucket(col)
+    return (
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "val")
+        .otherwise("test")
+    )
+
+
 @register(
     "x04_repetition_metrics",
     oracle="""
@@ -279,17 +300,12 @@ def x04_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``WHERE split = 'train'`` scans.
     """
     docs = table(spark, sf_dir, "documents")
-    bucket = (
-        (F.col("doc_id") % _SPLIT_PRIME) * _SPLIT_MULT
-    ) % _SPLIT_PRIME % 100
+    bucket = split_bucket(F.col("doc_id"))
     return docs.select(
         "doc_id",
         "lang",
         bucket.alias("bucket"),
-        F.when(bucket < 80, "train")
-        .when(bucket < 90, "val")
-        .otherwise("test")
-        .alias("split"),
+        split_of(F.col("doc_id")).alias("split"),
     )
 
 
@@ -496,9 +512,7 @@ def curate(docs: DataFrame) -> DataFrame:
         _IP_RE,
         "<IP>",
     )
-    bucket = (
-        (F.col("doc_id") % _SPLIT_PRIME) * _SPLIT_MULT
-    ) % _SPLIT_PRIME % 100
+    bucket = split_bucket(F.col("doc_id"))
     staged = aug.select(
         "doc_id",
         "rep_frac",

@@ -32,7 +32,7 @@ from __future__ import annotations
 
 import random
 
-from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions.numeric import dround
 from ..registry import register
@@ -943,15 +943,7 @@ def pipeline_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline it reuses. At 100 TB the pair set is the already-amortized
     dedup artifact; the audit itself is a free scan over it.
     """
-    from .curation import _SPLIT_MULT, _SPLIT_PRIME
-
-    def split_of(c: Column) -> Column:
-        bucket = ((c % _SPLIT_PRIME) * _SPLIT_MULT) % _SPLIT_PRIME % 100
-        return (
-            F.when(bucket < 80, "train")
-            .when(bucket < 90, "val")
-            .otherwise("test")
-        )
+    from .curation import split_of
 
     pairs = minhash_verified_pairs(spark, sf_dir)
     labeled = pairs.select(

@@ -333,10 +333,14 @@ def x03_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     * centroids are per-label element-wise MEDIANS (a k-medians coarse
       quantizer), not means — exact ``percentile`` is sort-based, so it
-      is partition-order-INsensitive and both engines interpolate
-      ``lower + (higher-lower)·frac`` over identical doubles, giving
-      bit-identical centroids (a distributed mean's summation order
-      varies run to run, which is why the old form was rows-only);
+      is partition-order-INsensitive, and the two engines' median
+      interpolations are bit-identical over identical doubles
+      (empirically verified: DuckDB's ``quantile_cont`` computes the
+      SYMMETRIC ``lo·(1−f)+hi·f`` form, which at f=0.5 matches Spark;
+      do NOT hand-derive ``lower + (higher−lower)·frac`` in a future
+      oracle — the two algebraic forms differ in the last ulp on ~22%
+      of random doubles). A distributed mean's summation order varies
+      run to run, which is why the old form was rows-only;
     * nearest-centroid ranking uses ``dot(c,c) − 2·dot(e,c)`` — the
       same ``list_dot_product``/sequential-fold form the brute-force
       twin already pins bit-identically — instead of a ``(x−y)²`` fold

@@ -431,9 +431,12 @@ def x04_quality_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     Cross-engine determinism: Spark's exact ``percentile`` and DuckDB's
     ``quantile_cont`` both linearly interpolate at rank p·(n−1), and the
     inputs are INTEGERS at quartile points — the interpolated value is
-    k + f with f ∈ {0, .25, .5, .75}, exactly representable, so the two
-    engines produce bit-identical thresholds and the gate comparison
-    can never straddle an ulp.
+    k + f with f ∈ {0, .25, .5, .75}, exactly representable, so BOTH
+    interpolation spellings (symmetric ``lo·(1−f)+hi·f``, which DuckDB
+    uses, and ``lo + (hi−lo)·f``) are exact here and the gate
+    comparison can never straddle an ulp. For non-integer inputs the
+    two spellings differ in the last ulp — see ``x03_ivf_topk``'s
+    docstring before writing a new percentile oracle.
 
     Scale shape: one map-side-combined aggregate to |sources| rows, the
     thresholds broadcast back onto the corpus scan, and the gate is a

@@ -268,6 +268,19 @@ def run_dedup_index_stream(
 
     ``docs`` must cover the TEXT of the indexed corpus (verification
     re-shingles candidates); batch text comes from the batch itself.
+
+    Recall scope: verification's all-pairs "free recall" (see
+    ``_verify_jaccard``) is per micro-batch here. A near-threshold pair
+    that misses every band DIRECTLY (≈2.8% at exactly J=0.6 with 8×2
+    banding) is recovered by the one-shot batch path only when both
+    docs enter the candidate pool via other partners; if those partners
+    land in different micro-batches the streamed union misses it. The
+    planted corpus' pairs sit at J≥0.8 (direct-collision recall
+    0.9997+), so ``tests/test_stream_dedup_index.py`` can assert exact
+    parity with the batch path; a future corpus with organic pairs just
+    above threshold would make the streamed set a strict subset — the
+    correct relaxation then is subset + direct-collision coverage, not
+    weakening the batch oracle.
     """
     ensure_session_confs(spark)
     from ..operators.dedup import incremental_neardup_with_index
@@ -291,6 +304,14 @@ def run_dedup_index_stream(
         pairs.write.mode("overwrite").parquet(
             os.path.join(sink_dir, f"batch={batch_id}")
         )
+        # Verification persists candidate intermediates for its three
+        # plan branches (_verify_jaccard); in an always-on stream those
+        # would accumulate one pair per micro-batch in the session
+        # CacheManager and degrade later batches (the measured ~10x
+        # cache-pressure inflation documented in _verify_jaccard).
+        # This runner owns its session between batches, so a full clear
+        # is the reliable scope.
+        spark.catalog.clearCache()
 
     (
         stream.writeStream.outputMode("append")

@@ -19,3 +19,10 @@ def spark():
     spark = get_spark(app_name="pytest", master="local[4]", shuffle_partitions=4)
     yield spark
     spark.stop()
+
+
+def plan_of(spark, df) -> str:
+    """Formatted physical plan of a DataFrame (shared test helper)."""
+    return spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )

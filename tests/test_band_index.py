@@ -30,10 +30,7 @@ from conftest import SF_DIR
 load_all_operators()
 
 
-def _plan(spark, df) -> str:
-    return spark._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), "formatted"
-    )
+from conftest import plan_of as _plan
 
 
 def _split(spark):

@@ -17,10 +17,7 @@ from reddit_data_engineering_project_spark.tables import table
 from conftest import SF_DIR
 
 
-def _plan(spark, df) -> str:
-    return spark._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), "formatted"
-    )
+from conftest import plan_of as _plan
 
 
 def test_bucketed_join_has_no_exchange(spark, tmp_path):

@@ -116,6 +116,7 @@ def test_loader_dtypes_stable(spark, sf_dir, name):
     )
 
 
+@pytest.mark.skipif(not SF_DIRS, reason="no fixture corpus present")
 def test_events_ts_values_sane(spark):
     """ts must decode to plausible wall-clock values, not epoch-garbage."""
     import pyspark.sql.functions as F

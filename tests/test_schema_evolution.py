@@ -20,10 +20,7 @@ from reddit_data_engineering_project_spark.tables import table
 from conftest import SF_DIR
 
 
-def _plan(spark, df) -> str:
-    return spark._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), "formatted"
-    )
+from conftest import plan_of as _plan
 
 
 def test_merged_read_unifies_versions(spark, tmp_path: pathlib.Path):
