@@ -1,0 +1,131 @@
+"""One-command pre-flight: every driver surface, one PASS/FAIL summary.
+
+Runs, in order:
+  1. corpus canary        — loader dtypes at every SF present (catches a
+                            driver fixture regeneration immediately);
+  2. entry smoke          — ``entry(spark)`` returns rows;
+  3. graded-window oracle — the first ``GRADED_WINDOW`` registry entries
+                            vs DuckDB at sf0.01 (the driver's exact gate);
+  4. bench parse          — ``bench.py`` at sf0.001 emits one JSON line.
+
+Exit code 0 only if every stage passes. Use before ending a round:
+
+    python tools/preflight.py [--full]     # --full: all entries, not 50
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tools"))
+
+
+def stage(name: str, fn) -> tuple[str, bool, str]:
+    t0 = time.time()
+    try:
+        detail = fn() or ""
+        return name, True, f"{detail} [{time.time()-t0:.1f}s]"
+    except Exception as exc:  # noqa: BLE001 — report, don't crash the sweep
+        return name, False, f"{type(exc).__name__}: {exc}"[:300]
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--full", action="store_true", help="check all entries")
+    args = ap.parse_args()
+
+    results: list[tuple[str, bool, str]] = []
+
+    def canary():
+        out = subprocess.run(
+            [sys.executable, "-m", "pytest", "tests/test_corpus_canary.py", "-q"],
+            cwd=REPO,
+            capture_output=True,
+            text=True,
+            timeout=600,
+        )
+        if out.returncode != 0:
+            raise RuntimeError(out.stdout.splitlines()[-1] if out.stdout else "canary failed")
+        return out.stdout.strip().splitlines()[-1]
+
+    results.append(stage("corpus-canary", canary))
+
+    def entry_smoke():
+        from reddit_data_engineering_project_spark.session import get_spark
+
+        sys.path.insert(0, REPO)
+        import __spark_entry__ as e
+
+        spark = get_spark(app_name="preflight")
+        n = e.entry(spark).count()
+        if n <= 0:
+            raise RuntimeError(f"entry() returned {n} rows")
+        q, o = e.queries(), e.oracle_sql()
+        return f"{n} rows; {len(q)} queries, {len(o)} oracles"
+
+    results.append(stage("entry-smoke", entry_smoke))
+
+    def oracle_gate():
+        from reddit_data_engineering_project_spark import registry
+
+        registry.load_all_operators()
+        names = (
+            sorted(registry.QUERIES)
+            if args.full
+            else list(registry.GRADING_PRIORITY)
+        )
+        cmd = [
+            sys.executable,
+            "tools/check_oracle.py",
+            "--sf",
+            "/root/testdata/sf0.01",
+        ]
+        if not args.full:
+            cmd += ["--only", ",".join(names)]
+        out = subprocess.run(
+            cmd, cwd=REPO, capture_output=True, text=True, timeout=2400
+        )
+        last = out.stdout.strip().splitlines()[-1] if out.stdout else ""
+        if out.returncode != 0 or " 0 fail" not in last:
+            raise RuntimeError(last or "oracle gate failed")
+        return last
+
+    results.append(stage("oracle-gate", oracle_gate))
+
+    def bench_parse():
+        env = dict(os.environ, SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001")
+        out = subprocess.run(
+            [sys.executable, "bench.py"],
+            cwd=REPO,
+            capture_output=True,
+            text=True,
+            timeout=1200,
+            env=env,
+        )
+        line = out.stdout.strip().splitlines()[-1]
+        d = json.loads(line)
+        for key in ("metric", "value", "unit", "queries", "sf"):
+            if key not in d:
+                raise RuntimeError(f"bench JSON missing key {key!r}")
+        if d.get("failures"):
+            raise RuntimeError(f"bench failures: {d['failures']}")
+        return f"{d['value']}s, {len(d['queries'])} queries"
+
+    results.append(stage("bench-parse", bench_parse))
+
+    ok = all(good for _, good, _ in results)
+    for name, good, detail in results:
+        print(f"{'PASS' if good else 'FAIL':4s}  {name}: {detail}")
+    print("\npreflight:", "PASS" if ok else "FAIL")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
