@@ -29,7 +29,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from pyspark.sql.types import (
     IntegerType,
     LongType,
@@ -344,4 +344,78 @@ def x05_payload_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ensure_min_parallelism(docs).mapInPandas(
         _resize_payloads, schema=_RESIZE_SCHEMA
+    )
+
+
+#: Byte budget per output shard for size-balanced media sharding.
+_SHARD_BYTES = 4096
+
+
+@register(
+    "x05_size_binned_shards",
+    oracle=f"""
+    WITH p AS (
+        SELECT doc_id,
+               source,
+               octet_length(encode(text)) AS n_bytes
+        FROM documents
+    ),
+    w AS (
+        SELECT doc_id, source, n_bytes,
+               sum(n_bytes) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING
+               ) - n_bytes AS start_byte
+        FROM p
+    )
+    SELECT doc_id, source, n_bytes,
+           CAST(floor(start_byte / {_SHARD_BYTES}.0) AS BIGINT) AS shard_id,
+           CAST(start_byte % {_SHARD_BYTES} AS BIGINT) AS shard_offset
+    FROM w
+    """,
+    tags=("multimodal", "X5", "sharding"),
+)
+def x05_size_binned_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5e: size-balanced media sharding — byte-budget bin assignment.
+
+    The multimodal sibling of ``x04_sequence_packing``: media payloads
+    vary orders of magnitude in size, so round-robin or count-based
+    sharding skews output files badly (one shard gets the videos,
+    another the icons). Each payload is assigned (shard_id,
+    shard_offset) by a running BYTE total per source — every output
+    shard holds ~``_SHARD_BYTES`` of payload regardless of how sizes
+    are distributed, which is what keeps downstream readers' tasks
+    uniform.
+
+    Scale shape: sharding is per-SOURCE (the natural media grouping),
+    so the running sum is one hash shuffle + per-source window — the
+    same embarrassingly parallel pattern as sequence packing; shard
+    count scales with data volume automatically (total_bytes / budget),
+    never with a hand-tuned partition count. The byte length comes from
+    ``octet_length`` on the encoded payload — the real binary column's
+    length at zero decode cost.
+    """
+    docs = table(spark, sf_dir, "documents")
+    p = docs.select(
+        "doc_id",
+        "source",
+        F.octet_length(F.encode(F.col("text"), "utf-8")).alias("n_bytes"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = (F.sum("n_bytes").over(w) - F.col("n_bytes")).alias("start_byte")
+    staged = p.select("doc_id", "source", "n_bytes", start)
+    return staged.select(
+        "doc_id",
+        "source",
+        "n_bytes",
+        F.floor(F.col("start_byte") / float(_SHARD_BYTES))
+        .cast("bigint")
+        .alias("shard_id"),
+        (F.col("start_byte") % _SHARD_BYTES).cast("bigint").alias(
+            "shard_offset"
+        ),
     )

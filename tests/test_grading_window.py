@@ -107,6 +107,7 @@ QUEUED_FOR_NEXT_WINDOW: set[str] = {
     "pipeline_split_leakage_audit",  # round-6 addition: eval integrity
     "x04_data_quality_report",  # round-6 addition: constraint audit
     "q21_dau_wau_stickiness",  # round-6 addition: growth accounting
+    "x05_size_binned_shards",  # round-6 addition: media sharding
 }
 
 
