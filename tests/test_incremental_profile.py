@@ -1,0 +1,105 @@
+"""Incremental mergeable-sketch profile: merged == recompute, append-safe.
+
+The 100 TB claim under test: a corpus profile maintained from per-batch
+stats rows must equal the profile recomputed from the whole corpus —
+exact fields exactly, distinct fields at HLL precision (exact at the
+fixture's cardinalities) — and a new batch must update the profile by
+appending rows only.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from reddit_data_engineering_project_spark.operators.profile import (
+    append_batch_profile,
+    batch_profile,
+    merged_profile,
+)
+from reddit_data_engineering_project_spark.tables import table
+
+from conftest import SF_DIR
+
+
+def _exact(docs):
+    return {
+        r["source"]: r
+        for r in docs.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count("text").alias("n_text_nonnull"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.countDistinct("doc_id").alias("n_distinct_ids"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+        .collect()
+    }
+
+
+def test_merged_profile_matches_whole_corpus(spark, tmp_path):
+    wh = os.path.join(str(tmp_path), "wh")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS prof LOCATION '{wh}'")
+    docs = table(spark, SF_DIR, "documents")
+
+    # Three "daily" batches by doc_id residue.
+    for b in range(3):
+        batch = docs.filter(F.col("doc_id") % 3 == b)
+        append_batch_profile(batch_profile(batch, b), "prof.stats")
+
+    got = {r["source"]: r for r in merged_profile(spark, "prof.stats").collect()}
+    want = _exact(docs)
+
+    assert set(got) == set(want)
+    for src, w in want.items():
+        g = got[src]
+        for f in (
+            "n_docs",
+            "n_text_nonnull",
+            "total_chars",
+            "min_chars",
+            "max_chars",
+        ):
+            assert g[f] == w[f], (src, f, g[f], w[f])
+        # HLL at default precision is exact at fixture cardinalities.
+        assert g["n_distinct_ids"] == w["n_distinct_ids"], src
+        assert g["n_langs"] == w["n_langs"], src
+
+
+def test_append_updates_without_rescanning(spark, tmp_path):
+    wh = os.path.join(str(tmp_path), "wh2")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS prof2 LOCATION '{wh}'")
+    docs = table(spark, SF_DIR, "documents")
+    # Range split, not parity: source assignment correlates with doc_id
+    # residues in the fixture, so a parity split would leave some
+    # sources entirely in one batch.
+    mid = docs.agg(F.expr("percentile(doc_id, 0.5)")).first()[0]
+    first = docs.filter(F.col("doc_id") <= mid)
+    second = docs.filter(F.col("doc_id") > mid)
+
+    append_batch_profile(batch_profile(first, 0), "prof2.stats")
+    partial = {
+        r["source"]: r["n_docs"]
+        for r in merged_profile(spark, "prof2.stats").collect()
+    }
+    append_batch_profile(batch_profile(second, 1), "prof2.stats")
+    full = {
+        r["source"]: r["n_docs"]
+        for r in merged_profile(spark, "prof2.stats").collect()
+    }
+
+    whole = _exact(docs)
+    for src, n in full.items():
+        assert n == whole[src]["n_docs"]
+        # A source seen only in the second batch starts absent (0).
+        assert partial.get(src, 0) < n  # the append genuinely added rows
+
+    # The stored stats table stayed tiny: one row per (batch, source)
+    # OBSERVED in that batch.
+    expected_rows = sum(
+        df.select("source").distinct().count() for df in (first, second)
+    )
+    assert spark.table("prof2.stats").count() == expected_rows
