@@ -321,3 +321,76 @@ def run_dedup_index_stream(
         .start()
         .awaitTermination()
     )
+
+
+def run_profile_stream(
+    spark: SparkSession,
+    source_dir: str,
+    stats_table: str,
+    checkpoint_dir: str,
+) -> None:
+    """Streaming statistics maintenance: micro-batch → mergeable stats rows.
+
+    The live form of the incremental profile (``operators/profile.py``):
+    each document micro-batch reduces to |sources| profile rows — exact
+    counts/sums/min-max plus HLL sketches — appended to the stored stats
+    table keyed by the micro-batch id. ``merged_profile`` over that
+    table is then always current without ever rescanning the corpus:
+    statistics maintenance becomes a side effect of ingest, which is the
+    only shape that works when the corpus itself is 100 TB and append-only.
+
+    Idempotency note: ``foreachBatch`` is at-least-once, and a parquet
+    APPEND replayed after a lost checkpoint commit would double-count a
+    batch. Profile rows are therefore keyed by ``batch_id`` and written
+    via dynamic partition overwrite of that batch's partition — the
+    replay rewrites the same rows instead of duplicating them (the same
+    idempotent-sink contract as the other runners, applied to stats).
+    """
+    ensure_session_confs(spark)
+    from ..operators.profile import batch_profile
+
+    schema = spark.read.parquet(source_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+    )
+
+    def profile_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        # foreachBatch hands the batch a CLONED session; confs set on the
+        # outer session mid-stream do not reach it, so the dynamic
+        # partition-overwrite conf must be set on the batch's own
+        # session or the insert silently degrades to a full-table
+        # (static) overwrite that keeps only the last batch.
+        session = batch_df.sparkSession
+        rows = batch_profile(batch_df, int(batch_id))
+        if not session.catalog.tableExists(stats_table):
+            (
+                rows.write.mode("overwrite")
+                .partitionBy("batch_id")
+                .format("parquet")
+                .saveAsTable(stats_table)
+            )
+            return
+        # insertInto is POSITIONAL and a partitioned table stores its
+        # partition column last — reorder to the table's layout, then
+        # dynamic-overwrite so an at-least-once replay rewrites this
+        # batch's partition instead of duplicating it.
+        session.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        )
+        table_cols = session.table(stats_table).columns
+        rows.select(*table_cols).write.mode("overwrite").insertInto(
+            stats_table
+        )
+
+    (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(profile_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
