@@ -108,6 +108,7 @@ QUEUED_FOR_NEXT_WINDOW: set[str] = {
     "x04_data_quality_report",  # round-6 addition: constraint audit
     "q21_dau_wau_stickiness",  # round-6 addition: growth accounting
     "x05_size_binned_shards",  # round-6 addition: media sharding
+    "x02_dedup_keep_best",  # round-6 addition: quality-aware survivor
 }
 
 
