@@ -169,3 +169,42 @@ def read_evolving_parquet(spark: SparkSession, path: str) -> DataFrame:
     reaches every file.
     """
     return spark.read.option("mergeSchema", True).parquet(path)
+
+
+def publish_snapshot(df: DataFrame, root: str) -> str:
+    """Write a new immutable snapshot and atomically publish it.
+
+    The poor-man's table-format commit (the metadata idea behind
+    Delta/Iceberg, reduced to its kernel): data files are written to a
+    fresh versioned directory, then a single pointer file
+    (``root/_CURRENT``) is atomically replaced to reference it. Readers
+    resolve the pointer first, so they always see a COMPLETE snapshot —
+    never a partially-written directory, never a mix of old and new
+    files during compaction or re-publish. Old snapshots stay readable
+    until vacuumed, which is what makes concurrent long-running readers
+    safe.
+
+    At 100 TB the pointer swap is the same one-filesystem-op commit; a
+    real deployment adds a transaction log for multi-writer ordering,
+    but single-writer-many-reader (the ingest-pipeline shape) needs
+    exactly this.
+
+    Returns the published snapshot directory.
+    """
+    import uuid
+
+    snap = os.path.join(root, f"snap-{uuid.uuid4().hex[:12]}")
+    df.write.mode("errorifexists").parquet(snap)
+    pointer = os.path.join(root, "_CURRENT")
+    fd, tmp = tempfile.mkstemp(dir=root, prefix="_CURRENT.")
+    with os.fdopen(fd, "w") as fh:
+        fh.write(snap)
+    os.replace(tmp, pointer)  # atomic on POSIX
+    return snap
+
+
+def read_snapshot(spark: SparkSession, root: str) -> DataFrame:
+    """Read the currently-published snapshot (see :func:`publish_snapshot`)."""
+    with open(os.path.join(root, "_CURRENT")) as fh:
+        snap = fh.read().strip()
+    return spark.read.parquet(snap)
