@@ -208,3 +208,29 @@ def read_snapshot(spark: SparkSession, root: str) -> DataFrame:
     with open(os.path.join(root, "_CURRENT")) as fh:
         snap = fh.read().strip()
     return spark.read.parquet(snap)
+
+
+def vacuum_snapshots(root: str) -> list[str]:
+    """Delete snapshot directories no longer referenced by ``_CURRENT``.
+
+    The retention half of :func:`publish_snapshot`: once no long-running
+    reader can still hold an old pointer (a deployment enforces this
+    with a grace period; here it is the caller's contract), unreferenced
+    ``snap-*`` directories are reclaimable. Never touches the referenced
+    snapshot or the pointer itself. Returns the deleted paths.
+    """
+    import shutil
+
+    with open(os.path.join(root, "_CURRENT")) as fh:
+        current = fh.read().strip()
+    deleted = []
+    for name in os.listdir(root):
+        path = os.path.join(root, name)
+        if (
+            name.startswith("snap-")
+            and os.path.isdir(path)
+            and os.path.abspath(path) != os.path.abspath(current)
+        ):
+            shutil.rmtree(path)
+            deleted.append(path)
+    return deleted

@@ -42,3 +42,23 @@ def test_old_snapshot_survives_republish(spark, tmp_path):
     publish_snapshot(docs, root)
     assert spark.read.parquet(first).count() == 50
     assert read_snapshot(spark, root).count() == docs.count()
+
+
+def test_vacuum_reclaims_only_unreferenced(spark, tmp_path):
+    from reddit_data_engineering_project_spark.operators.sinks import (
+        vacuum_snapshots,
+    )
+
+    root = str(tmp_path / "lake3")
+    os.makedirs(root)
+    docs = table(spark, SF_DIR, "documents").select("doc_id")
+
+    old = publish_snapshot(docs.filter(F.col("doc_id") < 50), root)
+    current = publish_snapshot(docs, root)
+
+    deleted = vacuum_snapshots(root)
+    assert deleted == [old]
+    assert os.path.isdir(current)
+    assert read_snapshot(spark, root).count() == docs.count()
+    # Idempotent: nothing left to reclaim.
+    assert vacuum_snapshots(root) == []
