@@ -377,7 +377,10 @@ def x02_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _verify_jaccard(
-    docs: DataFrame, candidates: DataFrame, threshold: float = 0.6
+    docs: DataFrame,
+    candidates: DataFrame,
+    threshold: float = 0.6,
+    persisted_out: list | None = None,
 ) -> DataFrame:
     """Exact-Jaccard verification of candidate pairs (shared by LSH variants).
 
@@ -405,7 +408,11 @@ def _verify_jaccard(
     bench.py / tools/check_oracle.py / tools/scale_curve.py all do).
     At 100 TB the equivalent is an explicit checkpoint of cand_docs and
     sh_cand with TTL cleanup — the candidate set is small by
-    construction, so the cost is bounded either way.
+    construction, so the cost is bounded either way. Callers that need
+    SCOPED release without a blanket ``clearCache()`` (long-lived
+    streaming loops sharing a session with caller-owned caches) pass
+    ``persisted_out``: the intermediates this call persists are appended
+    there for the caller to ``unpersist()`` after its action completes.
     """
     cand_docs = (
         candidates.select(F.explode(F.array("doc_a", "doc_b")).alias("doc_id"))
@@ -415,6 +422,8 @@ def _verify_jaccard(
     sh_cand = shingles(
         docs.join(cand_docs, "doc_id", "left_semi"), widen=False
     ).persist()
+    if persisted_out is not None:
+        persisted_out.extend((cand_docs, sh_cand))
     counts = sh_cand.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh_cand.alias("a")
     b = sh_cand.alias("b")
@@ -618,6 +627,7 @@ def incremental_neardup_with_index(
     inc_docs: DataFrame,
     all_docs: DataFrame,
     index_table: str,
+    persisted_out: list | None = None,
 ) -> DataFrame:
     """Verified (inc_doc, corpus_doc) near-dup pairs via the stored index.
 
@@ -630,7 +640,9 @@ def incremental_neardup_with_index(
     candidates = incremental_candidates_against_index(
         spark, inc_docs, index_table
     )
-    pairs = _verify_jaccard(all_docs, candidates)
+    pairs = _verify_jaccard(
+        all_docs, candidates, persisted_out=persisted_out
+    )
     flagged = (
         pairs.join(
             inc_ids.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
@@ -755,7 +767,11 @@ def propagate_min_labels(pairs: DataFrame) -> DataFrame:
     decreases every round until convergence. Comparing one scalar sum
     per round replaces a join-based diff — one cheap agg over the
     just-checkpointed labels instead of a join + count job (measured
-    ~2× on the whole query at sf0.1, round 6).
+    ~2× on the whole query at sf0.1, round 6). The sum runs in
+    ``decimal(38,0)``, not long: this helper is generic over any id
+    space, and a 64-bit-id caller's long sum could wrap and alias two
+    different label states as "converged" (silently split components);
+    38 digits hold billions of 2^63-scale labels exactly.
     """
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
@@ -772,7 +788,8 @@ def propagate_min_labels(pairs: DataFrame) -> DataFrame:
         .withColumn("label", F.col("doc"))
         .localCheckpoint()
     )
-    prev_sum = labels.agg(F.sum("label")).first()[0]
+    _dsum = F.sum(F.col("label").cast("decimal(38,0)"))
+    prev_sum = labels.agg(_dsum).first()[0]
     for _ in range(20):  # diameter bound; planted chains converge in ≤ 3
         nbr = edges.join(labels, edges.src == labels.doc).select(
             F.col("dst").alias("doc"), "label"
@@ -783,7 +800,7 @@ def propagate_min_labels(pairs: DataFrame) -> DataFrame:
             .agg(F.min("label").alias("label"))
             .localCheckpoint()
         )
-        new_sum = new_labels.agg(F.sum("label")).first()[0]
+        new_sum = new_labels.agg(_dsum).first()[0]
         labels = new_labels
         if new_sum == prev_sum:
             break

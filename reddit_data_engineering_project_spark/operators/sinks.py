@@ -190,24 +190,35 @@ def publish_snapshot(df: DataFrame, root: str) -> str:
     exactly this.
 
     Returns the published snapshot directory.
+
+    The pointer stores the snapshot's BASENAME, not a path: a relative
+    ``root`` spelled differently (or a different CWD) between publish
+    and read/vacuum must never re-resolve to a different directory —
+    with an absolute stored path, a later vacuum under another CWD could
+    mis-identify the live snapshot and delete it.
     """
     import uuid
 
-    snap = os.path.join(root, f"snap-{uuid.uuid4().hex[:12]}")
+    name = f"snap-{uuid.uuid4().hex[:12]}"
+    snap = os.path.join(root, name)
     df.write.mode("errorifexists").parquet(snap)
     pointer = os.path.join(root, "_CURRENT")
     fd, tmp = tempfile.mkstemp(dir=root, prefix="_CURRENT.")
-    with os.fdopen(fd, "w") as fh:
-        fh.write(snap)
-    os.replace(tmp, pointer)  # atomic on POSIX
+    try:
+        with os.fdopen(fd, "w") as fh:
+            fh.write(name)
+        os.replace(tmp, pointer)  # atomic on POSIX
+    finally:
+        if os.path.exists(tmp):  # crash-path hygiene; no-op after replace
+            os.unlink(tmp)
     return snap
 
 
 def read_snapshot(spark: SparkSession, root: str) -> DataFrame:
     """Read the currently-published snapshot (see :func:`publish_snapshot`)."""
     with open(os.path.join(root, "_CURRENT")) as fh:
-        snap = fh.read().strip()
-    return spark.read.parquet(snap)
+        name = os.path.basename(fh.read().strip())
+    return spark.read.parquet(os.path.join(root, name))
 
 
 def vacuum_snapshots(root: str) -> list[str]:
@@ -222,15 +233,18 @@ def vacuum_snapshots(root: str) -> list[str]:
     import shutil
 
     with open(os.path.join(root, "_CURRENT")) as fh:
-        current = fh.read().strip()
+        current = os.path.basename(fh.read().strip())
     deleted = []
     for name in os.listdir(root):
         path = os.path.join(root, name)
-        if (
-            name.startswith("snap-")
-            and os.path.isdir(path)
-            and os.path.abspath(path) != os.path.abspath(current)
-        ):
+        # Basename comparison (see publish_snapshot): immune to CWD and
+        # root-spelling differences between publish and vacuum.
+        if name.startswith("snap-") and os.path.isdir(path) and name != current:
             shutil.rmtree(path)
+            deleted.append(path)
+        # Reclaim pointer-write temp files orphaned by a crash between
+        # mkstemp and os.replace.
+        elif name.startswith("_CURRENT.") and os.path.isfile(path):
+            os.unlink(path)
             deleted.append(path)
     return deleted

@@ -112,12 +112,12 @@ def register(
 # x01, x02 minhash, x03 brute-force, 9 x04 entries).
 #
 # ROUND-7 ROTATION PLAN (execute once CORRECTNESS_r06 lands green):
-#   (a) the round-6 new registrations queued in
-#       tests/test_grading_window.py::QUEUED_FOR_NEXT_WINDOW
-#       (x04_quality_percentile_gate, pipeline_split_leakage_audit,
-#       x04_data_quality_report, q21_dau_wau_stickiness) and the two
-#       rows-only-to-oracle upgrades needing fresh hash evidence
-#       (x03_ann_lsh_bucketed, x03_ivf_topk);
+#   (a) ALL round-6 new registrations queued in
+#       tests/test_grading_window.py::QUEUED_FOR_NEXT_WINDOW — that set
+#       is the authoritative list (do NOT enumerate it here; it grew
+#       during round 6 and a stale enumeration would under-rotate) —
+#       plus the two rows-only-to-oracle upgrades needing fresh hash
+#       evidence (x03_ann_lsh_bucketed, x03_ivf_topk);
 #   (b) old-corpus-only leftovers whose last evidence is r02/r03
 #       (q01 csv/json scans, q07_percentiles, q08 approx/pairs,
 #       q09 cube/pivot/rollup, q10 join battery variants,

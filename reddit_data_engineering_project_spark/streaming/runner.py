@@ -295,23 +295,28 @@ def run_dedup_index_stream(
     def flag_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        # Verification persists candidate intermediates for its plan
+        # branches (_verify_jaccard); in an always-on stream those would
+        # accumulate per micro-batch in the session CacheManager and
+        # degrade later batches (the measured ~10x cache-pressure
+        # inflation documented in _verify_jaccard). Release ONLY what
+        # this batch registered (via persisted_out): a blanket
+        # clearCache() would also evict caller-owned caches (e.g. a
+        # cached `docs` corpus), silently re-pricing every later batch
+        # at |corpus|.
+        batch_persisted: list = []
         pairs = incremental_neardup_with_index(
             spark,
             batch_df,
             docs.unionByName(batch_df),
             index_table,
+            persisted_out=batch_persisted,
         )
         pairs.write.mode("overwrite").parquet(
             os.path.join(sink_dir, f"batch={batch_id}")
         )
-        # Verification persists candidate intermediates for its three
-        # plan branches (_verify_jaccard); in an always-on stream those
-        # would accumulate one pair per micro-batch in the session
-        # CacheManager and degrade later batches (the measured ~10x
-        # cache-pressure inflation documented in _verify_jaccard).
-        # This runner owns its session between batches, so a full clear
-        # is the reliable scope.
-        spark.catalog.clearCache()
+        for cached in batch_persisted:
+            cached.unpersist(False)
 
     (
         stream.writeStream.outputMode("append")

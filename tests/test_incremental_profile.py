@@ -92,10 +92,16 @@ def test_append_updates_without_rescanning(spark, tmp_path):
     }
 
     whole = _exact(docs)
+    second_sources = {
+        r["source"] for r in second.select("source").distinct().collect()
+    }
     for src, n in full.items():
         assert n == whole[src]["n_docs"]
-        # A source seen only in the second batch starts absent (0).
-        assert partial.get(src, 0) < n  # the append genuinely added rows
+        # Strict growth only for sources the second batch actually
+        # carries — a fixture regeneration could place a source entirely
+        # below the median, and the merge is still correct then.
+        if src in second_sources:
+            assert partial.get(src, 0) < n
 
     # The stored stats table stayed tiny: one row per (batch, source)
     # OBSERVED in that batch.

@@ -93,8 +93,16 @@ def main() -> int:
             cmd, cwd=REPO, capture_output=True, text=True, timeout=2400
         )
         last = out.stdout.strip().splitlines()[-1] if out.stdout else ""
-        if out.returncode != 0 or " 0 fail" not in last:
-            raise RuntimeError(last or "oracle gate failed")
+        # Require zero rows-only too: every registered entry carries an
+        # oracle by design, so a rows-only downgrade (oracle erroring on
+        # DuckDB) is a regression the driver would grade down even
+        # though nothing "failed".
+        if out.returncode != 0 or " 0 fail, 0 rows-only" not in last:
+            detail = "\n".join(
+                [line for line in out.stdout.splitlines() if line.startswith("FAIL")][:10]
+                + out.stderr.strip().splitlines()[-3:]
+            )
+            raise RuntimeError(f"{last or 'oracle gate failed'}\n{detail}")
         return last
 
     results.append(stage("oracle-gate", oracle_gate))
@@ -109,6 +117,11 @@ def main() -> int:
             timeout=1200,
             env=env,
         )
+        if out.returncode != 0 or not out.stdout.strip():
+            tail = "\n".join(out.stderr.strip().splitlines()[-5:])
+            raise RuntimeError(
+                f"bench.py exit {out.returncode}, stdout empty\n{tail}"
+            )
         line = out.stdout.strip().splitlines()[-1]
         d = json.loads(line)
         for key in ("metric", "value", "unit", "queries", "sf"):
