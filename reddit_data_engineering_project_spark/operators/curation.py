@@ -976,3 +976,202 @@ def x04_data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("orphan_user_rows"))
     )
     return scan.crossJoin(orphans)
+
+
+#: Boilerplate geometry: non-overlapping 3-token blocks (the "line" /
+#: paragraph analog for the corpus's single-line synthetic docs), dropped
+#: when the same block text recurs in >= 2 distinct docs of one source.
+_BP_BLOCK = 3
+_BP_MIN_DOCS = 2
+
+
+@register(
+    "x04_boilerplate_removal",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, source,
+               list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        FROM documents
+    ),
+    b AS (
+        SELECT doc_id, source,
+               start // {_BP_BLOCK} AS block_idx,
+               array_to_string(
+                   list_slice(toks, start + 1,
+                              least(start + {_BP_BLOCK}, len(toks))),
+                   ' ') AS block_text
+        FROM t CROSS JOIN LATERAL (
+            SELECT unnest(list_filter(
+                range(0, len(toks) + {_BP_BLOCK}, {_BP_BLOCK}),
+                st -> st < len(toks))) AS start
+        ) gs
+    ),
+    boiler AS (
+        SELECT source, block_text
+        FROM b
+        GROUP BY 1, 2
+        HAVING count(DISTINCT doc_id) >= {_BP_MIN_DOCS}
+    )
+    SELECT
+        b.doc_id,
+        CAST(count(*) AS BIGINT) AS n_blocks,
+        CAST(count(*) FILTER (bo.block_text IS NULL) AS BIGINT) AS n_kept,
+        md5(coalesce(array_to_string(
+            list(b.block_text ORDER BY b.block_idx)
+                FILTER (bo.block_text IS NULL),
+            ' '), '')) AS kept_md5
+    FROM b
+    LEFT JOIN boiler bo
+        ON b.source = bo.source AND b.block_text = bo.block_text
+    GROUP BY b.doc_id
+    """,
+    tags=("text", "X4", "boilerplate"),
+)
+def x04_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: CCNet/RefinedWeb-style cross-document boilerplate removal.
+
+    Web-scrape corpora carry nav bars, cookie banners, and footer text
+    repeated verbatim across many pages of one site; dedup at document
+    granularity never sees them. This op works at sub-document
+    granularity: split each doc into non-overlapping token blocks (the
+    "line" unit of CCNet's paragraph dedup, sized to this corpus's
+    single-line synthetic docs), count in how many DISTINCT docs of the
+    same ``source`` each block text recurs, and drop blocks at or above
+    the recurrence threshold. Output audits the removal per doc: total
+    blocks, retained blocks, and an md5 of the retained text
+    reassembled IN ORDER (the order-preservation contract a rewrite
+    sink needs).
+
+    Scale shape (100 TB): two shuffles — the (source, block_text)
+    recurrence count (partial-agg friendly, high-cardinality composite
+    key so no hotspot) and the per-doc reassembly. The join back to
+    blocks uses ONLY the filtered boilerplate set, which is tiny by
+    construction (blocks crossing the threshold), so it broadcasts;
+    the corpus-side block stream is never shuffled for the join. Order
+    restoration uses sort_array over (block_idx, text) structs inside
+    the aggregate — no global sort.
+
+    Reference parity: extends R16/Q8 dedup duties (README.md:13) to the
+    sub-document granularity the north-star charter requires.
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n_tok = F.size("toks")
+    starts = F.filter(
+        F.sequence(F.lit(0), n_tok + _BP_BLOCK, F.lit(_BP_BLOCK)),
+        lambda st: st < n_tok,
+    )
+    blocks = (
+        docs.select("doc_id", "source", toks.alias("toks"))
+        .select(
+            "doc_id",
+            "source",
+            F.explode(starts).alias("start"),
+            F.col("toks"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            (F.col("start") / _BP_BLOCK).cast("bigint").alias("block_idx"),
+            F.array_join(
+                F.slice(F.col("toks"), F.col("start") + 1, F.lit(_BP_BLOCK)),
+                " ",
+            ).alias("block_text"),
+        )
+    )
+    boiler = (
+        blocks.groupBy("source", "block_text")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= _BP_MIN_DOCS)
+        .select(
+            F.col("source").alias("boiler_source"),
+            F.col("block_text").alias("boiler_text"),
+        )
+    )
+    flagged = blocks.join(
+        F.broadcast(boiler),
+        (blocks["source"] == boiler["boiler_source"])
+        & (blocks["block_text"] == boiler["boiler_text"]),
+        "left",
+    ).select(
+        "doc_id",
+        "block_idx",
+        "block_text",
+        F.col("boiler_text").isNull().alias("keep"),
+    )
+    kept_structs = F.filter(
+        F.sort_array(
+            F.collect_list(F.struct("block_idx", "block_text", "keep"))
+        ),
+        lambda s: s["keep"],
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_blocks"),
+        F.sum(F.col("keep").cast("bigint")).alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(kept_structs, lambda s: s["block_text"]), " "
+            )
+        ).alias("kept_md5"),
+    )
+
+
+#: Global-shuffle geometry: bijective multiplicative hash order under the
+#: split prime, dealt into 8 shards.
+_SHUF_SHARDS = 8
+
+
+@register(
+    "x04_global_shuffle",
+    oracle=f"""
+    WITH h AS (
+        SELECT doc_id,
+               ((doc_id % {_SPLIT_PRIME}) * {_SPLIT_MULT})
+                   % {_SPLIT_PRIME} AS order_hash
+        FROM documents
+    )
+    SELECT doc_id,
+           order_hash,
+           order_hash % {_SHUF_SHARDS} AS shard,
+           CAST(row_number() OVER (
+               PARTITION BY order_hash % {_SHUF_SHARDS}
+               ORDER BY order_hash) AS BIGINT) AS position
+    FROM h
+    """,
+    tags=("text", "X4", "shuffle"),
+)
+def x04_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: deterministic global training-order shuffle (no RNG state).
+
+    Training wants examples in an order uncorrelated with ingest order,
+    reproducible across re-runs and cluster sizes. A bijective
+    multiplicative hash of ``doc_id`` under the split prime gives every
+    doc a unique pseudo-random rank with zero RNG/seed state (same
+    family as :func:`split_bucket`); docs are dealt into shards by hash
+    and given a dense in-shard position — (shard, position) IS the
+    training read order.
+
+    Scale shape: ONE hash-partition shuffle on ``shard`` plus an
+    in-partition sort — never a global total-order sort. Each shard's
+    rank sequence is independent, so a 1000-executor run writes all
+    shards in parallel; the hash is computed scan-side so AQE sees a
+    plain repartition. Bijectivity under the prime modulus means no
+    rank ties to re-break (doc_id < prime holds to ~1e9 docs/corpus;
+    shard count scales to O(total/shard-budget)).
+    """
+    docs = table(spark, sf_dir, "documents")
+    order_hash = (
+        (F.col("doc_id") % _SPLIT_PRIME) * _SPLIT_MULT
+    ) % _SPLIT_PRIME
+    h = docs.select(
+        "doc_id",
+        order_hash.alias("order_hash"),
+        (order_hash % _SHUF_SHARDS).alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy("order_hash")
+    return h.select(
+        "doc_id",
+        "order_hash",
+        "shard",
+        F.row_number().over(w).cast("bigint").alias("position"),
+    )

@@ -978,3 +978,125 @@ def x04_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits.select(
         "doc_id", "n_hits", (F.col("n_hits") >= 3).alias("contaminated")
     )
+
+
+#: BM25 parameters (the standard Robertson/Okapi defaults) and the fixed
+#: demo query. Scores are emitted as scaled BIGINTs (x 1e4) so per-doc
+#: totals sum in exact integer arithmetic — no cross-engine float
+#: reassociation can diverge.
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TERMS = ("spark", "join", "window")
+
+
+@register(
+    "x04_bm25_scores",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id,
+               len(list_filter(string_split(text, ' '), x -> x <> ''))
+                   AS dl,
+               unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+                   AS token
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, dl, token, count(*) AS tf
+        FROM tok
+        WHERE token IN ('spark', 'join', 'window')
+        GROUP BY 1, 2, 3
+    ),
+    stats AS (
+        SELECT count(*) AS n,
+               sum(len(list_filter(string_split(text, ' '),
+                                   x -> x <> ''))) AS sum_dl
+        FROM documents
+    ),
+    df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+    scored AS (
+        SELECT
+            tf.doc_id,
+            tf.token,
+            CAST(round(
+                ln(1.0 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+                * (tf.tf * ({_BM25_K1} + 1.0))
+                / (tf.tf + {_BM25_K1}
+                   * ((1.0 - {_BM25_B})
+                      + {_BM25_B}
+                        * (tf.dl / (CAST(stats.sum_dl AS DOUBLE)
+                                    / stats.n))))
+                * 10000.0) AS BIGINT) AS term_score_e4
+        FROM tf, stats
+        JOIN df ON tf.token = df.token
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_terms,
+           CAST(sum(term_score_e4) AS BIGINT) AS score_e4
+    FROM scored
+    GROUP BY doc_id
+    """,
+    tags=("text", "X4", "bm25"),
+)
+def x04_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: BM25 relevance scoring — the lexical-retrieval workhorse.
+
+    Scores every corpus doc against a fixed term query with
+    Okapi BM25 (k1=1.2, b=0.75, the standard defaults): per-term
+    idf = ln(1 + (N - df + 0.5)/(df + 0.5)) damped by the saturating
+    tf normalization with doc-length penalty dl/avgdl. This is the
+    scoring half of a BM25 index build — the retrieval sibling of
+    ``x04_tfidf`` (whose weights feed ranking rather than search) and
+    the lexical complement of the X3 vector search family; training
+    pipelines use exactly this op for quality-targeted data selection
+    (retrieve corpus docs matching seed queries).
+
+    Float-parity discipline: each per-(doc, term) score is rounded to a
+    scaled BIGINT *before* the per-doc sum, so aggregation is exact
+    integer math — the one cross-engine risk left is a sub-ulp ln()
+    difference landing exactly on a .5 rounding boundary, which the
+    1e4 scale makes measure-zero. avgdl derives from an exact integer
+    (sum_dl, n) pair, divided once, identically parenthesized on both
+    engines.
+
+    Scale shape: tokens are filtered to the query terms BEFORE any
+    shuffle (the `isin` prunes inside the explode projection), so the
+    (doc, term) aggregate shuffles only matching term hits — for a
+    3-term query that is a vanishing fraction of a 100 TB corpus. The
+    df table (<= |query| rows) and the 1-row corpus stats broadcast;
+    the corpus-side stream is shuffled once, on the high-cardinality
+    (doc_id, token) composite.
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    tok = docs.select(
+        "doc_id",
+        F.size(toks).alias("dl"),
+        F.explode(toks).alias("token"),
+    ).filter(F.col("token").isin(*_BM25_TERMS))
+    tf = tok.groupBy("doc_id", "dl", "token").agg(F.count("*").alias("tf"))
+    stats = docs.agg(
+        F.count("*").alias("n"), F.sum(F.size(toks)).alias("sum_dl")
+    )
+    df = tf.groupBy("token").agg(F.count("*").alias("df"))
+    avgdl = F.col("sum_dl").cast("double") / F.col("n")
+    idf = F.log(
+        1.0 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = F.col("tf") + _BM25_K1 * (
+        (1.0 - _BM25_B) + _BM25_B * (F.col("dl") / avgdl)
+    )
+    scored = (
+        tf.join(F.broadcast(df), "token")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "token",
+            F.round(idf * (F.col("tf") * (_BM25_K1 + 1.0)) / denom * 10000.0)
+            .cast("bigint")
+            .alias("term_score_e4"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_terms"),
+        F.sum("term_score_e4").cast("bigint").alias("score_e4"),
+    )

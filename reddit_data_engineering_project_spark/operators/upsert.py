@@ -227,3 +227,86 @@ def q19_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("ts").over(version_w).isNull().alias("is_current"),
         F.row_number().over(version_w).alias("version"),
     )
+
+
+@register(
+    "q19_cdc_apply",
+    oracle="""
+    WITH log AS (
+        SELECT user_id,
+               event_id,
+               CAST(ts AS TIMESTAMP) AS ts,
+               value,
+               CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
+        FROM events
+    ),
+    ranked AS (
+        SELECT *,
+               row_number() OVER (
+                   PARTITION BY user_id
+                   ORDER BY ts DESC, event_id DESC) AS rn,
+               count(*) OVER (PARTITION BY user_id) AS n_ops
+        FROM log
+    )
+    SELECT user_id,
+           CAST(n_ops AS BIGINT) AS n_ops,
+           event_id AS last_event_id,
+           ts AS last_ts,
+           value AS last_value
+    FROM ranked
+    WHERE rn = 1 AND op <> 'D'
+    """,
+    tags=("upsert", "Q19", "cdc"),
+)
+def q19_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19c: change-data-capture changelog apply (I/U/D with tombstones).
+
+    The third member of the R16 idempotency family: where keep-latest
+    merges re-run corrections and SCD2 keeps history, CDC apply replays
+    a changelog of upserts AND deletes into current-state. The events
+    stream plays the changelog: each row is an op on its ``user_id``
+    entity (``event_type = 'error'`` is the tombstone, everything else
+    an upsert), sequenced by (ts, event_id). An entity whose LAST op is
+    a tombstone is absent from the result; otherwise its latest values
+    win, with the op count kept for audit.
+
+    Scale shape: identical to keep-latest — ONE shuffle by entity key;
+    rank and per-key count share the same window frame so Spark
+    evaluates both in a single sort pass (no second exchange).
+    Tombstone filtering happens AFTER rank-1 selection, so a delete
+    followed by a re-insert (new op with later seq) correctly
+    resurrects the entity — the semantics a Delta/Hudi-style MERGE
+    provides, expressed as a plain window plan.
+
+    Reference parity: README.md:13's declared Redshift upsert role,
+    extended with the delete semantics any CDC ingest (DMS/Debezium
+    style) needs.
+    """
+    ev = table(spark, sf_dir, "events")
+    log = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    cnt_w = Window.partitionBy("user_id")
+    ranked = log.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        "op",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(cnt_w).alias("n_ops"),
+    )
+    return ranked.filter((F.col("rn") == 1) & (F.col("op") != "D")).select(
+        "user_id",
+        F.col("n_ops").cast("bigint").alias("n_ops"),
+        F.col("event_id").alias("last_event_id"),
+        F.col("ts").alias("last_ts"),
+        F.col("value").alias("last_value"),
+    )

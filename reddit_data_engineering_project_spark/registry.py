@@ -111,7 +111,16 @@ def register(
 # q17 array/explode/corrupt, q20 udtf/arrow, pipeline_posts_clean_wire,
 # x01, x02 minhash, x03 brute-force, 9 x04 entries).
 #
-# ROUND-7 ROTATION PLAN (execute once CORRECTNESS_r06 lands green):
+# ROUND-7 STATUS: the driver never produced CORRECTNESS_r06 /
+# BENCH_r06 artifacts, so the round-6 window below has ZERO driver
+# evidence — it stays in place unchanged for round 7 (it still holds
+# the never-graded 21-entry payload, both chronic hash-fails, and the
+# events-family re-grades, exactly the evidence the round-5 verdict
+# ordered). The rotation plan below therefore moves to round 8,
+# conditional on CORRECTNESS_r07 landing green.
+#
+# ROUND-8 ROTATION PLAN (was round-7; execute once a green
+# CORRECTNESS_r{N} exists for this window):
 #   (a) ALL round-6 new registrations queued in
 #       tests/test_grading_window.py::QUEUED_FOR_NEXT_WINDOW — that set
 #       is the authoritative list (do NOT enumerate it here; it grew

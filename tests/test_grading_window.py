@@ -109,6 +109,10 @@ QUEUED_FOR_NEXT_WINDOW: set[str] = {
     "q21_dau_wau_stickiness",  # round-6 addition: growth accounting
     "x05_size_binned_shards",  # round-6 addition: media sharding
     "x02_dedup_keep_best",  # round-6 addition: quality-aware survivor
+    "x04_boilerplate_removal",  # round-7 addition: cross-doc line dedup
+    "x04_global_shuffle",  # round-7 addition: training-order shuffle
+    "q19_cdc_apply",  # round-7 addition: changelog apply w/ tombstones
+    "x04_bm25_scores",  # round-7 addition: lexical retrieval scoring
 }
 
 
