@@ -164,3 +164,36 @@ def test_split_leakage_audit_adds_no_join_for_split(spark):
     base = _plan(spark, "x02_minhash_lsh_neardup")
     n_joins = lambda p: len(re.findall(r"\(\d+\) \w*Join", p))
     assert n_joins(plan) == n_joins(base)
+
+
+def test_boilerplate_join_broadcasts_boiler_set(spark):
+    """The corpus-side block stream joins the (tiny, filtered)
+    boilerplate set as a broadcast — never shuffled for the join."""
+    plan = _plan(spark, "x04_boilerplate_removal")
+    assert "BroadcastHashJoin LeftOuter" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_cdc_apply_single_exchange_shared_window_sort(spark):
+    """Rank + audit count evaluate off ONE shuffle by entity key: two
+    Window nodes over a single Exchange/Sort pair."""
+    plan = _plan(spark, "q19_cdc_apply")
+    assert plan.count("Exchange (") - plan.count("BroadcastExchange (") == 1
+    assert plan.count("Window (") == 2
+    assert "SortMergeJoin" not in plan  # no self-join formulation
+
+
+def test_global_shuffle_no_global_sort(spark):
+    """Training-order shuffle = shard-partitioned window, not a
+    total-order Sort (no rangepartitioning exchange)."""
+    plan = _plan(spark, "x04_global_shuffle")
+    assert "rangepartitioning" not in plan.lower()
+    assert plan.count("Window (") == 1
+
+
+def test_bm25_broadcasts_df_and_stats(spark):
+    """df (<= |query| rows) and the 1-row corpus stats broadcast; the
+    corpus-side term stream never sort-merge joins."""
+    plan = _plan(spark, "x04_bm25_scores")
+    assert plan.count("BroadcastExchange") >= 2
+    assert "SortMergeJoin" not in plan
