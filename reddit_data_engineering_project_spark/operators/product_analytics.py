@@ -223,3 +223,121 @@ def q21_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             "stickiness"
         ),
     )
+
+
+#: Market-basket geometry: only pairs co-purchased in >= 2 orders are
+#: reported (the support floor that keeps the rule set, not the pair
+#: explosion, as the output).
+_BASKET_MIN_PAIR_ORDERS = 2
+
+
+@register(
+    "q21_copurchase_lift",
+    oracle=f"""
+    WITH li AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM li),
+    freq AS (
+        SELECT l_partkey, count(*) AS part_orders FROM li GROUP BY 1
+    ),
+    pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               count(*) AS pair_orders
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        HAVING count(*) >= {_BASKET_MIN_PAIR_ORDERS}
+    )
+    SELECT
+        p.part_a,
+        p.part_b,
+        CAST(p.pair_orders AS BIGINT) AS pair_orders,
+        CAST(round(
+            CAST(p.pair_orders * n.n_orders AS DOUBLE)
+            / (fa.part_orders * fb.part_orders) * 10000.0) AS BIGINT)
+            AS lift_e4
+    FROM pairs p, n
+    JOIN freq fa ON p.part_a = fa.l_partkey
+    JOIN freq fb ON p.part_b = fb.l_partkey
+    """,
+    tags=("analytics", "Q21", "basket"),
+)
+def q21_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21f: market-basket co-purchase pairs with lift (association rules).
+
+    The "customers who bought X also bought Y" workhorse: count, for
+    every unordered part pair, the orders containing both, keep pairs
+    at or above the support floor, and score each with lift =
+    P(A,B) / (P(A)·P(B)) — scaled to a BIGINT from one exact-integer
+    product per side so the two engines cannot drift.
+
+    Scale shape — the reason this is NOT written as a self-join: Spark
+    builds per-order part baskets with ONE shuffle (groupBy order),
+    emits C(k,2) pairs per basket via an array comprehension
+    (``transform`` × ``flatten`` — pure codegen, fanout bounded by
+    basket size, ~4 lines/order here and bounded by order width in any
+    retail schema), then aggregates pairs. A self-join on l_orderkey
+    shuffles the fact table twice and materializes the same pairs
+    through join machinery; the basket form halves the fact-side
+    exchanges and keeps the quadratic term capped per order. The
+    per-part frequency table is dimension-sized → broadcast; the 1-row
+    order count broadcasts likewise. The oracle spells the equivalent
+    self-join, which DuckDB handles fine at oracle scale.
+    """
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .dropDuplicates(["l_orderkey", "l_partkey"])
+    )
+    n = li.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    freq = li.groupBy("l_partkey").agg(F.count("*").alias("part_orders"))
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list("l_partkey")).alias("parts")
+    )
+    idx = F.sequence(F.lit(0), F.size("parts") - 1)
+    pair_arrays = F.flatten(
+        F.transform(
+            idx,
+            lambda i: F.transform(
+                F.slice(
+                    F.col("parts"), i + 2, F.greatest(F.size("parts") - i - 1, F.lit(0))
+                ),
+                lambda pb: F.struct(
+                    F.col("parts")[i].alias("part_a"), pb.alias("part_b")
+                ),
+            ),
+        )
+    )
+    pairs = (
+        baskets.select(F.explode(pair_arrays).alias("pr"))
+        .select("pr.part_a", "pr.part_b")
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("pair_orders"))
+        .filter(F.col("pair_orders") >= _BASKET_MIN_PAIR_ORDERS)
+    )
+    fa = freq.select(
+        F.col("l_partkey").alias("part_a"),
+        F.col("part_orders").alias("orders_a"),
+    )
+    fb = freq.select(
+        F.col("l_partkey").alias("part_b"),
+        F.col("part_orders").alias("orders_b"),
+    )
+    return (
+        pairs.join(F.broadcast(fa), "part_a")
+        .join(F.broadcast(fb), "part_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            F.col("pair_orders").cast("bigint").alias("pair_orders"),
+            F.round(
+                (F.col("pair_orders") * F.col("n_orders")).cast("double")
+                / (F.col("orders_a") * F.col("orders_b"))
+                * 10000.0
+            )
+            .cast("bigint")
+            .alias("lift_e4"),
+        )
+    )

@@ -197,3 +197,11 @@ def test_bm25_broadcasts_df_and_stats(spark):
     plan = _plan(spark, "x04_bm25_scores")
     assert plan.count("BroadcastExchange") >= 2
     assert "SortMergeJoin" not in plan
+
+
+def test_copurchase_basket_form_avoids_fact_self_join(spark):
+    """Pair generation rides the basket comprehension: no sort-merge
+    self-join of the fact table; frequency/count sides broadcast."""
+    plan = _plan(spark, "q21_copurchase_lift")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2

@@ -226,3 +226,44 @@ def test_bm25_matches_docs_containing_terms_exactly(spark):
         for r in text_analysis.x04_bm25_scores(spark, SF_DIR).collect()
     }
     assert got == expected
+
+
+# ------------------------------------------------------------- market basket
+
+
+def test_copurchase_pairs_match_self_join_formulation(spark):
+    """The basket-comprehension pair generation is exactly the
+    self-join's pair set (the oracle pins values; this pins the Spark
+    rewrite against the naive formulation ON SPARK, pre-threshold)."""
+    from reddit_data_engineering_project_spark.operators import (
+        product_analytics as pa,
+    )
+    from reddit_data_engineering_project_spark.tables import table
+
+    got = {
+        (r["part_a"], r["part_b"], r["pair_orders"])
+        for r in pa.q21_copurchase_lift(spark, SF_DIR).collect()
+    }
+    li = (
+        table(spark, SF_DIR, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .dropDuplicates()
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    expected = {
+        (r["part_a"], r["part_b"], r["pair_orders"])
+        for r in a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").alias("pair_orders"))
+        .filter(F.col("pair_orders") >= pa._BASKET_MIN_PAIR_ORDERS)
+        .collect()
+    }
+    assert got == expected
