@@ -341,3 +341,172 @@ def q21_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("lift_e4"),
         )
     )
+
+
+#: PageRank geometry: fixed 3 power iterations, damping 0.85, ranks
+#: carried as e6-scaled BIGINTs with floor division — every engine
+#: computes bit-identical integers (no float accumulation anywhere).
+_PR_ITERS = 3
+_PR_DAMP_NUM = 85  # damping numerator over /100
+_PR_BASE_E6 = 150_000  # (1 - 0.85) * 1e6
+_PR_INIT_E6 = 1_000_000
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric co-purchase edge list (support >= the basket floor).
+
+    Reuses the basket-comprehension pair generation from
+    :func:`q21_copurchase_lift` (one shuffle, no fact self-join), then
+    mirrors each undirected pair into both directions.
+    """
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .dropDuplicates(["l_orderkey", "l_partkey"])
+    )
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list("l_partkey")).alias("parts")
+    )
+    idx = F.sequence(F.lit(0), F.size("parts") - 1)
+    pair_arrays = F.flatten(
+        F.transform(
+            idx,
+            lambda i: F.transform(
+                F.slice(
+                    F.col("parts"),
+                    i + 2,
+                    F.greatest(F.size("parts") - i - 1, F.lit(0)),
+                ),
+                lambda pb: F.struct(
+                    F.col("parts")[i].alias("src"), pb.alias("dst")
+                ),
+            ),
+        )
+    )
+    pairs = (
+        baskets.select(F.explode(pair_arrays).alias("pr"))
+        .select("pr.src", "pr.dst")
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("pair_orders"))
+        .filter(F.col("pair_orders") >= _BASKET_MIN_PAIR_ORDERS)
+        .select("src", "dst")
+    )
+    return pairs.union(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+
+@register(
+    "q21_part_pagerank",
+    oracle=f"""
+    WITH li AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    half AS (
+        SELECT a.l_partkey AS src, b.l_partkey AS dst
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        HAVING count(*) >= {_BASKET_MIN_PAIR_ORDERS}
+    ),
+    edges AS (
+        SELECT src, dst FROM half
+        UNION ALL
+        SELECT dst AS src, src AS dst FROM half
+    ),
+    deg AS (
+        SELECT src AS node, count(*) AS degree FROM edges GROUP BY 1
+    ),
+    r0 AS (SELECT node, degree, {_PR_INIT_E6}::BIGINT AS rank_e6 FROM deg),
+    r1 AS (
+        SELECT d.node, d.degree,
+               {_PR_BASE_E6} + ({_PR_DAMP_NUM} * sum(r.rank_e6 // r.degree))
+                   // 100 AS rank_e6
+        FROM edges e
+        JOIN r0 r ON e.src = r.node
+        JOIN deg d ON e.dst = d.node
+        GROUP BY 1, 2
+    ),
+    r2 AS (
+        SELECT d.node, d.degree,
+               {_PR_BASE_E6} + ({_PR_DAMP_NUM} * sum(r.rank_e6 // r.degree))
+                   // 100 AS rank_e6
+        FROM edges e
+        JOIN r1 r ON e.src = r.node
+        JOIN deg d ON e.dst = d.node
+        GROUP BY 1, 2
+    ),
+    r3 AS (
+        SELECT d.node, d.degree,
+               {_PR_BASE_E6} + ({_PR_DAMP_NUM} * sum(r.rank_e6 // r.degree))
+                   // 100 AS rank_e6
+        FROM edges e
+        JOIN r2 r ON e.src = r.node
+        JOIN deg d ON e.dst = d.node
+        GROUP BY 1, 2
+    )
+    SELECT node AS part,
+           CAST(degree AS BIGINT) AS degree,
+           CAST(rank_e6 AS BIGINT) AS rank_e6
+    FROM r3
+    """,
+    tags=("analytics", "Q21", "graph", "iterative"),
+)
+def q21_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21g: PageRank centrality over the co-purchase graph (iterative).
+
+    The second iterative-algorithm demo beside dedup's label
+    propagation: 3 fixed power iterations of damped PageRank over the
+    symmetric co-purchase edge list. All arithmetic is e6-scaled BIGINT
+    with floor division — per-edge contribution ``rank div degree``,
+    exact integer sum, then ``150000 + (85 * sum) div 100`` — so Spark
+    and the oracle produce bit-identical ranks with zero float
+    accumulation (the standard double-precision PageRank cannot
+    cross-check this way because parallel sum order varies).
+
+    Scale shape: each iteration is edges ⋈ ranks (equi-join on the
+    node key) + one aggregate by destination — both shuffles land on
+    the SAME key, so at scale the edge list is hash-partitioned once
+    and every iteration reuses that layout (Exchange reuse; in a
+    long-running job you would also checkpoint ranks every ~10 iters
+    to cut lineage). Fixed iteration count keeps the plan static and
+    AQE-friendly; convergence-tested variants belong in a driver loop
+    like dedup's fixpoint (`operators/dedup.py`). Degree and rank
+    relations are node-cardinality (≪ edges), broadcastable for
+    dimension-sized graphs.
+
+    Reference parity: R17's warehouse role — graph centrality is the
+    canonical "beyond SQL" analytics capability Redshift ships as an
+    extension; here it is native and oracle-checked.
+    """
+    edges = _copurchase_edges(spark, sf_dir)
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("degree")
+    )
+    ranks = deg.select(
+        "node", "degree", F.lit(_PR_INIT_E6).cast("bigint").alias("rank_e6")
+    )
+    for _ in range(_PR_ITERS):
+        contrib = (
+            edges.join(
+                ranks.select(
+                    F.col("node").alias("src"),
+                    F.expr("rank_e6 div degree").alias("contrib"),
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("contrib").alias("contrib_sum"))
+        )
+        ranks = contrib.join(deg, "node").select(
+            "node",
+            "degree",
+            F.expr(
+                f"{_PR_BASE_E6} + ({_PR_DAMP_NUM} * contrib_sum) div 100"
+            ).alias("rank_e6"),
+        )
+    return ranks.select(
+        F.col("node").alias("part"),
+        F.col("degree").cast("bigint").alias("degree"),
+        F.col("rank_e6").cast("bigint").alias("rank_e6"),
+    )

@@ -114,6 +114,7 @@ QUEUED_FOR_NEXT_WINDOW: set[str] = {
     "q19_cdc_apply",  # round-7 addition: changelog apply w/ tombstones
     "x04_bm25_scores",  # round-7 addition: lexical retrieval scoring
     "q21_copurchase_lift",  # round-7 addition: market-basket lift
+    "q21_part_pagerank",  # round-7 addition: integer PageRank
 }
 
 

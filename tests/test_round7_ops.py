@@ -267,3 +267,58 @@ def test_copurchase_pairs_match_self_join_formulation(spark):
         .collect()
     }
     assert got == expected
+
+
+# ------------------------------------------------------------------ pagerank
+
+
+def _write_lineitem(spark, tmp_path, order_parts):
+    rows = [
+        Row(l_orderkey=o, l_partkey=p, l_quantity=1.0)
+        for o, parts in order_parts
+        for p in parts
+    ]
+    spark.createDataFrame(rows).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "lineitem.parquet")
+    )
+    return str(tmp_path)
+
+
+def test_pagerank_matches_hand_computed_integer_iterations(spark, tmp_path):
+    """Path graph A-B-C (each edge in 2 orders): three damped integer
+    iterations computed by hand pin the exact e6-scaled ranks."""
+    from reddit_data_engineering_project_spark.operators import (
+        product_analytics as pa,
+    )
+
+    A, B, C = 101, 202, 303
+    sf = _write_lineitem(
+        spark,
+        tmp_path,
+        [(1, [A, B]), (2, [A, B]), (3, [B, C]), (4, [B, C])],
+    )
+    out = {r["part"]: r for r in pa.q21_part_pagerank(spark, sf).collect()}
+    assert set(out) == {A, B, C}
+    assert out[A]["degree"] == 1 and out[B]["degree"] == 2
+    # iter1: A=C=575000, B=1850000
+    # iter2: A=C=936250, B=1127500
+    # iter3: A=C=629187, B=1741625
+    assert out[A]["rank_e6"] == 629187
+    assert out[C]["rank_e6"] == 629187
+    assert out[B]["rank_e6"] == 1741625
+
+
+def test_pagerank_deterministic_under_repartition(spark):
+    from reddit_data_engineering_project_spark.operators import (
+        product_analytics as pa,
+    )
+
+    a = {
+        (r["part"], r["rank_e6"])
+        for r in pa.q21_part_pagerank(spark, SF_DIR).collect()
+    }
+    b = {
+        (r["part"], r["rank_e6"])
+        for r in pa.q21_part_pagerank(spark, SF_DIR).repartition(7).collect()
+    }
+    assert a and a == b
