@@ -116,7 +116,14 @@ def main() -> int:
         families[fam] = round(families.get(fam, 0.0) + t, 3)
 
     total = round(sum(timings.values()), 3)
-    result = {
+    # Full per-query payload — written to a side file, NOT printed: the
+    # round driver retains only the LAST 2000 characters of bench output
+    # and parses the JSON line out of that window (BENCH_r01-r05 all
+    # show "parsed": null with a mid-line 2000-char tail), so a
+    # 120-query dict (~4.4 KB) can never parse there. The printed line
+    # below is the compact contract-conformant summary; per-query detail
+    # lives in BENCH_DETAIL.json alongside this script.
+    detail = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
@@ -130,15 +137,59 @@ def main() -> int:
         worst = sorted(
             spread.items(), key=lambda kv: kv[1], reverse=True
         )[:5]
-        result["noise"] = {
+        detail["noise"] = {
             "per_query_spread_max_minus_min": dict(worst),
             "spread_total": round(sum(spread.values()), 3),
         }
     if budget_hit:
+        detail["time_budget_hit"] = True
+    if failures:
+        detail["failures"] = failures
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_DETAIL.json"),
+            "w",
+        ) as fh:
+            json.dump(detail, fh, indent=1, sort_keys=True)
+    except OSError:
+        pass  # read-only checkout: the printed summary still stands
+
+    # Compact printed line (budget ≤ 1900 bytes so the driver's 2000-char
+    # tail always contains it whole): per-FAMILY subtotals as the
+    # "queries" dict (name → seconds, same schema shape), plus the
+    # slowest individual queries so regressions localize.
+    result = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": dict(sorted(families.items())),
+        "sf": _sf_from_dir(sf_dir),
+        "repeats": repeats,
+        "aggregation": (
+            "per-family totals of per-query min over interleaved passes;"
+            " per-query detail in BENCH_DETAIL.json"
+        ),
+        "n_queries": len(timings),
+        "slowest": dict(
+            sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:8]
+        ),
+    }
+    if spread:
+        result["noise_spread_total"] = round(sum(spread.values()), 3)
+    if budget_hit:
         result["time_budget_hit"] = True
     if failures:
-        result["failures"] = failures
-    print(json.dumps(result))
+        result["n_failures"] = len(failures)
+        result["failures"] = {
+            n: failures[n][:60] for n in sorted(failures)[:5]
+        }
+    line = json.dumps(result)
+    if len(line) > 1900:  # belt-and-braces: drop optional sections
+        for key in ("slowest", "failures", "noise_spread_total"):
+            result.pop(key, None)
+        line = json.dumps(result)
+    print(line)
     spark.stop()
     return 0
 

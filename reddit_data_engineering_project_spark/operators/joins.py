@@ -486,3 +486,73 @@ def q10_star_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("nation", "custkey", "customer", "revenue", "rank")
     )
+
+
+@register(
+    "q10_local_supplier_volume",
+    oracle="""
+    SELECT
+        n.n_name AS nation,
+        CAST(count(*) AS BIGINT) AS n_lineitems,
+        round(sum(l.l_extendedprice * (1 - l.l_discount)) * 100.0) / 100.0
+            AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+        AND s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY 1
+    """,
+    tags=("joins", "Q10", "tpch"),
+)
+def q10_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 topology: local supplier volume (6-table star join).
+
+    The one join shape the rest of the Q10 battery lacks: TWO dimension
+    paths out of the fact table (lineitem→orders→customer→nation and
+    lineitem→supplier→nation) that must MEET — customer nation ==
+    supplier nation — before rolling up revenue per nation for one
+    region's 1996 orders. In the reference's warehouse role this is the
+    canonical Athena/Redshift report join (SURVEY §2.2 R17).
+
+    Scale shape: every dimension (customer, supplier, nation, region)
+    broadcasts; the fact table is scanned once with the date predicate
+    pushed into the orders-side join input and never shuffled — the
+    nation-equality meet happens as a cheap post-join filter on two
+    broadcast-provided columns, not a second fact shuffle. Region
+    pre-filters nation via DPP-style broadcast semi-reduction at plan
+    time (nation is 25 rows; the filter composes before broadcast).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    customer = table(spark, sf_dir, "customer")
+    supplier = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asia_nations = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey", "n_name")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(
+            F.broadcast(asia_nations),
+            customer.c_nationkey == F.col("n_nationkey"),
+        )
+        .filter(F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    return joined.groupBy(F.col("n_name").alias("nation")).agg(
+        F.count("*").cast("bigint").alias("n_lineitems"),
+        dround(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        ).alias("revenue"),
+    )

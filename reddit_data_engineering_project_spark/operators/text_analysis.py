@@ -1100,3 +1100,131 @@ def x04_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_terms"),
         F.sum("term_score_e4").cast("bigint").alias("score_e4"),
     )
+
+
+@register(
+    "x04_lm_quality_score",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        FROM documents
+    ),
+    bg AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(toks)),
+                                     i -> toks[i] || ' ' || toks[i + 1]))
+                   AS bigram
+        FROM t
+        WHERE len(toks) >= 2
+    ),
+    doc_bg AS (
+        SELECT doc_id, bigram, count(*) AS n_occ FROM bg GROUP BY 1, 2
+    ),
+    c12 AS (SELECT bigram, count(*) AS c12 FROM bg GROUP BY 1),
+    c1 AS (
+        SELECT string_split(bigram, ' ')[1] AS w1, sum(c12) AS c1
+        FROM c12 GROUP BY 1
+    ),
+    v AS (
+        SELECT count(DISTINCT tok) AS vocab
+        FROM (SELECT unnest(toks) AS tok FROM t)
+    ),
+    stats AS (
+        SELECT c12.bigram,
+               CAST(round(ln(
+                   (c12.c12 + 1.0)
+                   / (c1.c1 + v.vocab)) * 1000000.0) AS BIGINT)
+                   AS logp_e6
+        FROM c12, v
+        JOIN c1 ON string_split(c12.bigram, ' ')[1] = c1.w1
+    )
+    SELECT d.doc_id,
+           CAST(sum(d.n_occ) AS BIGINT) AS n_bigrams,
+           CAST(sum(d.n_occ * s.logp_e6) AS BIGINT) AS total_logp_e6
+    FROM doc_bg d JOIN stats s ON d.bigram = s.bigram
+    GROUP BY 1
+    """,
+    tags=("text", "X4", "lm-quality"),
+)
+def x04_lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: bigram language-model quality scoring (KenLM-filter analog).
+
+    The model-based quality gate pretraining pipelines run beside the
+    heuristic one (``x04_quality_filter``): train an add-one-smoothed
+    bigram LM on the corpus itself, then score every doc by its total
+    log-likelihood — CCNet ranks web text exactly this way with a
+    Wikipedia-trained KenLM, and low-likelihood docs are gibberish or
+    boilerplate. P(w2|w1) = (c(w1 w2) + 1) / (c(w1·) + |V|), where
+    c(w1·) is w1's bigram-context count and |V| the corpus vocabulary.
+
+    Float-parity discipline: each distinct bigram's ln-probability is
+    rounded ONCE to an e6-scaled BIGINT in the model table; per-doc
+    totals are then exact integer sums weighted by occurrence counts —
+    no cross-row float accumulation anywhere. Division of the total by
+    n_bigrams is left to the consumer (integer division of negatives
+    truncates differently across engines — the raw pair is the stable
+    contract).
+
+    Scale shape: the corpus tokenizes twice (model counts + doc
+    scoring) — both narrow scans; the model table is vocabulary²-
+    bounded (≪ corpus, here ~900 rows) so the scoring join broadcasts;
+    the only corpus-keyed shuffles are the (doc, bigram) aggregate and
+    the per-doc rollup. At 100 TB the model would be trained on a
+    sample or a held-out reference corpus — the scoring side is
+    unchanged either way.
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    t = docs.select("doc_id", toks.alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+    bg = t.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - 2),
+                lambda i: F.concat_ws(
+                    " ", F.col("toks")[i], F.col("toks")[i + 1]
+                ),
+            )
+        ).alias("bigram"),
+    )
+    doc_bg = bg.groupBy("doc_id", "bigram").agg(F.count("*").alias("n_occ"))
+    c12 = bg.groupBy("bigram").agg(F.count("*").alias("c12"))
+    c1 = (
+        c12.groupBy(F.split(F.col("bigram"), " ")[0].alias("w1"))
+        .agg(F.sum("c12").alias("c1"))
+    )
+    vocab = (
+        docs.select("doc_id", toks.alias("toks"))
+        .select(F.explode("toks").alias("tok"))
+        .agg(F.countDistinct("tok").alias("vocab"))
+    )
+    stats = (
+        c12.join(
+            c1, F.split(c12["bigram"], " ")[0] == c1["w1"]
+        )
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "bigram",
+            F.round(
+                F.log(
+                    (F.col("c12") + 1.0) / (F.col("c1") + F.col("vocab"))
+                )
+                * 1000000.0
+            )
+            .cast("bigint")
+            .alias("logp_e6"),
+        )
+    )
+    return (
+        doc_bg.join(F.broadcast(stats), "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_occ").cast("bigint").alias("n_bigrams"),
+            F.sum(F.col("n_occ") * F.col("logp_e6"))
+            .cast("bigint")
+            .alias("total_logp_e6"),
+        )
+    )

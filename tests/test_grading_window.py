@@ -115,6 +115,8 @@ QUEUED_FOR_NEXT_WINDOW: set[str] = {
     "x04_bm25_scores",  # round-7 addition: lexical retrieval scoring
     "q21_copurchase_lift",  # round-7 addition: market-basket lift
     "q21_part_pagerank",  # round-7 addition: integer PageRank
+    "q10_local_supplier_volume",  # round-7 addition: TPC-H Q5 topology
+    "x04_lm_quality_score",  # round-7 addition: bigram-LM quality gate
 }
 
 

@@ -205,3 +205,12 @@ def test_copurchase_basket_form_avoids_fact_self_join(spark):
     plan = _plan(spark, "q21_copurchase_lift")
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_local_supplier_volume_broadcasts_all_dims(spark):
+    """TPC-H Q5 topology: four broadcast dim joins, fact never
+    cartesian/sort-merge joined at dim scale."""
+    plan = _plan(spark, "q10_local_supplier_volume")
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in plan
+    assert "PushedFilters" in plan and "o_orderdate" in plan

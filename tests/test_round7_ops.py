@@ -322,3 +322,71 @@ def test_pagerank_deterministic_under_repartition(spark):
         for r in pa.q21_part_pagerank(spark, SF_DIR).repartition(7).collect()
     }
     assert a and a == b
+
+
+# ------------------------------------------------------------------ bigram LM
+
+
+def test_lm_quality_score_matches_pure_python_model(spark, tmp_path):
+    """Independent reimplementation: add-one bigram LM computed in plain
+    Python over crafted docs must reproduce the engine's integer totals."""
+    import math
+    from collections import Counter
+
+    from reddit_data_engineering_project_spark.operators import (
+        text_analysis as ta,
+    )
+
+    texts = {
+        1: "a b a b c",
+        2: "a b",
+        3: "c c c a",
+    }
+    sf = _write_documents(
+        spark, tmp_path, [(i, t, "src") for i, t in texts.items()]
+    )
+    # model
+    all_bigrams = Counter()
+    vocab = set()
+    for t in texts.values():
+        toks = t.split()
+        vocab.update(toks)
+        all_bigrams.update(zip(toks, toks[1:]))
+    c1 = Counter()
+    for (w1, _), c in all_bigrams.items():
+        c1[w1] += c
+    V = len(vocab)
+
+    def logp_e6(w1, w2):
+        return round(
+            math.log((all_bigrams[(w1, w2)] + 1) / (c1[w1] + V)) * 1e6
+        )
+
+    expected = {}
+    for doc_id, t in texts.items():
+        toks = t.split()
+        bgs = list(zip(toks, toks[1:]))
+        expected[doc_id] = (
+            len(bgs),
+            sum(logp_e6(w1, w2) for w1, w2 in bgs),
+        )
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["total_logp_e6"])
+        for r in ta.x04_lm_quality_score(spark, sf).collect()
+    }
+    assert got == expected
+
+
+def test_lm_quality_score_covers_all_multi_token_docs(spark):
+    from reddit_data_engineering_project_spark.operators import (
+        text_analysis as ta,
+    )
+    from reddit_data_engineering_project_spark.tables import table
+
+    docs = table(spark, SF_DIR, "documents")
+    n_multi = docs.filter(
+        F.size(ta.tokens(F.col("text"))) >= 2
+    ).count()
+    out = ta.x04_lm_quality_score(spark, SF_DIR)
+    assert out.count() == n_multi
+    assert all(r["total_logp_e6"] < 0 for r in out.collect())
