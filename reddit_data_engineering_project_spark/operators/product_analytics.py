@@ -510,3 +510,90 @@ def q21_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("degree").cast("bigint").alias("degree"),
         F.col("rank_e6").cast("bigint").alias("rank_e6"),
     )
+
+
+@register(
+    "q21_sessionize_gap",
+    oracle="""
+    WITH ordered AS (
+        SELECT
+            user_id,
+            CAST(ts AS TIMESTAMP) AS ts,
+            event_id,
+            value,
+            CASE WHEN CAST(ts AS TIMESTAMP)
+                      - lag(CAST(ts AS TIMESTAMP)) OVER (
+                            PARTITION BY user_id
+                            ORDER BY CAST(ts AS TIMESTAMP), event_id)
+                      > INTERVAL 30 MINUTE
+                 OR lag(event_id) OVER (
+                            PARTITION BY user_id
+                            ORDER BY CAST(ts AS TIMESTAMP), event_id)
+                      IS NULL
+                 THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    tagged AS (
+        SELECT
+            user_id, ts, event_id, value,
+            sum(new_session) OVER (
+                PARTITION BY user_id
+                ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            ) AS session_seq
+        FROM ordered
+    )
+    SELECT
+        user_id,
+        CAST(session_seq AS BIGINT) AS session_seq,
+        min(ts) AS session_start,
+        count(*) AS n_events,
+        CAST(date_diff('second', min(ts), max(ts)) AS BIGINT) AS duration_s,
+        CAST(round(sum(value) * 100.0) AS BIGINT) AS value_e2
+    FROM tagged
+    GROUP BY user_id, session_seq
+    """,
+    tags=("analytics", "sessionize", "R17"),
+)
+def q21_sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization: a 30-minute inactivity gap starts
+    a new session; emit per-session start/size/duration/value rollups.
+
+    The batch counterpart of ``s03_session_window`` (streaming session
+    windows), expressed as the classic two-window cascade: a boundary
+    flag from ``lag``, then a running ``sum`` of boundaries as the
+    session ordinal — both windows AND the final group-by share the one
+    ``user_id`` hash partitioning, so the whole query is a single
+    exchange followed by two per-partition sorts and a partial-agg.
+    Duration is an epoch-second diff (both engines count whole-second
+    boundaries, so µs-precision inputs agree); the value rollup is a
+    scaled BIGINT per the registry's cross-engine float discipline.
+    """
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # µs-exact gap: the oracle compares full-precision intervals, so a
+    # second-truncated diff would misclassify gaps in (1800 s, 1801 s).
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(
+        order
+    )
+    tagged = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0),
+    ).withColumn(
+        "session_seq",
+        F.sum("new_session")
+        .over(order.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("bigint"),
+    )
+    return tagged.groupBy("user_id", "session_seq").agg(
+        F.min("ts").alias("session_start"),
+        F.count("*").alias("n_events"),
+        (
+            F.max(F.col("ts").cast("long")) - F.min(F.col("ts").cast("long"))
+        ).alias("duration_s"),
+        F.round(F.sum("value") * 100.0).cast("bigint").alias("value_e2"),
+    )

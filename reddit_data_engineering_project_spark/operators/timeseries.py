@@ -1,0 +1,178 @@
+"""Time-series operators over the events stream (Q22 family).
+
+Regular-grid resampling (gap-fill) and rolling-window anomaly scoring —
+the two batch time-series shapes a telemetry/training-data pipeline
+needs that the plain window battery (Q13) does not cover:
+
+* ``q22_timeseries_gapfill`` densifies an irregular event stream onto an
+  hourly grid so downstream models see explicit zeros, not silent holes;
+* ``q22_rolling_zscore`` scores each observation against its trailing
+  window — the standard streaming-friendly outlier gate.
+
+Scale notes:
+- Gap-fill's only data-sized exchange is the pre-aggregation to the
+  (hour, type) grid; the spine (``sequence`` + ``explode`` over the
+  min/max bound row × the distinct-type dim) is O(hours × types) rows —
+  thousands, not billions — and joins the aggregated grid, never raw
+  events. Both spine inputs are broadcast.
+- The rolling score shares one ``user_id`` hash partitioning for its
+  frame; sums/sums-of-squares are running aggregates, so the frame never
+  rescans (Spark keeps a sliding accumulator per partition).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..registry import register
+from ..tables import table
+
+
+@register(
+    "q22_timeseries_gapfill",
+    oracle="""
+    WITH bounds AS (
+        SELECT
+            date_trunc('hour', min(CAST(ts AS TIMESTAMP))) AS h0,
+            date_trunc('hour', max(CAST(ts AS TIMESTAMP))) AS h1
+        FROM events
+    ),
+    spine AS (
+        SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+        FROM bounds
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    hourly AS (
+        SELECT
+            date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+            event_type,
+            count(*) AS n_events,
+            CAST(round(sum(value) * 100.0) AS BIGINT) AS value_e2
+        FROM events
+        GROUP BY 1, 2
+    )
+    SELECT
+        s.hour,
+        t.event_type,
+        COALESCE(h.n_events, 0) AS n_events,
+        COALESCE(h.value_e2, 0) AS value_e2
+    FROM spine s
+    CROSS JOIN types t
+    LEFT JOIN hourly h ON h.hour = s.hour AND h.event_type = t.event_type
+    """,
+    tags=("timeseries", "Q22"),
+)
+def q22_timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly resample with explicit zero-fill for silent hours.
+
+    Irregular events → (hour, event_type) grid covering EVERY hour
+    between the corpus min and max, with hours that saw no traffic
+    emitted as explicit zero rows. The dense grid is what rate
+    dashboards, seasonality models, and drift monitors consume — a
+    missing row and a zero row mean different things.
+
+    Plan shape: one groupBy over events (the only event-sized shuffle);
+    the spine is ``sequence(h0, h1, 1 hour)`` exploded from the single
+    min/max bound row, cross-joined with the tiny distinct-type dim
+    (both broadcast — Catalyst plans BroadcastNestedLoopJoin over two
+    sub-thousand-row inputs), then a broadcast left join picks up the
+    aggregated grid. At 100 TB the spine is still |hours|×|types| rows.
+    """
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value") * 100.0).cast("bigint").alias("value_e2"),
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour")
+    )
+    types = ev.select("event_type").distinct()
+    grid = F.broadcast(spine).crossJoin(F.broadcast(types))
+    return grid.join(F.broadcast(hourly), ["hour", "event_type"], "left").select(
+        "hour",
+        "event_type",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.coalesce("value_e2", F.lit(0)).alias("value_e2"),
+    )
+
+
+@register(
+    "q22_rolling_zscore",
+    oracle="""
+    WITH framed AS (
+        SELECT
+            user_id,
+            event_id,
+            CAST(ts AS TIMESTAMP) AS ts,
+            value,
+            count(value) OVER w AS n,
+            sum(value) OVER w AS s,
+            sum(value * value) OVER w AS ss
+        FROM events
+        WINDOW w AS (
+            PARTITION BY user_id
+            ORDER BY CAST(ts AS TIMESTAMP), event_id
+            ROWS BETWEEN 7 PRECEDING AND CURRENT ROW
+        )
+    )
+    SELECT
+        user_id,
+        event_id,
+        ts,
+        CAST(round(value * 10000.0) AS BIGINT) AS value_e4,
+        CASE WHEN n > 1 AND (ss - s * s / n) / (n - 1) > 1e-12
+             THEN CAST(round(
+                    (value - s / n)
+                    / sqrt((ss - s * s / n) / (n - 1)) * 10000.0)
+                  AS BIGINT)
+        END AS z_e4
+    FROM framed
+    """,
+    tags=("timeseries", "Q22", "anomaly"),
+)
+def q22_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window z-score per observation — the rolling anomaly gate.
+
+    Each event's value is scored against the mean/std of its trailing
+    8-observation frame (inclusive) within the same user. Variance comes
+    from the explicit sum/sum-of-squares identity — spelled IDENTICALLY
+    in the oracle so both engines run the same float arithmetic on the
+    same deterministically-ordered frame (ties broken by event_id); the
+    score is a scaled BIGINT per the registry float discipline, and a
+    near-zero variance floor (1e-12) keeps the constant-frame case NULL
+    on both sides instead of dividing rounding dust.
+
+    Scale shape: one hash exchange on user_id, one per-partition sort;
+    the bounded ROWS frame is a sliding accumulator (no per-row rescan)
+    and memory per partition is O(frame), not O(user history). This is
+    the batch twin of the streaming profile's online stats.
+    """
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-7, Window.currentRow)
+    )
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    n = F.count("value").over(w)
+    s = F.sum("value").over(w)
+    ss = F.sum(F.col("value") * F.col("value")).over(w)
+    var = (ss - s * s / n) / (n - 1)
+    z = (F.col("value") - s / n) / F.sqrt(var)
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.round(F.col("value") * 10000.0).cast("bigint").alias("value_e4"),
+        F.when((n > 1) & (var > 1e-12), F.round(z * 10000.0).cast("bigint"))
+        .alias("z_e4"),
+    )

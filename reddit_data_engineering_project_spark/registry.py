@@ -185,11 +185,16 @@ GRADING_PRIORITY: tuple[str, ...] = (
     # (d) stale families (old-corpus r02 evidence only) + SimHash rework
     "q02_projection_pruning",
     "q03_filter_predicates",
-    "q04_topk",
     "q05_multikey_sort",
-    "q06_limit_offset",
     "q08_count_distinct",
     "x02_simhash_neardup",
+    # (e) the new Q22 time-series family needs first-ever driver rows;
+    #     q04_topk / q06_limit_offset ceded their re-grade slots (both
+    #     single-member families with r02 all-green evidence and
+    #     corpus-independent semantics) — fold them into the round-8
+    #     rotation's (b) list.
+    "q22_timeseries_gapfill",
+    "q22_rolling_zscore",
 )
 
 GRADED_WINDOW = 50
@@ -233,6 +238,7 @@ def load_all_operators() -> None:
         similarity,
         sinks,
         text_analysis,
+        timeseries,
         upsert,
         windows,
     )

@@ -117,6 +117,10 @@ QUEUED_FOR_NEXT_WINDOW: set[str] = {
     "q21_part_pagerank",  # round-7 addition: integer PageRank
     "q10_local_supplier_volume",  # round-7 addition: TPC-H Q5 topology
     "x04_lm_quality_score",  # round-7 addition: bigram-LM quality gate
+    "x02_fuzzy_levenshtein_neardup",  # round-7 addition: edit-dist rung
+    "q21_sessionize_gap",  # round-7 addition: batch sessionization
+    "q22_timeseries_gapfill",  # round-7 addition: hourly zero-fill grid
+    "q22_rolling_zscore",  # round-7 addition: trailing-window anomaly
 }
 
 
