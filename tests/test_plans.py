@@ -214,3 +214,40 @@ def test_local_supplier_volume_broadcasts_all_dims(spark):
     assert plan.count("BroadcastHashJoin") >= 4
     assert "CartesianProduct" not in plan
     assert "PushedFilters" in plan and "o_orderdate" in plan
+
+
+def test_sessionize_single_exchange_two_windows(spark):
+    """Both windows (lag flag, running ordinal) and the per-session
+    rollup share one user_id hash partitioning: exactly one data
+    Exchange, and the final aggregate needs no re-shuffle."""
+    plan = _plan(spark, "q21_sessionize_gap")
+    assert plan.count("Exchange (") - plan.count("BroadcastExchange (") == 1
+    assert plan.count("Window (") == 2
+
+
+def test_gapfill_spine_broadcasts_events_agg_once(spark):
+    """The only event-sized exchange is the hourly pre-aggregate; the
+    spine/type grid and the aggregated grid all ride as broadcasts."""
+    plan = _plan(spark, "q22_timeseries_gapfill")
+    assert plan.count("BroadcastExchange") >= 2
+    assert "SortMergeJoin" not in plan
+    # no event-sized cartesian: the one cross join is bounds x types
+    # (tree-line spelling; the node-detail section repeats the name)
+    assert plan.count("BroadcastNestedLoopJoin Cross") == 1
+
+
+def test_rolling_zscore_single_exchange_sliding_frame(spark):
+    plan = _plan(spark, "q22_rolling_zscore")
+    assert plan.count("Exchange (") - plan.count("BroadcastExchange (") == 1
+    assert plan.count("Window (") == 1
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_fuzzy_neardup_blocking_is_equi_join(spark):
+    """Candidate generation must be an equi-join on (lang, prefix8) —
+    never a cartesian — with the bounded-threshold verifier riding as a
+    post-join condition, not a separate pass."""
+    plan = _plan(spark, "x02_fuzzy_levenshtein_neardup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "levenshtein" in plan
