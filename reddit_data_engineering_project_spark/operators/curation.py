@@ -1175,3 +1175,162 @@ def x04_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shard",
         F.row_number().over(w).cast("bigint").alias("position"),
     )
+
+
+@register(
+    "x04_bpe_pair_stats",
+    oracle="""
+    WITH toks AS (
+        SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+               AS t
+        FROM documents
+    ),
+    pairs AS (
+        SELECT unnest(list_transform(
+                   generate_series(1, length(t) - 1),
+                   i -> substring(t, CAST(i AS INT), 2))) AS pair
+        FROM toks
+        WHERE length(t) >= 2
+    )
+    SELECT pair, n, rank FROM (
+        SELECT pair,
+               count(*) AS n,
+               row_number() OVER (ORDER BY count(*) DESC, pair ASC) AS rank
+        FROM pairs
+        GROUP BY pair
+    )
+    WHERE rank <= 100
+    """,
+    tags=("curation", "X4", "bpe"),
+)
+def x04_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: BPE merge-pair statistics — the inner loop of byte-pair
+    tokenizer training (count adjacent symbol pairs, merge the top one).
+
+    One training iteration's pair census at character level: every
+    adjacent 2-char window inside every whitespace token, counted
+    corpus-wide, top-100 by count (ties lexicographic — deterministic).
+    A real BPE trainer re-runs this census after each merge; the census
+    IS the distributed step (the merge-table update is metadata).
+
+    Scale shape: pair generation is ``transform(sequence)`` + one
+    explode — pure codegen, output bounded by total corpus chars; the
+    census is one map-side-combinable count keyed by a ≤ |alphabet|²
+    pair space (tiny agg state), and top-100 rides
+    ``TakeOrderedAndProject`` (per-partition heads, no global sort).
+    The window rank re-derives the same order for the emitted rows.
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.filter(F.split("text", " "), lambda t: t != "")).alias("t")
+    ).filter(F.length("t") >= 2)
+    pairs = toks.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("t") - 1),
+                lambda i: F.col("t").substr(i, F.lit(2)),
+            )
+        ).alias("pair")
+    )
+    counted = pairs.groupBy("pair").agg(F.count("*").alias("n"))
+    w = Window.orderBy(F.col("n").desc(), F.col("pair").asc())
+    return (
+        counted.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 100)
+        .select("pair", "n", "rank")
+    )
+
+
+@register(
+    "x04_char_entropy",
+    oracle="""
+    WITH chars AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   generate_series(1, length(text)),
+                   i -> substring(text, CAST(i AS INT), 1))) AS c
+        FROM documents
+        WHERE length(text) >= 1
+    ),
+    counts AS (
+        SELECT doc_id, c, count(*) AS n_c
+        FROM chars
+        GROUP BY doc_id, c
+    ),
+    per_doc AS (
+        SELECT
+            doc_id,
+            CAST(sum(n_c) AS BIGINT) AS n_chars_counted,
+            CAST(sum(CAST(round(n_c * log2(n_c) * 1000000.0) AS BIGINT))
+                 AS BIGINT) AS ent_sum_e6,
+            count(*) AS n_distinct_chars
+        FROM counts
+        GROUP BY doc_id
+    )
+    SELECT
+        doc_id,
+        n_chars_counted,
+        n_distinct_chars,
+        ent_sum_e6,
+        CAST(round(
+            (log2(n_chars_counted)
+             - (ent_sum_e6 / 1000000.0) / n_chars_counted) * 10000.0)
+         AS BIGINT) AS entropy_e4
+    FROM per_doc
+    """,
+    tags=("curation", "X4", "quality"),
+)
+def x04_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: character-unigram Shannon entropy per document — the classic
+    gibberish/boilerplate signal (natural text ≈ 4-4.5 bits/char;
+    base64 blobs and repeated padding sit far outside that band).
+
+    Exact-integer float discipline: H = log2(N) − (Σ n_c·log2 n_c)/N is
+    computed from per-class terms rounded ONCE to e6 BIGINT and summed
+    in exact integer math (the X4z bigram-LM pattern) — the engines'
+    per-class doubles are identical single libm calls on identical
+    integers, so no cross-engine summation-order drift exists; the
+    final e4 round divides two exact integers the same way on both
+    sides.
+
+    Scale shape: char explode is bounded by corpus bytes; the census is
+    map-side-combinable keyed by (doc, char) with ≤ |alphabet| classes
+    per doc, and the per-doc fold is a second tiny aggregate on the
+    same doc_id partitioning.
+    """
+    docs = table(spark, sf_dir, "documents").filter(F.length("text") >= 1)
+    chars = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("text")),
+                lambda i: F.col("text").substr(i, F.lit(1)),
+            )
+        ).alias("c"),
+    )
+    counts = chars.groupBy("doc_id", "c").agg(F.count("*").alias("n_c"))
+    per_doc = counts.groupBy("doc_id").agg(
+        F.sum("n_c").cast("bigint").alias("n_chars_counted"),
+        F.sum(
+            F.round(F.col("n_c") * F.log2("n_c") * 1_000_000.0).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("ent_sum_e6"),
+        F.count("*").alias("n_distinct_chars"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_chars_counted",
+        "n_distinct_chars",
+        "ent_sum_e6",
+        F.round(
+            (
+                F.log2("n_chars_counted")
+                - (F.col("ent_sum_e6") / 1_000_000.0)
+                / F.col("n_chars_counted")
+            )
+            * 10_000.0
+        )
+        .cast("bigint")
+        .alias("entropy_e4"),
+    )

@@ -663,3 +663,194 @@ def x03_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             dround(F.col("approx"), 6).alias("approx_dot"),
         )
     )
+
+
+@register(
+    "x03_pq_topk",
+    oracle="""
+    WITH g AS (
+        SELECT greatest(
+                   max(list_max(list_transform(
+                       CAST(embedding AS DOUBLE[]), x -> abs(x)))),
+                   1e-12) AS g
+        FROM embeddings
+    ),
+    enc AS (
+        SELECT vec_id,
+               list_transform(
+                   CAST(embedding AS DOUBLE[]),
+                   x -> CAST(floor(x / g.g * 127.0 + 0.5)
+                             AS BIGINT)) AS icode
+        FROM embeddings CROSS JOIN g
+    ),
+    cb AS (
+        SELECT list(icode ORDER BY vec_id) AS cents
+        FROM enc WHERE vec_id < 16
+    ),
+    coded AS (
+        SELECT
+            e.vec_id,
+            e.icode,
+            list_transform(generate_series(1, 8), j -> list_position(
+                list_transform(
+                    cb.cents,
+                    ct -> CAST(list_sum(list_transform(
+                        generate_series((j - 1) * 8 + 1, j * 8),
+                        i -> (e.icode[i] - ct[i]) * (e.icode[i] - ct[i])))
+                        AS BIGINT)),
+                list_min(list_transform(
+                    cb.cents,
+                    ct -> CAST(list_sum(list_transform(
+                        generate_series((j - 1) * 8 + 1, j * 8),
+                        i -> (e.icode[i] - ct[i]) * (e.icode[i] - ct[i])))
+                        AS BIGINT)))
+            )) AS codes
+        FROM enc e CROSS JOIN cb
+    ),
+    recon AS (
+        SELECT
+            c.vec_id,
+            flatten(list_transform(
+                generate_series(1, 8),
+                j -> (cb.cents[c.codes[j]])[((j - 1) * 8 + 1):(j * 8)]
+            )) AS rvec
+        FROM coded c CROSS JOIN cb
+    ),
+    q AS (
+        SELECT vec_id AS query_id, icode AS qcode
+        FROM enc WHERE vec_id < 5
+    ),
+    scored AS (
+        SELECT
+            q.query_id,
+            r.vec_id AS neighbor_id,
+            CAST(list_sum(list_transform(
+                generate_series(1, 64),
+                i -> (q.qcode[i] - r.rvec[i]) * (q.qcode[i] - r.rvec[i])))
+                AS BIGINT) AS adc_dist
+        FROM q JOIN recon r ON r.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, rank, adc_dist FROM (
+        SELECT query_id, neighbor_id, adc_dist,
+               row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY adc_dist ASC, neighbor_id ASC) AS rank
+        FROM scored
+    )
+    WHERE rank <= 10
+    """,
+    tags=("similarity", "X3", "quantization"),
+)
+def x03_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3f: product-quantized (PQ) top-k — the billion-scale ANN layout.
+
+    PQ splits each 64-d vector into 8 subvectors of 8 dims; each
+    subspace has a 16-entry codebook, so a vector compresses to 8
+    4-bit codes (4 bytes + codebook) vs SQ8's 64 bytes — the layout
+    FAISS IVF-PQ uses when even SQ8 doesn't fit executor memory at
+    100 TB. Search is asymmetric distance computation (ADC): the exact
+    query against each neighbor's codebook reconstruction.
+
+    Everything after the one global-scale quantization is EXACT integer
+    math, the X3e discipline extended: codebook entries (the first 16
+    vectors by id — a seeded coarse codebook; k-means refinement would
+    only change the table's contents, not the plan), assignment argmin
+    (first-minimum tie break = lowest centroid id on both engines), the
+    reconstruction, and the ADC distance (≤ 254²·64 < 2³¹ per pair) are
+    all integers, so ranking is bit-identical cross-engine with no
+    float-order caveats.
+
+    Scale shape: encoding is one broadcast of the codebook row into a
+    codegen ``transform`` over the corpus scan — no shuffle; search
+    broadcasts the 5 queries along the corpus exactly like X3a/X3e; the
+    per-query window ranks hash by query_id. The ADC distance-table
+    optimization (precompute 8×16 partials per query, score = 8 map
+    lookups) is a constant-factor refinement of the same plan.
+    """
+    emb = ensure_min_parallelism(table(spark, sf_dir, "embeddings")).select(
+        "vec_id", _vec_double("embedding").alias("e")
+    )
+    g_row = emb.agg(
+        F.greatest(
+            F.max(F.array_max(F.transform("e", lambda x: F.abs(x)))),
+            F.lit(1e-12),
+        ).alias("g")
+    )
+    enc = emb.crossJoin(F.broadcast(g_row)).select(
+        "vec_id",
+        F.transform(
+            "e", lambda x: F.floor(x / F.col("g") * 127.0 + 0.5).cast("long")
+        ).alias("icode"),
+    )
+    cb = (
+        enc.filter(F.col("vec_id") < 16)
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("vec_id", "icode"))),
+                lambda s: s.icode,
+            ).alias("cents")
+        )
+    )
+
+    def _l2sq(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    def _subspace_dists(j):
+        # distances of this row's j-th subvector to all 16 centroids
+        return F.transform(
+            F.col("cents"),
+            lambda ct: _l2sq(
+                F.slice(F.col("icode"), (j - F.lit(1)) * 8 + 1, F.lit(8)),
+                F.slice(ct, (j - F.lit(1)) * 8 + 1, F.lit(8)),
+            ),
+        )
+
+    coded = enc.crossJoin(F.broadcast(cb)).select(
+        "vec_id",
+        "icode",
+        F.transform(
+            F.sequence(F.lit(1), F.lit(8)),
+            lambda j: F.array_position(
+                _subspace_dists(j), F.array_min(_subspace_dists(j))
+            ),
+        ).alias("codes"),
+        F.col("cents"),
+    )
+    recon = coded.select(
+        "vec_id",
+        F.flatten(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(8)),
+                lambda j: F.slice(
+                    F.element_at(
+                        F.col("cents"),
+                        F.element_at(F.col("codes"), j).cast("int"),
+                    ),
+                    (j - F.lit(1)) * 8 + 1,
+                    F.lit(8),
+                ),
+            )
+        ).alias("rvec"),
+    )
+    q = enc.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("icode").alias("qcode")
+    )
+    scored = recon.join(
+        F.broadcast(q), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        _l2sq(F.col("qcode"), F.col("rvec")).alias("adc_dist"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "neighbor_id", "rank", "adc_dist")
+    )

@@ -121,6 +121,9 @@ QUEUED_FOR_NEXT_WINDOW: set[str] = {
     "q21_sessionize_gap",  # round-7 addition: batch sessionization
     "q22_timeseries_gapfill",  # round-7 addition: hourly zero-fill grid
     "q22_rolling_zscore",  # round-7 addition: trailing-window anomaly
+    "x04_bpe_pair_stats",  # round-7 addition: BPE merge-pair census
+    "x04_char_entropy",  # round-7 addition: char-entropy quality signal
+    "x03_pq_topk",  # round-7 addition: product-quantized ANN
 }
 
 
