@@ -251,3 +251,27 @@ def test_fuzzy_neardup_blocking_is_equi_join(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "levenshtein" in plan
+
+
+def test_bpe_pair_census_uses_topk_not_global_sort(spark):
+    """Pair census top-100 rides per-partition heads, never a
+    total-order sort of the pair space."""
+    plan = _plan(spark, "x04_bpe_pair_stats")
+    assert "rangepartitioning" not in plan.lower() or "WindowGroupLimit" in plan
+
+
+def test_char_entropy_two_aggregates_share_doc_key(spark):
+    """(doc, char) census then per-doc fold: both aggregates and no
+    join anywhere — entropy is a pure aggregation pipeline."""
+    plan = _plan(spark, "x04_char_entropy")
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") >= 4  # partial+final x 2 stages
+
+
+def test_pq_codebook_and_queries_broadcast_corpus_never_shuffles(spark):
+    """Global scale, codebook row, and the 5 queries all ride as
+    broadcasts; the corpus scan reaches the ranking window without a
+    data shuffle except the per-query rank exchange."""
+    plan = _plan(spark, "x03_pq_topk")
+    assert plan.count("BroadcastExchange") >= 3
+    assert "SortMergeJoin" not in plan
