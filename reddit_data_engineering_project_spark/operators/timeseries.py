@@ -176,3 +176,102 @@ def q22_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when((n > 1) & (var > 1e-12), F.round(z * 10000.0).cast("bigint"))
         .alias("z_e4"),
     )
+
+
+@register(
+    "q22_locf_fill",
+    oracle="""
+    WITH bounds AS (
+        SELECT
+            date_trunc('hour', min(CAST(ts AS TIMESTAMP))) AS h0,
+            date_trunc('hour', max(CAST(ts AS TIMESTAMP))) AS h1
+        FROM events
+    ),
+    spine AS (
+        SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+        FROM bounds
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    hourly AS (
+        SELECT
+            date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+            event_type,
+            CAST(round(avg(value) * 10000.0) AS BIGINT) AS avg_value_e4
+        FROM events
+        WHERE value IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    grid AS (
+        SELECT s.hour, t.event_type, h.avg_value_e4
+        FROM spine s
+        CROSS JOIN types t
+        LEFT JOIN hourly h ON h.hour = s.hour AND h.event_type = t.event_type
+    )
+    SELECT
+        hour,
+        event_type,
+        avg_value_e4 IS NULL AS is_filled,
+        last_value(avg_value_e4 IGNORE NULLS) OVER (
+            PARTITION BY event_type
+            ORDER BY hour
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS locf_value_e4
+    FROM grid
+    """,
+    tags=("timeseries", "Q22", "locf"),
+)
+def q22_locf_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-observation-carried-forward over the dense hourly grid — the
+    other half of gap handling: Q22a's zero-fill is right for counts,
+    LOCF is right for level metrics (a sensor that didn't report still
+    HAS a temperature; carrying the last reading forward is the
+    standard step-function interpolation).
+
+    Built on the same spine as Q22a, then one ``last_value(...IGNORE
+    NULLS)`` running frame per event_type — leading hours before a
+    type's first observation stay NULL (nothing to carry), and
+    ``is_filled`` marks carried rows so downstream can weight them. The
+    hourly level is an e4-scaled BIGINT before the carry, so the carried
+    value is bit-identical to its source row on both engines.
+
+    Scale shape: the event-sized work is one groupBy; the window runs
+    over the grid (|hours|×|types| rows), partitioned by type — state is
+    one scalar per partition, and a year of hours × thousands of types
+    is still only millions of grid rows.
+    """
+    ev = table(spark, sf_dir, "events")
+    hourly = (
+        ev.filter(F.col("value").isNotNull())
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type")
+        .agg(
+            F.round(F.avg("value") * 10_000.0)
+            .cast("bigint")
+            .alias("avg_value_e4")
+        )
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias(
+            "hour"
+        )
+    )
+    types = ev.select("event_type").distinct()
+    grid = (
+        F.broadcast(spine)
+        .crossJoin(F.broadcast(types))
+        .join(F.broadcast(hourly), ["hour", "event_type"], "left")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return grid.select(
+        "hour",
+        "event_type",
+        F.col("avg_value_e4").isNull().alias("is_filled"),
+        F.last("avg_value_e4", ignorenulls=True).over(w).alias("locf_value_e4"),
+    )

@@ -310,3 +310,99 @@ def q19_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("last_ts"),
         F.col("value").alias("last_value"),
     )
+
+
+@register(
+    "q19_incremental_agg_maintain",
+    oracle="""
+    WITH split AS (
+        SELECT max(CAST(ts AS TIMESTAMP)) - INTERVAL 1 DAY AS cutoff
+        FROM events
+    ),
+    base AS (
+        SELECT user_id, event_type,
+               count(*) AS n_events,
+               CAST(round(sum(coalesce(value, 0.0)) * 100.0) AS BIGINT)
+                   AS value_e2
+        FROM events, split
+        WHERE CAST(ts AS TIMESTAMP) < cutoff
+        GROUP BY user_id, event_type
+    ),
+    delta AS (
+        SELECT user_id, event_type,
+               count(*) AS n_events,
+               CAST(round(sum(coalesce(value, 0.0)) * 100.0) AS BIGINT)
+                   AS value_e2
+        FROM events, split
+        WHERE CAST(ts AS TIMESTAMP) >= cutoff
+        GROUP BY user_id, event_type
+    )
+    SELECT
+        coalesce(b.user_id, d.user_id) AS user_id,
+        coalesce(b.event_type, d.event_type) AS event_type,
+        coalesce(b.n_events, 0) + coalesce(d.n_events, 0) AS n_events,
+        coalesce(b.value_e2, 0) + coalesce(d.value_e2, 0) AS value_e2
+    FROM base b
+    FULL OUTER JOIN delta d
+      ON b.user_id = d.user_id AND b.event_type = d.event_type
+    """,
+    tags=("upsert", "Q19", "R16", "incremental"),
+)
+def q19_incremental_agg_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: merge a stored aggregate with a
+    new-day delta instead of recomputing from all history — the
+    materialized-view refresh shape every warehouse rollup needs at
+    100 TB (rescanning a year of events to absorb one day is the
+    anti-pattern this replaces).
+
+    The maintained state is self-maintainable algebra only: COUNT and a
+    scaled-integer SUM merge by addition under a full-outer key join
+    (AVG would be derived as sum/count downstream; MIN/MAX merge too;
+    medians would not — that's the sketch profile's job, X4's
+    incremental HLL). Per-partial sums round to e2 BIGINT BEFORE the
+    merge so the maintained total is exact integer math — merging then
+    rounding would instead accumulate float error run over run.
+
+    Scale shape: both sides aggregate to |user × type| rows before any
+    join (map-side combine does the heavy lifting), the merge join keys
+    equal the group-by keys so AQE coalesces to one co-partitioned
+    exchange pair, and the output is state-sized, not event-sized. In a
+    deployed loop the base side is the stored parquet state (bucketed by
+    the same keys → zero-Exchange merge, the Q18/bucketing kit).
+    """
+    ev = table(spark, sf_dir, "events")
+    cutoff_row = ev.agg(
+        (F.max("ts") - F.expr("INTERVAL 1 DAY")).alias("cutoff")
+    )
+    with_cut = ev.crossJoin(F.broadcast(cutoff_row))
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy("user_id", "event_type").agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.coalesce("value", F.lit(0.0))) * 100.0)
+            .cast("bigint")
+            .alias("value_e2"),
+        )
+
+    base = rollup(with_cut.filter(F.col("ts") < F.col("cutoff")))
+    delta = rollup(with_cut.filter(F.col("ts") >= F.col("cutoff")))
+    b, d = base.alias("b"), delta.alias("d")
+    return b.join(
+        d,
+        (F.col("b.user_id") == F.col("d.user_id"))
+        & (F.col("b.event_type") == F.col("d.event_type")),
+        "full_outer",
+    ).select(
+        F.coalesce(F.col("b.user_id"), F.col("d.user_id")).alias("user_id"),
+        F.coalesce(F.col("b.event_type"), F.col("d.event_type")).alias(
+            "event_type"
+        ),
+        (
+            F.coalesce(F.col("b.n_events"), F.lit(0))
+            + F.coalesce(F.col("d.n_events"), F.lit(0))
+        ).alias("n_events"),
+        (
+            F.coalesce(F.col("b.value_e2"), F.lit(0))
+            + F.coalesce(F.col("d.value_e2"), F.lit(0))
+        ).alias("value_e2"),
+    )

@@ -124,6 +124,8 @@ QUEUED_FOR_NEXT_WINDOW: set[str] = {
     "x04_bpe_pair_stats",  # round-7 addition: BPE merge-pair census
     "x04_char_entropy",  # round-7 addition: char-entropy quality signal
     "x03_pq_topk",  # round-7 addition: product-quantized ANN
+    "q19_incremental_agg_maintain",  # round-7 addition: MV delta merge
+    "q22_locf_fill",  # round-7 addition: carry-forward interpolation
 }
 
 

@@ -209,3 +209,66 @@ def test_new_ops_run_on_fixture_corpus(spark):
     assert product_analytics.q21_sessionize_gap(spark, SF_DIR).count() > 0
     assert timeseries.q22_timeseries_gapfill(spark, SF_DIR).count() > 0
     assert timeseries.q22_rolling_zscore(spark, SF_DIR).count() > 0
+
+
+# -------------------------------------------------- incremental maintenance
+
+
+def test_incremental_merge_equals_full_recompute(spark):
+    """The maintained state (base < cutoff merged with delta >= cutoff)
+    must equal the direct full rollup — the self-maintainability
+    contract that justifies never rescanning history."""
+    from pyspark.sql import functions as F
+
+    from reddit_data_engineering_project_spark.operators import upsert
+    from reddit_data_engineering_project_spark.tables import table
+
+    maintained = upsert.q19_incremental_agg_maintain(spark, SF_DIR)
+    ev = table(spark, SF_DIR, "events")
+    full = ev.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("n_events")
+    )
+    m = {(r.user_id, r.event_type): r.n_events for r in maintained.collect()}
+    f = {(r.user_id, r.event_type): r.n_events for r in full.collect()}
+    assert m == f
+
+
+# ------------------------------------------------------------------- LOCF
+
+
+def test_locf_carries_last_value_and_marks_fills(spark, tmp_path):
+    sf = _write_events(
+        spark,
+        tmp_path,
+        [
+            (1, "2024-01-01 00:10:00", 1, "view", 2.0),
+            (2, "2024-01-01 03:20:00", 1, "view", 4.0),
+        ],
+    )
+    from reddit_data_engineering_project_spark.operators import timeseries
+
+    out = {r.hour.hour: r for r in timeseries.q22_locf_fill(spark, sf).collect()}
+    assert out[0].locf_value_e4 == 20000 and out[0].is_filled is False
+    assert out[1].locf_value_e4 == 20000 and out[1].is_filled is True
+    assert out[2].locf_value_e4 == 20000 and out[2].is_filled is True
+    assert out[3].locf_value_e4 == 40000 and out[3].is_filled is False
+
+
+def test_locf_leading_gap_stays_null(spark, tmp_path):
+    """Hours before a type's first observation have nothing to carry:
+    click's hour-0 cell stays NULL while view's carries."""
+    sf = _write_events(
+        spark,
+        tmp_path,
+        [
+            (1, "2024-01-01 00:00:00", 1, "view", 1.0),
+            (2, "2024-01-01 01:00:00", 1, "click", 3.0),
+        ],
+    )
+    from reddit_data_engineering_project_spark.operators import timeseries
+
+    rows = timeseries.q22_locf_fill(spark, sf).collect()
+    cell = {(r.hour.hour, r.event_type): r.locf_value_e4 for r in rows}
+    assert cell[(0, "click")] is None
+    assert cell[(1, "click")] == 30000
+    assert cell[(0, "view")] == 10000 and cell[(1, "view")] == 10000
