@@ -1233,11 +1233,14 @@ def x04_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("pair")
     )
     counted = pairs.groupBy("pair").agg(F.count("*").alias("n"))
+    # Top-100 FIRST via TakeOrderedAndProject (per-partition heads, no
+    # global sort), then rank only the surviving 100 rows — the global
+    # row_number window runs over 100 rows, never the full pair space
+    # (bounded by |alphabet|² but that's 100k+ for unicode corpora).
+    top = counted.orderBy(F.col("n").desc(), F.col("pair").asc()).limit(100)
     w = Window.orderBy(F.col("n").desc(), F.col("pair").asc())
-    return (
-        counted.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 100)
-        .select("pair", "n", "rank")
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "pair", "n", "rank"
     )
 
 
