@@ -275,3 +275,19 @@ def test_pq_codebook_and_queries_broadcast_corpus_never_shuffles(spark):
     plan = _plan(spark, "x03_pq_topk")
     assert plan.count("BroadcastExchange") >= 3
     assert "SortMergeJoin" not in plan
+
+
+def test_incremental_maintain_preaggregates_before_merge(spark):
+    """Both sides reach the full-outer merge at state size: two
+    aggregate pairs below the join, no event-sized join input."""
+    plan = _plan(spark, "q19_incremental_agg_maintain")
+    assert "SortMergeJoin FullOuter" in plan or "ShuffledHashJoin FullOuter" in plan
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_locf_window_runs_over_grid_not_events(spark):
+    """The carry-forward frame partitions by event_type over the dense
+    grid; the event-sized work is the one hourly aggregate."""
+    plan = _plan(spark, "q22_locf_fill")
+    assert plan.count("Window (") == 1
+    assert "SortMergeJoin" not in plan
