@@ -23,6 +23,7 @@ import pandas as pd
 
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
     StructField,
@@ -111,6 +112,129 @@ def run_profile_stream(
 
     (
         profiles.writeStream.outputMode("update")
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming rolling z-score: the live twin of batch q22_rolling_zscore.
+# ---------------------------------------------------------------------------
+
+#: Per-user carry state: the trailing ≤7 values (event-time order), so an
+#: arriving event's 8-deep frame = state tail + itself. O(frame) per key.
+ZSCORE_STATE_SCHEMA = StructType(
+    [
+        StructField("tail", ArrayType(DoubleType())),
+    ]
+)
+
+ZSCORE_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_id", LongType()),
+        StructField("value_e4", LongType()),
+        StructField("z_e4", LongType()),
+    ]
+)
+
+_FRAME = 8  # matches q22_rolling_zscore's ROWS BETWEEN 7 PRECEDING
+
+
+def score_rolling_zscore(
+    key: tuple,
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Score each arriving event against its trailing 8-value frame.
+
+    Assumes per-key event-time-ordered arrival across micro-batches (the
+    file-stream contract in the runner: files land in time order);
+    within a batch, rows are re-sorted by (ts, event_id) to make the
+    frame deterministic. The variance formula is the batch operator's
+    sum/sum-of-squares identity with the identical 1e-12 floor, so the
+    streaming score converges to the batch score on ordered input.
+    """
+    (user_id,) = key
+    tail: list[float] = list(state.get[0]) if state.exists else []
+
+    frames = [pdf for pdf in batches if len(pdf)]
+    if not frames:
+        state.update((tail,))
+        return
+    pdf = pd.concat(frames).sort_values(["ts", "event_id"])
+
+    out_event, out_val, out_z = [], [], []
+    for ev_id, v in zip(pdf["event_id"], pdf["value"]):
+        v = float(v) if v == v else None  # NaN -> missing
+        frame = tail + ([v] if v is not None else [])
+        z_e4 = None
+        n = len(frame)
+        if v is not None and n > 1:
+            s = 0.0
+            ss = 0.0
+            for x in frame:
+                s += x
+                ss += x * x
+            var = (ss - s * s / n) / (n - 1)
+            if var > 1e-12:
+                z = (v - s / n) / var**0.5
+                z_e4 = int(round(z * 10000.0))
+        out_event.append(int(ev_id))
+        out_val.append(
+            int(round(v * 10000.0)) if v is not None else None
+        )
+        out_z.append(z_e4)
+        if v is not None:
+            tail = (tail + [v])[-(_FRAME - 1):]
+
+    state.update((tail,))
+    yield pd.DataFrame(
+        {
+            "user_id": pd.array([user_id] * len(out_event), dtype="Int64"),
+            "event_id": pd.array(out_event, dtype="Int64"),
+            "value_e4": pd.array(out_val, dtype="Int64"),
+            "z_e4": pd.array(out_z, dtype="Int64"),
+        }
+    )
+
+
+def run_zscore_stream(
+    spark, source_dir: str, sink_dir: str, checkpoint_dir: str
+) -> None:
+    """File stream → per-user stateful rolling z-score → parquet.
+
+    Each event is scored exactly once, in the micro-batch it arrives;
+    the checkpoint carries the per-user tail across restarts, so a
+    resumed stream scores new events against history it never re-reads
+    — the anomaly-gate shape for a 100 TB/day event firehose (state is
+    8 doubles per user, RocksDB-sharded by user across executors).
+    """
+    from ..session import ensure_session_confs
+
+    ensure_session_confs(spark)
+    schema = spark.read.parquet(source_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+    )
+    scored = stream.groupBy("user_id").applyInPandasWithState(
+        score_rolling_zscore,
+        outputStructType=ZSCORE_OUT_SCHEMA,
+        stateStructType=ZSCORE_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+    def write_batch(batch_df, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(f"{sink_dir}/batch={batch_id}")
+
+    (
+        scored.writeStream.outputMode("update")
         .foreachBatch(write_batch)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)

@@ -59,3 +59,59 @@ def test_state_accumulates_across_runs(spark, tmp_path):
     )
     assert final.count() == expected.count()
     assert mismatches.count() == 0
+
+
+def test_streaming_zscore_matches_batch_on_ordered_arrival(spark, tmp_path):
+    """Two availableNow runs over time-split files: every event scored
+    exactly once, and the streaming score equals the batch
+    q22_rolling_zscore (±1 e4 unit for float-accumulation order)."""
+    import pandas as pd
+
+    from reddit_data_engineering_project_spark.operators.timeseries import (
+        q22_rolling_zscore,
+    )
+    from reddit_data_engineering_project_spark.streaming.stateful import (
+        run_zscore_stream,
+    )
+
+    src = os.path.join(str(tmp_path), "zsrc")
+    sink = os.path.join(str(tmp_path), "zsink")
+    ckpt = os.path.join(str(tmp_path), "zckpt")
+
+    ev = table(spark, SF_DIR, "events").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    cutoff = ev.agg(
+        F.expr("percentile_approx(CAST(ts AS DOUBLE), 0.5)")
+    ).first()[0]
+    early = ev.filter(F.col("ts").cast("double") <= cutoff)
+    late = ev.filter(F.col("ts").cast("double") > cutoff)
+
+    # Time-ordered arrival: run 1 sees the early half, run 2 the rest.
+    early.coalesce(1).write.mode("append").parquet(src)
+    run_zscore_stream(spark, src, sink, ckpt)
+    late.coalesce(1).write.mode("append").parquet(src)
+    run_zscore_stream(spark, src, sink, ckpt)
+
+    streamed = (
+        spark.read.option("recursiveFileLookup", True)
+        .parquet(sink)
+        .toPandas()
+        .set_index("event_id")
+        .sort_index()
+    )
+    batch = (
+        q22_rolling_zscore(spark, SF_DIR)
+        .toPandas()
+        .set_index("event_id")
+        .sort_index()
+    )
+    # exactly-once: one scored row per event
+    assert len(streamed) == len(batch)
+    assert not streamed.index.duplicated().any()
+    assert (streamed["value_e4"].dropna() == batch["value_e4"].dropna()).all()
+    sz = streamed["z_e4"].astype("Float64")
+    bz = batch["z_e4"].astype("Float64")
+    assert (sz.isna() == bz.isna()).all()
+    diff = (sz - bz).abs().dropna()
+    assert (diff <= 1).all(), diff[diff > 1].head()
