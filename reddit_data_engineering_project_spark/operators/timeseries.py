@@ -275,3 +275,126 @@ def q22_locf_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("avg_value_e4").isNull().alias("is_filled"),
         F.last("avg_value_e4", ignorenulls=True).over(w).alias("locf_value_e4"),
     )
+
+
+@register(
+    "pipeline_events_monitor",
+    oracle="""
+    WITH scored AS (
+        SELECT
+            user_id,
+            event_id,
+            CAST(ts AS TIMESTAMP) AS ts,
+            value,
+            count(value) OVER wf AS n,
+            sum(value) OVER wf AS s,
+            sum(value * value) OVER wf AS ss,
+            CASE WHEN CAST(ts AS TIMESTAMP)
+                      - lag(CAST(ts AS TIMESTAMP)) OVER wo
+                      > INTERVAL 30 MINUTE
+                 OR lag(event_id) OVER wo IS NULL
+                 THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW
+            wo AS (PARTITION BY user_id
+                   ORDER BY CAST(ts AS TIMESTAMP), event_id),
+            wf AS (PARTITION BY user_id
+                   ORDER BY CAST(ts AS TIMESTAMP), event_id
+                   ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+    ),
+    flagged AS (
+        SELECT
+            user_id, event_id, ts,
+            sum(new_session) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            ) AS session_seq,
+            CASE WHEN n > 1 AND (ss - s * s / n) / (n - 1) > 1e-12
+                 AND abs(CAST(round(
+                        (value - s / n)
+                        / sqrt((ss - s * s / n) / (n - 1)) * 10000.0)
+                     AS BIGINT)) > 20000
+                 THEN 1 ELSE 0 END AS is_anomaly
+        FROM scored
+    ),
+    sessions AS (
+        SELECT
+            user_id,
+            session_seq,
+            CAST(date_trunc('day', min(ts)) AS DATE) AS day,
+            count(*) AS n_events,
+            CAST(sum(is_anomaly) AS BIGINT) AS n_anomalies
+        FROM flagged
+        GROUP BY user_id, session_seq
+    )
+    SELECT
+        day,
+        count(*) AS n_sessions,
+        CAST(sum(n_events) AS BIGINT) AS n_events,
+        CAST(sum(n_anomalies) AS BIGINT) AS n_anomaly_events,
+        count(*) FILTER (WHERE n_anomalies > 0) AS n_flagged_sessions
+    FROM sessions
+    GROUP BY day
+    """,
+    tags=("pipeline", "timeseries", "Q21", "Q22"),
+)
+def pipeline_events_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed monitoring pipeline: rolling anomaly score → gaps-and-
+    islands sessionization → per-session rollup → daily health report.
+
+    The third composed pipeline (companion to the training-prep and
+    curation chains): the operational side of the engine. The point the
+    composition pins: all three event-order windows (the lag boundary
+    flag, the running session ordinal, the 8-row anomaly frame) declare
+    the SAME (user_id | ts, event_id) ordering, so Catalyst plans ONE
+    hash exchange and ONE sort for the entire event-sized stretch of the
+    plan — per-event monitoring at 100 TB costs exactly one shuffle, and
+    the two rollups above it operate on session- then day-sized data.
+
+    The anomaly flag thresholds the ROUNDED e4-BIGINT score (|z| > 2σ ≡
+    |z_e4| > 20000), so the daily counts inherit Q22b's cross-engine
+    determinism instead of re-exposing a float compare.
+    """
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    frame = order.rowsBetween(-7, Window.currentRow)
+    running = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    n = F.count("value").over(frame)
+    s = F.sum("value").over(frame)
+    ss = F.sum(F.col("value") * F.col("value")).over(frame)
+    var = (ss - s * s / n) / (n - 1)
+    z_e4 = F.round(
+        (F.col("value") - s / n) / F.sqrt(var) * 10000.0
+    ).cast("bigint")
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(
+        order
+    )
+    flagged = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1)
+        .otherwise(0)
+        .alias("new_session"),
+        F.when(
+            (n > 1) & (var > 1e-12) & (F.abs(z_e4) > 20000), 1
+        )
+        .otherwise(0)
+        .alias("is_anomaly"),
+    ).withColumn("session_seq", F.sum("new_session").over(running))
+    sessions = flagged.groupBy("user_id", "session_seq").agg(
+        F.to_date(F.date_trunc("day", F.min("ts"))).alias("day"),
+        F.count("*").alias("n_events"),
+        F.sum("is_anomaly").cast("bigint").alias("n_anomalies"),
+    )
+    return sessions.groupBy("day").agg(
+        F.count("*").alias("n_sessions"),
+        F.sum("n_events").cast("bigint").alias("n_events"),
+        F.sum("n_anomalies").cast("bigint").alias("n_anomaly_events"),
+        F.count(F.when(F.col("n_anomalies") > 0, 1)).alias(
+            "n_flagged_sessions"
+        ),
+    )

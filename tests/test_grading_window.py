@@ -126,6 +126,7 @@ QUEUED_FOR_NEXT_WINDOW: set[str] = {
     "x03_pq_topk",  # round-7 addition: product-quantized ANN
     "q19_incremental_agg_maintain",  # round-7 addition: MV delta merge
     "q22_locf_fill",  # round-7 addition: carry-forward interpolation
+    "pipeline_events_monitor",  # round-7 addition: composed monitor
 }
 
 

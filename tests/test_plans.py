@@ -291,3 +291,12 @@ def test_locf_window_runs_over_grid_not_events(spark):
     plan = _plan(spark, "q22_locf_fill")
     assert plan.count("Window (") == 1
     assert "SortMergeJoin" not in plan
+
+
+def test_events_monitor_single_event_sized_exchange(spark):
+    """All three event-order windows and the session rollup ride ONE
+    user_id exchange + sort; the only other exchange is day-sized."""
+    plan = _plan(spark, "pipeline_events_monitor")
+    assert plan.count("Exchange (") - plan.count("BroadcastExchange (") == 2
+    assert plan.count("Sort (") == 1
+    assert plan.count("Window (") == 2  # frame+lag fused, running ordinal
