@@ -364,3 +364,62 @@ def test_event_time_queries_agree(engines, sql):
 @given(sql=_string_queries())
 def test_string_function_queries_agree(engines, sql):
     _assert_agree(engines, sql)
+
+
+# --- gaps-and-islands session grammar ------------------------------------
+
+_GAP_MINUTES = [5, 15, 30, 60, 240]
+_SESSION_FILTERS = [
+    "",
+    "WHERE event_type = 'view'",
+    "WHERE value IS NOT NULL",
+    "WHERE user_id % 7 = 3",
+    "WHERE event_type IN ('click', 'purchase')",
+]
+
+
+def _session_queries():
+    """Sessionization drawn over gap width, pre-filter, and rollup —
+    the q21_sessionize_gap shape generalized. All outputs integer-typed
+    so agreement is exact by construction; the timestamp subtraction
+    compares full-precision intervals identically on both engines."""
+    return st.builds(
+        lambda m, flt, extra: f"""
+        WITH flags AS (
+          SELECT user_id, ts, event_id,
+            CASE WHEN ts - lag(ts) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id)
+                 > INTERVAL {m} MINUTE
+                 OR lag(event_id) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+            THEN 1 ELSE 0 END AS new_session
+          FROM events {flt}
+        ),
+        tagged AS (
+          SELECT user_id, event_id,
+            sum(new_session) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            ) AS session_seq
+          FROM flags
+        )
+        SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+               count(*) AS n_events{extra}
+        FROM tagged GROUP BY user_id, session_seq
+        """,
+        st.sampled_from(_GAP_MINUTES),
+        st.sampled_from(_SESSION_FILTERS),
+        st.sampled_from(
+            ["", ", min(event_id) AS first_event", ", max(event_id) AS last_event"]
+        ),
+    )
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(sql=_session_queries())
+def test_session_queries_agree(engines, sql):
+    _assert_agree(engines, sql)
