@@ -18,7 +18,7 @@ Scale notes (100 TB design point):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..functions.numeric import dround
 from ..registry import register
@@ -356,4 +356,75 @@ def q09_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.grouping("o_orderpriority").alias("g_priority"),
         F.grouping("order_year").cast("int").alias("g_year"),
         F.count("*").alias("n_orders"),
+    )
+
+
+@register(
+    "q07_weighted_median",
+    oracle="""
+    WITH ranked AS (
+        SELECT
+            l_returnflag,
+            l_extendedprice,
+            CAST(l_quantity AS BIGINT) AS w,
+            sum(CAST(l_quantity AS BIGINT)) OVER (
+                PARTITION BY l_returnflag
+                ORDER BY l_extendedprice, l_orderkey, l_linenumber
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            ) AS cum_w,
+            sum(CAST(l_quantity AS BIGINT)) OVER (
+                PARTITION BY l_returnflag
+            ) AS total_w
+        FROM lineitem
+    )
+    SELECT
+        l_returnflag,
+        CAST(total_w AS BIGINT) AS total_weight,
+        min(l_extendedprice) AS weighted_median_price
+    FROM ranked
+    WHERE cum_w * 2 >= total_w
+    GROUP BY l_returnflag, total_w
+    """,
+    tags=("aggregates", "Q7", "weighted-median"),
+)
+def q07_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted median (lower-median convention) per group — the
+    aggregate Spark has no built-in for, composed from two windows.
+
+    Weighted median of extended price with quantity weights: the first
+    price (in deterministic (price, orderkey, linenumber) order) whose
+    cumulative weight reaches half the group total. Weights are exact
+    BIGINTs (quantity is whole-valued), so the half-total comparison is
+    integer arithmetic — no float boundary exists, and the picked price
+    is a VALUE FROM THE DATA, not an interpolation, so the hash compares
+    raw doubles both engines read identically from parquet.
+
+    Scale shape: one hash exchange on the group key serves the running
+    window, the per-group total (unordered frame over the same
+    partitioning), and the final min — Catalyst stacks all three on one
+    Exchange/Sort pair, and the ``min`` collapses the qualifying suffix
+    per group instead of ranking it.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    order = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    w = F.col("l_quantity").cast("bigint")
+    ranked = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.sum(w)
+        .over(order.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum_w"),
+        F.sum(w).over(Window.partitionBy("l_returnflag")).alias("total_w"),
+    )
+    return (
+        ranked.filter(F.col("cum_w") * 2 >= F.col("total_w"))
+        .groupBy("l_returnflag", "total_w")
+        .agg(F.min("l_extendedprice").alias("weighted_median_price"))
+        .select(
+            "l_returnflag",
+            F.col("total_w").cast("bigint").alias("total_weight"),
+            "weighted_median_price",
+        )
     )

@@ -597,3 +597,70 @@ def q21_sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("duration_s"),
         F.round(F.sum("value") * 100.0).cast("bigint").alias("value_e2"),
     )
+
+
+@register(
+    "q21_activity_streaks",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT user_id,
+               CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS d
+        FROM events
+    ),
+    grouped AS (
+        SELECT user_id, d,
+               d - CAST(row_number() OVER (
+                       PARTITION BY user_id ORDER BY d
+                   ) AS INT) AS grp
+        FROM days
+    ),
+    streaks AS (
+        SELECT user_id, min(d) AS streak_start, count(*) AS streak_days
+        FROM grouped
+        GROUP BY user_id, grp
+    )
+    SELECT user_id,
+           CAST(max(streak_days) AS BIGINT) AS longest_streak,
+           count(*) AS n_streaks,
+           min(streak_start) AS first_active_day
+    FROM streaks
+    GROUP BY user_id
+    """,
+    tags=("analytics", "streaks", "R17"),
+)
+def q21_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user — the retention
+    metric behind 'N-day streak' product mechanics, and the date-typed
+    rendering of gaps-and-islands (Q21h sessionizes micro-gaps in
+    timestamps; this sessionizes macro-gaps in the day calendar).
+
+    The row_number trick: within a user's ordered distinct days,
+    ``day - row_number`` is constant across a consecutive run and jumps
+    at every gap — the island key costs one window, no self-join, no
+    lag-cascade. Day arithmetic is exact (DATE minus INT), so island
+    keys agree cross-engine by construction.
+
+    Scale shape: the (user, day) dedup is the only event-sized
+    aggregate; the window and both rollups run on user-day rows (≤
+    users × days, bounded regardless of event volume) and share the
+    user_id hash partitioning end to end.
+    """
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.to_date(F.date_trunc("day", F.col("ts"))).alias("d")
+    ).dropDuplicates(["user_id", "d"])
+    w = Window.partitionBy("user_id").orderBy("d")
+    grouped = days.withColumn(
+        "grp", F.date_sub(F.col("d"), F.row_number().over(w))
+    )
+    streaks = grouped.groupBy("user_id", "grp").agg(
+        F.min("d").alias("streak_start"),
+        F.count("*").alias("streak_days"),
+    )
+    return streaks.groupBy("user_id").agg(
+        F.max("streak_days").cast("bigint").alias("longest_streak"),
+        F.count("*").alias("n_streaks"),
+        F.min("streak_start").alias("first_active_day"),
+    )

@@ -183,11 +183,16 @@ GRADING_PRIORITY: tuple[str, ...] = (
     "pipeline_topk_window",
     "pipeline_daily_ingest",
     # (d) stale families (old-corpus r02 evidence only) + SimHash rework
-    "q02_projection_pruning",
     "q03_filter_predicates",
     "q05_multikey_sort",
     "q08_count_distinct",
     "x02_simhash_neardup",
+    # q07_weighted_median holds the family-evidence slot for Q7 (its
+    # registration would otherwise leave q07 with neither window nor
+    # all-green-past coverage); q02_projection_pruning ceded the slot
+    # (single-member family, r02 all-green) and re-grades in round 8
+    # with q04/q06.
+    "q07_weighted_median",
     # (e) the new Q22 time-series family needs first-ever driver rows;
     #     q04_topk / q06_limit_offset ceded their re-grade slots (both
     #     single-member families with r02 all-green evidence and

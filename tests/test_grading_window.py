@@ -127,6 +127,7 @@ QUEUED_FOR_NEXT_WINDOW: set[str] = {
     "q19_incremental_agg_maintain",  # round-7 addition: MV delta merge
     "q22_locf_fill",  # round-7 addition: carry-forward interpolation
     "pipeline_events_monitor",  # round-7 addition: composed monitor
+    "q21_activity_streaks",  # round-7 addition: consecutive-day streaks
 }
 
 

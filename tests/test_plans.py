@@ -300,3 +300,10 @@ def test_events_monitor_single_event_sized_exchange(spark):
     assert plan.count("Exchange (") - plan.count("BroadcastExchange (") == 2
     assert plan.count("Sort (") == 1
     assert plan.count("Window (") == 2  # frame+lag fused, running ordinal
+
+
+def test_weighted_median_single_exchange(spark):
+    """Running-weight window, group-total window, and the final min all
+    stack on one hash exchange of the group key."""
+    plan = _plan(spark, "q07_weighted_median")
+    assert plan.count("Exchange (") - plan.count("BroadcastExchange (") == 1
