@@ -580,9 +580,15 @@ def q21_sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(
         order
     )
+    # First-row detection via lag(event_id) — NOT gap.isNull(): a NULL
+    # ts makes gap NULL for that row AND its successor, which would
+    # flag both; the oracle's interval compare flags neither. event_id
+    # is non-null, so its lag is NULL exactly on the partition's first
+    # row — the same predicate the oracle spells.
+    first_row = F.lag("event_id").over(order).isNull()
     tagged = ev.withColumn(
         "new_session",
-        F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0),
+        F.when(first_row | (gap > 30 * 60 * 1_000_000), 1).otherwise(0),
     ).withColumn(
         "session_seq",
         F.sum("new_session")

@@ -809,14 +809,17 @@ def x03_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
 
+    # Two chained transforms so each 16-centroid distance array is
+    # computed ONCE per subspace (argmin = position of min over the
+    # same materialized array) — a single transform that passed the
+    # dists expression to both array_position and array_min would
+    # evaluate the 16x8 L2 work twice per subspace per row.
     coded = enc.crossJoin(F.broadcast(cb)).select(
         "vec_id",
         "icode",
         F.transform(
-            F.sequence(F.lit(1), F.lit(8)),
-            lambda j: F.array_position(
-                _subspace_dists(j), F.array_min(_subspace_dists(j))
-            ),
+            F.transform(F.sequence(F.lit(1), F.lit(8)), _subspace_dists),
+            lambda d: F.array_position(d, F.array_min(d)),
         ).alias("codes"),
         F.col("cents"),
     )

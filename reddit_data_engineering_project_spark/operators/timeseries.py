@@ -28,6 +28,27 @@ from ..registry import register
 from ..tables import table
 
 
+def _hourly_grid(ev: DataFrame) -> DataFrame:
+    """The dense (hour, event_type) spine both grid operators share.
+
+    One 1-row min/max aggregate exploded through ``sequence`` into the
+    hour spine, cross-joined with the distinct-type dim — both broadcast,
+    so the grid costs no event-sized exchange. |hours| x |types| rows at
+    any corpus size.
+    """
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias(
+            "hour"
+        )
+    )
+    types = ev.select("event_type").distinct()
+    return F.broadcast(spine).crossJoin(F.broadcast(types))
+
+
 @register(
     "q22_timeseries_gapfill",
     oracle="""
@@ -85,17 +106,7 @@ def q22_timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.round(F.sum("value") * 100.0).cast("bigint").alias("value_e2"),
     )
-    bounds = ev.agg(
-        F.date_trunc("hour", F.min("ts")).alias("h0"),
-        F.date_trunc("hour", F.max("ts")).alias("h1"),
-    )
-    spine = bounds.select(
-        F.explode(
-            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
-        ).alias("hour")
-    )
-    types = ev.select("event_type").distinct()
-    grid = F.broadcast(spine).crossJoin(F.broadcast(types))
+    grid = _hourly_grid(ev)
     return grid.join(F.broadcast(hourly), ["hour", "event_type"], "left").select(
         "hour",
         "event_type",
@@ -249,20 +260,8 @@ def q22_locf_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("avg_value_e4")
         )
     )
-    bounds = ev.agg(
-        F.date_trunc("hour", F.min("ts")).alias("h0"),
-        F.date_trunc("hour", F.max("ts")).alias("h1"),
-    )
-    spine = bounds.select(
-        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias(
-            "hour"
-        )
-    )
-    types = ev.select("event_type").distinct()
-    grid = (
-        F.broadcast(spine)
-        .crossJoin(F.broadcast(types))
-        .join(F.broadcast(hourly), ["hour", "event_type"], "left")
+    grid = _hourly_grid(ev).join(
+        F.broadcast(hourly), ["hour", "event_type"], "left"
     )
     w = (
         Window.partitionBy("event_type")
@@ -372,11 +371,12 @@ def pipeline_events_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(
         order
     )
+    first_row = F.lag("event_id").over(order).isNull()
     flagged = ev.select(
         "user_id",
         "event_id",
         "ts",
-        F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1)
+        F.when(first_row | (gap > 30 * 60 * 1_000_000), 1)
         .otherwise(0)
         .alias("new_session"),
         F.when(

@@ -105,8 +105,10 @@ def run_profile_stream(
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
 
+    # foreachBatch is at-least-once: overwrite keyed on batch_id makes a
+    # replayed batch rewrite its own directory, not append duplicates.
     def write_batch(batch_df, batch_id: int) -> None:
-        batch_df.write.mode("append").parquet(
+        batch_df.write.mode("overwrite").parquet(
             f"{sink_dir}/batch={batch_id}"
         )
 
@@ -159,7 +161,17 @@ def score_rolling_zscore(
     streaming score converges to the batch score on ordered input.
     """
     (user_id,) = key
+    # Tail mirrors the batch ROWS frame: NULL-value rows OCCUPY a frame
+    # slot (aging out older values) but contribute nothing to the stats
+    # — exactly how count(value)/sum(value) over a ROWS frame treat
+    # NULLs. Encoded as NaN in the array<double> state.
     tail: list[float] = list(state.get[0]) if state.exists else []
+
+    def _half_up_e4(x: float) -> int:
+        # Spark's round() is HALF_UP (away from zero); Python's round()
+        # is banker's — match Spark so ties agree with the batch op.
+        scaled = x * 10000.0
+        return int(scaled + 0.5) if scaled >= 0 else -int(-scaled + 0.5)
 
     frames = [pdf for pdf in batches if len(pdf)]
     if not frames:
@@ -170,26 +182,27 @@ def score_rolling_zscore(
     out_event, out_val, out_z = [], [], []
     for ev_id, v in zip(pdf["event_id"], pdf["value"]):
         v = float(v) if v == v else None  # NaN -> missing
-        frame = tail + ([v] if v is not None else [])
+        frame = tail + [v if v is not None else float("nan")]
         z_e4 = None
-        n = len(frame)
-        if v is not None and n > 1:
-            s = 0.0
-            ss = 0.0
-            for x in frame:
-                s += x
-                ss += x * x
-            var = (ss - s * s / n) / (n - 1)
-            if var > 1e-12:
-                z = (v - s / n) / var**0.5
-                z_e4 = int(round(z * 10000.0))
-        out_event.append(int(ev_id))
-        out_val.append(
-            int(round(v * 10000.0)) if v is not None else None
-        )
-        out_z.append(z_e4)
         if v is not None:
-            tail = (tail + [v])[-(_FRAME - 1):]
+            # stats skip NULL slots (NaN here; None if the state round-
+            # trip rendered a missing double as None)
+            vals = [x for x in frame if x is not None and x == x]
+            n = len(vals)
+            if n > 1:
+                s = 0.0
+                ss = 0.0
+                for x in vals:
+                    s += x
+                    ss += x * x
+                var = (ss - s * s / n) / (n - 1)
+                if var > 1e-12:
+                    z = (v - s / n) / var**0.5
+                    z_e4 = _half_up_e4(z)
+        out_event.append(int(ev_id))
+        out_val.append(_half_up_e4(v) if v is not None else None)
+        out_z.append(z_e4)
+        tail = frame[-(_FRAME - 1):]
 
     state.update((tail,))
     yield pd.DataFrame(
@@ -230,8 +243,11 @@ def run_zscore_stream(
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
 
+    # foreachBatch is at-least-once: overwrite-mode per batch_id makes a
+    # replayed batch rewrite its own directory instead of appending
+    # duplicates (the idempotent-sink contract, see runner.py).
     def write_batch(batch_df, batch_id: int) -> None:
-        batch_df.write.mode("append").parquet(f"{sink_dir}/batch={batch_id}")
+        batch_df.write.mode("overwrite").parquet(f"{sink_dir}/batch={batch_id}")
 
     (
         scored.writeStream.outputMode("update")
