@@ -524,11 +524,13 @@ def q21_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             CASE WHEN CAST(ts AS TIMESTAMP)
                       - lag(CAST(ts AS TIMESTAMP)) OVER (
                             PARTITION BY user_id
-                            ORDER BY CAST(ts AS TIMESTAMP), event_id)
+                            ORDER BY CAST(ts AS TIMESTAMP) NULLS FIRST,
+                                     event_id)
                       > INTERVAL 30 MINUTE
                  OR lag(event_id) OVER (
                             PARTITION BY user_id
-                            ORDER BY CAST(ts AS TIMESTAMP), event_id)
+                            ORDER BY CAST(ts AS TIMESTAMP) NULLS FIRST,
+                                     event_id)
                       IS NULL
                  THEN 1 ELSE 0 END AS new_session
         FROM events
@@ -538,7 +540,7 @@ def q21_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             user_id, ts, event_id, value,
             sum(new_session) OVER (
                 PARTITION BY user_id
-                ORDER BY ts, event_id
+                ORDER BY ts NULLS FIRST, event_id
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
             ) AS session_seq
         FROM ordered

@@ -130,7 +130,7 @@ def q22_timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
         WINDOW w AS (
             PARTITION BY user_id
-            ORDER BY CAST(ts AS TIMESTAMP), event_id
+            ORDER BY CAST(ts AS TIMESTAMP) NULLS FIRST, event_id
             ROWS BETWEEN 7 PRECEDING AND CURRENT ROW
         )
     )
@@ -296,16 +296,16 @@ def q22_locf_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
         WINDOW
             wo AS (PARTITION BY user_id
-                   ORDER BY CAST(ts AS TIMESTAMP), event_id),
+                   ORDER BY CAST(ts AS TIMESTAMP) NULLS FIRST, event_id),
             wf AS (PARTITION BY user_id
-                   ORDER BY CAST(ts AS TIMESTAMP), event_id
+                   ORDER BY CAST(ts AS TIMESTAMP) NULLS FIRST, event_id
                    ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
     ),
     flagged AS (
         SELECT
             user_id, event_id, ts,
             sum(new_session) OVER (
-                PARTITION BY user_id ORDER BY ts, event_id
+                PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
             ) AS session_seq,
             CASE WHEN n > 1 AND (ss - s * s / n) / (n - 1) > 1e-12

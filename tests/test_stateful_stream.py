@@ -115,3 +115,48 @@ def test_streaming_zscore_matches_batch_on_ordered_arrival(spark, tmp_path):
     assert (sz.isna() == bz.isna()).all()
     diff = (sz - bz).abs().dropna()
     assert (diff <= 1).all(), diff[diff > 1].head()
+
+
+def test_streaming_zscore_null_values_occupy_frame_slots(spark, tmp_path):
+    """A NULL-value event consumes a frame slot (aging out older values)
+    but contributes nothing to the stats — the batch ROWS-frame
+    semantics. Streamed output must equal batch on a NULL-bearing key."""
+    from pyspark.sql import Row
+
+    from reddit_data_engineering_project_spark.operators.timeseries import (
+        q22_rolling_zscore,
+    )
+    from reddit_data_engineering_project_spark.streaming.stateful import (
+        run_zscore_stream,
+    )
+
+    rows = [
+        Row(event_id=i, ts=f"2024-01-01 00:00:{i:02d}", user_id=1,
+            value=(None if i == 8 else float(v)), props="{}")
+        for i, v in zip(range(1, 10), [1, 2, 3, 4, 5, 6, 7, 0, 100])
+    ]
+    src = os.path.join(str(tmp_path), "nsrc")
+    sink = os.path.join(str(tmp_path), "nsink")
+    ckpt = os.path.join(str(tmp_path), "nckpt")
+    sf = str(tmp_path)
+    df = spark.createDataFrame(rows).withColumn("ts", F.to_timestamp("ts"))
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(sf, "events.parquet")
+    )
+    df.select("event_id", "ts", "user_id", "value").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+
+    run_zscore_stream(spark, src, sink, ckpt)
+    streamed = {
+        r.event_id: (r.value_e4, r.z_e4)
+        for r in spark.read.option("recursiveFileLookup", True)
+        .parquet(sink)
+        .collect()
+    }
+    batch = {
+        r.event_id: (r.value_e4, r.z_e4)
+        for r in q22_rolling_zscore(spark, sf).collect()
+    }
+    assert streamed == batch
+    assert streamed[8] == (None, None)  # the NULL row itself unscored
