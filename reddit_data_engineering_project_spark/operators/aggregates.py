@@ -428,3 +428,108 @@ def q07_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             "weighted_median_price",
         )
     )
+
+
+@register(
+    "q07_winsorized_stats",
+    oracle="""
+    WITH sized AS (
+        SELECT event_type, value,
+               row_number() OVER (
+                   PARTITION BY event_type
+                   ORDER BY value, event_id
+               ) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM events
+        WHERE value IS NOT NULL
+    ),
+    cuts AS (
+        SELECT event_type,
+               min(CASE WHEN rn >= CAST(ceil(0.05 * n) AS BIGINT)
+                        THEN value END) AS p05,
+               min(CASE WHEN rn >= CAST(ceil(0.95 * n) AS BIGINT)
+                        THEN value END) AS p95
+        FROM sized
+        GROUP BY event_type
+    )
+    SELECT
+        s.event_type,
+        CAST(max(s.n) AS BIGINT) AS n_values,
+        min(c.p05) AS p05,
+        min(c.p95) AS p95,
+        CAST(sum(CASE WHEN s.value < c.p05 OR s.value > c.p95
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+        CAST(round(sum(
+            CASE WHEN s.value < c.p05 THEN c.p05
+                 WHEN s.value > c.p95 THEN c.p95
+                 ELSE s.value END) * 100.0) AS BIGINT) AS winsorized_sum_e2
+    FROM sized s JOIN cuts c ON s.event_type = c.event_type
+    GROUP BY s.event_type
+    """,
+    tags=("aggregates", "Q7", "robust"),
+)
+def q07_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (p05/p95-clipped) statistics per group — the robust
+    pre-normalization step that keeps a handful of broken sensors from
+    dominating a mean or a scaler fit.
+
+    Cut points are DISCRETE percentiles (the lower-median convention
+    generalized): the first data value whose deterministic rank reaches
+    ⌈q·n⌉ — values FROM the data, picked by exact integer rank compare,
+    never interpolated, so both engines choose identical doubles and
+    the clipped sum is one multiply-then-round of identical inputs.
+
+    Scale shape: one hash exchange on the group key drives the ranking
+    window and the per-group count (unordered frame, same partitioning);
+    the cut table is |groups| rows and broadcasts back onto the same
+    partitioning for the clip pass, so the second aggregate re-uses the
+    first exchange's layout under AQE.
+    """
+    ev = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    order = Window.partitionBy("event_type").orderBy("value", "event_id")
+    whole = Window.partitionBy("event_type")
+    sized = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(order).alias("rn"),
+        F.count("*").over(whole).alias("n"),
+    )
+    cuts = sized.groupBy("event_type").agg(
+        F.min(
+            F.when(
+                F.col("rn") >= F.ceil(0.05 * F.col("n")).cast("bigint"),
+                F.col("value"),
+            )
+        ).alias("p05"),
+        F.min(
+            F.when(
+                F.col("rn") >= F.ceil(0.95 * F.col("n")).cast("bigint"),
+                F.col("value"),
+            )
+        ).alias("p95"),
+    )
+    s, c = sized.alias("s"), cuts.alias("c")
+    clipped = F.when(F.col("s.value") < F.col("c.p05"), F.col("c.p05")).when(
+        F.col("s.value") > F.col("c.p95"), F.col("c.p95")
+    ).otherwise(F.col("s.value"))
+    return (
+        s.join(F.broadcast(c), F.col("s.event_type") == F.col("c.event_type"))
+        .groupBy(F.col("s.event_type").alias("event_type"))
+        .agg(
+            F.max("s.n").cast("bigint").alias("n_values"),
+            F.min("c.p05").alias("p05"),
+            F.min("c.p95").alias("p95"),
+            F.sum(
+                F.when(
+                    (F.col("s.value") < F.col("c.p05"))
+                    | (F.col("s.value") > F.col("c.p95")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_clipped"),
+            F.round(F.sum(clipped) * 100.0)
+            .cast("bigint")
+            .alias("winsorized_sum_e2"),
+        )
+    )

@@ -128,6 +128,7 @@ QUEUED_FOR_NEXT_WINDOW: set[str] = {
     "q22_locf_fill",  # round-7 addition: carry-forward interpolation
     "pipeline_events_monitor",  # round-7 addition: composed monitor
     "q21_activity_streaks",  # round-7 addition: consecutive-day streaks
+    "q07_winsorized_stats",  # round-7 addition: robust clipped stats
 }
 
 
