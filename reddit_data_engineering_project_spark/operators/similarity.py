@@ -763,9 +763,11 @@ def x03_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: encoding is one broadcast of the codebook row into a
     codegen ``transform`` over the corpus scan — no shuffle; search
     broadcasts the 5 queries along the corpus exactly like X3a/X3e; the
-    per-query window ranks hash by query_id. The ADC distance-table
-    optimization (precompute 8×16 partials per query, score = 8 map
-    lookups) is a constant-factor refinement of the same plan.
+    per-query window ranks hash by query_id. Scoring uses ADC distance
+    tables: each query precomputes its 8×16 subspace-to-centroid grid
+    once, so a (query, db) pair costs 8 lookups + adds instead of a
+    64-dim L2 — measured 4.5× on a 10× corpus (11.5 s → 2.6 s,
+    SCALE.md §7).
     """
     emb = ensure_min_parallelism(table(spark, sf_dir, "embeddings")).select(
         "vec_id", _vec_double("embedding").alias("e")
@@ -823,31 +825,52 @@ def x03_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("codes"),
         F.col("cents"),
     )
-    recon = coded.select(
-        "vec_id",
-        F.flatten(
-            F.transform(
-                F.sequence(F.lit(1), F.lit(8)),
-                lambda j: F.slice(
-                    F.element_at(
+    # ADC distance tables: per query, precompute the 8x16 grid of
+    # subspace-to-centroid distances ONCE (flat array, index
+    # (j-1)*16 + c), so scoring a (query, db) pair is 8 table lookups
+    # + adds instead of a 64-dim L2 recomputation — the classic
+    # IVF-PQ search layout, an ~8x scoring win at |queries|x|corpus|
+    # fan-out. Equality with the reconstruction formulation is exact:
+    # L2 over the concatenated reconstruction = sum of per-subspace
+    # L2s to the chosen centroids (all integer math).
+    q = (
+        enc.filter(F.col("vec_id") < 5)
+        .crossJoin(F.broadcast(cb))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(8)),
+                    lambda j: F.transform(
                         F.col("cents"),
-                        F.element_at(F.col("codes"), j).cast("int"),
+                        lambda ct: _l2sq(
+                            F.slice(
+                                F.col("icode"), (j - F.lit(1)) * 8 + 1, F.lit(8)
+                            ),
+                            F.slice(ct, (j - F.lit(1)) * 8 + 1, F.lit(8)),
+                        ),
                     ),
-                    (j - F.lit(1)) * 8 + 1,
-                    F.lit(8),
-                ),
-            )
-        ).alias("rvec"),
+                )
+            ).alias("dt"),
+        )
     )
-    q = enc.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), F.col("icode").alias("qcode")
-    )
-    scored = recon.join(
+    scored = coded.join(
         F.broadcast(q), F.col("vec_id") != F.col("query_id")
     ).select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        _l2sq(F.col("qcode"), F.col("rvec")).alias("adc_dist"),
+        F.aggregate(
+            F.sequence(F.lit(1), F.lit(8)),
+            F.lit(0).cast("long"),
+            lambda acc, j: acc
+            + F.element_at(
+                F.col("dt"),
+                (
+                    (j - F.lit(1)) * 16
+                    + F.element_at(F.col("codes"), j.cast("int"))
+                ).cast("int"),
+            ),
+        ).alias("adc_dist"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc_dist").asc(), F.col("neighbor_id").asc()
