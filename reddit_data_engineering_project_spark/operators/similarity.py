@@ -838,6 +838,9 @@ def x03_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(cb))
         .select(
             F.col("vec_id").alias("query_id"),
+            # table stride = |codebook| (16 on a full corpus, smaller on
+            # tiny ones — the codebook is "first ≤16 vectors")
+            F.size(F.col("cents")).alias("n_cents"),
             F.flatten(
                 F.transform(
                     F.sequence(F.lit(1), F.lit(8)),
@@ -866,7 +869,7 @@ def x03_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.element_at(
                 F.col("dt"),
                 (
-                    (j - F.lit(1)) * 16
+                    (j - F.lit(1)) * F.col("n_cents")
                     + F.element_at(F.col("codes"), j.cast("int"))
                 ).cast("int"),
             ),
