@@ -794,11 +794,14 @@ def propagate_min_labels(pairs: DataFrame) -> DataFrame:
         nbr = edges.join(labels, edges.src == labels.doc).select(
             F.col("dst").alias("doc"), "label"
         )
+        # Lazy checkpoint: the convergence aggregate below is the action
+        # that materializes it, so each round costs ONE job (materialize
+        # + agg fused) instead of two (eager checkpoint, then agg).
         new_labels = (
             labels.unionByName(nbr)
             .groupBy("doc")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         new_sum = new_labels.agg(_dsum).first()[0]
         labels = new_labels
