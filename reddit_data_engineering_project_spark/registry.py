@@ -133,7 +133,9 @@ def register(
 #       q11_range_join_bands, q12 unions/intersect,
 #       q17_adhoc_sql_correlated, q21 transitions/funnel,
 #       x01_dedup_exact_key, x02 clusters/embedding/jaccard,
-#       x03_pairwise_label_centroids, x04_doc_stats);
+#       x03_pairwise_label_centroids, x04_doc_stats) — plus the three
+#       that ceded round-7 window slots to new families:
+#       q02_projection_pruning, q04_topk, q06_limit_offset;
 #   (c) keep ≥1 green r06 representative per family for continuity.
 GRADING_PRIORITY: tuple[str, ...] = (
     # (a) the 21-entry queued rotation payload
