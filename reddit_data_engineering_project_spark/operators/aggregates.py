@@ -533,3 +533,63 @@ def q07_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("winsorized_sum_e2"),
         )
     )
+
+
+@register(
+    "q09_unpivot",
+    oracle="""
+    WITH wide AS (
+        SELECT
+            n.n_name AS nation,
+            count(*) AS n_cust,
+            CAST(round(sum(c.c_acctbal) * 100.0) AS BIGINT) AS total_bal_e2,
+            CAST(round(max(c.c_acctbal) * 100.0) AS BIGINT) AS max_bal_e2
+        FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+    )
+    SELECT nation, metric, value
+    FROM (
+        UNPIVOT wide
+        ON n_cust, total_bal_e2, max_bal_e2
+        INTO NAME metric VALUE value
+    )
+    """,
+    tags=("aggregates", "Q9", "unpivot"),
+)
+def q09_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide → long unpivot (melt): the inverse of Q9's pivot, the shape
+    metric stores and BI layers ingest (one (entity, metric, value) row
+    per cell).
+
+    All melted metrics are pre-cast to BIGINT so the unified ``value``
+    column has one exact type on both engines — unpivoting mixed
+    numeric types would otherwise coerce through doubles and expose
+    rendering drift.
+
+    Scale shape: unpivot is a zero-shuffle Expand (each input row emits
+    |metrics| output rows inside codegen); the only exchange is the
+    upstream per-nation aggregate, and the broadcast dim join rides the
+    fact scan.
+    """
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    wide = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("n_cust"),
+            F.round(F.sum("c_acctbal") * 100.0)
+            .cast("bigint")
+            .alias("total_bal_e2"),
+            F.round(F.max("c_acctbal") * 100.0)
+            .cast("bigint")
+            .alias("max_bal_e2"),
+        )
+    )
+    return wide.unpivot(
+        ids=["nation"],
+        values=["n_cust", "total_bal_e2", "max_bal_e2"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )

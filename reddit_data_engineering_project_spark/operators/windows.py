@@ -232,3 +232,47 @@ def q13_window_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("_bal")
     )
+
+
+@register(
+    "q13_percent_rank_cume",
+    oracle="""
+    SELECT
+        c_mktsegment,
+        c_custkey,
+        CAST(round(percent_rank() OVER w * 1000000.0) AS BIGINT)
+            AS pct_rank_e6,
+        CAST(round(cume_dist() OVER w * 1000000.0) AS BIGINT)
+            AS cume_dist_e6
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+    tags=("windows", "Q13"),
+)
+def q13_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-rank analytics: percent_rank and cume_dist per segment —
+    the normalized-position functions behind percentile gates and
+    empirical CDFs.
+
+    Both are pure integer-ratio functions of the deterministic order
+    ((rank-1)/(n-1) and rank_last/n): identical int inputs → identical
+    IEEE divisions → the e6-scaled BIGINT emits agree exactly. The
+    (c_acctbal, c_custkey) order is total, so neither function sees a
+    tie group that could differ between engines.
+
+    Scale shape: one hash exchange + per-partition sort; both functions
+    share the single window frame, and cume_dist's denominator is the
+    partition count Spark already tracks — no second pass.
+    """
+    c = table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_mktsegment",
+        "c_custkey",
+        F.round(F.percent_rank().over(w) * 1_000_000.0)
+        .cast("bigint")
+        .alias("pct_rank_e6"),
+        F.round(F.cume_dist().over(w) * 1_000_000.0)
+        .cast("bigint")
+        .alias("cume_dist_e6"),
+    )

@@ -167,7 +167,10 @@ GRADING_PRIORITY: tuple[str, ...] = (
     "q11_asof_join",
     "q12_except_all",
     "q13_lag_lead",
-    "q13_running_frames",
+    # q13_running_frames ceded its re-grade slot to q09_unpivot (new
+    # q09 member needs family evidence; q13 keeps lag_lead as its
+    # representative) — re-grades in round 8 with the (b) list.
+    "q09_unpivot",
     "q17_json_funcs",
     "q17_map_funcs",
     "q18_sink_roundtrip",

@@ -129,6 +129,7 @@ QUEUED_FOR_NEXT_WINDOW: set[str] = {
     "pipeline_events_monitor",  # round-7 addition: composed monitor
     "q21_activity_streaks",  # round-7 addition: consecutive-day streaks
     "q07_winsorized_stats",  # round-7 addition: robust clipped stats
+    "q13_percent_rank_cume",  # round-7 addition: relative-rank analytics
 }
 
 
