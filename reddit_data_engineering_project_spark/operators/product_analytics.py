@@ -672,3 +672,76 @@ def q21_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_streaks"),
         F.min("streak_start").alias("first_active_day"),
     )
+
+
+@register(
+    "q21_copurchase_reach2",
+    oracle=f"""
+    WITH li AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    half AS (
+        SELECT a.l_partkey AS src, b.l_partkey AS dst
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        HAVING count(*) >= {_BASKET_MIN_PAIR_ORDERS}
+    ),
+    edges AS (
+        SELECT src, dst FROM half
+        UNION ALL
+        SELECT dst AS src, src AS dst FROM half
+    ),
+    hop2 AS (
+        SELECT e1.src, e2.dst
+        FROM edges e1 JOIN edges e2 ON e1.dst = e2.src
+        WHERE e1.src <> e2.dst
+    ),
+    reach AS (
+        SELECT DISTINCT src, dst FROM (
+            SELECT src, dst FROM edges
+            UNION ALL
+            SELECT src, dst FROM hop2
+        )
+    )
+    SELECT
+        src AS part,
+        count(*) AS n_reachable_2hop,
+        CAST(min(dst) AS BIGINT) AS min_reachable_part
+    FROM reach
+    GROUP BY src
+    """,
+    tags=("analytics", "graph", "R17"),
+)
+def q21_copurchase_reach2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded transitive closure: the ≤2-hop neighborhood size per part
+    in the co-purchase graph — the friend-of-friend / substitute-
+    discovery query, and the third graph-algorithm class beside
+    PageRank (fixed-point scoring) and label propagation (components).
+
+    Exactly-k-hop expansion is one self-join of the edge list per hop;
+    the closure is the distinct union of hop-1 and hop-2 frontiers.
+    Everything is exact integer keys — no float anywhere — so the hash
+    comparison is structural.
+
+    Scale shape: the hop join and the distinct both key on node ids, so
+    the edge list is hash-partitioned once and reused; frontier size is
+    Σ degree(middle), which the support floor already bounds. At true
+    100 TB graph scale the standard lever is degree-capping the middle
+    node (drop super-nodes above a percentile) before the hop join —
+    the same skew discipline as the salted-join battery, noted here
+    because 2-hop frontiers explode through hubs, not edges.
+    """
+    edges = _copurchase_edges(spark, sf_dir)
+    e1 = edges.alias("e1")
+    e2 = edges.alias("e2")
+    hop2 = (
+        e1.join(e2, F.col("e1.dst") == F.col("e2.src"))
+        .filter(F.col("e1.src") != F.col("e2.dst"))
+        .select(F.col("e1.src").alias("src"), F.col("e2.dst").alias("dst"))
+    )
+    reach = edges.select("src", "dst").unionByName(hop2).dropDuplicates()
+    return reach.groupBy(F.col("src").alias("part")).agg(
+        F.count("*").alias("n_reachable_2hop"),
+        F.min("dst").cast("bigint").alias("min_reachable_part"),
+    )

@@ -130,6 +130,7 @@ QUEUED_FOR_NEXT_WINDOW: set[str] = {
     "q21_activity_streaks",  # round-7 addition: consecutive-day streaks
     "q07_winsorized_stats",  # round-7 addition: robust clipped stats
     "q13_percent_rank_cume",  # round-7 addition: relative-rank analytics
+    "q21_copurchase_reach2",  # round-7 addition: 2-hop reachability
 }
 
 
