@@ -224,3 +224,112 @@ def q16_math_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.signum(F.col("l_extendedprice") - 30000.0).cast("bigint").alias("price_side"),
     )
+
+
+@register(
+    "q15_datetime_funcs2",
+    oracle="""
+    SELECT
+        o_orderkey,
+        CAST(date_trunc('week', o_orderdate) AS TIMESTAMP) AS week_start,
+        CAST(weekofyear(o_orderdate) AS INT) AS iso_week,
+        CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow_sun1,
+        CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE)
+            AS plus_3_months,
+        CAST(CAST(o_orderdate AS DATE)
+             - DATE '1995-01-01' AS BIGINT) AS days_since_95,
+        CAST(make_date(CAST(year(o_orderdate) AS INT),
+                       CAST(month(o_orderdate) AS INT), 1) AS DATE)
+            AS month_floor,
+        strftime(o_orderdate, '%Y-%m') AS year_month,
+        CAST(greatest(CAST(o_orderdate AS DATE), DATE '1996-06-15')
+             AS DATE) AS clamped_date
+    FROM orders
+    WHERE year(o_orderdate) = 1996 AND month(o_orderdate) <= 2
+    """,
+    tags=("functions", "Q15"),
+)
+def q15_datetime_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15b date/time battery: week grain, DOW, month arithmetic, make_date.
+
+    Second half of the warehouse date surface the Athena role implies
+    (SURVEY §2.2 Q15) — the functions q15_datetime_funcs leaves out:
+    ISO-week truncation/numbering, day-of-week, clamping month addition
+    (Jan 31 + 1 month = Feb 28 in BOTH engines), date reconstruction,
+    and date clamping via greatest.
+
+    Cross-engine parity notes:
+    - Spark ``dayofweek`` is 1=Sunday..7; DuckDB ``dayofweek`` is
+      0=Sunday..6 — the oracle adds 1 rather than shipping a remap CASE.
+    - Spark ``add_months`` and DuckDB ``+ INTERVAL 3 MONTH`` both clamp
+      to month end (Postgres semantics), so the pair is hash-safe.
+    - ``date_trunc('week', ...)`` is Monday-anchored in both engines.
+    - DuckDB DATE - DATE yields BIGINT days directly; Spark mirrors it
+      with ``datediff`` cast to bigint.
+
+    One codegen'd projection over the scan, predicate pushed down — no
+    shuffle at any scale.
+    """
+    o = table(spark, sf_dir, "orders").filter(
+        (F.year("o_orderdate") == 1996) & (F.month("o_orderdate") <= 2)
+    )
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.date_trunc("week", "o_orderdate").alias("week_start"),
+        F.weekofyear("o_orderdate").cast("int").alias("iso_week"),
+        F.dayofweek("o_orderdate").cast("int").alias("dow_sun1"),
+        F.add_months(d, 3).alias("plus_3_months"),
+        F.datediff(d, F.lit("1995-01-01").cast("date"))
+        .cast("bigint")
+        .alias("days_since_95"),
+        F.make_date(F.year("o_orderdate"), F.month("o_orderdate"), F.lit(1)).alias(
+            "month_floor"
+        ),
+        F.date_format("o_orderdate", "yyyy-MM").alias("year_month"),
+        F.greatest(d, F.lit("1996-06-15").cast("date")).alias("clamped_date"),
+    )
+
+
+@register(
+    "q16_bitwise_funcs",
+    oracle="""
+    SELECT
+        o_orderkey,
+        CAST(o_orderkey & 255 AS BIGINT) AS key_and_mask,
+        CAST(o_orderkey | 4096 AS BIGINT) AS key_or_flag,
+        CAST(xor(o_orderkey, o_custkey) AS BIGINT) AS key_xor_cust,
+        CAST(o_orderkey << 3 AS BIGINT) AS key_shl3,
+        CAST(o_orderkey >> 2 AS BIGINT) AS key_shr2,
+        CAST(bit_count(CAST(o_orderkey AS BIGINT)) AS BIGINT) AS key_popcount,
+        CAST(~o_orderkey AS BIGINT) AS key_not
+    FROM orders
+    WHERE o_orderkey % 11 = 0
+    """,
+    tags=("functions", "Q16", "bitwise"),
+)
+def q16_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16b bitwise battery: AND/OR/XOR/NOT, shifts, popcount.
+
+    Bit manipulation is load-bearing in this engine, not a curiosity:
+    SimHash packs counter lanes into longs (operators/dedup.py), Z-order
+    interleaves dimension bits (operators/layout.py), and bloom/bucket
+    ops mask hashes. This battery pins the cross-engine semantics those
+    ops rely on: two's-complement longs, arithmetic right shift,
+    ``bit_count`` over the full 64-bit pattern.
+
+    All integer-exact — no float discipline needed; every output is
+    BIGINT on both engines. One codegen'd projection, no shuffle.
+    """
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 11 == 0)
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).cast("bigint").alias("key_and_mask"),
+        k.bitwiseOR(F.lit(4096)).cast("bigint").alias("key_or_flag"),
+        k.bitwiseXOR(F.col("o_custkey")).cast("bigint").alias("key_xor_cust"),
+        F.shiftleft(k, 3).cast("bigint").alias("key_shl3"),
+        F.shiftright(k, 2).cast("bigint").alias("key_shr2"),
+        F.bit_count(k).cast("bigint").alias("key_popcount"),
+        F.expr("~o_orderkey").cast("bigint").alias("key_not"),
+    )
