@@ -1337,3 +1337,67 @@ def x04_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("entropy_e4"),
     )
+
+
+#: Per-source document cap (x04_source_caps). 15 keeps 60% of each
+#: source at sf0.01 (25 docs/source) and trims hard at larger SFs —
+#: the op must actually drop rows at every test scale to be evidence.
+_SOURCE_CAP = 15
+
+
+@register(
+    "x04_source_caps",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT
+            doc_id, source, lang, n_chars,
+            row_number() OVER (
+                PARTITION BY source
+                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+            ) AS rk
+        FROM documents
+    )
+    SELECT doc_id, source, lang, n_chars,
+           CAST(rk AS BIGINT) AS rank_in_source
+    FROM ranked
+    WHERE rk <= {_SOURCE_CAP}
+    """,
+    tags=("curation", "X4", "domain-cap"),
+)
+def x04_source_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: per-source document cap — the web-scale domain-cap curation op.
+
+    Web corpora are power-law-skewed by origin: a handful of domains
+    contribute most of the raw crawl, and uncapped they dominate the
+    training mix (the RefinedWeb/C4 pipelines cap documents-per-domain
+    for exactly this reason). This op keeps at most ``_SOURCE_CAP`` docs
+    per ``source``, choosing WHICH docs via a deterministic hash order
+    (md5 of the key, doc_id tiebreak) — a reproducible uniform sample of
+    each source, not "first N in storage order", which would bias toward
+    crawl order.
+
+    Rate-based sampling (x04_hash_sample / x04_stratified_sample) cannot
+    express this: a cap is a per-group ORDER-dependent quota, so it needs
+    a window, and therefore exactly one hash exchange on ``source``.
+
+    Scale shape: rank-then-filter is Spark's top-k-per-group pattern; at
+    100 TB the exchange partitions by source (the skewed dimension
+    itself), and AQE's skew-split handles a mega-source because
+    row_number needs only a per-partition sort, not global state. The
+    md5 order key is computed map-side pre-shuffle; nothing but the
+    (key, order, payload) columns move.
+    """
+    docs = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            "lang",
+            "n_chars",
+            F.row_number().over(w).cast("bigint").alias("rank_in_source"),
+        )
+        .filter(F.col("rank_in_source") <= _SOURCE_CAP)
+    )

@@ -18,7 +18,7 @@ events stream runs — expressed as single-scan Spark plans:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..functions.numeric import dround
 from ..registry import register
@@ -744,4 +744,168 @@ def q21_copurchase_reach2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reach.groupBy(F.col("src").alias("part")).agg(
         F.count("*").alias("n_reachable_2hop"),
         F.min("dst").cast("bigint").alias("min_reachable_part"),
+    )
+
+
+@register(
+    "q21_triangle_count",
+    oracle=f"""
+    WITH li AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    edges AS (
+        SELECT a.l_partkey AS a, b.l_partkey AS b
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        HAVING count(*) >= {_BASKET_MIN_PAIR_ORDERS}
+    ),
+    tri AS (
+        SELECT e1.a AS a, e1.b AS b, e2.b AS c
+        FROM edges e1
+        JOIN edges e2 ON e2.a = e1.b
+        JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    membership AS (
+        SELECT a AS part FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+    )
+    SELECT part, CAST(count(*) AS BIGINT) AS n_triangles
+    FROM membership
+    GROUP BY part
+    """,
+    tags=("analytics", "Q21", "graph"),
+)
+def q21_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21: per-node triangle counts over the co-purchase graph.
+
+    The fourth graph-algorithm class in the battery (after PageRank's
+    fixed-point, label propagation's components, and reach2's bounded
+    closure): triangle counting, the basis of clustering coefficients
+    and community-density scoring. A part in many triangles sits in a
+    tightly co-purchased cluster — a strong "bundle" signal.
+
+    Algorithm: the standard distributed formulation over the ORIENTED
+    edge list (a < b kills each triangle's 6 symmetric permutations, so
+    every triangle {{a,b,c}} with a<b<c is found exactly once as the
+    wedge a→b→c closed by a→c). Two equi-joins: wedges = edges ⋈ edges
+    on (e1.b = e2.a), closed against a third edge scan on the endpoints.
+
+    Scale shape: both joins are hash equi-joins on node ids — no
+    cartesian anywhere; the wedge fanout is Σ out-deg(b)·in-deg(b),
+    which orientation-by-id already tames (each undirected edge is
+    stored once, halving degree versus the symmetric list). The
+    production refinement at true graph scale is degree-ordering
+    orientation (low-degree → high-degree instead of id-order), which
+    provably minimizes wedge count; id-order is kept here because the
+    oracle must mirror it exactly and the support floor already bounds
+    hub degree.
+    """
+    edges = _copurchase_edges(spark, sf_dir).filter(F.col("src") < F.col("dst"))
+    e1 = edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    e2 = edges.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    e3 = edges.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    wedges = e1.join(e2, "b")
+    tri = wedges.join(e3, ["a", "c"])
+    membership = (
+        tri.select(F.col("a").alias("part"))
+        .unionAll(tri.select(F.col("b").alias("part")))
+        .unionAll(tri.select(F.col("c").alias("part")))
+    )
+    return membership.groupBy("part").agg(
+        F.count("*").cast("bigint").alias("n_triangles")
+    )
+
+
+@register(
+    "q21_rfm_segments",
+    oracle="""
+    WITH now_ref AS (
+        SELECT max(CAST(o_orderdate AS DATE)) AS d_max FROM orders
+    ),
+    per_cust AS (
+        SELECT
+            o_custkey,
+            CAST((SELECT d_max FROM now_ref)
+                 - max(CAST(o_orderdate AS DATE)) AS BIGINT) AS recency_days,
+            CAST(count(*) AS BIGINT) AS frequency,
+            CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT))
+                 AS BIGINT) AS monetary_cents
+        FROM orders
+        GROUP BY o_custkey
+    )
+    SELECT
+        o_custkey,
+        recency_days,
+        frequency,
+        monetary_cents,
+        CAST(ntile(4) OVER (ORDER BY recency_days ASC, o_custkey)
+             AS BIGINT) AS r_quartile,
+        CAST(ntile(4) OVER (ORDER BY frequency DESC, o_custkey)
+             AS BIGINT) AS f_quartile,
+        CAST(ntile(4) OVER (ORDER BY monetary_cents DESC, o_custkey)
+             AS BIGINT) AS m_quartile
+    FROM per_cust
+    """,
+    tags=("analytics", "Q21", "rfm"),
+)
+def q21_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21: RFM (recency / frequency / monetary) customer segmentation.
+
+    The classic marketing-analytics scorecard: days since last order,
+    order count, and lifetime spend per customer, each quartiled with
+    ``ntile(4)`` so downstream targeting reads "R1F1M1" champions vs
+    "R4F4M4" churned. Recency anchors on the corpus max date (not
+    wall-clock) so the query is reproducible.
+
+    Determinism: each ntile orders by (metric, custkey) — a TOTAL order
+    — because ntile's bucket boundaries under ties are engine-dependent
+    unless the sort is unambiguous. Spend is per-order integer cents
+    summed exactly; the max-date anchor is a 1-row broadcast.
+
+    Scale shape: one groupBy(custkey) exchange builds the per-customer
+    table. Each unpartitioned ntile is a global sort of the CUSTOMER
+    dimension (not the fact table) — dimension-sized data through a
+    single-partition window, the standard quantile-assignment shape; at
+    true scale swap ntile for percentile-bucket joins if the customer
+    dim itself outgrows one partition's sort budget (noted, not needed:
+    even 10^9 customers × 24 bytes sorts in-memory on one executor).
+    """
+    o = table(spark, sf_dir, "orders")
+    d_max = o.agg(F.max(F.col("o_orderdate").cast("date")).alias("d_max"))
+    per_cust = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max(F.col("o_orderdate").cast("date")).alias("last_order"),
+            F.count("*").cast("bigint").alias("frequency"),
+            F.sum(F.round(F.col("o_totalprice") * 100.0).cast("bigint"))
+            .cast("bigint")
+            .alias("monetary_cents"),
+        )
+        .crossJoin(F.broadcast(d_max))
+        .select(
+            "o_custkey",
+            F.datediff("d_max", "last_order").cast("bigint").alias("recency_days"),
+            "frequency",
+            "monetary_cents",
+        )
+    )
+    return per_cust.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        F.ntile(4)
+        .over(Window.orderBy(F.asc("recency_days"), F.asc("o_custkey")))
+        .cast("bigint")
+        .alias("r_quartile"),
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("frequency"), F.asc("o_custkey")))
+        .cast("bigint")
+        .alias("f_quartile"),
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("monetary_cents"), F.asc("o_custkey")))
+        .cast("bigint")
+        .alias("m_quartile"),
     )

@@ -276,3 +276,73 @@ def q13_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("cume_dist_e6"),
     )
+
+
+@register(
+    "q13_range_interval_frames",
+    oracle="""
+    WITH ev AS (
+        SELECT
+            event_id,
+            user_id,
+            CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS sec,
+            CAST(round(value * 100.0) AS BIGINT) AS cents
+        FROM events
+        WHERE event_type = 'purchase'
+    )
+    SELECT
+        event_id,
+        user_id,
+        CAST(count(*) OVER w AS BIGINT) AS n_trailing_1h,
+        CAST(sum(cents) OVER w AS BIGINT) AS cents_trailing_1h
+    FROM ev
+    WINDOW w AS (
+        PARTITION BY user_id ORDER BY sec
+        RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+    )
+    """,
+    tags=("window", "Q13", "range-frame"),
+)
+def q13_range_interval_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13g: value-based (RANGE) frames — trailing 1-hour activity per user.
+
+    The frame the ROWS battery (q13_running_frames) cannot express:
+    "everything within the last hour OF EVENT TIME", where the frame
+    width varies per row with the data's timestamps, and same-second
+    peers enter the frame together (RANGE semantics) regardless of row
+    order — which also makes the result deterministic under ties, unlike
+    a ROWS frame over a non-total order.
+
+    Cross-engine discipline: the frame is anchored on integer epoch
+    seconds on BOTH engines (Spark ``unix_timestamp`` truncates, the
+    oracle floors ``epoch()``'s fractional seconds), and the summed
+    metric is pre-converted to integer cents per row so the windowed sum
+    is exact integer math — float addition order inside a frame can
+    differ between engines, integer addition cannot.
+
+    Scale shape: one hash exchange on ``user_id`` + per-partition sort;
+    Spark evaluates the RANGE frame with a sliding two-pointer over the
+    sorted run (running add/evict), not a rescan per row — O(n) per
+    partition. The event-type filter pushes to the scan.
+    """
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.unix_timestamp("ts").alias("sec"),
+            F.round(F.col("value") * 100.0).cast("bigint").alias("cents"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("sec")
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).cast("bigint").alias("n_trailing_1h"),
+        F.sum("cents").over(w).cast("bigint").alias("cents_trailing_1h"),
+    )

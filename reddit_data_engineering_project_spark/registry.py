@@ -172,7 +172,10 @@ GRADING_PRIORITY: tuple[str, ...] = (
     # representative) — re-grades in round 8 with the (b) list.
     "q09_unpivot",
     "q17_json_funcs",
-    "q17_map_funcs",
+    # q17_map_funcs ceded its re-grade slot to q15_datetime_funcs2 (new
+    # q15 member needs family evidence; q17 keeps json_funcs as its
+    # events re-grade representative) — map_funcs re-grades in round 8.
+    "q15_datetime_funcs2",
     "q18_sink_roundtrip",
     "q19_upsert_keep_latest",
     "q20_pandas_scalar_udf",

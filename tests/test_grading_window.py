@@ -131,6 +131,13 @@ QUEUED_FOR_NEXT_WINDOW: set[str] = {
     "q07_winsorized_stats",  # round-7 addition: robust clipped stats
     "q13_percent_rank_cume",  # round-7 addition: relative-rank analytics
     "q21_copurchase_reach2",  # round-7 addition: 2-hop reachability
+    "q09_unpivot",  # round-7 addition: wide-to-long unpivot
+    "q17_map_funcs",  # ceded its window slot to q15_datetime_funcs2
+    "q16_bitwise_funcs",  # round-7 addition: bitwise/popcount battery
+    "q13_range_interval_frames",  # round-7 addition: RANGE time frames
+    "x04_source_caps",  # round-7 addition: per-source domain cap
+    "q21_triangle_count",  # round-7 addition: triangle counting
+    "q21_rfm_segments",  # round-7 addition: RFM quartile segmentation
 }
 
 
