@@ -883,3 +883,120 @@ def x03_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 10)
         .select("query_id", "neighbor_id", "rank", "adc_dist")
     )
+
+
+#: k-means step (x03_kmeans_step): the k seed centroids are the corpus
+#: vectors with the k lowest ids — deterministic, engine-independent.
+_KMEANS_K = 8
+
+
+@register(
+    "x03_kmeans_step",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    c AS (
+        SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < {_KMEANS_K}
+    ),
+    scored AS (
+        SELECT
+            v.vec_id,
+            v.e,
+            c.cid,
+            list_dot_product(v.e, v.e)
+                - 2.0 * list_dot_product(v.e, c.ce)
+                + list_dot_product(c.ce, c.ce) AS dist2
+        FROM v CROSS JOIN c
+    ),
+    assigned AS (
+        SELECT vec_id, e, cid
+        FROM (
+            SELECT vec_id, e, cid,
+                   row_number() OVER (
+                       PARTITION BY vec_id ORDER BY dist2, cid
+                   ) AS rk
+            FROM scored
+        )
+        WHERE rk = 1
+    ),
+    comps AS (
+        SELECT
+            a.cid,
+            gs.dim,
+            CAST(round(a.e[gs.dim + 1] * 1000000.0) AS BIGINT) AS q
+        FROM assigned a
+        CROSS JOIN (SELECT unnest(range(64)) AS dim) gs
+    )
+    SELECT
+        cid AS cluster_id,
+        CAST(dim AS INT) AS dim,
+        CAST(count(*) AS BIGINT) AS n_members,
+        CAST(round(CAST(sum(q) AS DOUBLE) / count(*)) AS BIGINT) AS mean_e6
+    FROM comps
+    GROUP BY cid, dim
+    """,
+    tags=("similarity", "X3", "kmeans"),
+)
+def x03_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3g: one Lloyd iteration of k-means — assign + recompute centroids.
+
+    The iterative-clustering building block (IVF coarse quantizers,
+    semantic dedup, topic bucketing all train this way): every vector is
+    assigned to its nearest of k fixed centroids (squared L2), then each
+    cluster's centroid is re-estimated as the component-wise mean. One
+    registered step makes the whole algorithm gradeable — a training
+    loop is this operator applied until movement < ε, with each
+    iteration reading the previous assignment (the same
+    materialize-per-round shape as the PageRank fixpoint).
+
+    Cross-engine exactness: distances use the expanded form
+    ``v·v − 2 v·c + c·c`` over the SAME sequential float64 dot product
+    the cosine battery already pins; arg-min ties break to the lowest
+    centroid id through an explicit (dist2, cid) rank; the mean runs on
+    e6-quantized BIGINT components (exact integer sums) with one final
+    IEEE division both engines share.
+
+    Scale shape: centroids are k rows → broadcast; scoring rides the
+    corpus scan (k-fanout projection, no shuffle). The per-vector
+    arg-min window partitions by vec_id — embarrassingly parallel — and
+    the recompute is one hash aggregate over (cluster, dim) with
+    map-side combine. At 100 TB: corpus scanned once per iteration,
+    only (cluster, dim, partial-sum) state shuffles.
+    """
+    emb = ensure_min_parallelism(table(spark, sf_dir, "embeddings")).select(
+        "vec_id", _vec_double("embedding").alias("e")
+    )
+    cents = emb.filter(F.col("vec_id") < _KMEANS_K).select(
+        F.col("vec_id").alias("cid"), F.col("e").alias("ce")
+    )
+    dist2 = (
+        _dot(F.col("e"), F.col("e"))
+        - 2.0 * _dot(F.col("e"), F.col("ce"))
+        + _dot(F.col("ce"), F.col("ce"))
+    )
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "e", "cid", dist2.alias("dist2")
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist2", "cid")
+    assigned = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "e", "cid")
+    )
+    comps = assigned.select(
+        "cid",
+        F.posexplode(
+            F.transform(
+                F.col("e"), lambda x: F.round(x * 1000000.0).cast("bigint")
+            )
+        ).alias("dim", "q"),
+    )
+    return comps.groupBy(
+        F.col("cid").alias("cluster_id"), F.col("dim").cast("int").alias("dim")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_members"),
+        F.round(F.sum("q").cast("double") / F.count("*"))
+        .cast("bigint")
+        .alias("mean_e6"),
+    )

@@ -1228,3 +1228,85 @@ def x04_lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_logp_e6"),
         )
     )
+
+
+@register(
+    "x04_readability",
+    oracle="""
+    WITH t AS (
+        SELECT
+            doc_id,
+            lang,
+            greatest(len(list_filter(string_split(text, ' '),
+                                     x -> x <> '')), 1) AS n_words,
+            greatest(len(regexp_split_to_array(text, '[.!?]+')) - 1, 1)
+                AS n_sentences,
+            greatest(len(regexp_split_to_array(lower(text), '[aeiouy]+')) - 1,
+                     1) AS n_syllables
+        FROM documents
+    )
+    SELECT
+        doc_id,
+        lang,
+        CAST(n_words AS BIGINT) AS n_words,
+        CAST(n_sentences AS BIGINT) AS n_sentences,
+        CAST(n_syllables AS BIGINT) AS n_syllables,
+        CAST(round((206.835
+                    - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+                    - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words))
+                   * 100.0) AS BIGINT) AS flesch_e2
+    FROM t
+    """,
+    tags=("text", "X4", "quality"),
+)
+def x04_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: Flesch-style readability scoring — a model-free quality signal.
+
+    Reading-ease formulas are a standard cheap curation feature (used
+    alongside stopword/punctuation ratios in C4-style quality stacks):
+    texts that score implausibly high or low are boilerplate, tables, or
+    garbled extractions. Syllables are approximated as vowel-group runs
+    (``[aeiouy]+``) — the classic heuristic; sentence count as
+    terminator runs (``[.!?]+``). Both are REGEX-RUN counts computed as
+    ``len(split) - 1``, a formulation whose trailing-separator edge
+    cases agree between Java regex split (limit -1) and DuckDB's
+    ``regexp_split_to_array``.
+
+    Float discipline: counts are exact integers in both engines, the
+    Flesch score is one identical IEEE double expression over those
+    integers, emitted as a scaled BIGINT (multiply-then-round).
+
+    Scale shape: pure per-row projection — regex work rides the scan in
+    codegen, no shuffle, no state, no Python. Denominators floor at 1 so
+    empty/degenerate docs score rather than divide by zero.
+    """
+    docs = table(spark, sf_dir, "documents")
+    n_words = F.greatest(F.size(tokens(F.col("text"))), F.lit(1))
+    n_sentences = F.greatest(
+        F.size(F.split(F.col("text"), r"[.!?]+", -1)) - 1, F.lit(1)
+    )
+    n_syllables = F.greatest(
+        F.size(F.split(F.lower(F.col("text")), r"[aeiouy]+", -1)) - 1, F.lit(1)
+    )
+    t = docs.select(
+        "doc_id",
+        "lang",
+        n_words.cast("bigint").alias("n_words"),
+        n_sentences.cast("bigint").alias("n_sentences"),
+        n_syllables.cast("bigint").alias("n_syllables"),
+    )
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015)
+        * (F.col("n_words").cast("double") / F.col("n_sentences"))
+        - F.lit(84.6)
+        * (F.col("n_syllables").cast("double") / F.col("n_words"))
+    )
+    return t.select(
+        "doc_id",
+        "lang",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.round(flesch * 100.0).cast("bigint").alias("flesch_e2"),
+    )

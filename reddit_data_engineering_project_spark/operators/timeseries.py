@@ -398,3 +398,108 @@ def pipeline_events_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_flagged_sessions"
         ),
     )
+
+
+#: Finite-horizon EWMA (q22_ewma_window): alpha = 1/2, horizon 4 —
+#: weights 8,4,2,1 over lags 0..3, renormalized over the lags that
+#: exist near stream starts. Power-of-two weights keep the numerator
+#: exact integer math in both engines.
+_EWMA_WEIGHTS = (8, 4, 2, 1)
+
+
+@register(
+    "q22_ewma_window",
+    oracle=f"""
+    WITH ev AS (
+        SELECT
+            event_id,
+            user_id,
+            CAST(ts AS TIMESTAMP) AS ts,
+            CAST(round(value * 100.0) AS BIGINT) AS cents
+        FROM events
+        WHERE event_type = 'purchase'
+    ),
+    lagged AS (
+        SELECT
+            event_id,
+            user_id,
+            cents,
+            lag(cents, 1) OVER w AS c1,
+            lag(cents, 2) OVER w AS c2,
+            lag(cents, 3) OVER w AS c3
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT
+        event_id,
+        user_id,
+        cents,
+        CAST(round(
+            CAST({_EWMA_WEIGHTS[0]} * cents
+                 + {_EWMA_WEIGHTS[1]} * coalesce(c1, 0)
+                 + {_EWMA_WEIGHTS[2]} * coalesce(c2, 0)
+                 + {_EWMA_WEIGHTS[3]} * coalesce(c3, 0) AS DOUBLE)
+            * 100.0
+            / ({_EWMA_WEIGHTS[0]}
+               + CASE WHEN c1 IS NULL THEN 0 ELSE {_EWMA_WEIGHTS[1]} END
+               + CASE WHEN c2 IS NULL THEN 0 ELSE {_EWMA_WEIGHTS[2]} END
+               + CASE WHEN c3 IS NULL THEN 0 ELSE {_EWMA_WEIGHTS[3]} END)
+        ) AS BIGINT) AS ewma_cents_e2
+    FROM lagged
+    """,
+    tags=("timeseries", "Q22", "smoothing"),
+)
+def q22_ewma_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22d: finite-horizon exponentially-weighted moving average.
+
+    The smoothing rung between LOCF (q22_locf_fill) and the rolling
+    z-score: recent observations weighted geometrically (α = 1/2 over a
+    4-step horizon), the standard trend-extraction pass before anomaly
+    thresholds. A true infinite-horizon EWMA is a sequential recurrence
+    (state = f(state)) that neither a window function nor the oracle
+    expresses; truncating at 4 lags captures 15/16 of the weight mass
+    and keeps the operator a pure window projection with exact
+    cross-engine semantics.
+
+    Exactness: integer cents × power-of-two weights → exact BIGINT
+    numerator; the single double division is the same IEEE op on both
+    engines; stream-start rows renormalize over the lags that exist
+    (no zero-padding bias).
+
+    Scale shape: identical to every trailing-window op here — one hash
+    exchange on ``user_id``, one per-partition sort shared by all four
+    lags (one window frame), no rescan, no state beyond 4 values.
+    """
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.round(F.col("value") * 100.0).cast("bigint").alias("cents"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lags = [F.col("cents")] + [
+        F.lag("cents", i).over(w) for i in range(1, len(_EWMA_WEIGHTS))
+    ]
+    num = sum(
+        (wt * F.coalesce(c, F.lit(0)) for wt, c in zip(_EWMA_WEIGHTS, lags)),
+        F.lit(0),
+    )
+    den = sum(
+        (
+            F.when(c.isNull(), 0).otherwise(wt)
+            for wt, c in zip(_EWMA_WEIGHTS, lags)
+        ),
+        F.lit(0),
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "cents",
+        F.round(num.cast("double") * 100.0 / den)
+        .cast("bigint")
+        .alias("ewma_cents_e2"),
+    )

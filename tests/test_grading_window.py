@@ -138,6 +138,9 @@ QUEUED_FOR_NEXT_WINDOW: set[str] = {
     "x04_source_caps",  # round-7 addition: per-source domain cap
     "q21_triangle_count",  # round-7 addition: triangle counting
     "q21_rfm_segments",  # round-7 addition: RFM quartile segmentation
+    "x04_readability",  # round-7 addition: Flesch readability signal
+    "q22_ewma_window",  # round-7 addition: finite-horizon EWMA
+    "x03_kmeans_step",  # round-7 addition: Lloyd-iteration clustering
 }
 
 
