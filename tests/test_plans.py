@@ -307,3 +307,59 @@ def test_weighted_median_single_exchange(spark):
     stack on one hash exchange of the group key."""
     plan = _plan(spark, "q07_weighted_median")
     assert plan.count("Exchange (") - plan.count("BroadcastExchange (") == 1
+
+
+def test_range_interval_frame_single_exchange(spark):
+    """q13_range_interval_frames: one user_id hash exchange feeds the
+    RANGE-frame window; the event-type filter reaches the parquet scan."""
+    plan = _plan(spark, "q13_range_interval_frames")
+    assert plan.count("+- Exchange") == 1
+    assert "hashpartitioning(user_id" in plan
+    assert "PushedFilters" in plan and "event_type" in plan
+
+
+def test_source_caps_is_rank_then_filter_one_exchange(spark):
+    """x04_source_caps: the domain cap is one source-keyed exchange plus
+    a per-partition sort — no join, no second shuffle."""
+    plan = _plan(spark, "x04_source_caps")
+    assert plan.count("+- Exchange") == 1
+    assert "hashpartitioning(source" in plan
+    assert "Join" not in plan
+
+
+def test_triangle_count_all_hash_joins_no_cartesian(spark):
+    """q21_triangle_count: wedge build and closure are equi hash joins —
+    a cartesian anywhere means the orientation trick broke."""
+    plan = _plan(spark, "q21_triangle_count")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("ShuffledHashJoin" in plan) or ("SortMergeJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )
+
+
+def test_rfm_anchor_is_broadcast(spark):
+    """q21_rfm_segments: the 1-row max-date anchor joins as a broadcast,
+    never a shuffle."""
+    plan = _plan(spark, "q21_rfm_segments")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_kmeans_centroids_broadcast_corpus_never_shuffles_for_scoring(spark):
+    """x03_kmeans_step: the k centroids ride in as a broadcast; the only
+    hash exchanges are the per-vector arg-min window and the final
+    (cluster, dim) aggregate."""
+    plan = _plan(spark, "x03_kmeans_step")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "partial" in plan.lower()  # map-side combine on the mean agg
+
+
+def test_ewma_shares_one_window_frame(spark):
+    """q22_ewma_window: all lag terms evaluate inside ONE window node
+    over one user_id exchange — k lags must not become k passes."""
+    plan = _plan(spark, "q22_ewma_window")
+    assert plan.count("Window") <= 2  # one Window op (+ possible header)
+    assert plan.count("+- Exchange") == 1
+    assert "hashpartitioning(user_id" in plan
