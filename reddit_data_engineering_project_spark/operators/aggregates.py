@@ -593,3 +593,67 @@ def q09_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="value",
     )
+
+
+@register(
+    "q07_heavy_hitters",
+    oracle="""
+    WITH counts AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+        FROM events
+        GROUP BY user_id
+    ),
+    tot AS (SELECT sum(n_events) AS total FROM counts)
+    SELECT
+        user_id,
+        n_events,
+        CAST(rk AS BIGINT) AS rank,
+        CAST(round(CAST(n_events AS DOUBLE)
+                   / (SELECT total FROM tot) * 1000000.0) AS BIGINT)
+            AS share_e6
+    FROM (
+        SELECT user_id, n_events,
+               row_number() OVER (
+                   ORDER BY n_events DESC, user_id ASC
+               ) AS rk
+        FROM counts
+    )
+    WHERE rk <= 20
+    """,
+    tags=("aggregate", "Q7", "skew"),
+)
+def q07_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7d: heavy-hitter profile — the skew diagnostic behind join planning.
+
+    Before salting a join or sizing AQE's skew thresholds you need to
+    KNOW the key distribution; this op reports the top-20 hottest keys
+    and each one's share of total traffic — the exact numbers that decide
+    whether a key needs salting (q10_join_salted_skew) or a degree cap
+    (q21_copurchase_reach2's hub note). Run it on any prospective
+    shuffle key; here it profiles ``events.user_id``.
+
+    Scale shape: one hash aggregate with map-side combine collapses the
+    fact table to |keys| rows; the top-20 is a TakeOrderedAndProject over
+    that (no global sort — verified in the plan test), and the 1-row
+    total rides as a broadcast. Output is 20 rows at any corpus size.
+    The share is one IEEE division over exact integers, e6-scaled.
+    """
+    ev = table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_events")
+    )
+    tot = counts.agg(F.sum("n_events").alias("total"))
+    w = Window.orderBy(F.desc("n_events"), F.asc("user_id"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 20)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "user_id",
+            "n_events",
+            "rank",
+            F.round(F.col("n_events").cast("double") / F.col("total") * 1000000.0)
+            .cast("bigint")
+            .alias("share_e6"),
+        )
+    )

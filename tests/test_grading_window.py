@@ -141,6 +141,7 @@ QUEUED_FOR_NEXT_WINDOW: set[str] = {
     "x04_readability",  # round-7 addition: Flesch readability signal
     "q22_ewma_window",  # round-7 addition: finite-horizon EWMA
     "x03_kmeans_step",  # round-7 addition: Lloyd-iteration clustering
+    "q07_heavy_hitters",  # round-7 addition: key-skew diagnostic
 }
 
 
