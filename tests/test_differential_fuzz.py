@@ -423,3 +423,57 @@ def _session_queries():
 @given(sql=_session_queries())
 def test_session_queries_agree(engines, sql):
     _assert_agree(engines, sql)
+
+
+# --- value-based RANGE frame grammar -------------------------------------
+
+_RANGE_FNS = [
+    "count(*)",
+    "sum(summand)",
+    "min(k)",
+    "max(summand)",
+]
+_RANGE_PARTS = ["ubucket", "event_type"]
+
+
+def _range_frame_queries():
+    """Value-based RANGE frames fuzzed over frame width, direction, and
+    partitioning — the q13_range_interval_frames semantics generalized.
+
+    The order key is ``round(value)`` cast BIGINT, which collides
+    heavily, so every drawn frame exercises the peers-enter-together
+    RANGE rule (the part a ROWS frame can't see). Aggregates are
+    integer-only, NULL keys filtered out (NULL-ordering inside RANGE
+    frames is engine-defined — pinned out of scope exactly like the
+    hand-written op does by integer-cents construction)."""
+    return st.builds(
+        lambda fn, part, w, v, m: f"""
+        WITH s AS (
+          SELECT event_id, event_type,
+                 user_id % {m} AS ubucket,
+                 CAST(round(value) AS BIGINT) AS k,
+                 event_id % 97 AS summand
+          FROM events WHERE value IS NOT NULL
+        )
+        SELECT event_id, CAST({fn} OVER (
+            PARTITION BY {part} ORDER BY k
+            RANGE BETWEEN {w} PRECEDING AND {v} FOLLOWING
+        ) AS BIGINT) AS wval
+        FROM s
+        """,
+        st.sampled_from(_RANGE_FNS),
+        st.sampled_from(_RANGE_PARTS),
+        st.integers(min_value=0, max_value=50),
+        st.integers(min_value=0, max_value=50),
+        st.sampled_from([3, 11, 31]),
+    )
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(sql=_range_frame_queries())
+def test_range_frame_queries_agree(engines, sql):
+    _assert_agree(engines, sql)
