@@ -1401,3 +1401,127 @@ def x04_source_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rank_in_source") <= _SOURCE_CAP)
     )
+
+
+@register(
+    "x04_bpe_merge_apply",
+    oracle="""
+    WITH toks AS (
+        SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+               AS t
+        FROM documents
+    ),
+    pairs AS (
+        SELECT unnest(list_transform(
+                   generate_series(1, length(t) - 1),
+                   i -> substring(t, CAST(i AS INT), 2))) AS pair
+        FROM toks
+        WHERE length(t) >= 2
+    ),
+    top1 AS (
+        SELECT pair AS merged_pair
+        FROM pairs
+        GROUP BY pair
+        ORDER BY count(*) DESC, pair ASC
+        LIMIT 1
+    ),
+    merged AS (
+        SELECT replace(t, (SELECT merged_pair FROM top1), chr(1)) AS t
+        FROM toks
+    ),
+    pairs2 AS (
+        SELECT unnest(list_transform(
+                   generate_series(1, length(t) - 1),
+                   i -> substring(t, CAST(i AS INT), 2))) AS pair
+        FROM merged
+        WHERE length(t) >= 2
+    )
+    SELECT
+        (SELECT merged_pair FROM top1) AS merged_pair,
+        pair,
+        n,
+        rank
+    FROM (
+        SELECT pair,
+               count(*) AS n,
+               row_number() OVER (ORDER BY count(*) DESC, pair ASC) AS rank
+        FROM pairs2
+        GROUP BY pair
+    )
+    WHERE rank <= 20
+    """,
+    tags=("curation", "X4", "bpe"),
+)
+def x04_bpe_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: one FULL BPE training iteration — census, merge, re-census.
+
+    ``x04_bpe_pair_stats`` is the census half; this registers the whole
+    loop body, making BPE training gradeable the same way k-means
+    (x03_kmeans_step) and PageRank are: census the pair space, pick the
+    top merge (count desc, pair asc — deterministic), apply it to every
+    token, and emit the NEXT census's top-20. A trainer is this operator
+    iterated, with each round's merged symbol becoming an atomic unit.
+
+    Atomicity is the subtle half: after merging pair "th", the result
+    must count as ONE symbol, not two characters (else "the" would
+    immediately re-count "th"+"he" overlaps). The merge therefore
+    rewrites the pair to a single placeholder char (``chr(1)``, absent
+    from the corpus by construction) — string ``replace``'s
+    left-to-right non-overlapping scan is exactly BPE's greedy-left
+    merge order for overlapping occurrences ("aaa" → merged "Xa").
+
+    Scale shape: two census passes with the same map-side-combinable
+    ≤|alphabet|² aggregate as the pair-stats op; the chosen merge is a
+    1-row broadcast riding into the rewrite projection; the corpus
+    token stream itself is never shuffled — both censuses and the
+    rewrite ride scans of it.
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.filter(F.split("text", " "), lambda t: t != "")).alias("t")
+    )
+
+    def census(tok_df: DataFrame) -> DataFrame:
+        return (
+            tok_df.filter(F.length("t") >= 2)
+            .select(
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.length("t") - 1),
+                        lambda i: F.col("t").substr(i, F.lit(2)),
+                    )
+                ).alias("pair")
+            )
+            .groupBy("pair")
+            .agg(F.count("*").alias("n"))
+        )
+
+    top1 = (
+        census(toks)
+        .orderBy(F.col("n").desc(), F.col("pair").asc())
+        .limit(1)
+        .select(F.col("pair").alias("merged_pair"))
+    )
+    merged = toks.crossJoin(F.broadcast(top1)).select(
+        F.replace(F.col("t"), F.col("merged_pair"), F.lit("\x01")).alias("t"),
+        "merged_pair",
+    )
+    counted = (
+        merged.filter(F.length("t") >= 2)
+        .select(
+            "merged_pair",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("t") - 1),
+                    lambda i: F.col("t").substr(i, F.lit(2)),
+                )
+            ).alias("pair"),
+        )
+        .groupBy("merged_pair", "pair")
+        .agg(F.count("*").alias("n"))
+    )
+    top = counted.orderBy(F.col("n").desc(), F.col("pair").asc()).limit(20)
+    w = Window.orderBy(F.col("n").desc(), F.col("pair").asc())
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "merged_pair", "pair", "n", "rank"
+    )

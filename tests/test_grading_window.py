@@ -142,6 +142,7 @@ QUEUED_FOR_NEXT_WINDOW: set[str] = {
     "q22_ewma_window",  # round-7 addition: finite-horizon EWMA
     "x03_kmeans_step",  # round-7 addition: Lloyd-iteration clustering
     "q07_heavy_hitters",  # round-7 addition: key-skew diagnostic
+    "x04_bpe_merge_apply",  # round-7 addition: full BPE iteration
 }
 
 
