@@ -556,3 +556,92 @@ def q10_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
         ).alias("revenue"),
     )
+
+
+@register(
+    "q11_asof_tolerance",
+    oracle="""
+    WITH clicks AS (
+        SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        FROM events WHERE event_type = 'click'
+    ),
+    purchases AS (
+        SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        FROM events WHERE event_type = 'purchase'
+    ),
+    matched AS (
+        SELECT
+            p.event_id,
+            p.user_id,
+            p.ts,
+            c.ts AS click_ts,
+            epoch_us(p.ts) - epoch_us(c.ts) AS staleness_us
+        FROM purchases p
+        LEFT JOIN clicks c
+          ON c.user_id = p.user_id
+         AND (c.ts < p.ts OR (c.ts = p.ts AND c.event_id < p.event_id))
+        QUALIFY row_number() OVER (
+            PARTITION BY p.event_id ORDER BY c.ts DESC, c.event_id DESC
+        ) = 1
+    )
+    SELECT
+        event_id,
+        user_id,
+        ts,
+        CASE WHEN staleness_us <= 3600000000 THEN click_ts END
+            AS fresh_click_ts,
+        CASE WHEN staleness_us <= 3600000000
+             THEN CAST(staleness_us // 1000000 AS BIGINT) END
+            AS staleness_s
+    FROM matched
+    """,
+    tags=("joins", "Q11", "asof", "feature-store"),
+)
+def q11_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11c: as-of join with a max-staleness tolerance — the feature-store
+    point-in-time-correct lookup.
+
+    Training-data joins must be point-in-time correct (no feature from
+    the future) AND freshness-bounded (a click from last month is not a
+    valid "recent context" feature). This is the plain as-of contract
+    (q11_asof_join) plus a tolerance: matches older than 1 hour are
+    nulled rather than silently used, and the surviving match carries
+    its staleness in seconds — the column a feature-quality monitor
+    alerts on.
+
+    Same union + last(ignorenulls) single-exchange plan as the base
+    as-of (linear, never the quadratic range-join materialization);
+    the tolerance is a post-window projection, costing nothing. The
+    staleness compare runs on exact epoch microseconds; the emitted
+    seconds use positive integer division, identical in both engines.
+    """
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    is_click = F.col("event_type") == "click"
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    enriched = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.when(is_click, F.col("ts")).alias("click_ts"),
+    ).withColumn("last_click_ts", F.last("click_ts", ignorenulls=True).over(w))
+    staleness_us = F.unix_micros("ts") - F.unix_micros("last_click_ts")
+    fresh = staleness_us <= 3600 * 1_000_000
+    return (
+        enriched.filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.when(fresh, F.col("last_click_ts")).alias("fresh_click_ts"),
+            F.when(fresh, F.expr("(unix_micros(ts) - unix_micros(last_click_ts)) div 1000000"))
+            .cast("bigint")
+            .alias("staleness_s"),
+        )
+    )

@@ -909,3 +909,103 @@ def q21_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("m_quartile"),
     )
+
+
+@register(
+    "q21_spend_trend_ols",
+    oracle="""
+    WITH anchor AS (
+        SELECT min(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS d0 FROM events
+    ),
+    daily AS (
+        SELECT
+            user_id,
+            CAST(CAST(CAST(ts AS TIMESTAMP) AS DATE)
+                 - (SELECT d0 FROM anchor) AS BIGINT) AS x,
+            CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT) AS y
+        FROM events
+        WHERE event_type = 'purchase'
+        GROUP BY user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE)
+    ),
+    stats AS (
+        SELECT
+            user_id,
+            CAST(count(*) AS BIGINT) AS n_days,
+            CAST(sum(x) AS BIGINT) AS sx,
+            CAST(sum(y) AS BIGINT) AS sy,
+            CAST(sum(x * y) AS BIGINT) AS sxy,
+            CAST(sum(x * x) AS BIGINT) AS sxx
+        FROM daily
+        GROUP BY user_id
+    )
+    SELECT
+        user_id,
+        n_days,
+        sy AS total_cents,
+        CAST(round(
+            CAST(n_days * sxy - sx * sy AS DOUBLE) * 10000.0
+            / (n_days * sxx - sx * sx)
+        ) AS BIGINT) AS slope_e4
+    FROM stats
+    WHERE n_days >= 2
+    """,
+    tags=("analytics", "Q21", "trend"),
+)
+def q21_spend_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21: per-user spend trend — closed-form OLS slope, exact integers.
+
+    "Is this customer's daily spend rising or falling?" — the
+    engagement-trend feature scoring/churn models consume. Fits
+    ``y = a + b·x`` per user over (day-index, daily-spend-cents) points
+    with the closed-form estimator b = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²).
+
+    The built-in ``regr_slope`` is deliberately NOT used: it accumulates
+    float covariances whose partial-aggregation order differs between
+    engines (and between Spark partitionings!), so results would be
+    run-dependent at the last ulp. Integer moments are exact and
+    order-free: day indexes are small ints off a 1-row broadcast anchor,
+    spend is integer cents, every Σ is a BIGINT (magnitude bound ~5e14
+    for a year of 100k-cent days — no overflow), and the single double
+    division is the only float op. Users need ≥2 distinct active days
+    (denominator provably > 0).
+
+    Scale shape: two stacked hash aggregates on the same user-keyed
+    flow — (user, day) roll-up, then per-user moments, both map-side
+    combinable; the date anchor is a 1-row broadcast. No window, no
+    sort, no join against the fact table.
+    """
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    anchor = ev.agg(F.min(F.col("ts").cast("date")).alias("d0"))
+    daily = (
+        ev.crossJoin(F.broadcast(anchor))
+        .groupBy(
+            "user_id",
+            F.datediff(F.col("ts").cast("date"), F.col("d0"))
+            .cast("bigint")
+            .alias("x"),
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100.0).cast("bigint"))
+            .cast("bigint")
+            .alias("y")
+        )
+    )
+    stats = daily.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    num = F.col("n_days") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n_days") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return stats.filter(F.col("n_days") >= 2).select(
+        "user_id",
+        "n_days",
+        F.col("sy").alias("total_cents"),
+        F.round(num.cast("double") * 10000.0 / den)
+        .cast("bigint")
+        .alias("slope_e4"),
+    )

@@ -143,6 +143,8 @@ QUEUED_FOR_NEXT_WINDOW: set[str] = {
     "x03_kmeans_step",  # round-7 addition: Lloyd-iteration clustering
     "q07_heavy_hitters",  # round-7 addition: key-skew diagnostic
     "x04_bpe_merge_apply",  # round-7 addition: full BPE iteration
+    "q11_asof_tolerance",  # round-7 addition: staleness-bounded as-of
+    "q21_spend_trend_ols",  # round-7 addition: exact-integer OLS trend
 }
 
 
