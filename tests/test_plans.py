@@ -363,3 +363,38 @@ def test_ewma_shares_one_window_frame(spark):
     assert plan.count("Window") <= 2  # one Window op (+ possible header)
     assert plan.count("+- Exchange") == 1
     assert "hashpartitioning(user_id" in plan
+
+
+def test_heavy_hitters_topk_no_global_sort(spark):
+    """q07_heavy_hitters: the top-20 must ride TakeOrderedAndProject over
+    the count aggregate, never a rangepartitioning total sort."""
+    plan = _plan(spark, "q07_heavy_hitters")
+    assert "Exchange rangepartitioning" not in plan
+    assert "partial_count" in plan or "partial" in plan.lower()
+
+
+def test_asof_tolerance_single_exchange_no_join(spark):
+    """q11_asof_tolerance: same contract as the base as-of — the union
+    trick leaves no join node and exactly one user_id hash exchange."""
+    plan = _plan(spark, "q11_asof_tolerance")
+    assert "Join" not in plan
+    assert plan.count("+- Exchange") == 1
+    assert "hashpartitioning(user_id" in plan
+
+
+def test_spend_trend_two_aggregates_no_window_no_fact_join(spark):
+    """q21_spend_trend_ols: the moments pipeline is stacked hash
+    aggregates with map-side partials; the date anchor joins broadcast."""
+    plan = _plan(spark, "q21_spend_trend_ols")
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "partial" in plan.lower()
+
+
+def test_bpe_merge_choice_is_broadcast(spark):
+    """x04_bpe_merge_apply: the 1-row merge choice must broadcast into
+    the rewrite projection — a shuffle there would move the corpus."""
+    plan = _plan(spark, "x04_bpe_merge_apply")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
