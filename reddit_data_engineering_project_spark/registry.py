@@ -191,7 +191,11 @@ GRADING_PRIORITY: tuple[str, ...] = (
     "pipeline_topk_window",
     "pipeline_daily_ingest",
     # (d) stale families (old-corpus r02 evidence only) + SimHash rework
-    "q03_filter_predicates",
+    # q03_filter_predicates ceded its re-grade slot to s07_windowed_topk
+    # (new single-member streaming family needs first-ever evidence; q03
+    # keeps green r02 rows and the filter grammar is the most-fuzzed
+    # surface in tests/test_differential_fuzz.py) — re-grades round 8.
+    "s07_windowed_topk",
     "q05_multikey_sort",
     "q08_count_distinct",
     "x02_simhash_neardup",

@@ -351,3 +351,79 @@ def s05_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ts",
         )
     )
+
+
+@register(
+    "s07_windowed_topk",
+    oracle="""
+    WITH agg AS (
+        SELECT
+            date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+            user_id,
+            count(*) AS n_events,
+            CAST(sum(CAST(round(coalesce(value, 0.0) * 100.0) AS BIGINT))
+                 AS BIGINT) AS cents
+        FROM events
+        GROUP BY 1, 2
+    )
+    SELECT window_start, user_id, n_events, cents,
+           CAST(rk AS BIGINT) AS rank
+    FROM (
+        SELECT *,
+               row_number() OVER (
+                   PARTITION BY window_start
+                   ORDER BY cents DESC, user_id ASC
+               ) AS rk
+        FROM agg
+    )
+    WHERE rk <= 3
+    """,
+    tags=("streaming", "S7", "topk"),
+)
+def s07_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7: top-3 users per hourly window — the streaming leaderboard.
+
+    "Trending now" is the canonical streaming aggregation a product
+    surface serves: per event-time window, rank the heaviest keys and
+    keep the head. The windowed aggregate is a standard streaming
+    groupBy (state = per (window, user) counters, watermark-bounded);
+    the rank is the per-window head selection that deployments run in
+    ``foreachBatch`` on each closed window (rank-over-append-stream is
+    not directly expressible in-stream; ranking finalized windows in
+    the sink pass is the production pattern, and is exactly what the
+    batch-equivalent form evaluates).
+
+    Exactness: the ranked metric is integer cents (per-row rounding,
+    then BIGINT sums) with a (cents, user_id) total order — no float
+    sums, no tie ambiguity.
+
+    Scale shape: partial-agg before one (window, user) exchange; the
+    rank partitions by window over window-count-sized data (not
+    events), and WindowGroupLimit prunes to the top-3 during the sort.
+    """
+    agg = (
+        _events(spark, sf_dir)
+        .groupBy(
+            F.window("ts", "1 hour").alias("w"),
+            "user_id",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100.0).cast("bigint"))
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "user_id",
+            "n_events",
+            "cents",
+        )
+    )
+    w = Window.partitionBy("window_start").orderBy(
+        F.col("cents").desc(), F.col("user_id").asc()
+    )
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 3)
+    )

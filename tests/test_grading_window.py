@@ -145,6 +145,7 @@ QUEUED_FOR_NEXT_WINDOW: set[str] = {
     "x04_bpe_merge_apply",  # round-7 addition: full BPE iteration
     "q11_asof_tolerance",  # round-7 addition: staleness-bounded as-of
     "q21_spend_trend_ols",  # round-7 addition: exact-integer OLS trend
+    "q03_filter_predicates",  # ceded its window slot to s07_windowed_topk
 }
 
 
