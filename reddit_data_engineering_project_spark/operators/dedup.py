@@ -1129,3 +1129,89 @@ def x02_fuzzy_levenshtein_neardup(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .filter(F.col("edit_dist") >= 0)
     )
+
+
+@register(
+    "x02_containment_pairs",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(w[gs.i:gs.i+3], '_') AS shingle
+        FROM toks CROSS JOIN LATERAL (
+            SELECT unnest(range(1, greatest(len(w) - 2, 2))) AS i
+        ) gs
+    ),
+    counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT
+        doc_a,
+        doc_b,
+        CAST(inter AS BIGINT) AS inter,
+        CAST(round(inter::DOUBLE / ca.n * 1000000.0) AS BIGINT)
+            AS contain_a_e6,
+        CAST(round(inter::DOUBLE / cb.n * 1000000.0) AS BIGINT)
+            AS contain_b_e6
+    FROM pairs
+    JOIN counts ca ON doc_a = ca.doc_id
+    JOIN counts cb ON doc_b = cb.doc_id
+    WHERE inter::DOUBLE / ca.n >= 0.8 OR inter::DOUBLE / cb.n >= 0.8
+    """,
+    tags=("dedup", "X2", "containment"),
+)
+def x02_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2i: shingle-containment pairs — subset/quote detection.
+
+    Jaccard misses asymmetric duplication: a document wholly quoted
+    inside a much larger one scores J = |small|/|large| (tiny) yet is
+    exactly the contamination a training pipeline must catch (nested
+    crawls, quoted articles, boilerplate-wrapped reposts). Containment
+    C(A→B) = |A∩B|/|A| is the directional fix (Broder's original
+    resemblance/containment split): either direction ≥ 0.8 here flags
+    the pair, and both directional scores are emitted so the consumer
+    can tell quote-of from quoted-in.
+
+    Same sparse inverted-index intersection as the exact-Jaccard rung
+    (only docs SHARING a shingle ever meet — never all-pairs), same
+    per-doc size table; only the normalization differs. At 100 TB the
+    production form feeds LSH candidates into this verifier unchanged;
+    the scaled-BIGINT scores are one IEEE division each over exact
+    integer counts.
+    """
+    sh = shingles(table(spark, sf_dir, "documents"))
+    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    ca = counts.alias("ca")
+    cb = counts.alias("cb")
+    c_ab = F.col("inter") / F.col("ca.n")
+    c_ba = F.col("inter") / F.col("cb.n")
+    return (
+        pairs.join(ca, F.col("doc_a") == F.col("ca.doc_id"))
+        .join(cb, F.col("doc_b") == F.col("cb.doc_id"))
+        .filter((c_ab >= 0.8) | (c_ba >= 0.8))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("inter").cast("bigint").alias("inter"),
+            F.round(c_ab * 1000000.0).cast("bigint").alias("contain_a_e6"),
+            F.round(c_ba * 1000000.0).cast("bigint").alias("contain_b_e6"),
+        )
+    )

@@ -1009,3 +1009,82 @@ def q21_spend_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("slope_e4"),
     )
+
+
+@register(
+    "q21_next_event_prediction",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id
+                   ORDER BY CAST(ts AS TIMESTAMP), event_id
+               ) AS prev_type
+        FROM events
+    ),
+    transitions AS (
+        SELECT prev_type, event_type AS next_type, count(*) AS n
+        FROM ordered
+        WHERE prev_type IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    totals AS (
+        SELECT prev_type, sum(n) AS n_total FROM transitions GROUP BY 1
+    )
+    SELECT
+        t.prev_type,
+        t.next_type AS predicted_next,
+        CAST(t.n AS BIGINT) AS n_observed,
+        CAST(round(CAST(t.n AS DOUBLE) / tt.n_total * 1000000.0)
+             AS BIGINT) AS prob_e6
+    FROM transitions t
+    JOIN totals tt ON t.prev_type = tt.prev_type
+    QUALIFY row_number() OVER (
+        PARTITION BY t.prev_type ORDER BY t.n DESC, t.next_type ASC
+    ) = 1
+    """,
+    tags=("analytics", "Q21", "markov"),
+)
+def q21_next_event_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21: maximum-likelihood next-event prediction per state.
+
+    Completes the Markov story the transition matrix
+    (q21_event_transitions) starts: for every observed current event
+    type, the argmax next state and its transition probability — the
+    1-step predictor behind "users who just did X usually do Y next"
+    surfaces and journey-drop-off alerts.
+
+    Determinism: argmax ties break lexicographically on next_type; the
+    probability is one IEEE division over exact integer counts, e6-
+    scaled. Scale shape: the |types|² transition matrix is the only
+    event-sized work (one user-keyed window pass, shared with the
+    transitions op); everything after runs on ≤ |types|² rows — the
+    totals join and the argmax rank are dimension-sized.
+    """
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    transitions = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("n"))
+    )
+    totals = transitions.groupBy("prev_type").agg(
+        F.sum("n").alias("n_total")
+    )
+    wr = Window.partitionBy("prev_type").orderBy(
+        F.col("n").desc(), F.col("next_type").asc()
+    )
+    return (
+        transitions.join(F.broadcast(totals), "prev_type")
+        .withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") == 1)
+        .select(
+            "prev_type",
+            F.col("next_type").alias("predicted_next"),
+            F.col("n").cast("bigint").alias("n_observed"),
+            F.round(F.col("n").cast("double") / F.col("n_total") * 1000000.0)
+            .cast("bigint")
+            .alias("prob_e6"),
+        )
+    )

@@ -146,6 +146,8 @@ QUEUED_FOR_NEXT_WINDOW: set[str] = {
     "q11_asof_tolerance",  # round-7 addition: staleness-bounded as-of
     "q21_spend_trend_ols",  # round-7 addition: exact-integer OLS trend
     "q03_filter_predicates",  # ceded its window slot to s07_windowed_topk
+    "q21_next_event_prediction",  # round-7 addition: Markov argmax
+    "x02_containment_pairs",  # round-7 addition: subset/quote detection
 }
 
 
