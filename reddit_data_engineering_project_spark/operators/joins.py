@@ -645,3 +645,57 @@ def q11_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("staleness_s"),
         )
     )
+
+
+@register(
+    "q10_join_null_safe",
+    oracle="""
+    WITH fact AS (
+        SELECT l_orderkey, l_linenumber,
+               nullif(l_returnflag, 'N') AS flag
+        FROM lineitem
+    ),
+    dim(flag, label) AS (
+        VALUES ('A', 'accepted'), ('R', 'returned'), (NULL, 'no-flag')
+    )
+    SELECT
+        d.label,
+        CAST(count(*) AS BIGINT) AS n_rows,
+        CAST(min(f.l_orderkey) AS BIGINT) AS min_orderkey
+    FROM fact f
+    JOIN dim d ON f.flag IS NOT DISTINCT FROM d.flag
+    GROUP BY d.label
+    """,
+    tags=("joins", "Q10", "null-safe"),
+)
+def q10_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10j: null-safe equality join (``<=>`` / IS NOT DISTINCT FROM).
+
+    Plain equi-joins silently DROP null-keyed rows — the classic silent
+    data loss when a dimension key is optional (here ``l_returnflag``
+    nulled for the 'N' majority via ``nullif``). The null-safe operator
+    treats NULL as a joinable value, so the 'no-flag' dim row picks
+    those rows up instead of losing them; row counts then reconcile to
+    the fact table exactly — the audit property a pipeline asserts.
+
+    Scale shape: the 3-row dim broadcasts; Spark's ``eqNullSafe``
+    compiles to the same hash-join path as ``=`` (null hashes to a
+    bucket like any value), so the null-safe semantics cost nothing.
+    """
+    fact = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.nullif(F.col("l_returnflag"), F.lit("N")).alias("flag"),
+    )
+    dim = spark.createDataFrame(
+        [("A", "accepted"), ("R", "returned"), (None, "no-flag")],
+        "flag string, label string",
+    )
+    return (
+        fact.join(F.broadcast(dim), fact["flag"].eqNullSafe(dim["flag"]))
+        .groupBy("label")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.min("l_orderkey").cast("bigint").alias("min_orderkey"),
+        )
+    )

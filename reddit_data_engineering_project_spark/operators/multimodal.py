@@ -419,3 +419,65 @@ def x05_size_binned_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
             "shard_offset"
         ),
     )
+
+
+@register(
+    "x05_byte_histogram",
+    oracle="""
+    WITH hx AS (
+        SELECT doc_id, hex(text) AS h FROM documents
+    ),
+    bytes AS (
+        SELECT unnest(list_transform(
+                   generate_series(1, length(h) // 2),
+                   i -> substring(h, CAST(i AS INT) * 2 - 1, 2))) AS byte
+        FROM hx
+    ),
+    tot AS (SELECT count(*) AS n_total FROM bytes)
+    SELECT
+        byte,
+        CAST(count(*) AS BIGINT) AS n,
+        CAST(round(count(*) * 1000000.0 / (SELECT n_total FROM tot))
+             AS BIGINT) AS share_e6
+    FROM bytes
+    GROUP BY byte
+    """,
+    tags=("multimodal", "X5", "bytes"),
+)
+def x05_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5: corpus-wide byte-value histogram over binary payloads.
+
+    The cheapest corruption / encoding / format detector a media
+    pipeline has: truncated or bit-flipped payloads, double-encoded
+    text, and mislabeled codecs all show up as byte-distribution
+    anomalies (a JPEG corpus with no 0xFF markers, UTF-8 with stray
+    continuation bytes). Payloads are hex-encoded once and counted as
+    2-char windows — byte extraction stays in codegen string ops with
+    no Python, working identically on any ``binary`` column (the
+    corpus's stand-in payload is the UTF-8 encoding of ``text``, per
+    this module's declared codec seam).
+
+    Scale shape: the census is the BPE shape — one map-side-combinable
+    count over a ≤256-key space riding the corpus scan, then the 1-row
+    total broadcasts into the share projection. Output is ≤256 rows at
+    any corpus size.
+    """
+    docs = table(spark, sf_dir, "documents")
+    hx = docs.select(F.hex(F.encode(F.col("text"), "UTF-8")).alias("h"))
+    bytes_ = hx.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), (F.length("h") / F.lit(2)).cast("int")),
+                lambda i: F.col("h").substr(i * 2 - 1, F.lit(2)),
+            )
+        ).alias("byte")
+    )
+    counted = bytes_.groupBy("byte").agg(F.count("*").alias("n"))
+    tot = counted.agg(F.sum("n").alias("n_total"))
+    return counted.crossJoin(F.broadcast(tot)).select(
+        "byte",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("n") * 1000000.0 / F.col("n_total"))
+        .cast("bigint")
+        .alias("share_e6"),
+    )

@@ -148,6 +148,8 @@ QUEUED_FOR_NEXT_WINDOW: set[str] = {
     "q03_filter_predicates",  # ceded its window slot to s07_windowed_topk
     "q21_next_event_prediction",  # round-7 addition: Markov argmax
     "x02_containment_pairs",  # round-7 addition: subset/quote detection
+    "q10_join_null_safe",  # round-7 addition: null-safe equality join
+    "x05_byte_histogram",  # round-7 addition: payload byte census
 }
 
 
