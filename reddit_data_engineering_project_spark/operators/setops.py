@@ -155,3 +155,91 @@ def q12_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     clicks = ev.filter(F.col("event_type") == "click").select("user_id")
     purchases = ev.filter(F.col("event_type") == "purchase").select("user_id")
     return clicks.exceptAll(purchases)
+
+
+@register(
+    "q12_table_diff",
+    oracle="""
+    WITH old AS (
+        SELECT event_id, event_type,
+               CAST(round(coalesce(value, 0.0) * 100.0) AS BIGINT) AS cents
+        FROM events WHERE event_id % 10 <> 0
+    ),
+    new AS (
+        SELECT event_id, event_type,
+               CASE WHEN event_id % 7 = 0
+                    THEN CAST(round(coalesce(value, 0.0) * 100.0)
+                              AS BIGINT) + 5
+                    ELSE CAST(round(coalesce(value, 0.0) * 100.0)
+                              AS BIGINT) END AS cents
+        FROM events WHERE event_id % 10 <> 1
+    )
+    SELECT
+        CASE
+            WHEN o.event_id IS NULL THEN 'added'
+            WHEN n.event_id IS NULL THEN 'removed'
+            WHEN o.cents <> n.cents OR o.event_type <> n.event_type
+                THEN 'changed'
+            ELSE 'unchanged'
+        END AS change_type,
+        CAST(count(*) AS BIGINT) AS n_rows,
+        CAST(min(coalesce(o.event_id, n.event_id)) AS BIGINT) AS min_key
+    FROM old o
+    FULL OUTER JOIN new n ON o.event_id = n.event_id
+    GROUP BY 1
+    """,
+    tags=("setops", "Q12", "diff"),
+)
+def q12_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12e: keyed table diff — added / removed / changed / unchanged.
+
+    The reconciliation audit every migration, backfill, and
+    snapshot-promotion needs: full-outer join two relation versions on
+    the key and classify each row's fate, reporting counts per class.
+    (The two versions here are deterministic slices/perturbations of
+    ``events`` — old drops key%10=0, new drops key%10=1 and bumps
+    key%7=0 values — so all four classes are provably non-empty and the
+    oracle reproduces them exactly.)
+
+    Set operators (EXCEPT/INTERSECT) can say WHETHER versions differ;
+    the keyed diff says per-row WHY (moved vs mutated), which is the
+    actionable output. Comparison runs on integer cents.
+
+    Scale shape: one full-outer sort-merge/hash join co-partitioned on
+    the key both sides already share at deployment (bucketed snapshot
+    layouts join with zero Exchange — q19's bucketing note applies);
+    the classifier is a projection, and the roll-up is 4 rows.
+    """
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.coalesce(F.col("value"), F.lit(0.0)) * 100.0)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    old = ev.filter(F.col("event_id") % 10 != 0).alias("o")
+    new = ev.filter(F.col("event_id") % 10 != 1).withColumn(
+        "cents",
+        F.when(F.col("event_id") % 7 == 0, F.col("cents") + 5).otherwise(
+            F.col("cents")
+        ),
+    ).alias("n")
+    joined = old.join(
+        new, F.col("o.event_id") == F.col("n.event_id"), "full_outer"
+    )
+    change = (
+        F.when(F.col("o.event_id").isNull(), "added")
+        .when(F.col("n.event_id").isNull(), "removed")
+        .when(
+            (F.col("o.cents") != F.col("n.cents"))
+            | (F.col("o.event_type") != F.col("n.event_type")),
+            "changed",
+        )
+        .otherwise("unchanged")
+    )
+    return joined.groupBy(change.alias("change_type")).agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.min(F.coalesce(F.col("o.event_id"), F.col("n.event_id")))
+        .cast("bigint")
+        .alias("min_key"),
+    )

@@ -1000,3 +1000,113 @@ def x03_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("mean_e6"),
     )
+
+
+@register(
+    "x03_knn_classify",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label
+        FROM embeddings
+    ),
+    q AS (
+        SELECT vec_id AS query_id, e AS qe, label AS true_label
+        FROM v WHERE vec_id < {_N_QUERIES}
+    ),
+    scored AS (
+        SELECT
+            q.query_id,
+            q.true_label,
+            v.vec_id AS neighbor_id,
+            v.label,
+            list_dot_product(q.qe, v.e)
+                / (sqrt(list_dot_product(q.qe, q.qe))
+                   * sqrt(list_dot_product(v.e, v.e))) AS cos
+        FROM q JOIN v ON v.vec_id <> q.query_id
+    ),
+    topk AS (
+        SELECT query_id, true_label, label
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC
+            ) AS rk
+            FROM scored
+        )
+        WHERE rk <= {_TOP_K}
+    ),
+    votes AS (
+        SELECT query_id, true_label, label, count(*) AS n_votes
+        FROM topk GROUP BY 1, 2, 3
+    )
+    SELECT query_id,
+           CAST(label AS INT) AS predicted_label,
+           CAST(n_votes AS BIGINT) AS n_votes,
+           CAST(true_label AS INT) AS true_label
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY n_votes DESC, label ASC
+        ) AS rk
+        FROM votes
+    )
+    WHERE rk = 1
+    """,
+    tags=("similarity", "X3", "knn"),
+)
+def x03_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3h: k-NN majority-vote classification over the embedding corpus.
+
+    The serving-side use of similarity search: predict a query vector's
+    label from its {k} nearest neighbors' labels — weak-label
+    propagation, eval-set auto-labeling, and embedding-quality probes
+    all run exactly this. Built directly on the brute-force top-k plan
+    (broadcast queries, codegen cosine, per-query rank), then a
+    votes-per-label aggregate and a deterministic argmax (votes desc,
+    label asc). Emits the true label beside the prediction so an
+    accuracy roll-up is one aggregate away.
+
+    Scale shape: identical corpus-side cost to x03_cosine_topk (the
+    corpus never shuffles; queries broadcast); the vote and argmax
+    stages run on |queries|·k rows — nothing. The ANN variants
+    (LSH/IVF/PQ) slot in as the top-k stage unchanged when |queries|
+    grows past broadcast size.
+    """
+    emb = ensure_min_parallelism(table(spark, sf_dir, "embeddings")).select(
+        "vec_id", _vec_double("embedding").alias("e"), "label"
+    )
+    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("label").alias("true_label"),
+    )
+    scored = emb.join(
+        F.broadcast(q), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "true_label",
+        F.col("vec_id").alias("neighbor_id"),
+        "label",
+        cosine(F.col("qe"), F.col("e")).alias("cos"),
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    topk = (
+        scored.withColumn("rk", F.row_number().over(w_rank))
+        .filter(F.col("rk") <= _TOP_K)
+    )
+    votes = topk.groupBy("query_id", "true_label", "label").agg(
+        F.count("*").alias("n_votes")
+    )
+    w_vote = Window.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), F.col("label").asc()
+    )
+    return (
+        votes.withColumn("rk", F.row_number().over(w_vote))
+        .filter(F.col("rk") == 1)
+        .select(
+            "query_id",
+            F.col("label").cast("int").alias("predicted_label"),
+            F.col("n_votes").cast("bigint").alias("n_votes"),
+            F.col("true_label").cast("int").alias("true_label"),
+        )
+    )

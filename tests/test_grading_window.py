@@ -150,6 +150,8 @@ QUEUED_FOR_NEXT_WINDOW: set[str] = {
     "x02_containment_pairs",  # round-7 addition: subset/quote detection
     "q10_join_null_safe",  # round-7 addition: null-safe equality join
     "x05_byte_histogram",  # round-7 addition: payload byte census
+    "x03_knn_classify",  # round-7 addition: k-NN majority-vote labels
+    "q12_table_diff",  # round-7 addition: keyed reconciliation diff
 }
 
 
