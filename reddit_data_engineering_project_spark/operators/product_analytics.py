@@ -1088,3 +1088,216 @@ def q21_next_event_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("prob_e6"),
         )
     )
+
+
+@register(
+    "pipeline_feature_store",
+    oracle="""
+    WITH ev AS (
+        SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+               CAST(round(coalesce(value, 0.0) * 100.0) AS BIGINT) AS cents
+        FROM events
+    ),
+    anchor AS (
+        SELECT max(CAST(ts AS DATE)) AS dmax, min(CAST(ts AS DATE)) AS dmin
+        FROM ev
+    ),
+    base AS (
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(count(*) FILTER (WHERE event_type = 'purchase')
+                    AS BIGINT) AS n_purchases,
+               CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+                                      THEN cents END), 0)
+                    AS BIGINT) AS total_cents,
+               CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT)
+                   AS n_active_days,
+               CAST((SELECT dmax FROM anchor) - max(CAST(ts AS DATE))
+                    AS BIGINT) AS recency_days
+        FROM ev GROUP BY user_id
+    ),
+    daily AS (
+        SELECT user_id,
+               CAST(CAST(ts AS DATE) - (SELECT dmin FROM anchor)
+                    AS BIGINT) AS x,
+               CAST(sum(cents) AS BIGINT) AS y
+        FROM ev WHERE event_type = 'purchase'
+        GROUP BY user_id, CAST(ts AS DATE)
+    ),
+    m AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_days,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * y) AS BIGINT) AS sxy,
+               CAST(sum(x * x) AS BIGINT) AS sxx
+        FROM daily GROUP BY user_id
+    ),
+    slope AS (
+        SELECT user_id,
+               CASE WHEN n_days >= 2 THEN
+                   CAST(round(CAST(n_days * sxy - sx * sy AS DOUBLE)
+                              * 10000.0 / (n_days * sxx - sx * sx))
+                        AS BIGINT)
+               END AS slope_e4
+        FROM m
+    ),
+    latest AS (
+        SELECT user_id, cents, c1, c2, c3
+        FROM (
+            SELECT user_id, cents,
+                   lag(cents, 1) OVER w AS c1,
+                   lag(cents, 2) OVER w AS c2,
+                   lag(cents, 3) OVER w AS c3,
+                   row_number() OVER w2 AS rn
+            FROM ev WHERE event_type = 'purchase'
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+                   w2 AS (PARTITION BY user_id
+                          ORDER BY ts DESC, event_id DESC)
+        ) WHERE rn = 1
+    ),
+    smoothed AS (
+        SELECT user_id,
+               CAST(round(
+                   CAST(8 * cents + 4 * coalesce(c1, 0)
+                        + 2 * coalesce(c2, 0) + coalesce(c3, 0) AS DOUBLE)
+                   * 100.0
+                   / (8 + CASE WHEN c1 IS NULL THEN 0 ELSE 4 END
+                        + CASE WHEN c2 IS NULL THEN 0 ELSE 2 END
+                        + CASE WHEN c3 IS NULL THEN 0 ELSE 1 END)
+               ) AS BIGINT) AS latest_ewma_cents_e2
+        FROM latest
+    )
+    SELECT b.user_id, b.n_events, b.n_purchases, b.total_cents,
+           b.n_active_days, b.recency_days, s.slope_e4,
+           sm.latest_ewma_cents_e2
+    FROM base b
+    LEFT JOIN slope s USING (user_id)
+    LEFT JOIN smoothed sm USING (user_id)
+    """,
+    tags=("pipeline", "feature-store", "Q21"),
+)
+def pipeline_feature_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4: composed per-user FEATURE TABLE — the feature-store build job.
+
+    One wide feature row per user, combining four feature families the
+    standalone operators establish individually: activity volume
+    (counts, active days), recency vs the corpus clock, spend trend
+    (exact-moment OLS slope, q21_spend_trend_ols), and smoothed latest
+    spend (finite-horizon EWMA at the newest purchase,
+    q22_ewma_window). This is the table a ranking/churn model trains
+    on and a feature server snapshots — the composed deliverable of
+    the analytics layer.
+
+    Plan economics (why composing beats four jobs): all three feature
+    branches collapse the fact table to user-dimension size BEFORE
+    anything joins — the base aggregate and the trend stack partial-agg
+    map-side, the EWMA window exchanges only purchase rows — so the two
+    final feature joins run at |users| scale on already-user-keyed
+    layouts and the 1-row date anchor broadcasts. The fact table is
+    scanned per branch but never shuffled at event size more than the
+    three user-keyed exchanges the standalone ops would each pay
+    anyway; composing removes the three intermediate materializations
+    and the re-reads a job-per-feature design costs. NULL semantics are
+    part of the contract: purchase-free users carry NULL slope/EWMA,
+    not fabricated zeros.
+    """
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.round(F.coalesce(F.col("value"), F.lit(0.0)) * 100.0)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    anchor = ev.agg(
+        F.max(F.col("ts").cast("date")).alias("dmax"),
+        F.min(F.col("ts").cast("date")).alias("dmin"),
+    )
+    is_p = F.col("event_type") == "purchase"
+    base = (
+        ev.groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.count(F.when(is_p, 1)).cast("bigint").alias("n_purchases"),
+            F.coalesce(F.sum(F.when(is_p, F.col("cents"))), F.lit(0))
+            .cast("bigint")
+            .alias("total_cents"),
+            F.countDistinct(F.col("ts").cast("date"))
+            .cast("bigint")
+            .alias("n_active_days"),
+            F.max(F.col("ts").cast("date")).alias("last_day"),
+        )
+        .crossJoin(F.broadcast(anchor))
+    )
+    base = base.select(
+        "user_id",
+        "n_events",
+        "n_purchases",
+        "total_cents",
+        "n_active_days",
+        F.datediff("dmax", "last_day").cast("bigint").alias("recency_days"),
+        "dmin",
+    )
+    purchases = ev.filter(is_p)
+    daily = (
+        purchases.crossJoin(F.broadcast(anchor.select("dmin")))
+        .groupBy(
+            "user_id",
+            F.datediff(F.col("ts").cast("date"), F.col("dmin"))
+            .cast("bigint")
+            .alias("x"),
+        )
+        .agg(F.sum("cents").cast("bigint").alias("y"))
+    )
+    m = daily.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    num = F.col("n_days") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n_days") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = m.select(
+        "user_id",
+        F.when(
+            F.col("n_days") >= 2,
+            F.round(num.cast("double") * 10000.0 / den).cast("bigint"),
+        ).alias("slope_e4"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w2 = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    latest = (
+        purchases.select(
+            "user_id",
+            "cents",
+            F.lag("cents", 1).over(w).alias("c1"),
+            F.lag("cents", 2).over(w).alias("c2"),
+            F.lag("cents", 3).over(w).alias("c3"),
+            F.row_number().over(w2).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    weights = (8, 4, 2, 1)
+    lag_cols = [F.col("cents"), F.col("c1"), F.col("c2"), F.col("c3")]
+    s_num = sum(
+        (wt * F.coalesce(c, F.lit(0)) for wt, c in zip(weights, lag_cols)),
+        F.lit(0),
+    )
+    s_den = sum(
+        (F.when(c.isNull(), 0).otherwise(wt) for wt, c in zip(weights, lag_cols)),
+        F.lit(0),
+    )
+    smoothed = latest.select(
+        "user_id",
+        F.round(s_num.cast("double") * 100.0 / s_den)
+        .cast("bigint")
+        .alias("latest_ewma_cents_e2"),
+    )
+    return (
+        base.drop("dmin")
+        .join(slope, "user_id", "left")
+        .join(smoothed, "user_id", "left")
+    )

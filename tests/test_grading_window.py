@@ -152,6 +152,7 @@ QUEUED_FOR_NEXT_WINDOW: set[str] = {
     "x05_byte_histogram",  # round-7 addition: payload byte census
     "x03_knn_classify",  # round-7 addition: k-NN majority-vote labels
     "q12_table_diff",  # round-7 addition: keyed reconciliation diff
+    "pipeline_feature_store",  # round-7 addition: composed feature table
 }
 
 
