@@ -1301,3 +1301,106 @@ def pipeline_feature_store(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(slope, "user_id", "left")
         .join(smoothed, "user_id", "left")
     )
+
+
+@register(
+    "q21_ab_lift_ztest",
+    oracle="""
+    WITH users AS (
+        SELECT
+            user_id,
+            CAST(user_id % 2 AS BIGINT) AS bucket,
+            max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS converted
+        FROM events
+        GROUP BY user_id
+    ),
+    arms AS (
+        SELECT bucket,
+               CAST(count(*) AS BIGINT) AS n_users,
+               CAST(sum(converted) AS BIGINT) AS n_converted
+        FROM users GROUP BY bucket
+    ),
+    wide AS (
+        SELECT
+            (SELECT n_users FROM arms WHERE bucket = 0) AS n_c,
+            (SELECT n_converted FROM arms WHERE bucket = 0) AS x_c,
+            (SELECT n_users FROM arms WHERE bucket = 1) AS n_t,
+            (SELECT n_converted FROM arms WHERE bucket = 1) AS x_t
+    )
+    SELECT
+        n_c, x_c, n_t, x_t,
+        CAST(round(CAST(x_c AS DOUBLE) / n_c * 1000000.0) AS BIGINT)
+            AS rate_control_e6,
+        CAST(round(CAST(x_t AS DOUBLE) / n_t * 1000000.0) AS BIGINT)
+            AS rate_treat_e6,
+        CAST(round(
+            (CAST(x_t AS DOUBLE) / n_t - CAST(x_c AS DOUBLE) / n_c)
+            / sqrt(
+                (CAST(x_c + x_t AS DOUBLE) / (n_c + n_t))
+                * (1.0 - CAST(x_c + x_t AS DOUBLE) / (n_c + n_t))
+                * (1.0 / n_c + 1.0 / n_t)
+            ) * 10000.0
+        ) AS BIGINT) AS z_e4
+    FROM wide
+    """,
+    tags=("analytics", "Q21", "experimentation"),
+)
+def q21_ab_lift_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21: A/B conversion analysis — two-proportion pooled z-test.
+
+    The experimentation readout: users split into control/treatment by
+    a deterministic key hash (``user_id % 2`` stands in for the
+    assignment hash), per-arm conversion = "ever purchased", and the
+    pooled two-proportion z statistic that decides the experiment.
+    Everything a results dashboard shows: arm sizes, conversions, rates,
+    z — in one row.
+
+    Exactness: arm counts are exact integers; rates and z are a fixed
+    chain of IEEE double ops (divisions, one sqrt) over those integers —
+    identical on both engines — emitted e6/e4-scaled. Determinism of
+    assignment is the same property the hash-split op (x04_dataset_split)
+    pins: membership is a pure key function, never RNG.
+
+    Scale shape: one user-keyed conditional-max aggregate collapses the
+    fact table; the arm table is 2 rows; the pivot + test arithmetic is
+    a 1-row projection. At 100 TB the entire cost is the first
+    map-side-combinable aggregate.
+    """
+    ev = table(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted")
+    ).select(
+        (F.col("user_id") % 2).cast("bigint").alias("bucket"), "converted"
+    )
+    arms = users.groupBy("bucket").agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.sum("converted").cast("bigint").alias("n_converted"),
+    )
+    wide = arms.groupBy().agg(
+        F.max(F.when(F.col("bucket") == 0, F.col("n_users"))).alias("n_c"),
+        F.max(F.when(F.col("bucket") == 0, F.col("n_converted"))).alias("x_c"),
+        F.max(F.when(F.col("bucket") == 1, F.col("n_users"))).alias("n_t"),
+        F.max(F.when(F.col("bucket") == 1, F.col("n_converted"))).alias("x_t"),
+    )
+    p_c = F.col("x_c").cast("double") / F.col("n_c")
+    p_t = F.col("x_t").cast("double") / F.col("n_t")
+    p_pool = (F.col("x_c") + F.col("x_t")).cast("double") / (
+        F.col("n_c") + F.col("n_t")
+    )
+    z = (p_t - p_c) / F.sqrt(
+        p_pool
+        * (F.lit(1.0) - p_pool)
+        * (F.lit(1.0) / F.col("n_c") + F.lit(1.0) / F.col("n_t"))
+    )
+    return wide.select(
+        "n_c",
+        "x_c",
+        "n_t",
+        "x_t",
+        F.round(p_c * 1000000.0).cast("bigint").alias("rate_control_e6"),
+        F.round(p_t * 1000000.0).cast("bigint").alias("rate_treat_e6"),
+        F.round(z * 10000.0).cast("bigint").alias("z_e4"),
+    )

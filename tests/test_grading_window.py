@@ -153,6 +153,7 @@ QUEUED_FOR_NEXT_WINDOW: set[str] = {
     "x03_knn_classify",  # round-7 addition: k-NN majority-vote labels
     "q12_table_diff",  # round-7 addition: keyed reconciliation diff
     "pipeline_feature_store",  # round-7 addition: composed feature table
+    "q21_ab_lift_ztest",  # round-7 addition: two-proportion experiment test
 }
 
 
