@@ -333,3 +333,56 @@ def q16_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_count(k).cast("bigint").alias("key_popcount"),
         F.expr("~o_orderkey").cast("bigint").alias("key_not"),
     )
+
+
+@register(
+    "q14_string_funcs3",
+    oracle="""
+    SELECT
+        p_partkey,
+        CAST(levenshtein(split_part(p_name, ' ', 1), 'almond') AS BIGINT)
+            AS lev_almond,
+        printf('P%09d', p_partkey) AS padded_sku,
+        left(p_name, 10) AS name_head,
+        right(p_type, 6) AS type_tail,
+        split_part(p_type, ' ', 2) AS type_mid,
+        CAST(position('BRASS' IN upper(p_type)) AS BIGINT) AS brass_at,
+        CAST(length(p_name) - length(replace(p_name, ' ', ''))
+             AS BIGINT) AS n_spaces,
+        repeat('*', CAST(p_size % 5 AS INT)) AS size_stars
+    FROM part
+    WHERE p_partkey % 7 = 0
+    """,
+    tags=("functions", "Q14"),
+)
+def q14_string_funcs3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14c string battery: edit distance, printf, left/right, split_part.
+
+    Third string installment — the functions the first two batteries
+    and the curation ops lean on indirectly, pinned directly:
+    ``levenshtein`` (the fuzzy-near-dup verifier's kernel, X2h),
+    zero-padded ``printf``/``format_string`` (shard/SKU naming in
+    sinks), ``left``/``right`` head-tail slicing, ``split_part`` field
+    extraction, ``position`` (1-based, 0 = absent — same convention
+    both engines), occurrence counting via the length-difference idiom,
+    and data-driven ``repeat``.
+
+    One codegen'd projection over the part dimension; predicate pushed
+    to the scan; no shuffle.
+    """
+    p = table(spark, sf_dir, "part").filter(F.col("p_partkey") % 7 == 0)
+    return p.select(
+        "p_partkey",
+        F.levenshtein(F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)), F.lit("almond"))
+        .cast("bigint")
+        .alias("lev_almond"),
+        F.format_string("P%09d", F.col("p_partkey")).alias("padded_sku"),
+        F.expr("left(p_name, 10)").alias("name_head"),
+        F.expr("right(p_type, 6)").alias("type_tail"),
+        F.split_part(F.col("p_type"), F.lit(" "), F.lit(2)).alias("type_mid"),
+        F.instr(F.upper(F.col("p_type")), "BRASS").cast("bigint").alias("brass_at"),
+        (F.length("p_name") - F.length(F.replace(F.col("p_name"), F.lit(" "), F.lit(""))))
+        .cast("bigint")
+        .alias("n_spaces"),
+        F.repeat(F.lit("*"), (F.col("p_size") % 5).cast("int")).alias("size_stars"),
+    )

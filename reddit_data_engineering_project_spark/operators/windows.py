@@ -346,3 +346,82 @@ def q13_range_interval_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(w).cast("bigint").alias("n_trailing_1h"),
         F.sum("cents").over(w).cast("bigint").alias("cents_trailing_1h"),
     )
+
+
+@register(
+    "q13_value_functions",
+    oracle="""
+    WITH ev AS (
+        SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+               CASE WHEN event_type = 'purchase'
+                    THEN CAST(round(value * 100.0) AS BIGINT) END
+                   AS purchase_cents
+        FROM events
+    )
+    SELECT
+        event_id,
+        user_id,
+        first_value(event_type) OVER w AS first_type,
+        last_value(event_type) OVER w AS latest_type,
+        nth_value(event_type, 2) OVER w AS second_type,
+        first_value(purchase_cents IGNORE NULLS) OVER w
+            AS first_purchase_cents,
+        last_value(purchase_cents IGNORE NULLS) OVER w
+            AS latest_purchase_cents
+    FROM ev
+    WINDOW w AS (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    )
+    """,
+    tags=("window", "Q13", "value-functions"),
+)
+def q13_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13h: window VALUE functions — first/last/nth, with IGNORE NULLS.
+
+    The remaining window-surface corner the rank/frame batteries leave
+    out: positional value extraction over a running frame. Per user in
+    event order: the session-opening event type (first_value), the
+    current latest (last_value over the running frame), the second-ever
+    event (nth_value — NULL until it exists), and the first/latest
+    PURCHASE amounts via IGNORE NULLS on a purchase-only column — the
+    idiom LOCF interpolation (q22_locf_fill) builds on, here pinned as
+    its own battery.
+
+    Determinism: the (ts, event_id) order is total; the running frame
+    makes last_value well-defined (the default full-partition frame
+    with last_value is the classic SQL footgun — every row would see
+    the partition's final value); NULL-slot agreement between engines
+    is exactly what IGNORE NULLS specifies.
+
+    Scale shape: ONE user_id exchange + one sort; all five functions
+    share the single running frame — no rescans, no extra exchanges.
+    """
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts",
+        F.when(
+            F.col("event_type") == "purchase",
+            F.round(F.col("value") * 100.0).cast("bigint"),
+        ).alias("purchase_cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.first("event_type").over(w).alias("first_type"),
+        F.last("event_type").over(w).alias("latest_type"),
+        F.nth_value("event_type", 2).over(w).alias("second_type"),
+        F.first("purchase_cents", ignorenulls=True)
+        .over(w)
+        .alias("first_purchase_cents"),
+        F.last("purchase_cents", ignorenulls=True)
+        .over(w)
+        .alias("latest_purchase_cents"),
+    )
