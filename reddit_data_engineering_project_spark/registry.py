@@ -196,7 +196,10 @@ GRADING_PRIORITY: tuple[str, ...] = (
     # keeps green r02 rows and the filter grammar is the most-fuzzed
     # surface in tests/test_differential_fuzz.py) — re-grades round 8.
     "s07_windowed_topk",
-    "q05_multikey_sort",
+    # q05_multikey_sort ceded its re-grade slot to q14_string_funcs3
+    # (new q14 member needs family evidence; q05 keeps green r02 rows)
+    # — re-grades in round 8 with the other (d)-group leftovers.
+    "q14_string_funcs3",
     "q08_count_distinct",
     "x02_simhash_neardup",
     # q07_weighted_median holds the family-evidence slot for Q7 (its

@@ -155,7 +155,7 @@ QUEUED_FOR_NEXT_WINDOW: set[str] = {
     "pipeline_feature_store",  # round-7 addition: composed feature table
     "q21_ab_lift_ztest",  # round-7 addition: two-proportion experiment test
     "q13_value_functions",  # round-7 addition: first/last/nth IGNORE NULLS
-    "q14_string_funcs3",  # round-7 addition: levenshtein/printf/split_part
+    "q05_multikey_sort",  # ceded its window slot to q14_string_funcs3
 }
 
 
