@@ -133,9 +133,12 @@ def register(
 #       q11_range_join_bands, q12 unions/intersect,
 #       q17_adhoc_sql_correlated, q21 transitions/funnel,
 #       x01_dedup_exact_key, x02 clusters/embedding/jaccard,
-#       x03_pairwise_label_centroids, x04_doc_stats) — plus the three
-#       that ceded round-7 window slots to new families:
-#       q02_projection_pruning, q04_topk, q06_limit_offset;
+#       x03_pairwise_label_centroids, x04_doc_stats) — plus the six
+#       that ceded round-7 window slots to new families/members:
+#       q02_projection_pruning, q04_topk, q06_limit_offset,
+#       q03_filter_predicates (→ s07_windowed_topk),
+#       q05_multikey_sort (→ q14_string_funcs3),
+#       q17_map_funcs (→ q15_datetime_funcs2);
 #   (c) keep ≥1 green r06 representative per family for continuity.
 GRADING_PRIORITY: tuple[str, ...] = (
     # (a) the 21-entry queued rotation payload
