@@ -398,3 +398,47 @@ def test_bpe_merge_choice_is_broadcast(spark):
     plan = _plan(spark, "x04_bpe_merge_apply")
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_feature_store_joins_at_user_scale(spark):
+    """pipeline_feature_store: the date anchor broadcasts; no cartesian;
+    every aggregate runs with map-side partials before its exchange."""
+    plan = _plan(spark, "pipeline_feature_store")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "partial" in plan.lower()
+
+
+def test_knn_corpus_never_shuffles_for_scoring(spark):
+    """x03_knn_classify: queries broadcast into the corpus scan — the
+    scoring join must be broadcast, never a shuffled join."""
+    plan = _plan(spark, "x03_knn_classify")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan.split("Window")[0]  # scoring side
+
+
+def test_table_diff_is_single_full_outer_join(spark):
+    """q12_table_diff: exactly one join node (the keyed full outer) —
+    a second join would mean the classifier left the projection."""
+    plan = _plan(spark, "q12_table_diff")
+    # formatted explain names each node twice (tree + detail header), so
+    # count join NODES via their detail blocks.
+    assert plan.count("Join type:") == 1
+    assert "Join type: FullOuter" in plan
+
+
+def test_ab_ztest_collapses_before_arithmetic(spark):
+    """q21_ab_lift_ztest: the fact table dies in the first partial-agg;
+    no join, no window anywhere."""
+    plan = _plan(spark, "q21_ab_lift_ztest")
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert "partial" in plan.lower()
+
+
+def test_value_functions_share_one_frame(spark):
+    """q13_value_functions: all five value functions share one window
+    node over one user_id exchange."""
+    plan = _plan(spark, "q13_value_functions")
+    assert plan.count("+- Exchange") == 1
+    assert "hashpartitioning(user_id" in plan
