@@ -460,7 +460,15 @@ def x05_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the census is the BPE shape — one map-side-combinable
     count over a ≤256-key space riding the corpus scan, then the 1-row
     total broadcasts into the share projection. Output is ≤256 rows at
-    any corpus size.
+    any corpus size. The cost is inherently linear in corpus BYTES (the
+    measured sf-curve's one visible data term, SCALE.md §12) because
+    the explode materializes a row per byte before the partial
+    aggregate collapses it; the constant-factor refinement at true
+    scale is folding each payload to its per-document byte counts
+    inside a higher-order ``aggregate`` (≤256 map entries per doc)
+    before exploding — same asymptotics, ~byte/row fewer
+    materializations — kept out here because the per-byte explode is
+    what the oracle can mirror exactly.
     """
     docs = table(spark, sf_dir, "documents")
     hx = docs.select(F.hex(F.encode(F.col("text"), "UTF-8")).alias("h"))
