@@ -503,3 +503,102 @@ def q22_ewma_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("ewma_cents_e2"),
     )
+
+
+#: CUSUM target (q22_cusum_drift): deviations are measured against this
+#: fixed cents level; at deployment the target comes from a trained
+#: baseline (e.g. last month's mean) — fixed here so the detector and
+#: its oracle are fully deterministic.
+_CUSUM_TARGET_CENTS = 5000
+
+
+@register(
+    "q22_cusum_drift",
+    oracle=f"""
+    WITH p AS (
+        SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+               CAST(round(value * 100.0) AS BIGINT)
+                   - {_CUSUM_TARGET_CENTS} AS dev
+        FROM events WHERE event_type = 'purchase'
+    ),
+    s AS (
+        SELECT event_id, user_id, ts,
+               CAST(sum(dev) OVER w AS BIGINT) AS cum_dev
+        FROM p
+        WINDOW w AS (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        )
+    )
+    SELECT event_id, user_id, cum_dev,
+           CAST(cum_dev - least(min(cum_dev) OVER w2, 0) AS BIGINT)
+               AS cusum_pos
+    FROM s
+    WINDOW w2 AS (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    )
+    """,
+    tags=("timeseries", "Q22", "drift"),
+)
+def q22_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22e: one-sided CUSUM drift statistic per user — change detection.
+
+    The classic sequential change-point detector: has this user's spend
+    drifted above the target level? Its textbook form is a recurrence
+    (``C_t = max(0, C_{{t-1}} + dev_t)``) that no window function
+    expresses — but it has the exact closed form
+    ``C_t = S_t − min(0, min_{{i≤t}} S_i)`` over the running deviation
+    sum ``S``, which IS two stacked window passes: a running cumsum,
+    then a running minimum of that cumsum in the same event order.
+    This is the same recurrence-to-prefix-form rewrite that makes
+    sessionization (day-minus-row_number) and streak detection
+    window-expressible — the technique pinned once more on a control-
+    chart operator.
+
+    All integer math: deviations are exact cents against a fixed
+    target, both window aggregates are BIGINT — no float anywhere, so
+    cross-engine agreement is structural.
+
+    Scale shape: one user_id exchange and ONE (ts, event_id) sort that
+    both stacked running frames share — Spark evaluates cumsum and
+    running-min as sliding accumulators over the same sorted pass; no
+    rescans, no joins, no second sort.
+    """
+    p = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            (
+                F.round(F.col("value") * 100.0).cast("bigint")
+                - _CUSUM_TARGET_CENTS
+            ).alias("dev"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s = p.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum("dev").over(w).cast("bigint").alias("cum_dev"),
+    )
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return s.select(
+        "event_id",
+        "user_id",
+        "cum_dev",
+        (F.col("cum_dev") - F.least(F.min("cum_dev").over(w2), F.lit(0)))
+        .cast("bigint")
+        .alias("cusum_pos"),
+    )

@@ -166,3 +166,32 @@ def test_readability_monotone_sanity(spark):
             * 100.0
         )
         assert r["flesch_e2"] == expect
+
+
+def test_cusum_matches_textbook_recurrence(spark):
+    """q22_cusum_drift's prefix closed form == the textbook recurrence
+    C_t = max(0, C_{t-1} + dev_t), replayed per user in Python."""
+    from reddit_data_engineering_project_spark.operators.timeseries import (
+        _CUSUM_TARGET_CENTS,
+    )
+
+    out = {
+        r["event_id"]: (r["cum_dev"], r["cusum_pos"])
+        for r in registry.QUERIES["q22_cusum_drift"](spark, SF_DIR).collect()
+    }
+    pdf = _events_pdf()
+    p = pdf[pdf.event_type == "purchase"].copy()
+    p["dev"] = (
+        p["value"].mul(100.0).round().astype("int64") - _CUSUM_TARGET_CENTS
+    )
+    p = p.sort_values(["user_id", "ts", "event_id"])
+    n_checked = 0
+    for _, g in p.groupby("user_id"):
+        c = 0
+        s = 0
+        for eid, dev in zip(g["event_id"], g["dev"]):
+            c = max(0, c + dev)
+            s += dev
+            assert out[eid] == (s, c), eid
+            n_checked += 1
+    assert n_checked == len(out) > 0
