@@ -1310,3 +1310,74 @@ def x04_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_syllables",
         F.round(flesch * 100.0).cast("bigint").alias("flesch_e2"),
     )
+
+
+#: Feature-hashing dimensionality (x04_feature_hashing): 64 buckets to
+#: match the corpus embedding width — the hashed-BoW vector drops into
+#: the same similarity tooling.
+_FH_DIMS = 64
+
+
+@register(
+    "x04_feature_hashing",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+                   AS tok
+        FROM documents
+    ),
+    hashed AS (
+        SELECT doc_id,
+               list_reduce(
+                   list_prepend(
+                       CAST(0 AS BIGINT),
+                       list_transform(string_split_regex(tok, ''),
+                                      c -> CAST(ascii(c) AS BIGINT))
+                   ),
+                   (acc, v) -> (acc * {_FP_BASE} + v) % {_FP_MOD}
+               ) % {_FH_DIMS} AS dim
+        FROM t
+    )
+    SELECT doc_id, CAST(dim AS BIGINT) AS dim,
+           CAST(count(*) AS BIGINT) AS tf
+    FROM hashed
+    GROUP BY doc_id, dim
+    """,
+    tags=("text", "X4", "feature-hashing"),
+)
+def x04_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: feature hashing (the hashing trick) — text → sparse vector.
+
+    The bridge from the text world to the vector world without a learned
+    embedding or a vocabulary table: each token hashes straight to one
+    of {_FH_DIMS} dimensions (same rolling char hash as the fingerprint
+    op, then a modulus), and the document's sparse bag-of-words vector
+    is the per-(doc, dim) term-frequency — emitted long-form, the
+    storage shape sparse-vector tooling consumes. Collisions are the
+    accepted trade (that IS the hashing trick); no vocabulary state
+    means no vocabulary shuffle, no OOV handling, and identical vectors
+    from any engine that implements the hash.
+
+    Scale shape: one token-stream explode riding the scan (hash in
+    codegen higher-order functions, zero Python), then one map-side-
+    combinable (doc, dim) count — the same two-step as term_frequency
+    but with a fixed 64-way key space on the second level. No joins,
+    no vocabulary broadcast, nothing driver-side.
+    """
+    docs = table(spark, sf_dir, "documents")
+    tok = F.explode(tokens(F.col("text"))).alias("tok")
+    t = docs.select("doc_id", tok)
+
+    def roll(acc: Column, v: Column) -> Column:
+        return (acc * _FP_BASE + v) % _FP_MOD
+
+    tok_hash = F.aggregate(
+        F.transform(F.split(F.col("tok"), ""), lambda c: F.ascii(c).cast("long")),
+        F.lit(0).cast("long"),
+        roll,
+    )
+    hashed = t.select("doc_id", (tok_hash % _FH_DIMS).alias("dim"))
+    return hashed.groupBy("doc_id", F.col("dim").cast("bigint").alias("dim")).agg(
+        F.count("*").cast("bigint").alias("tf")
+    )

@@ -157,6 +157,7 @@ QUEUED_FOR_NEXT_WINDOW: set[str] = {
     "q13_value_functions",  # round-7 addition: first/last/nth IGNORE NULLS
     "q05_multikey_sort",  # ceded its window slot to q14_string_funcs3
     "q22_cusum_drift",  # round-7 addition: CUSUM change detection
+    "x04_feature_hashing",  # round-7 addition: hashing-trick BoW vectors
 }
 
 
