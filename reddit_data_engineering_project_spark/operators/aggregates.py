@@ -657,3 +657,61 @@ def q07_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("share_e6"),
         )
     )
+
+
+@register(
+    "q07_mode_exact",
+    oracle="""
+    WITH counts AS (
+        SELECT c_mktsegment, n_name, count(*) AS n
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1, 2
+    )
+    SELECT c_mktsegment,
+           n_name AS mode_nation,
+           CAST(n AS BIGINT) AS n_customers
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY c_mktsegment ORDER BY n DESC, n_name ASC
+        ) AS rk
+        FROM counts
+    )
+    WHERE rk = 1
+    """,
+    tags=("aggregate", "Q7", "mode"),
+)
+def q07_mode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7e: exact per-group mode with a PINNED tie-break.
+
+    "Most common value per group" is an everyday aggregate with a
+    cross-engine trap: built-in ``mode()`` implementations break ties
+    arbitrarily (DuckDB documents no order; Spark's ``mode`` takes the
+    first seen — partitioning-dependent), so the same data can yield
+    different answers run to run. The deterministic form is
+    count-then-rank with an explicit (count desc, value asc) order —
+    spelled out identically on both engines, which is why this op
+    deliberately avoids both built-ins.
+
+    Scale shape: the (group, value) count is one map-side-combinable
+    aggregate; the rank runs at distinct-pair size (here |segments| ×
+    |nations|), with the nation dim broadcast into the count.
+    """
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    counts = (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("c_mktsegment", "n_name")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("n").desc(), F.col("n_name").asc()
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "c_mktsegment",
+            F.col("n_name").alias("mode_nation"),
+            F.col("n").cast("bigint").alias("n_customers"),
+        )
+    )

@@ -1215,3 +1215,66 @@ def x02_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(c_ba * 1000000.0).cast("bigint").alias("contain_b_e6"),
         )
     )
+
+
+@register(
+    "x01_dedup_canonicalized",
+    oracle="""
+    WITH canon AS (
+        SELECT doc_id,
+               trim(regexp_replace(
+                   regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                   ' +', ' ', 'g')) AS ctext
+        FROM documents
+    )
+    SELECT
+        CAST(min(doc_id) AS BIGINT) AS canonical_doc_id,
+        CAST(count(*) AS BIGINT) AS n_variants,
+        CAST(min(length(ctext)) AS BIGINT) AS canon_len
+    FROM canon
+    GROUP BY ctext
+    """,
+    tags=("dedup", "X1", "canonical"),
+)
+def x01_dedup_canonicalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1c: canonicalize-then-hash dedup — the practical exact-dup rung.
+
+    Byte-exact dedup (x01_dedup_content_hash) misses trivially-mutated
+    copies: case flips, punctuation swaps, whitespace reflow — the noise
+    mirrors and re-posts actually introduce. Production pipelines
+    therefore canonicalize BEFORE hashing (lowercase → strip
+    non-alphanumerics → collapse runs of spaces → trim), which catches
+    those while staying cheap and exact — the rung between byte-exact
+    and MinHash. Canonicalization is the pipeline's declared dup
+    equivalence, so it lives in the operator, not ad hoc in callers.
+
+    Cross-engine note: Spark's ``regexp_replace`` replaces ALL
+    occurrences; DuckDB needs the explicit ``'g'`` flag — the same SQL
+    text would silently mean different things, which is why this
+    family's oracles are separate texts (and the fuzz grammar excludes
+    regexp_replace, tests/test_differential_fuzz.py).
+
+    Scale shape: identical to content-hash dedup — canonicalization is
+    a per-row codegen projection riding the scan, and the group-by key
+    is ``sha2`` of the canonical form (32-byte shuffle key, never the
+    text).
+    """
+    canon = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+            " +",
+            " ",
+        )
+    )
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", canon.alias("ctext")
+    )
+    return (
+        docs.groupBy(F.sha2(F.col("ctext"), 256).alias("__h"))
+        .agg(
+            F.min("doc_id").cast("bigint").alias("canonical_doc_id"),
+            F.count("*").cast("bigint").alias("n_variants"),
+            F.min(F.length("ctext")).cast("bigint").alias("canon_len"),
+        )
+        .drop("__h")
+    )

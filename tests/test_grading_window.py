@@ -158,6 +158,8 @@ QUEUED_FOR_NEXT_WINDOW: set[str] = {
     "q05_multikey_sort",  # ceded its window slot to q14_string_funcs3
     "q22_cusum_drift",  # round-7 addition: CUSUM change detection
     "x04_feature_hashing",  # round-7 addition: hashing-trick BoW vectors
+    "q07_mode_exact",  # round-7 addition: deterministic per-group mode
+    "x01_dedup_canonicalized",  # round-7 addition: canonicalize-then-hash
 }
 
 
