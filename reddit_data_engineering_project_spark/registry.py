@@ -138,6 +138,7 @@ def register(
 #       q02_projection_pruning, q04_topk, q06_limit_offset,
 #       q03_filter_predicates (→ s07_windowed_topk),
 #       q05_multikey_sort (→ q14_string_funcs3),
+#       q08_count_distinct (→ x01_dedup_canonicalized),
 #       q17_map_funcs (→ q15_datetime_funcs2);
 #   (c) keep ≥1 green r06 representative per family for continuity.
 GRADING_PRIORITY: tuple[str, ...] = (
@@ -203,7 +204,10 @@ GRADING_PRIORITY: tuple[str, ...] = (
     # (new q14 member needs family evidence; q05 keeps green r02 rows)
     # — re-grades in round 8 with the other (d)-group leftovers.
     "q14_string_funcs3",
-    "q08_count_distinct",
+    # q08_count_distinct ceded its re-grade slot to x01_dedup_canonicalized
+    # (new x01 member needs family evidence; all q08 members keep green
+    # r02 rows and the q08 code is unchanged since) — re-grades round 8.
+    "x01_dedup_canonicalized",
     "x02_simhash_neardup",
     # q07_weighted_median holds the family-evidence slot for Q7 (its
     # registration would otherwise leave q07 with neither window nor

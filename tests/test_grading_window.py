@@ -159,7 +159,7 @@ QUEUED_FOR_NEXT_WINDOW: set[str] = {
     "q22_cusum_drift",  # round-7 addition: CUSUM change detection
     "x04_feature_hashing",  # round-7 addition: hashing-trick BoW vectors
     "q07_mode_exact",  # round-7 addition: deterministic per-group mode
-    "x01_dedup_canonicalized",  # round-7 addition: canonicalize-then-hash
+    "q08_count_distinct",  # ceded its window slot to x01_dedup_canonicalized
 }
 
 
