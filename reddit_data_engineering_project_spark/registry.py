@@ -133,7 +133,7 @@ def register(
 #       q11_range_join_bands, q12 unions/intersect,
 #       q17_adhoc_sql_correlated, q21 transitions/funnel,
 #       x01_dedup_exact_key, x02 clusters/embedding/jaccard,
-#       x03_pairwise_label_centroids, x04_doc_stats) — plus the six
+#       x03_pairwise_label_centroids, x04_doc_stats) — plus the seven
 #       that ceded round-7 window slots to new families/members:
 #       q02_projection_pruning, q04_topk, q06_limit_offset,
 #       q03_filter_predicates (→ s07_windowed_topk),
