@@ -399,3 +399,79 @@ def run_profile_stream(
         .start()
         .awaitTermination()
     )
+
+
+def run_topk_stream(
+    spark: SparkSession,
+    source_dir: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+    window: str = "1 hour",
+    watermark: str = "1 hour",
+    k: int = 3,
+) -> None:
+    """File-source stream → watermarked window agg → per-batch top-k rank.
+
+    The live form of ``s07_windowed_topk`` and the documented pattern
+    its docstring names: ranking is not expressible inside an append
+    stream (rank over a growing window would need retractions), so the
+    WINDOWED AGGREGATE streams — state = per (window, user) counters,
+    closed by the watermark — and the per-window top-k rank runs in
+    ``foreachBatch`` over each batch's FINALIZED windows. Append mode
+    guarantees a (window, user) row emits exactly once, and all rows of
+    a window finalize on the same watermark advance, so every batch
+    ranks complete windows only — the per-batch rank equals the batch
+    plan's rank for those windows.
+
+    Same idempotency contract as the other runners: each batch
+    overwrites its own ``batch=N`` directory, so an at-least-once
+    replay rewrites rather than duplicates.
+    """
+    ensure_session_confs(spark)
+    schema = spark.read.parquet(source_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+    )
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100.0).cast("bigint"))
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "user_id",
+            "n_events",
+            "cents",
+        )
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window as W
+
+        rank_w = W.partitionBy("window_start").orderBy(
+            F.col("cents").desc(), F.col("user_id").asc()
+        )
+        ranked = (
+            batch_df.withColumn(
+                "rank", F.row_number().over(rank_w).cast("bigint")
+            )
+            .filter(F.col("rank") <= k)
+        )
+        ranked.write.mode("overwrite").parquet(
+            os.path.join(sink_dir, f"batch={batch_id}")
+        )
+
+    (
+        agg.writeStream.outputMode("append")
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

@@ -99,3 +99,49 @@ def test_session_stream_equals_batch_sessionization(spark, tmp_path):
         spark.read.option("recursiveFileLookup", True).parquet(sink).count()
     )
     assert n_after == n_before
+
+
+def test_topk_stream_equals_batch_leaderboard(spark, tmp_path):
+    """run_topk_stream: per-batch ranks over finalized windows must equal
+    the batch s07 leaderboard for every window the stream emitted, and a
+    checkpointed re-run ingests nothing."""
+    from reddit_data_engineering_project_spark import registry
+    from reddit_data_engineering_project_spark.streaming.runner import (
+        run_topk_stream,
+    )
+
+    registry.load_all_operators()
+    QUERIES = registry.QUERIES
+
+    src = os.path.join(str(tmp_path), "src")
+    sink = os.path.join(str(tmp_path), "sink")
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+
+    events = table(spark, SF_DIR, "events")
+    events.repartition(2).write.parquet(src)
+
+    run_topk_stream(spark, src, sink, ckpt)
+    streamed = spark.read.option("recursiveFileLookup", True).parquet(sink)
+    assert streamed.count() > 0
+
+    batch = QUERIES["s07_windowed_topk"](spark, SF_DIR)
+    emitted_windows = streamed.select("window_start").distinct()
+    batch_emitted = batch.join(emitted_windows, "window_start")
+    # exact row parity on every finalized window the stream produced
+    cols = ["window_start", "user_id", "n_events", "cents", "rank"]
+    assert (
+        streamed.select(*cols).exceptAll(batch_emitted.select(*cols)).count()
+        == 0
+    )
+    assert (
+        batch_emitted.select(*cols).exceptAll(streamed.select(*cols)).count()
+        == 0
+    )
+
+    # checkpointed re-run: no new input → sink unchanged
+    before = streamed.count()
+    run_topk_stream(spark, src, sink, ckpt)
+    after = (
+        spark.read.option("recursiveFileLookup", True).parquet(sink).count()
+    )
+    assert after == before
