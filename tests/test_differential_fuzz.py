@@ -477,3 +477,38 @@ def _range_frame_queries():
 @given(sql=_range_frame_queries())
 def test_range_frame_queries_agree(engines, sql):
     _assert_agree(engines, sql)
+
+
+# --- set-operation grammar -----------------------------------------------
+
+_SETOPS = ["UNION", "UNION ALL", "INTERSECT", "EXCEPT", "EXCEPT ALL"]
+
+
+def _setop_queries():
+    """Set operations fuzzed over operator, multiplicity, and each side's
+    predicate — the q12 family generalized. Row-identity ops over integer
+    key tuples are exact by construction; drawing DISTINCT vs ALL
+    variants exercises the bag-vs-set semantics corner (EXCEPT ALL's
+    per-duplicate cancellation) where engines most plausibly diverge."""
+    return st.builds(
+        lambda p1, p2, op: f"""
+        SELECT l_orderkey, l_linenumber, l_suppkey
+        FROM lineitem WHERE {p1}
+        {op}
+        SELECT l_orderkey, l_linenumber, l_suppkey
+        FROM lineitem WHERE {p2}
+        """,
+        _predicate,
+        _predicate,
+        st.sampled_from(_SETOPS),
+    )
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(sql=_setop_queries())
+def test_setop_queries_agree(engines, sql):
+    _assert_agree(engines, sql)
