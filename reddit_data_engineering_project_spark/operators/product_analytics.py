@@ -1404,3 +1404,85 @@ def q21_ab_lift_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p_t * 1000000.0).cast("bigint").alias("rate_treat_e6"),
         F.round(z * 10000.0).cast("bigint").alias("z_e4"),
     )
+
+
+@register(
+    "q21_attribution_last_touch",
+    oracle="""
+    WITH ev AS (
+        SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+               CAST(round(coalesce(value, 0.0) * 100.0) AS BIGINT) AS cents,
+               CASE WHEN event_type <> 'purchase' THEN event_type END
+                   AS touch
+        FROM events
+    ),
+    attributed AS (
+        SELECT event_id, event_type, cents,
+               last_value(touch IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS attributed_touch
+        FROM ev
+    )
+    SELECT
+        coalesce(attributed_touch, 'none') AS attributed_touch,
+        CAST(count(*) AS BIGINT) AS n_purchases,
+        CAST(sum(cents) AS BIGINT) AS revenue_cents
+    FROM attributed
+    WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+    tags=("analytics", "Q21", "attribution"),
+)
+def q21_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21: last-touch revenue attribution — which touchpoint gets credit.
+
+    The marketing-analytics staple: every purchase's revenue is credited
+    to the user's most recent PRECEDING non-purchase event (view, click,
+    signup, ...), and the report rolls revenue up by attributed
+    touchpoint. Purchases with no prior touch land in 'none' — surfaced,
+    not dropped, because unattributable revenue is itself a signal.
+
+    The frame is the subtle part: ``ROWS ... AND 1 PRECEDING`` with
+    ``last_value IGNORE NULLS`` looks back to but EXCLUDES the purchase
+    row itself (a purchase must not self-attribute), and a purchase
+    immediately following another purchase correctly skips over it to
+    the last true touch because purchases carry a NULL touch column.
+    This is the same carry-forward machinery as LOCF and the as-of
+    union trick, pointed at attribution.
+
+    Scale shape: one user_id exchange + one (ts, event_id) sort for the
+    carry-forward, then a |touch types|-sized rollup. All integer cents.
+    """
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.round(F.coalesce(F.col("value"), F.lit(0.0)) * 100.0)
+        .cast("bigint")
+        .alias("cents"),
+        F.when(
+            F.col("event_type") != "purchase", F.col("event_type")
+        ).alias("touch"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    attributed = ev.withColumn(
+        "attributed_touch", F.last("touch", ignorenulls=True).over(w)
+    )
+    return (
+        attributed.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            F.coalesce(F.col("attributed_touch"), F.lit("none")).alias(
+                "attributed_touch"
+            )
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_purchases"),
+            F.sum("cents").cast("bigint").alias("revenue_cents"),
+        )
+    )
