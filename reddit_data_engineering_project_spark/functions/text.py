@@ -242,3 +242,74 @@ def q17_json_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("j.k").alias("k"),
         F.col("j.tag").alias("tag"),
     )
+
+
+@register(
+    "q17_higher_order_funcs",
+    oracle="""
+    WITH baskets AS (
+        SELECT l_orderkey,
+               list_sort(list(CAST(l_quantity AS BIGINT))) AS qtys
+        FROM lineitem
+        GROUP BY l_orderkey
+    )
+    SELECT
+        l_orderkey,
+        CAST(len(qtys) AS INT) AS n_lines,
+        CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), qtys),
+                         (acc, q) -> acc + q) AS BIGINT) AS total_qty,
+        CAST(len(list_filter(qtys, q -> q >= 30)) AS INT) AS n_bulk,
+        CAST(list_reduce(
+            list_prepend(CAST(0 AS BIGINT),
+                         list_transform(qtys, q -> q * q)),
+            (acc, q) -> acc + q) AS BIGINT) AS sum_sq,
+        CAST(list_reduce(
+            list_prepend(CAST(0 AS BIGINT),
+                         list_transform(
+                             generate_series(1, len(qtys)),
+                             i -> qtys[CAST(i AS INT)]
+                                  * qtys[CAST(len(qtys) + 1 - i AS INT)])),
+            (acc, q) -> acc + q) AS BIGINT) AS palindrome_dot
+    FROM baskets
+    WHERE l_orderkey % 13 = 0
+    """,
+    tags=("functions", "Q17", "higher-order"),
+)
+def q17_higher_order_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17g: higher-order array functions — the engine's workhorse, pinned.
+
+    ``transform`` / ``filter`` / ``aggregate`` / ``zip_with`` power
+    half this engine's hot paths (MinHash signatures, SimHash lanes,
+    cosine dots, basket pair-gen, BPE windows) but only appeared inside
+    larger operators; this battery registers them directly over
+    per-order quantity baskets: element count, fold-sum, predicate
+    filter count, map-then-fold (sum of squares), and a zip_with dot
+    against the reversed list. All integer math on a ``sort_array``'d
+    basket, so every lambda's cross-engine semantics are hash-pinned.
+
+    Scale shape: one groupBy(orderkey) exchange builds baskets (bounded
+    by order width); every lambda then runs inside whole-stage codegen
+    over the array — no explode, no second shuffle, no Python.
+    """
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 13 == 0)
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(
+            F.collect_list(F.col("l_quantity").cast("bigint"))
+        ).alias("qtys")
+    )
+    qtys = F.col("qtys")
+    fold_sum = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0).cast("long"), lambda acc, q: acc + q
+    )
+    return baskets.select(
+        "l_orderkey",
+        F.size(qtys).alias("n_lines"),
+        fold_sum(qtys).cast("bigint").alias("total_qty"),
+        F.size(F.filter(qtys, lambda q: q >= 30)).alias("n_bulk"),
+        fold_sum(F.transform(qtys, lambda q: q * q))
+        .cast("bigint")
+        .alias("sum_sq"),
+        fold_sum(F.zip_with(qtys, F.reverse(qtys), lambda a, b: a * b))
+        .cast("bigint")
+        .alias("palindrome_dot"),
+    )

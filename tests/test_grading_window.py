@@ -161,6 +161,7 @@ QUEUED_FOR_NEXT_WINDOW: set[str] = {
     "q07_mode_exact",  # round-7 addition: deterministic per-group mode
     "q08_count_distinct",  # ceded its window slot to x01_dedup_canonicalized
     "q21_attribution_last_touch",  # round-7 addition: revenue attribution
+    "q17_higher_order_funcs",  # round-7 addition: HOF lambda battery
 }
 
 
