@@ -235,3 +235,62 @@ def q20_arrow_udf_ttr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents").filter(F.col("lang") == "de")
     return docs.select("doc_id", dround(ttr(F.col("text")), 4).alias("ttr"))
+
+
+@register(
+    "q20_map_in_arrow",
+    oracle="""
+    SELECT doc_id,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           upper(substr(lang, 1, 2)) AS lang_code
+    FROM documents
+    WHERE source = 'src3'
+    """,
+    tags=("udf", "arrow", "Q20", "mapInArrow"),
+)
+def q20_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20e: ``mapInArrow`` — the lowest-overhead Python seam, pinned.
+
+    The bottom rung of the UDF ladder (below pandas UDFs): the Python
+    function receives raw ``pyarrow.RecordBatch`` objects — no pandas
+    conversion, no per-column Series materialization — which is the
+    right seam for libraries that speak Arrow natively (tokenizers,
+    image decoders, Arrow-native feature stores). The work here is
+    deliberately trivial (UTF-8 byte length + a language-code
+    normalization) so the ORACLE can pin the batch path's semantics
+    exactly; a real deployment swaps the compute kernel, not the seam.
+
+    Scale shape: embarrassingly parallel over Arrow batches — no
+    shuffle, schema declared so downstream stays columnar, and the
+    source filter pushes to the parquet scan BEFORE the Python
+    boundary (column/predicate pruning crosses mapInArrow only if you
+    select early — done here).
+    """
+    import pyarrow as pa
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("source") == "src3")
+        .select("doc_id", "text", "lang")
+    )
+
+    def batches(it):
+        for batch in it:
+            texts = batch.column("text")
+            langs = batch.column("lang")
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("doc_id"),
+                    pa.compute.binary_length(
+                        pa.compute.cast(texts, pa.binary())
+                    ).cast(pa.int64()),
+                    pa.compute.utf8_upper(
+                        pa.compute.utf8_slice_codeunits(langs, 0, 2)
+                    ),
+                ],
+                names=["doc_id", "n_bytes", "lang_code"],
+            )
+
+    return docs.mapInArrow(
+        batches, "doc_id long, n_bytes long, lang_code string"
+    )

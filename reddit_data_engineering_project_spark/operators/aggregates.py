@@ -715,3 +715,79 @@ def q07_mode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("bigint").alias("n_customers"),
         )
     )
+
+
+@register(
+    "q07_corr_exact_moments",
+    oracle="""
+    WITH m AS (
+        SELECT
+            l_returnflag,
+            CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx,
+            CAST(sum(CAST(round(l_extendedprice) AS BIGINT)) AS BIGINT)
+                AS sy,
+            CAST(sum(CAST(l_quantity AS BIGINT)
+                     * CAST(round(l_extendedprice) AS BIGINT)) AS BIGINT)
+                AS sxy,
+            CAST(sum(CAST(l_quantity AS BIGINT)
+                     * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sxx,
+            CAST(sum(CAST(round(l_extendedprice) AS BIGINT)
+                     * CAST(round(l_extendedprice) AS BIGINT)) AS BIGINT)
+                AS syy
+        FROM lineitem
+        GROUP BY l_returnflag
+    )
+    SELECT
+        l_returnflag,
+        n,
+        CAST(round(
+            (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+            / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                   * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+            * 1000000.0) AS BIGINT) AS corr_e6
+    FROM m
+    """,
+    tags=("aggregate", "Q7", "statistics"),
+)
+def q07_corr_exact_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7f: Pearson correlation per group — exact moments, pinned formula.
+
+    The built-in ``corr``/``covar_samp`` aggregates accumulate FLOAT
+    co-moments whose partial-merge order differs between engines and
+    between Spark partitionings — the same order-dependence that made
+    q21_spend_trend_ols reject ``regr_slope``. The portable form: raw
+    integer moments (n, Σx, Σy, Σxy, Σx², Σy² — exact, order-free,
+    map-side combinable), then ONE closed-form float expression spelled
+    identically on both engines. Quantity correlates against
+    whole-dollar price (integer by construction; quantities are
+    integral in the corpus).
+
+    Scale shape: a single hash aggregate with map-side partials — the
+    cheapest shape there is. Overflow headroom: Σy² terms stay < 2^63
+    up to ~10^5 rows/group at these magnitudes; beyond that the moments
+    column widens to DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) with the
+    same formula — noted, not needed at test scale.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("bigint")
+    y = F.round(F.col("l_extendedprice")).cast("bigint")
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(x).cast("bigint").alias("sx"),
+        F.sum(y).cast("bigint").alias("sy"),
+        F.sum(x * y).cast("bigint").alias("sxy"),
+        F.sum(x * x).cast("bigint").alias("sxx"),
+        F.sum(y * y).cast("bigint").alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    num = nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    den = F.sqrt(
+        (nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
+        * (nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy"))
+    )
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.round(num / den * 1000000.0).cast("bigint").alias("corr_e6"),
+    )

@@ -162,6 +162,8 @@ QUEUED_FOR_NEXT_WINDOW: set[str] = {
     "q08_count_distinct",  # ceded its window slot to x01_dedup_canonicalized
     "q21_attribution_last_touch",  # round-7 addition: revenue attribution
     "q17_higher_order_funcs",  # round-7 addition: HOF lambda battery
+    "q20_map_in_arrow",  # round-7 addition: Arrow RecordBatch seam
+    "q07_corr_exact_moments",  # round-7 addition: portable Pearson corr
 }
 
 
