@@ -1110,3 +1110,69 @@ def x03_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("true_label").cast("int").alias("true_label"),
         )
     )
+
+
+# x03_ann_recall_report composes the two oracles registered above into
+# one CTE pair, so the report's oracle stays mechanically in sync with
+# the operators it audits.
+from ..registry import ORACLES as _ORACLES  # noqa: E402
+
+
+@register(
+    "x03_ann_recall_report",
+    oracle=f"""
+    WITH exact AS ({_ORACLES["x03_cosine_topk_bruteforce"]}),
+    ann AS ({_ORACLES["x03_ann_lsh_bucketed"]})
+    SELECT
+        e.query_id,
+        CAST(count(a.neighbor_id) AS BIGINT) AS n_hits,
+        CAST({_TOP_K} AS BIGINT) AS k,
+        CAST(round(count(a.neighbor_id) * 1000000.0 / {_TOP_K}) AS BIGINT)
+            AS recall_e6
+    FROM exact e
+    LEFT JOIN ann a
+      ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id
+    """,
+    tags=("similarity", "X3", "evaluation"),
+)
+def x03_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3i: ANN quality audit — recall@k of the LSH index vs exact top-k.
+
+    The measurement that decides whether an approximate index is
+    deployable: for each query, what fraction of the TRUE top-k
+    (brute-force cosine) does the LSH-bucketed search return? Expressed
+    as an operator so the eval runs in-engine, on the same corpus, with
+    the same seeded planes — not as an offline notebook that drifts
+    from production parameters. Both inputs are this module's
+    registered operators; the oracle COMPOSES their registered oracle
+    texts, so the audit can never silently diverge from what it audits.
+
+    Reading it: recall_e6 = 1e6 means the bucketed search found the
+    full true top-k for that query; sustained low recall is the trigger
+    to widen multi-probe or add bands (the knobs documented on the LSH
+    operator).
+
+    Scale shape: both sides are |queries|·k rows at any corpus size —
+    the join and the rollup are free; total cost is the two searches
+    (each already audited: corpus scanned, never shuffled for scoring).
+    """
+    exact = x03_cosine_topk_bruteforce(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    ann = x03_ann_lsh_bucketed(spark, sf_dir).select(
+        "query_id", F.col("neighbor_id").alias("ann_neighbor_id")
+    )
+    hits = exact.join(
+        ann,
+        (exact["query_id"] == ann["query_id"])
+        & (exact["neighbor_id"] == ann["ann_neighbor_id"]),
+        "left",
+    ).select(exact["query_id"].alias("qid"), "ann_neighbor_id")
+    return hits.groupBy(F.col("qid").alias("query_id")).agg(
+        F.count("ann_neighbor_id").cast("bigint").alias("n_hits"),
+        F.lit(_TOP_K).cast("bigint").alias("k"),
+        F.round(F.count("ann_neighbor_id") * 1000000.0 / _TOP_K)
+        .cast("bigint")
+        .alias("recall_e6"),
+    )
