@@ -602,3 +602,99 @@ def q22_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("cusum_pos"),
     )
+
+
+#: Seasonal-naive lag (q22_seasonal_naive): one day of hourly cells —
+#: "this hour yesterday" is the strongest trivial baseline for daily-
+#: periodic telemetry.
+_SEASONAL_LAG_HOURS = 24
+
+
+@register(
+    "q22_seasonal_naive",
+    oracle=f"""
+    WITH ev AS (
+        SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+               event_type,
+               CAST(round(coalesce(value, 0.0) * 100.0) AS BIGINT) AS cents
+        FROM events
+    ),
+    grid AS (
+        SELECT hour, event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(cents) AS BIGINT) AS cents
+        FROM ev GROUP BY 1, 2
+    ),
+    shifted AS (
+        SELECT g.hour, g.event_type, g.n_events, g.cents,
+               p.cents AS forecast_cents
+        FROM grid g
+        LEFT JOIN grid p
+          ON p.event_type = g.event_type
+         AND p.hour = g.hour - INTERVAL {_SEASONAL_LAG_HOURS} HOUR
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_scored_hours,
+           CAST(round(avg(CAST(abs(cents - forecast_cents) AS DOUBLE)))
+                AS BIGINT) AS mae_cents,
+           CAST(max(abs(cents - forecast_cents)) AS BIGINT) AS worst_abs_err
+    FROM shifted
+    WHERE forecast_cents IS NOT NULL
+    GROUP BY event_type
+    """,
+    tags=("timeseries", "Q22", "forecast"),
+)
+def q22_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22f: seasonal-naive forecast baseline + its backtest error.
+
+    Every forecasting effort needs the bar to clear: predict each
+    (hour, type) cell with the SAME HOUR YESTERDAY (lag 24 on the
+    hourly grid) and score that baseline's MAE over the history. A
+    model that can't beat seasonal-naive isn't a model; this operator
+    makes the bar a one-call, in-engine number instead of notebook
+    folklore. (Backtest caveat encoded in the WHERE: the first day
+    scores nothing — no fabricated zero-forecasts.)
+
+    NOTE the forecast lookup is CALENDAR-anchored — a grid self-join on
+    (type, hour − 24h) — not a rows-based ``lag(24)``, which silently
+    drifts off "yesterday" wherever the observed grid has holes. The
+    join runs on the AGGREGATED hourly grid (grid-sized, thousands of
+    rows), never raw events — the same collapse-first discipline as the
+    feature-store pipeline. A dense-grid variant (over the zero-filled
+    spine from q22_timeseries_gapfill) would additionally forecast 0
+    for silent hours; the sparse form scores observed cells only.
+
+    All-integer: cents per cell, integer absolute errors; the MAE's
+    single division is the only float op, rounded to integer cents.
+
+    Scale shape: one event-sized (hour, type) aggregate with map-side
+    combine; the calendar join and the error rollup run at grid size
+    on the grid's own (type, hour) layout.
+    """
+    ev = table(spark, sf_dir, "events").select(
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        "event_type",
+        F.round(F.coalesce(F.col("value"), F.lit(0.0)) * 100.0)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    grid = ev.groupBy("hour", "event_type").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum("cents").cast("bigint").alias("cents"),
+    )
+    prev = grid.select(
+        F.col("event_type").alias("p_type"),
+        (F.col("hour") + F.expr("INTERVAL 24 HOURS")).alias("p_hour"),
+        F.col("cents").alias("forecast_cents"),
+    )
+    shifted = grid.join(
+        prev,
+        (F.col("event_type") == F.col("p_type"))
+        & (F.col("hour") == F.col("p_hour")),
+    )
+    err = F.abs(F.col("cents") - F.col("forecast_cents"))
+    return shifted.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_scored_hours"),
+        F.round(F.avg(err.cast("double"))).cast("bigint").alias("mae_cents"),
+        F.max(err).cast("bigint").alias("worst_abs_err"),
+    )
