@@ -1278,3 +1278,73 @@ def x01_dedup_canonicalized(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("__h")
     )
+
+
+# pipeline_dedup_report composes the canonical-dedup and LSH-near-dup
+# oracles registered above, so the report stays mechanically in sync
+# with the stages it summarizes.
+from ..registry import ORACLES as _ORACLES  # noqa: E402
+
+
+@register(
+    "pipeline_dedup_report",
+    oracle=f"""
+    WITH canon AS ({_ORACLES["x01_dedup_canonicalized"]}),
+    nd AS ({_ORACLES["x02_minhash_lsh_neardup"]}),
+    nd_docs AS (
+        SELECT doc_a AS d FROM nd UNION SELECT doc_b FROM nd
+    )
+    SELECT
+        CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_docs,
+        CAST((SELECT count(*) FROM canon) AS BIGINT) AS n_canonical_groups,
+        CAST((SELECT count(*) FROM documents)
+             - (SELECT count(*) FROM canon) AS BIGINT) AS n_exact_dup_docs,
+        CAST((SELECT count(*) FROM nd) AS BIGINT) AS n_neardup_pairs,
+        CAST((SELECT count(*) FROM nd_docs) AS BIGINT) AS n_docs_in_pairs
+    """,
+    tags=("pipeline", "dedup", "X1", "X2"),
+)
+def pipeline_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6: composed dedup audit — the one-row report a curation run logs.
+
+    The dedup ladder's stages each answer "which rows"; operations
+    needs "how much": corpus size, canonical-form groups (exact +
+    trivially-mutated dups collapsed), documents lost to exact
+    duplication, verified near-dup pairs surviving LSH + Jaccard
+    verification, and how many documents those pairs touch. This is
+    the number-block that goes in a dataset card / run log, computed
+    in-engine from the SAME registered stages (oracle texts composed,
+    like the ANN recall audit — the report cannot drift from the
+    pipeline it reports on).
+
+    Scale shape: strictly the union of its stages' costs (each already
+    audited scale-shaped); the final assembly is five scalar aggregates
+    cross-joined at one row each.
+    """
+    docs = table(spark, sf_dir, "documents")
+    n_docs = docs.agg(F.count("*").cast("bigint").alias("n_docs"))
+    canon = x01_dedup_canonicalized(spark, sf_dir).agg(
+        F.count("*").cast("bigint").alias("n_canonical_groups")
+    )
+    nd = x02_minhash_lsh_neardup(spark, sf_dir)
+    nd_pairs = nd.agg(F.count("*").cast("bigint").alias("n_neardup_pairs"))
+    nd_docs = (
+        nd.select(F.col("doc_a").alias("d"))
+        .union(nd.select(F.col("doc_b").alias("d")))
+        .distinct()
+        .agg(F.count("*").cast("bigint").alias("n_docs_in_pairs"))
+    )
+    return (
+        n_docs.crossJoin(F.broadcast(canon))
+        .crossJoin(F.broadcast(nd_pairs))
+        .crossJoin(F.broadcast(nd_docs))
+        .select(
+            "n_docs",
+            "n_canonical_groups",
+            (F.col("n_docs") - F.col("n_canonical_groups"))
+            .cast("bigint")
+            .alias("n_exact_dup_docs"),
+            "n_neardup_pairs",
+            "n_docs_in_pairs",
+        )
+    )

@@ -166,6 +166,7 @@ QUEUED_FOR_NEXT_WINDOW: set[str] = {
     "q07_corr_exact_moments",  # round-7 addition: portable Pearson corr
     "x03_ann_recall_report",  # round-7 addition: in-engine recall@k audit
     "q22_seasonal_naive",  # round-7 addition: forecast baseline backtest
+    "pipeline_dedup_report",  # round-7 addition: composed dedup audit
 }
 
 
