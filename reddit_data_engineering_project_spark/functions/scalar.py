@@ -386,3 +386,66 @@ def q14_string_funcs3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_spaces"),
         F.repeat(F.lit("*"), (F.col("p_size") % 5).cast("int")).alias("size_stars"),
     )
+
+
+@register(
+    "q16_null_semantics",
+    oracle="""
+    SELECT
+        event_id,
+        (value IS NULL) AS v_is_null,
+        (value > 100.0) AS gt_maybe_null,
+        coalesce(value > 100.0, FALSE) AS gt_defaulted,
+        ((value > 100.0) AND (event_type = 'purchase')) AS and_3vl,
+        ((value > 100.0) OR (event_type = 'purchase')) AS or_3vl,
+        (value IS NOT DISTINCT FROM NULL) AS null_safe_eq_null,
+        nullif(event_type, 'error') AS type_or_null,
+        CAST(coalesce(CAST(round(value * 100.0) AS BIGINT), -1)
+             AS BIGINT) AS cents_or_sentinel,
+        (CASE WHEN value IS NULL THEN 'missing'
+              WHEN value > 100.0 THEN 'high'
+              ELSE 'normal' END) AS tri_state
+    FROM events
+    WHERE event_id % 5 = 0
+    """,
+    tags=("functions", "Q16", "null-semantics"),
+)
+def q16_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16c: three-valued-logic battery — NULL semantics, hash-pinned.
+
+    The silent-wrongness capital of SQL: ``NULL > 100`` is UNKNOWN (not
+    FALSE), ``UNKNOWN AND FALSE`` is FALSE but ``UNKNOWN AND TRUE`` is
+    UNKNOWN, a WHERE drops UNKNOWN rows while a CASE falls through —
+    and every filter, quality gate, and CDC comparison in this engine
+    leans on those rules. This battery emits the raw three-valued
+    results (nullable booleans survive to the output, so the hash
+    checks UNKNOWN-vs-FALSE distinctions directly), the defaulted
+    form (``coalesce(pred, FALSE)``, the explicit-choice idiom the
+    curation gates use), null-safe equality against NULL itself, and
+    the sentinel/CASE patterns for NULL-tolerant projections.
+
+    One codegen projection over the scan; the point is semantics, not
+    plan shape — both engines must agree cell-for-cell on every
+    UNKNOWN.
+    """
+    ev = table(spark, sf_dir, "events").filter(F.col("event_id") % 5 == 0)
+    v = F.col("value")
+    gt = v > 100.0
+    is_p = F.col("event_type") == "purchase"
+    return ev.select(
+        "event_id",
+        v.isNull().alias("v_is_null"),
+        gt.alias("gt_maybe_null"),
+        F.coalesce(gt, F.lit(False)).alias("gt_defaulted"),
+        (gt & is_p).alias("and_3vl"),
+        (gt | is_p).alias("or_3vl"),
+        v.eqNullSafe(F.lit(None).cast("double")).alias("null_safe_eq_null"),
+        F.nullif(F.col("event_type"), F.lit("error")).alias("type_or_null"),
+        F.coalesce(F.round(v * 100.0).cast("bigint"), F.lit(-1))
+        .cast("bigint")
+        .alias("cents_or_sentinel"),
+        F.when(v.isNull(), "missing")
+        .when(gt, "high")
+        .otherwise("normal")
+        .alias("tri_state"),
+    )

@@ -489,3 +489,58 @@ def x05_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("share_e6"),
     )
+
+
+# x05_frame_dedup composes the frame-sample oracle registered above, so
+# the dedup stage and its sampler can never drift apart.
+from ..registry import ORACLES as _ORACLES  # noqa: E402
+
+
+@register(
+    "x05_frame_dedup",
+    oracle=f"""
+    WITH sampled AS ({_ORACLES["x05_frame_sample"]})
+    SELECT
+        frame_hex,
+        CAST(count(*) AS BIGINT) AS n_occurrences,
+        CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        CAST(min(doc_id) AS BIGINT) AS first_doc_id
+    FROM sampled
+    GROUP BY frame_hex
+    HAVING count(*) > 1
+    """,
+    tags=("multimodal", "X5", "dedup"),
+)
+def x05_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5: cross-payload frame dedup — repeated-segment detection.
+
+    The video-pipeline analog of boilerplate removal: intros, outros,
+    station idents, and black frames recur across thousands of
+    payloads, and a training pipeline wants them found (to drop, to
+    cap, or to weight down) without decoding anything twice. Built
+    directly on the strided frame sampler: group its sampled frames by
+    content identity and keep every frame seen more than once, with
+    occurrence and distinct-payload counts plus the first carrier. The
+    oracle composes the sampler's registered oracle text — the dedup
+    stage cannot drift from the sampling it depends on.
+
+    At deployment the group key is a frame-level perceptual or crypto
+    hash computed in the same ``mapInPandas`` pass as the sampling (32
+    bytes/frame through the shuffle, never frame bytes); the corpus
+    stand-in's frames are small, so the content itself serves as the
+    key and keeps the oracle exact.
+
+    Scale shape: the sampler's embarrassingly-parallel Arrow pass, then
+    ONE hash aggregate keyed by frame identity with map-side combine —
+    recurring-frame state is bounded by distinct frames, not payloads.
+    """
+    frames = x05_frame_sample(spark, sf_dir)
+    return (
+        frames.groupBy("frame_hex")
+        .agg(
+            F.count("*").cast("bigint").alias("n_occurrences"),
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("first_doc_id"),
+        )
+        .filter(F.col("n_occurrences") > 1)
+    )

@@ -167,6 +167,8 @@ QUEUED_FOR_NEXT_WINDOW: set[str] = {
     "x03_ann_recall_report",  # round-7 addition: in-engine recall@k audit
     "q22_seasonal_naive",  # round-7 addition: forecast baseline backtest
     "pipeline_dedup_report",  # round-7 addition: composed dedup audit
+    "q16_null_semantics",  # round-7 addition: three-valued-logic battery
+    "x05_frame_dedup",  # round-7 addition: repeated-segment detection
 }
 
 
