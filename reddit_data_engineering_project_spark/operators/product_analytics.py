@@ -1486,3 +1486,108 @@ def q21_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").cast("bigint").alias("revenue_cents"),
         )
     )
+
+
+#: Two-sided alpha=0.05 and power=0.80 normal quantiles for the MDE
+#: formula — fixed literals so both engines compute the identical
+#: expression (no inverse-CDF builtin parity to depend on).
+_Z_ALPHA_2 = 1.959963984540054
+_Z_BETA = 0.8416212335729143
+
+
+@register(
+    "q21_ab_power_analysis",
+    oracle=f"""
+    WITH users AS (
+        SELECT user_id,
+               CAST(user_id % 2 AS BIGINT) AS bucket,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS converted
+        FROM events GROUP BY user_id
+    ),
+    arms AS (
+        SELECT bucket, CAST(count(*) AS BIGINT) AS n_users,
+               CAST(sum(converted) AS BIGINT) AS n_converted
+        FROM users GROUP BY bucket
+    ),
+    wide AS (
+        SELECT
+            (SELECT n_users FROM arms WHERE bucket = 0) AS n_c,
+            (SELECT n_users FROM arms WHERE bucket = 1) AS n_t,
+            CAST((SELECT sum(n_converted) FROM arms) AS DOUBLE)
+                / (SELECT sum(n_users) FROM arms) AS p_pool
+    )
+    SELECT
+        n_c,
+        n_t,
+        CAST(round(p_pool * 1000000.0) AS BIGINT) AS base_rate_e6,
+        CAST(round(
+            ({_Z_ALPHA_2} + {_Z_BETA})
+            * sqrt(p_pool * (1.0 - p_pool) * (1.0 / n_c + 1.0 / n_t))
+            * 1000000.0) AS BIGINT) AS mde_abs_e6,
+        CAST(ceil(
+            2.0 * power({_Z_ALPHA_2} + {_Z_BETA}, 2)
+            * p_pool * (1.0 - p_pool)
+            / power(greatest(p_pool * 0.1, 1e-9), 2)
+        ) AS BIGINT) AS n_per_arm_for_10pct_lift
+    FROM wide
+    """,
+    tags=("analytics", "Q21", "experimentation"),
+)
+def q21_ab_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21: experiment power analysis — MDE and required sample size.
+
+    The question asked BEFORE the z-test (q21_ab_lift_ztest) is read:
+    what's the smallest conversion-rate lift this experiment could have
+    detected (α=0.05 two-sided, 80% power), and how many users per arm
+    would a 10%-relative lift need? Without these two numbers a
+    non-significant readout is uninterpretable — "no effect" and
+    "underpowered" look identical.
+
+    The normal quantiles are fixed literals (no inverse-CDF builtin
+    parity to depend on); everything downstream of the one user-keyed
+    aggregate is a 1-row projection of exact counts through an
+    identical IEEE expression chain on both engines.
+
+    Scale shape: identical to the z-test — one map-side-combinable
+    conditional aggregate collapses the fact table; the rest is free.
+    """
+    ev = table(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted")
+    ).select(
+        (F.col("user_id") % 2).cast("bigint").alias("bucket"), "converted"
+    )
+    arms = users.groupBy("bucket").agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.sum("converted").cast("bigint").alias("n_converted"),
+    )
+    wide = arms.groupBy().agg(
+        F.max(F.when(F.col("bucket") == 0, F.col("n_users"))).alias("n_c"),
+        F.max(F.when(F.col("bucket") == 1, F.col("n_users"))).alias("n_t"),
+        (
+            F.sum("n_converted").cast("double") / F.sum("n_users")
+        ).alias("p_pool"),
+    )
+    z_sum = F.lit(_Z_ALPHA_2 + _Z_BETA)
+    p = F.col("p_pool")
+    mde = z_sum * F.sqrt(
+        p * (F.lit(1.0) - p)
+        * (F.lit(1.0) / F.col("n_c") + F.lit(1.0) / F.col("n_t"))
+    )
+    n_needed = F.ceil(
+        F.lit(2.0)
+        * F.pow(z_sum, 2)
+        * p
+        * (F.lit(1.0) - p)
+        / F.pow(F.greatest(p * 0.1, F.lit(1e-9)), 2)
+    )
+    return wide.select(
+        "n_c",
+        "n_t",
+        F.round(p * 1000000.0).cast("bigint").alias("base_rate_e6"),
+        F.round(mde * 1000000.0).cast("bigint").alias("mde_abs_e6"),
+        n_needed.cast("bigint").alias("n_per_arm_for_10pct_lift"),
+    )

@@ -169,6 +169,7 @@ QUEUED_FOR_NEXT_WINDOW: set[str] = {
     "pipeline_dedup_report",  # round-7 addition: composed dedup audit
     "q16_null_semantics",  # round-7 addition: three-valued-logic battery
     "x05_frame_dedup",  # round-7 addition: repeated-segment detection
+    "q21_ab_power_analysis",  # round-7 addition: MDE / sample sizing
 }
 
 
