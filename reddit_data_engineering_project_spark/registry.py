@@ -113,11 +113,16 @@ def register(
 #
 # ROUND-7 STATUS: the driver never produced CORRECTNESS_r06 /
 # BENCH_r06 artifacts, so the round-6 window below has ZERO driver
-# evidence — it stays in place unchanged for round 7 (it still holds
-# the never-graded 21-entry payload, both chronic hash-fails, and the
-# events-family re-grades, exactly the evidence the round-5 verdict
-# ordered). The rotation plan below therefore moves to round 8,
-# conditional on CORRECTNESS_r07 landing green.
+# evidence — it stays in place for round 7 with FOUR targeted swaps
+# (each commented inline at its slot): new operator FAMILIES and new
+# members of previously-all-green families need first-ever evidence,
+# so s07_windowed_topk, q14_string_funcs3, q15_datetime_funcs2, and
+# x01_dedup_canonicalized took slots ceded by low-risk re-grades
+# (q03/q05/q08 reps, q17_map_funcs) that keep green r02/r03 rows and
+# re-grade in round 8. The window still holds the never-graded
+# 21-entry payload, both chronic hash-fails, and the events-family
+# re-grades the round-5 verdict ordered. The rotation plan below
+# executes in round 8, conditional on CORRECTNESS_r07 landing green.
 #
 # ROUND-8 ROTATION PLAN (was round-7; execute once a green
 # CORRECTNESS_r{N} exists for this window):
