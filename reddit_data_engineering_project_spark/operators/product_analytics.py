@@ -230,6 +230,12 @@ def q21_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: explosion, as the output).
 _BASKET_MIN_PAIR_ORDERS = 2
 
+#: reach2 hub discipline: middle nodes above this degree percentile are
+#: excluded from the 2-hop expansion (integer percent so the threshold
+#: comparison ``cum * 100 >= n * PCT`` stays in exact integer math on
+#: both engines — no float percentile paths to diverge).
+_REACH2_DEGREE_CAP_PCT = 95
+
 
 @register(
     "q21_copurchase_lift",
@@ -692,9 +698,31 @@ def q21_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         UNION ALL
         SELECT dst AS src, src AS dst FROM half
     ),
+    deg AS (
+        SELECT src AS node, count(*) AS deg FROM edges GROUP BY 1
+    ),
+    hist AS (
+        SELECT deg, CAST(count(*) AS BIGINT) AS cnt FROM deg GROUP BY 1
+    ),
+    cum AS (
+        SELECT
+            deg,
+            CAST(sum(cnt) OVER (ORDER BY deg) AS BIGINT) AS cum,
+            CAST(sum(cnt) OVER () AS BIGINT) AS n
+        FROM hist
+    ),
+    cap AS (
+        SELECT min(deg) AS cap FROM cum
+        WHERE cum * 100 >= n * {_REACH2_DEGREE_CAP_PCT}
+    ),
+    mid AS (
+        SELECT node FROM deg, cap WHERE deg.deg <= cap.cap
+    ),
     hop2 AS (
         SELECT e1.src, e2.dst
-        FROM edges e1 JOIN edges e2 ON e1.dst = e2.src
+        FROM edges e1
+        JOIN mid ON e1.dst = mid.node
+        JOIN edges e2 ON e1.dst = e2.src
         WHERE e1.src <> e2.dst
     ),
     reach AS (
@@ -724,19 +752,50 @@ def q21_copurchase_reach2(spark: SparkSession, sf_dir: str) -> DataFrame:
     Everything is exact integer keys — no float anywhere — so the hash
     comparison is structural.
 
-    Scale shape: the hop join and the distinct both key on node ids, so
-    the edge list is hash-partitioned once and reused; frontier size is
-    Σ degree(middle), which the support floor already bounds. At true
-    100 TB graph scale the standard lever is degree-capping the middle
-    node (drop super-nodes above a percentile) before the hop join —
-    the same skew discipline as the salted-join battery, noted here
-    because 2-hop frontiers explode through hubs, not edges.
+    Scale shape: 2-hop frontiers explode through HUBS, not edges — the
+    join fan-out is Σ degree(middle)², so one super-node middle can
+    dominate the whole stage at 100×. The standard lever (same skew
+    discipline as the salted-join battery) is degree-capping the middle
+    node, and it is implemented, not just named: middles above the p95
+    degree percentile (``_REACH2_DEGREE_CAP_PCT``) are excluded from
+    the hop join (they still appear as hop-1 endpoints). The cap is
+    computed in pure integer arithmetic over the DEGREE HISTOGRAM —
+    the global cumulative window runs over distinct degree values
+    (≤ max-degree rows, ≪ nodes), never over the node table, so the
+    single-partition window stage is bounded at any scale; the 1-row
+    cap joins back via broadcast and the middle filter is a left-semi
+    equi-join on the same node-id key the hop join shuffles on.
     """
     edges = _copurchase_edges(spark, sf_dir)
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("deg")
+    )
+    hist = deg.groupBy("deg").agg(F.count("*").cast("bigint").alias("cnt"))
+    w_cum = Window.orderBy("deg").rangeBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select(
+        "deg",
+        F.sum("cnt").over(w_cum).cast("bigint").alias("cum"),
+        F.sum("cnt").over(
+            Window.orderBy(F.lit(1)).rangeBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).cast("bigint").alias("n"),
+    )
+    cap = cum.filter(
+        F.col("cum") * 100 >= F.col("n") * _REACH2_DEGREE_CAP_PCT
+    ).agg(F.min("deg").alias("cap"))
+    mid = (
+        deg.join(F.broadcast(cap))
+        .filter(F.col("deg") <= F.col("cap"))
+        .select("node")
+    )
     e1 = edges.alias("e1")
     e2 = edges.alias("e2")
     hop2 = (
-        e1.join(e2, F.col("e1.dst") == F.col("e2.src"))
+        e1.join(mid, F.col("e1.dst") == F.col("node"), "left_semi")
+        .join(e2, F.col("e1.dst") == F.col("e2.src"))
         .filter(F.col("e1.src") != F.col("e2.dst"))
         .select(F.col("e1.src").alias("src"), F.col("e2.dst").alias("dst"))
     )

@@ -442,3 +442,16 @@ def test_value_functions_share_one_frame(spark):
     plan = _plan(spark, "q13_value_functions")
     assert plan.count("+- Exchange") == 1
     assert "hashpartitioning(user_id" in plan
+
+
+def test_reach2_middle_cap_is_semi_join_and_broadcast_cap(spark):
+    """q21_copurchase_reach2: the degree-cap discipline is physical —
+    the middle filter rides as a LeftSemi hash join on the hop key, the
+    1-row cap joins in as a broadcast (never a shuffle), and no
+    cartesian product appears anywhere in the 2-hop expansion."""
+    plan = _plan(spark, "q21_copurchase_reach2")
+    assert "Join type: LeftSemi" in plan
+    # the 1-row cap scalar attaches via broadcast (nested-loop on a
+    # single row), never a shuffled join
+    assert "BroadcastNestedLoopJoin Inner BuildRight" in plan
+    assert "CartesianProduct" not in plan
