@@ -248,3 +248,123 @@ def vacuum_snapshots(root: str) -> list[str]:
             os.unlink(path)
             deleted.append(path)
     return deleted
+
+
+@register(
+    "q18_snapshot_publish_read",
+    oracle="""
+    SELECT
+        o_orderpriority,
+        count(*) AS n_rows,
+        CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs,
+        round(sum(o_totalprice) * 100.0) / 100.0 AS total_price
+    FROM orders
+    GROUP BY 1
+    """,
+    tags=("sinks", "Q18", "R13"),
+)
+def q18_snapshot_publish_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18: snapshot publish → re-publish → vacuum → pointer read-back.
+
+    End-to-end audit of the atomic-snapshot commit protocol
+    (:func:`publish_snapshot`): a STALE snapshot (half the orders) is
+    published first, then the full table is published over it, then
+    ``vacuum_snapshots`` reclaims the stale directory. The returned
+    aggregate is computed FROM the pointer-resolved read-back, while
+    the oracle reads the original table — a reader that resolved the
+    old pointer, a torn publish, or a vacuum that deleted the live
+    snapshot all break the hash (the stale snapshot's row counts are
+    roughly half, so any mix-up is loudly visible).
+
+    Scale shape: the commit is one pointer ``os.replace`` regardless of
+    data volume; both snapshot writes are plain partitioned parquet
+    writes and the read-back aggregation is the standard partial-agg
+    shuffle on ``o_orderpriority``.
+    """
+    od = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice"
+    )
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"reddit_data_engineering_project_spark_snapshots_{os.getpid()}",
+    )
+    if os.path.exists(root):
+        import shutil
+
+        shutil.rmtree(root)
+    os.makedirs(root)
+    publish_snapshot(od.filter(F.col("o_orderkey") % 2 == 0), root)
+    publish_snapshot(od, root)
+    vacuum_snapshots(root)
+    back = read_snapshot(spark, root)
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("o_custkey").cast("bigint").alias("n_custs"),
+        dround(F.sum("o_totalprice")).alias("total_price"),
+    )
+
+
+@register(
+    "q18_schema_evolution_read",
+    oracle="""
+    WITH unioned AS (
+        SELECT o_orderkey, o_orderpriority, NULL AS o_totalprice
+        FROM orders WHERE o_orderkey % 2 = 0
+        UNION ALL
+        SELECT o_orderkey, o_orderpriority, o_totalprice
+        FROM orders WHERE o_orderkey % 2 = 1
+    )
+    SELECT
+        o_orderpriority,
+        count(*) AS n_rows,
+        CAST(count(*) FILTER (WHERE o_totalprice IS NULL) AS BIGINT)
+            AS n_legacy_rows,
+        round(sum(o_totalprice) * 100.0) / 100.0 AS known_price
+    FROM unioned
+    GROUP BY 1
+    """,
+    tags=("sinks", "Q18", "R13"),
+)
+def q18_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18: additive schema evolution — mixed-vintage files, one reader.
+
+    Files written BEFORE ``o_totalprice`` existed (the even-key half,
+    projected without the column) coexist in one directory with files
+    that carry it (the odd-key half). :func:`read_evolving_parquet`
+    unions the footers and back-fills the legacy files' missing column
+    with NULL; the aggregate proves both halves surface (``n_rows``),
+    that exactly the legacy rows are NULL-filled (``n_legacy_rows``),
+    and that the carried values survive intact (``known_price``). The
+    oracle reproduces the vintage split with a CASE-free projection
+    union over the original table.
+
+    Scale shape: ``mergeSchema`` is O(|files|) footer metadata at
+    planning time (at 100 TB pin the canonical schema in a catalog —
+    semantics identical, documented at :func:`read_evolving_parquet`);
+    the data-path read stays a plain pruned parquet scan per file.
+    """
+    od = table(spark, sf_dir, "orders")
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"reddit_data_engineering_project_spark_evolution_{os.getpid()}",
+    )
+    if os.path.exists(out):
+        import shutil
+
+        shutil.rmtree(out)
+    legacy = od.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_orderpriority"
+    )
+    modern = od.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    legacy.write.parquet(os.path.join(out, "vintage=v1"))
+    modern.write.parquet(os.path.join(out, "vintage=v2"))
+    back = read_evolving_parquet(spark, out).drop("vintage")
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_rows"),
+        F.count(F.when(F.col("o_totalprice").isNull(), 1))
+        .cast("bigint")
+        .alias("n_legacy_rows"),
+        dround(F.sum("o_totalprice")).alias("known_price"),
+    )

@@ -89,144 +89,122 @@ def register(
 # enforces that every family has driver evidence from SOME round.
 # Round 4+: rotate representatives so coverage stays fresh.
 #
-# ROUND-6 ROTATION (executes the plan the round-5 verdict re-ordered):
-#   (a) the 21 never-graded LLM-pipeline entries queued since round 3
-#       (sequence packing, ngram vocab, incremental neardup,
-#       training-prep + curation pipelines, payload resize,
-#       decontamination, repetition metrics, PII scrub, dataset split,
-#       chunking, SQ8 top-k, salted skew join, tokenize-to-ids, mixing
-#       rebalance, shard export, SCD2, Z-order key, ORC/XML scans,
-#       corpus profile);
-#   (b) the two chronic hash-fails re-graded after the type-alignment
-#       fix (q16_math_conditional, x05_corpus_slice);
-#   (c) the 20 events-family entries that errored in r04/r05 on the
-#       regenerated corpus — their only green rows predate the fixture
-#       regeneration, so they stay in-window to earn current evidence
-#       now that the loader handles the µs corpus;
-#   (d) 6 stale-family representatives (q02-q06, q08) whose only
-#       evidence is r02 against the OLD corpus, plus x02_simhash
-#       (perf-reworked in commit 375ef21, correctness never re-graded).
-# Rotated out: families with green r05 rows on the current corpus
-# (q01 parquet scan, q07, q09, q10 star, q13 top-n/rank/share, q14, q15,
-# q17 array/explode/corrupt, q20 udtf/arrow, pipeline_posts_clean_wire,
-# x01, x02 minhash, x03 brute-force, 9 x04 entries).
+# ROUND-7 ROTATION (executes the round-6 verdict's "Next round" items
+# 1+2 — the never-graded backlog sweep). CORRECTNESS_r06 graded the
+# previous 50-slot window fully green (50/50 hash), which was the
+# precondition the round-6 status note set for this rotation. The new
+# window below holds ONLY entries with no driver hash row:
+#   (a) 49 of the 62 never-driver-graded entries: all 12 ungraded x04,
+#       11 of 13 ungraded q21, the two rows-only-to-full-oracle
+#       upgrades (x03_ann_lsh_bucketed, x03_ivf_topk) whose only
+#       driver row is a round-2 ``no_oracle``, all 4 ungraded q22,
+#       x02 containment/keep_best/fuzzy, all 3 ungraded x05,
+#       q19 cdc/incremental, q20_map_in_arrow, all 4 ungraded
+#       pipelines, and one family-evidence representative for each
+#       family whose never-graded members would otherwise all sit
+#       outside the window (q07_winsorized_stats, q10_join_null_safe,
+#       q11_asof_tolerance, q12_table_diff, q13_percent_rank_cume,
+#       q16_null_semantics, q17_higher_order_funcs);
+#   (b) q18_snapshot_publish_read — NEW this round (snapshot-protocol
+#       read-back audit, verdict item 5); it takes the q18 family
+#       slot now that q18 has never-graded members again.
+# Rotated out: the entire round-6 window (50/50 green r06 rows — every
+# family keeps that as its continuity evidence).
 #
-# ROUND-7 STATUS: the driver never produced CORRECTNESS_r06 /
-# BENCH_r06 artifacts, so the round-6 window below has ZERO driver
-# evidence — it stays in place for round 7 with FOUR targeted swaps
-# (each commented inline at its slot): new operator FAMILIES and new
-# members of previously-all-green families need first-ever evidence,
-# so s07_windowed_topk, q14_string_funcs3, q15_datetime_funcs2, and
-# x01_dedup_canonicalized took slots ceded by low-risk re-grades
-# (q03/q05/q08 reps, q17_map_funcs) that keep green r02/r03 rows and
-# re-grade in round 8. The window still holds the never-graded
-# 21-entry payload, both chronic hash-fails, and the events-family
-# re-grades the round-5 verdict ordered. The rotation plan below
-# executes in round 8, conditional on CORRECTNESS_r07 landing green.
-#
-# ROUND-8 ROTATION PLAN (was round-7; execute once a green
-# CORRECTNESS_r{N} exists for this window):
-#   (a) ALL round-6 new registrations queued in
-#       tests/test_grading_window.py::QUEUED_FOR_NEXT_WINDOW — that set
-#       is the authoritative list (do NOT enumerate it here; it grew
-#       during round 6 and a stale enumeration would under-rotate) —
-#       plus the two rows-only-to-oracle upgrades needing fresh hash
-#       evidence (x03_ann_lsh_bucketed, x03_ivf_topk);
-#   (b) old-corpus-only leftovers whose last evidence is r02/r03
-#       (q01 csv/json scans, q07_percentiles, q08 approx/pairs,
-#       q09 cube/pivot/rollup, q10 join battery variants,
-#       q11_range_join_bands, q12 unions/intersect,
-#       q17_adhoc_sql_correlated, q21 transitions/funnel,
-#       x01_dedup_exact_key, x02 clusters/embedding/jaccard,
-#       x03_pairwise_label_centroids, x04_doc_stats) — plus the seven
-#       that ceded round-7 window slots to new families/members:
-#       q02_projection_pruning, q04_topk, q06_limit_offset,
-#       q03_filter_predicates (→ s07_windowed_topk),
-#       q05_multikey_sort (→ q14_string_funcs3),
-#       q08_count_distinct (→ x01_dedup_canonicalized),
-#       q17_map_funcs (→ q15_datetime_funcs2);
-#   (c) keep ≥1 green r06 representative per family for continuity.
+# ROUND-8 ROTATION PLAN (committed now per verdict item 2 so no entry
+# waits on an undocumented promise; 51 candidates for 50 slots):
+#   (a) the 13 never-graded entries deferred this round (they are
+#       tests/test_grading_window.py::QUEUED_FOR_NEXT_WINDOW minus the
+#       new q18_schema_evolution_read, which also joins this list):
+#       q07_corr_exact_moments, q07_heavy_hitters, q07_mode_exact,
+#       q10_local_supplier_volume, q13_range_interval_frames,
+#       q13_value_functions, q16_bitwise_funcs, q21_ab_power_analysis,
+#       q21_next_event_prediction, x03_ann_recall_report,
+#       x03_kmeans_step, x03_knn_classify, x03_pq_topk,
+#       + q18_schema_evolution_read = 14 mandatory slots;
+#   (b) the 37 entries whose latest green evidence is r02/r03 (the
+#       OLD, pre-regeneration corpus), enumerated from the committed
+#       CORRECTNESS files: q01_csv_scan, q01_json_scan,
+#       q02_projection_pruning, q03_filter_predicates, q04_topk,
+#       q05_multikey_sort, q06_limit_offset, q07_percentiles,
+#       q08_approx_distinct, q08_count_distinct, q08_distinct_pairs,
+#       q09_cube, q09_pivot, q09_rollup, q10_join_anti,
+#       q10_join_broadcast_dims, q10_join_full_outer,
+#       q10_join_inner_star, q10_join_left_outer, q10_join_semi,
+#       q11_range_join_bands, q12_intersect_users, q12_union_by_name,
+#       q12_union_daily_slices, q13_running_frames,
+#       q17_adhoc_sql_correlated, q17_map_funcs,
+#       q21_event_transitions, q21_funnel_conversion,
+#       x01_dedup_exact_key, x02_dedup_clusters, x02_embedding_neardup,
+#       x02_neardup_jaccard, x03_pairwise_label_centroids,
+#       x04_doc_stats, x05_binary_features, x05_frame_sample;
+#   (c) 14 + 37 = 51 — ONE overflows to round 9: drop
+#       q12_union_daily_slices (q12 holds fresh r07 evidence via
+#       table_diff and two other union re-grades stay in), unless a
+#       red r07 row creates a more urgent re-grade.
 GRADING_PRIORITY: tuple[str, ...] = (
-    # (a) the 21-entry queued rotation payload
-    "x04_sequence_packing",
-    "x04_ngram_vocab",
-    "x04_decontamination",
-    "x04_repetition_metrics",
-    "x04_pii_scrub",
-    "x04_dataset_split",
-    "x04_chunking",
-    "x04_tokenize_to_ids",
-    "x04_mixing_rebalance",
-    "x04_corpus_profile",
-    "x02_incremental_neardup",
-    "x03_sq8_topk",
-    "x05_payload_resize",
-    "q10_join_salted_skew",
-    "q18_export_training_shards",
-    "q18_zorder_key",
-    "q19_scd2_history",
-    "q01_orc_scan",
-    "q01_xml_scan",
-    "pipeline_training_prep",
-    "pipeline_curation_full",
-    # (b) chronic hash-fails, re-graded after the type-alignment fix
-    "q16_math_conditional",
-    "x05_corpus_slice",
-    # (c) events-family re-grades on the regenerated corpus
-    "q11_asof_join",
-    "q12_except_all",
-    "q13_lag_lead",
-    # q13_running_frames ceded its re-grade slot to q09_unpivot (new
-    # q09 member needs family evidence; q13 keeps lag_lead as its
-    # representative) — re-grades in round 8 with the (b) list.
-    "q09_unpivot",
-    "q17_json_funcs",
-    # q17_map_funcs ceded its re-grade slot to q15_datetime_funcs2 (new
-    # q15 member needs family evidence; q17 keeps json_funcs as its
-    # events re-grade representative) — map_funcs re-grades in round 8.
-    "q15_datetime_funcs2",
-    "q18_sink_roundtrip",
-    "q19_upsert_keep_latest",
-    "q20_pandas_scalar_udf",
-    "q20_apply_in_pandas_zscore",
-    "q21_cohort_retention",
-    "s01_tumbling_window",
-    "s02_sliding_window",
-    "s03_session_window",
-    "s04_watermark_late_drop",
-    "s05_stateful_dedup",
-    "s06_interval_join",
-    "pipeline_clean_coerce",
-    "pipeline_topk_window",
-    "pipeline_daily_ingest",
-    # (d) stale families (old-corpus r02 evidence only) + SimHash rework
-    # q03_filter_predicates ceded its re-grade slot to s07_windowed_topk
-    # (new single-member streaming family needs first-ever evidence; q03
-    # keeps green r02 rows and the filter grammar is the most-fuzzed
-    # surface in tests/test_differential_fuzz.py) — re-grades round 8.
-    "s07_windowed_topk",
-    # q05_multikey_sort ceded its re-grade slot to q14_string_funcs3
-    # (new q14 member needs family evidence; q05 keeps green r02 rows)
-    # — re-grades in round 8 with the other (d)-group leftovers.
-    "q14_string_funcs3",
-    # q08_count_distinct ceded its re-grade slot to x01_dedup_canonicalized
-    # (new x01 member needs family evidence; all q08 members keep green
-    # r02 rows and the q08 code is unchanged since) — re-grades round 8.
-    "x01_dedup_canonicalized",
-    "x02_simhash_neardup",
-    # q07_weighted_median holds the family-evidence slot for Q7 (its
-    # registration would otherwise leave q07 with neither window nor
-    # all-green-past coverage); q02_projection_pruning ceded the slot
-    # (single-member family, r02 all-green) and re-grades in round 8
-    # with q04/q06.
-    "q07_weighted_median",
-    # (e) the new Q22 time-series family needs first-ever driver rows;
-    #     q04_topk / q06_limit_offset ceded their re-grade slots (both
-    #     single-member families with r02 all-green evidence and
-    #     corpus-independent semantics) — fold them into the round-8
-    #     rotation's (b) list.
-    "q22_timeseries_gapfill",
-    "q22_rolling_zscore",
+    # (a) q21 product/graph analytics — 11 of 13 never-graded members
+    "q21_ab_lift_ztest",
+    "q21_activity_streaks",
+    "q21_attribution_last_touch",
+    "q21_copurchase_lift",
+    "q21_copurchase_reach2",
+    "q21_dau_wau_stickiness",
+    "q21_part_pagerank",
+    "q21_rfm_segments",
+    "q21_sessionize_gap",
+    "q21_spend_trend_ols",
+    "q21_triangle_count",
+    # (a) x04 text-analysis / curation — all 12 never-graded members
+    "x04_bm25_scores",
+    "x04_boilerplate_removal",
+    "x04_bpe_merge_apply",
+    "x04_bpe_pair_stats",
+    "x04_char_entropy",
+    "x04_data_quality_report",
+    "x04_feature_hashing",
+    "x04_global_shuffle",
+    "x04_lm_quality_score",
+    "x04_quality_percentile_gate",
+    "x04_readability",
+    "x04_source_caps",
+    # (a) x03 rows-only -> full-oracle upgrades (first hash grading)
+    "x03_ann_lsh_bucketed",
+    "x03_ivf_topk",
+    # (a) q22 time series — all 4 never-graded members
+    "q22_cusum_drift",
+    "q22_ewma_window",
+    "q22_locf_fill",
+    "q22_seasonal_naive",
+    # (a) x02 near-dup ladder rungs
+    "x02_containment_pairs",
+    "x02_dedup_keep_best",
+    "x02_fuzzy_levenshtein_neardup",
+    # (a) x05 multimodal
+    "x05_byte_histogram",
+    "x05_frame_dedup",
+    "x05_size_binned_shards",
+    # (a) q19 changelog / materialized-view maintenance
+    "q19_cdc_apply",
+    "q19_incremental_agg_maintain",
+    # (a) q20 Arrow seam
+    "q20_map_in_arrow",
+    # (a) composed pipelines
+    "pipeline_dedup_report",
+    "pipeline_events_monitor",
+    "pipeline_feature_store",
+    "pipeline_split_leakage_audit",
+    # (a) family-evidence representatives (their families' other
+    # never-graded members defer to round 8)
+    "q07_winsorized_stats",
+    "q10_join_null_safe",
+    "q11_asof_tolerance",
+    "q12_table_diff",
+    "q13_percent_rank_cume",
+    "q16_null_semantics",
+    "q17_higher_order_funcs",
+    # (b) new this round: snapshot-protocol audit (q18 family slot)
+    "q18_snapshot_publish_read",
 )
 
 GRADED_WINDOW = 50
