@@ -156,3 +156,26 @@ def test_previously_ungraded_entries_are_all_in_window():
 @pytest.mark.parametrize("name", sorted(registry.ORACLES))
 def test_oracle_entries_have_query(name):
     assert name in registry.QUERIES
+
+
+def test_bench_regression_gate_logic():
+    """tools/preflight.py's per-query bench gate: fires on a >2x + >0.75s
+    slowdown, stays quiet on jitter, skips incomparable readings."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "preflight", REPO / "tools" / "preflight.py"
+    )
+    pf = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(pf)
+
+    ref = {"sf": 0.001, "queries": {"a": 1.0, "b": 0.1, "c": 5.0}}
+    # a: 1.0 -> 2.6 = >2x and >0.75s -> flagged
+    # b: 0.1 -> 0.4 = >2x but only +0.3s jitter -> NOT flagged
+    # c: 5.0 -> 5.9 = +0.9s but <2x -> NOT flagged
+    fresh = {"sf": 0.001, "queries": {"a": 2.6, "b": 0.4, "c": 5.9}}
+    assert pf.bench_regressions(ref, fresh) == {"a": (1.0, 2.6)}
+    # different sf: incomparable, never a false FAIL
+    assert pf.bench_regressions({"sf": 0.1, "queries": {}}, fresh) is None
+    # queries added since the committed baseline are ignored
+    assert pf.bench_regressions(ref, {"sf": 0.001, "queries": {"z": 9.9}}) == {}

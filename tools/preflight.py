@@ -27,6 +27,30 @@ sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.join(REPO, "tools"))
 
 
+def bench_regressions(
+    ref: dict, fresh: dict, ratio: float = 2.0, slack_sec: float = 0.75
+) -> dict[str, tuple[float, float]] | None:
+    """Per-query regressions of ``fresh`` vs the committed ``ref`` detail.
+
+    Returns ``{name: (ref_sec, fresh_sec)}`` for queries that slowed by
+    more than ``ratio``x AND ``slack_sec`` absolute (sub-second sf0.001
+    timings jitter across JIT/GC states; a pure ratio on a 0.1 s query
+    would cry wolf), or ``None`` when the readings are not comparable
+    (different sf, or no per-query dict in the reference).
+    """
+    if ref.get("sf") != fresh.get("sf") or not isinstance(
+        ref.get("queries"), dict
+    ):
+        return None
+    return {
+        n: (ref["queries"][n], t)
+        for n, t in fresh.get("queries", {}).items()
+        if n in ref["queries"]
+        and t > ratio * ref["queries"][n]
+        and t - ref["queries"][n] > slack_sec
+    }
+
+
 def stage(name: str, fn) -> tuple[str, bool, str]:
     t0 = time.time()
     try:
@@ -108,6 +132,23 @@ def main() -> int:
     results.append(stage("oracle-gate", oracle_gate))
 
     def bench_parse():
+        # Regression reference: the COMMITTED per-query detail (bench.py
+        # overwrites BENCH_DETAIL.json on every run, so the working-tree
+        # copy is about to become the fresh reading, not the baseline).
+        ref = {}
+        try:
+            shown = subprocess.run(
+                ["git", "show", "HEAD:BENCH_DETAIL.json"],
+                cwd=REPO,
+                capture_output=True,
+                text=True,
+                timeout=30,
+            )
+            if shown.returncode == 0:
+                ref = json.loads(shown.stdout)
+        except Exception:
+            ref = {}
+
         env = dict(os.environ, SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001")
         out = subprocess.run(
             [sys.executable, "bench.py"],
@@ -129,7 +170,32 @@ def main() -> int:
                 raise RuntimeError(f"bench JSON missing key {key!r}")
         if d.get("failures"):
             raise RuntimeError(f"bench failures: {d['failures']}")
-        return f"{d['value']}s, {len(d['queries'])} queries"
+
+        # Per-query regression gate (the per-query-MIN discipline
+        # SCALE.md applies manually — suite totals swing 30%+ with
+        # ambient host load, per-query mins are the stable signal).
+        # Fresh reading vs committed reading, same SF only; flag >2x
+        # slowdowns that also moved by an absolute margin (sub-second
+        # sf0.001 timings jitter across JIT/GC states, so a pure ratio
+        # on a 0.1 s query would cry wolf).
+        with open(os.path.join(REPO, "BENCH_DETAIL.json")) as fh:
+            fresh = json.load(fh)
+        note = "no committed baseline at this sf"
+        regressed = bench_regressions(ref, fresh)
+        if regressed is not None:
+            if regressed:
+                top = sorted(
+                    regressed.items(), key=lambda kv: kv[1][1], reverse=True
+                )[:10]
+                raise RuntimeError(
+                    "per-query bench regressions >2x vs committed "
+                    "BENCH_DETAIL.json: "
+                    + ", ".join(
+                        f"{n} {old:.2f}s->{new:.2f}s" for n, (old, new) in top
+                    )
+                )
+            note = f"0 regressions vs {len(ref['queries'])} committed mins"
+        return f"{d['value']}s, {len(d['queries'])} queries; {note}"
 
     results.append(stage("bench-parse", bench_parse))
 
