@@ -772,6 +772,21 @@ def propagate_min_labels(pairs: DataFrame) -> DataFrame:
     space, and a 64-bit-id caller's long sum could wrap and alias two
     different label states as "converged" (silently split components);
     38 digits hold billions of 2^63-scale labels exactly.
+
+    Round count: the first 3 rounds are plain neighbor-min — real
+    near-dup components are short chains and converge inside them at
+    zero extra cost (measured: adding the jump join unconditionally
+    cost +40% at sf0.1 for nothing). If a fixpoint has NOT landed by
+    then, the component has a long chain and every later round appends
+    pointer jumping (``label <- label(label)``, the path-halving step):
+    propagation distance then roughly doubles per round, so a
+    diameter-d chain converges in O(log d) rounds instead of O(d) — on
+    a 100 TB corpus where one pathological quote-chain can be
+    thousands of hops, that is ~12 Spark jobs instead of thousands.
+    The jump is one self-join keyed on the label (O(docs-in-edges),
+    bounded by 2·edges); monotonicity survives because labels[x] <= x
+    for every x, hence label(label) <= label, so the sum test's strict
+    decrease argument is unchanged.
     """
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
@@ -790,19 +805,37 @@ def propagate_min_labels(pairs: DataFrame) -> DataFrame:
     )
     _dsum = F.sum(F.col("label").cast("decimal(38,0)"))
     prev_sum = labels.agg(_dsum).first()[0]
-    for _ in range(20):  # diameter bound; planted chains converge in ≤ 3
+    # 3 plain rounds, then 20 doubling rounds: covers any diameter
+    # below ~2^20 — loud-fail beyond that means a broken edge artifact,
+    # not a real corpus.
+    for round_no in range(23):
         nbr = edges.join(labels, edges.src == labels.doc).select(
             F.col("dst").alias("doc"), "label"
         )
-        # Lazy checkpoint: the convergence aggregate below is the action
-        # that materializes it, so each round costs ONE job (materialize
-        # + agg fused) instead of two (eager checkpoint, then agg).
-        new_labels = (
+        stepped = (
             labels.unionByName(nbr)
             .groupBy("doc")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=False)
         )
+        if round_no >= 3:
+            # Pointer jumping (path halving): label <- label(label).
+            # Every label value is itself a doc in `stepped` (labels
+            # are mins over doc ids that all appear as keys), so the
+            # self-join is total; coalesce only guards the theoretical
+            # miss.
+            jump = stepped.select(
+                F.col("doc").alias("jdoc"), F.col("label").alias("jlabel")
+            )
+            stepped = stepped.join(
+                jump, stepped.label == F.col("jdoc"), "left"
+            ).select(
+                "doc",
+                F.coalesce("jlabel", "label").alias("label"),
+            )
+        # Lazy checkpoint: the convergence aggregate below is the action
+        # that materializes it, so each round costs ONE job (materialize
+        # + agg fused) instead of two (eager checkpoint, then agg).
+        new_labels = stepped.localCheckpoint(eager=False)
         new_sum = new_labels.agg(_dsum).first()[0]
         labels = new_labels
         if new_sum == prev_sum:
@@ -810,11 +843,11 @@ def propagate_min_labels(pairs: DataFrame) -> DataFrame:
         prev_sum = new_sum
     else:
         # Exhausting the iteration budget without a fixpoint would
-        # silently split components — fail loudly instead; a corpus with
-        # >20-hop duplicate chains needs a larger bound (or doubling
-        # rounds via label-of-label joins), not wrong clusters.
+        # silently split components — fail loudly instead: 2^20-scale
+        # effective diameter is not a plausible duplicate chain.
         raise RuntimeError(
-            "label propagation did not converge within 20 rounds"
+            "label propagation did not converge within 3 plain + 20 "
+            "doubling rounds"
         )
     edges.unpersist()
     return labels

@@ -28,15 +28,21 @@ sys.path.insert(0, os.path.join(REPO, "tools"))
 
 
 def bench_regressions(
-    ref: dict, fresh: dict, ratio: float = 2.0, slack_sec: float = 0.75
+    ref: dict, fresh: dict, ratio: float = 2.0, slack_sec: float = 1.5
 ) -> dict[str, tuple[float, float]] | None:
     """Per-query regressions of ``fresh`` vs the committed ``ref`` detail.
 
     Returns ``{name: (ref_sec, fresh_sec)}`` for queries that slowed by
-    more than ``ratio``x AND ``slack_sec`` absolute (sub-second sf0.001
-    timings jitter across JIT/GC states; a pure ratio on a 0.1 s query
-    would cry wolf), or ``None`` when the readings are not comparable
-    (different sf, or no per-query dict in the reference).
+    more than ``ratio``x AND ``slack_sec`` absolute, or ``None`` when the
+    readings are not comparable. Sub-second sf0.001 timings jitter
+    across JIT/GC states — a pure ratio on a 0.1 s query would cry
+    wolf, and a measured false positive (pipeline_posts_clean_wire
+    0.68->1.45 s, re-sampled back to 0.67 s immediately after) showed
+    one query can eat the JIT cold path in BOTH bench passes, so the
+    absolute slack must exceed that ~0.8 s artifact; a real
+    algorithmic regression (an accidental cartesian, a lost broadcast)
+    adds far more than 1.5 s even at sf0.001. ``None``:
+    different sf, or no per-query dict in the reference.
     """
     if ref.get("sf") != fresh.get("sf") or not isinstance(
         ref.get("queries"), dict
