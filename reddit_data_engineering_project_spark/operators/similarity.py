@@ -1176,3 +1176,338 @@ def x03_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("recall_e6"),
     )
+
+
+#: IVF-PQ geometry: 8 seeded coarse lists, 2 probed per query; the PQ
+#: residual codebook reuses x03_pq_topk's 16-entry / 8-subspace shape.
+_IVFPQ_COARSE_K = 8
+_IVFPQ_NPROBE = 2
+
+
+@register(
+    "x03_ivfpq_topk",
+    oracle=f"""
+    WITH g AS (
+        SELECT greatest(
+                   max(list_max(list_transform(
+                       CAST(embedding AS DOUBLE[]), x -> abs(x)))),
+                   1e-12) AS g
+        FROM embeddings
+    ),
+    enc AS (
+        SELECT vec_id,
+               list_transform(
+                   CAST(embedding AS DOUBLE[]),
+                   x -> CAST(floor(x / g.g * 127.0 + 0.5)
+                             AS BIGINT)) AS icode
+        FROM embeddings CROSS JOIN g
+    ),
+    cc AS (
+        SELECT list(icode ORDER BY vec_id) AS ccents
+        FROM enc WHERE vec_id < {_IVFPQ_COARSE_K}
+    ),
+    assigned AS (
+        SELECT
+            e.vec_id,
+            e.icode,
+            list_position(
+                list_transform(cc.ccents, ct -> CAST(list_sum(
+                    list_transform(generate_series(1, 64),
+                        i -> (e.icode[i] - ct[i]) * (e.icode[i] - ct[i])))
+                    AS BIGINT)),
+                list_min(
+                    list_transform(cc.ccents, ct -> CAST(list_sum(
+                        list_transform(generate_series(1, 64),
+                            i -> (e.icode[i] - ct[i]) * (e.icode[i] - ct[i])))
+                        AS BIGINT)))
+            ) AS cid
+        FROM enc e CROSS JOIN cc
+    ),
+    res AS (
+        SELECT
+            a.vec_id,
+            a.cid,
+            list_transform(generate_series(1, 64),
+                i -> a.icode[i] - (cc.ccents[a.cid])[i]) AS rvec
+        FROM assigned a CROSS JOIN cc
+    ),
+    rcb AS (
+        SELECT list(rvec ORDER BY vec_id) AS rcents
+        FROM res WHERE vec_id < 16
+    ),
+    coded AS (
+        SELECT
+            r.vec_id,
+            r.cid,
+            list_transform(generate_series(1, 8), j -> list_position(
+                list_transform(
+                    rcb.rcents,
+                    ct -> CAST(list_sum(list_transform(
+                        generate_series((j - 1) * 8 + 1, j * 8),
+                        i -> (r.rvec[i] - ct[i]) * (r.rvec[i] - ct[i])))
+                        AS BIGINT)),
+                list_min(list_transform(
+                    rcb.rcents,
+                    ct -> CAST(list_sum(list_transform(
+                        generate_series((j - 1) * 8 + 1, j * 8),
+                        i -> (r.rvec[i] - ct[i]) * (r.rvec[i] - ct[i])))
+                        AS BIGINT)))
+            )) AS codes
+        FROM res r CROSS JOIN rcb
+    ),
+    probes AS (
+        SELECT query_id, cid FROM (
+            SELECT
+                e.vec_id AS query_id,
+                gs.i AS cid,
+                row_number() OVER (
+                    PARTITION BY e.vec_id
+                    ORDER BY CAST(list_sum(list_transform(
+                                 generate_series(1, 64),
+                                 k -> (e.icode[k] - (cc.ccents[gs.i])[k])
+                                      * (e.icode[k] - (cc.ccents[gs.i])[k])))
+                             AS BIGINT) ASC, gs.i ASC
+                ) AS rn
+            FROM enc e CROSS JOIN cc
+            CROSS JOIN LATERAL (
+                SELECT unnest(generate_series(1, len(cc.ccents))) AS i
+            ) gs
+            WHERE e.vec_id < {_N_QUERIES}
+        ) WHERE rn <= {_IVFPQ_NPROBE}
+    ),
+    qres AS (
+        SELECT
+            p.query_id,
+            p.cid,
+            list_transform(generate_series(1, 64),
+                i -> e.icode[i] - (cc.ccents[p.cid])[i]) AS qrvec
+        FROM probes p
+        JOIN enc e ON e.vec_id = p.query_id
+        CROSS JOIN cc
+    ),
+    qdt AS (
+        SELECT
+            q.query_id,
+            q.cid,
+            len(rcb.rcents) AS n_cents,
+            flatten(list_transform(
+                generate_series(1, 8),
+                j -> list_transform(
+                    rcb.rcents,
+                    ct -> CAST(list_sum(list_transform(
+                        generate_series((j - 1) * 8 + 1, j * 8),
+                        i -> (q.qrvec[i] - ct[i]) * (q.qrvec[i] - ct[i])))
+                        AS BIGINT))
+            )) AS dt
+        FROM qres q CROSS JOIN rcb
+    ),
+    scored AS (
+        SELECT
+            q.query_id,
+            c.vec_id AS neighbor_id,
+            CAST(list_sum(list_transform(
+                generate_series(1, 8),
+                j -> q.dt[CAST((j - 1) * q.n_cents + c.codes[j] AS BIGINT)]))
+                AS BIGINT) AS adc_dist
+        FROM coded c JOIN qdt q ON c.cid = q.cid
+        WHERE c.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, rank, adc_dist FROM (
+        SELECT query_id, neighbor_id, adc_dist,
+               row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY adc_dist ASC, neighbor_id ASC) AS rank
+        FROM scored
+    )
+    WHERE rank <= {_TOP_K}
+    """,
+    tags=("similarity", "X3", "ivf", "quantization"),
+)
+def x03_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3j: IVF-PQ probed search — the composed billion-scale ANN layout.
+
+    The combination FAISS actually deploys at 100 TB: an inverted file
+    (X3d) bounds WHICH vectors each query scores, and product
+    quantization of the RESIDUAL vector (X3f, relative to the coarse
+    centroid — residuals are smaller and quantize tighter than raw
+    vectors) bounds what each scored vector COSTS (4-bit codes + one
+    shared codebook). Search probes the nProbe = 2 nearest coarse
+    lists and runs ADC with per-(query, probe) distance tables over
+    residual codes.
+
+    Exactness discipline (X3e/X3f extended): after the one global
+    scale quantization, EVERYTHING is integer — coarse centroids are
+    the first {_IVFPQ_COARSE_K} icodes (seeded, like the PQ codebook),
+    assignment/probe argmins tie-break on lowest centroid id, residuals
+    are integer subtractions, the shared residual codebook is the first
+    16 residual vectors, and ADC sums stay < 2^31 (|qres - rcent| <=
+    508, 64 dims) — so ranking is bit-identical cross-engine.
+
+    Scale shape: the corpus is scanned once for encode+assign (coarse
+    and residual codebooks ride in as two broadcast 1-row tables, all
+    argmins in codegen) and NEVER shuffles for scoring; the probe
+    tables (|queries| x nProbe rows, each carrying one 8x16 integer
+    grid) broadcast into an equi-join on the list id, so each query
+    pays |corpus| x nProbe / K lookups-and-adds instead of |corpus|
+    full distances. The per-query rank hashes by query_id at
+    |queries| x |probed-lists| x list-size rows.
+    """
+    emb = ensure_min_parallelism(table(spark, sf_dir, "embeddings")).select(
+        "vec_id", _vec_double("embedding").alias("e")
+    )
+    g_row = emb.agg(
+        F.greatest(
+            F.max(F.array_max(F.transform("e", lambda x: F.abs(x)))),
+            F.lit(1e-12),
+        ).alias("g")
+    )
+    enc = emb.crossJoin(F.broadcast(g_row)).select(
+        "vec_id",
+        F.transform(
+            "e", lambda x: F.floor(x / F.col("g") * 127.0 + 0.5).cast("long")
+        ).alias("icode"),
+    )
+    cc = (
+        enc.filter(F.col("vec_id") < _IVFPQ_COARSE_K)
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("vec_id", "icode"))),
+                lambda s: s.icode,
+            ).alias("ccents")
+        )
+    )
+
+    def _l2sq(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    # Coarse assignment: argmin over the broadcast centroid list, the
+    # materialize-once two-transform trick from X3f.
+    cdists = F.transform(
+        F.col("ccents"), lambda ct: _l2sq(F.col("icode"), ct)
+    )
+    assigned = enc.crossJoin(F.broadcast(cc)).select(
+        "vec_id",
+        "icode",
+        F.array_position(cdists, F.array_min(cdists)).alias("cid"),
+        F.col("ccents"),
+    )
+    res = assigned.select(
+        "vec_id",
+        "cid",
+        F.zip_with(
+            "icode",
+            F.element_at(F.col("ccents"), F.col("cid").cast("int")),
+            lambda x, y: x - y,
+        ).alias("rvec"),
+    )
+    rcb = (
+        res.filter(F.col("vec_id") < 16)
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("vec_id", "rvec"))),
+                lambda s: s.rvec,
+            ).alias("rcents")
+        )
+    )
+
+    def _sub_dists(vec_col, j):
+        return F.transform(
+            F.col("rcents"),
+            lambda ct: _l2sq(
+                F.slice(vec_col, (j - F.lit(1)) * 8 + 1, F.lit(8)),
+                F.slice(ct, (j - F.lit(1)) * 8 + 1, F.lit(8)),
+            ),
+        )
+
+    coded = res.crossJoin(F.broadcast(rcb)).select(
+        "vec_id",
+        "cid",
+        F.transform(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(8)),
+                lambda j: _sub_dists(F.col("rvec"), j),
+            ),
+            lambda d: F.array_position(d, F.array_min(d)),
+        ).alias("codes"),
+    )
+    # Probes: per query, the nProbe nearest coarse lists by the same
+    # integer distance + lowest-cid tie break (array_sort of (d, cid)
+    # structs sorts lexicographically — exactly ORDER BY d, cid).
+    probes = (
+        enc.filter(F.col("vec_id") < _N_QUERIES)
+        .crossJoin(F.broadcast(cc))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "icode",
+            "ccents",
+            F.slice(
+                F.array_sort(
+                    F.zip_with(
+                        cdists,
+                        F.sequence(F.lit(1), F.size("ccents")),
+                        lambda d, i: F.struct(
+                            d.alias("d"), i.cast("long").alias("cid")
+                        ),
+                    )
+                ),
+                1,
+                _IVFPQ_NPROBE,
+            ).alias("top_probes"),
+        )
+        .select(
+            "query_id",
+            "icode",
+            "ccents",
+            F.explode("top_probes").alias("pr"),
+        )
+        .select(
+            "query_id",
+            F.col("pr.cid").alias("cid"),
+            F.zip_with(
+                "icode",
+                F.element_at(F.col("ccents"), F.col("pr.cid").cast("int")),
+                lambda x, y: x - y,
+            ).alias("qrvec"),
+        )
+    )
+    qdt = probes.crossJoin(F.broadcast(rcb)).select(
+        "query_id",
+        "cid",
+        F.size("rcents").alias("n_cents"),
+        F.flatten(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(8)),
+                lambda j: _sub_dists(F.col("qrvec"), j),
+            )
+        ).alias("dt"),
+    )
+    scored = coded.join(F.broadcast(qdt), "cid").filter(
+        F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.aggregate(
+            F.sequence(F.lit(1), F.lit(8)),
+            F.lit(0).cast("long"),
+            lambda acc, j: acc
+            + F.element_at(
+                F.col("dt"),
+                (
+                    (j - F.lit(1)) * F.col("n_cents")
+                    + F.element_at(F.col("codes"), j.cast("int"))
+                ).cast("int"),
+            ),
+        ).alias("adc_dist"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("query_id", "neighbor_id", "rank", "adc_dist")
+    )

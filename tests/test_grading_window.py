@@ -125,6 +125,10 @@ QUEUED_FOR_NEXT_WINDOW: set[str] = {
     # schema-evolution read-back audit; its sibling
     # q18_snapshot_publish_read took the round-7 q18 window slot.
     "q18_schema_evolution_read",
+    # Round-7 NEW registration (post-rotation): the composed IVF-PQ
+    # probed-ADC search; x03's window evidence this round is the
+    # LSH/IVF oracle upgrades, so this joins the round-8 (a) group.
+    "x03_ivfpq_topk",
 }
 
 

@@ -455,3 +455,16 @@ def test_reach2_middle_cap_is_semi_join_and_broadcast_cap(spark):
     # single row), never a shuffled join
     assert "BroadcastNestedLoopJoin Inner BuildRight" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ivfpq_corpus_never_shuffles_for_scoring(spark):
+    """x03_ivfpq_topk: the probe tables broadcast into the list-id
+    equi-join (corpus side stays un-shuffled through scoring), both
+    codebooks ride as 1-row broadcasts, and no CartesianProduct exists
+    (every Cross is a sanctioned 1-row BroadcastNestedLoopJoin)."""
+    plan = _plan(spark, "x03_ivfpq_topk")
+    assert "CartesianProduct" not in plan
+    # the cid equi-join is the only non-Cross join and is broadcast
+    assert "Join type: Inner" in plan
+    assert "BroadcastHashJoin Inner" in plan
+    assert "SortMergeJoin" not in plan
