@@ -1511,3 +1511,133 @@ def x03_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _TOP_K)
         .select("query_id", "neighbor_id", "rank", "adc_dist")
     )
+
+
+#: Semantic-dedup geometry: seeded k-means clusters bound the candidate
+#: pairs; the verification threshold matches X2d's planted-copy corpus.
+_SEMDEDUP_K = 8
+_SEMDEDUP_COS = 0.999
+
+
+@register(
+    "x02_semantic_dedup",
+    oracle=f"""
+    WITH base AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    v AS (
+        SELECT vec_id, e FROM base
+        UNION ALL
+        SELECT vec_id + 100000 AS vec_id,
+               list_transform(e, x -> x * 1.01) AS e
+        FROM base
+    ),
+    c AS (
+        SELECT vec_id AS cid, e AS ce FROM base
+        WHERE vec_id < {_SEMDEDUP_K}
+    ),
+    assigned AS (
+        SELECT vec_id, e, cid
+        FROM (
+            SELECT v.vec_id, v.e, c.cid,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY list_dot_product(c.ce, c.ce)
+                                - 2.0 * list_dot_product(v.e, c.ce), c.cid
+                   ) AS rk
+            FROM v CROSS JOIN c
+        )
+        WHERE rk = 1
+    ),
+    pairs AS (
+        SELECT l.cid AS cluster_id, l.vec_id AS keep_cand,
+               r.vec_id AS removed
+        FROM assigned l JOIN assigned r
+          ON l.cid = r.cid AND l.vec_id < r.vec_id
+        WHERE list_dot_product(l.e, r.e)
+              / (sqrt(list_dot_product(l.e, l.e))
+                 * sqrt(list_dot_product(r.e, r.e))) >= {_SEMDEDUP_COS}
+    )
+    SELECT
+        removed AS removed_vec_id,
+        CAST(min(keep_cand) AS BIGINT) AS kept_vec_id,
+        CAST(min(cluster_id) AS BIGINT) AS cluster_id
+    FROM pairs
+    GROUP BY removed
+    """,
+    tags=("dedup", "X2", "embedding", "semantic"),
+)
+def x02_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2j: SemDeDup-style semantic dedup — clusters bound the pairs.
+
+    The embedding-space rung ABOVE SimHash buckets (X2d): cluster the
+    corpus with a (seeded) k-means coarse model, generate candidate
+    pairs only WITHIN a cluster, verify by exact cosine, and pick the
+    min-id survivor per duplicate — the SemDeDup recipe (cluster, then
+    prune semantically identical neighbors) that web-scale curation
+    uses where bucket hashes are too coarse and all-pairs is
+    impossible. Same planted-copy corpus as X2d (x1.01 re-encodes:
+    cosine-identical, so verification is deterministic and organic
+    cosine 0.51 admits no false positives).
+
+    Output: one row per REMOVED vector with its kept survivor and the
+    cluster that scoped the comparison.
+
+    Scale shape: the corpus scans once against the broadcast K-row
+    centroid table for assignment (argmin in codegen, lowest-cid tie
+    break — the X3g discipline); the candidate join is equi on
+    cluster id, so pair work is sum-of-cluster-sizes-squared, the knob
+    K controls (at 100 TB: K ~ corpus/10k and a trained-centroid
+    table replaces the seeded one — plan shape unchanged); survivor
+    selection is one groupBy on the removed id riding the pair
+    stream's partitioning.
+    """
+    base = ensure_min_parallelism(table(spark, sf_dir, "embeddings")).select(
+        "vec_id", _vec_double("embedding").alias("e")
+    )
+    copies = base.select(
+        (F.col("vec_id") + 100_000).alias("vec_id"),
+        F.transform(F.col("e"), lambda x: x * 1.01).alias("e"),
+    )
+    corpus = base.unionByName(copies)
+    cents = base.filter(F.col("vec_id") < _SEMDEDUP_K).select(
+        F.col("vec_id").alias("cid"), F.col("e").alias("ce")
+    )
+    dist = _dot(F.col("ce"), F.col("ce")) - 2.0 * _dot(
+        F.col("e"), F.col("ce")
+    )
+    assigned = (
+        corpus.crossJoin(F.broadcast(cents))
+        .select("vec_id", "e", "cid", dist.alias("d2"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(
+                    F.col("d2").asc(), F.col("cid").asc()
+                )
+            ),
+        )
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "e", "cid")
+    )
+    lhs = assigned.alias("l")
+    rhs = assigned.alias("r")
+    pairs = (
+        lhs.join(
+            rhs,
+            (F.col("l.cid") == F.col("r.cid"))
+            & (F.col("l.vec_id") < F.col("r.vec_id")),
+        )
+        .filter(
+            cosine(F.col("l.e"), F.col("r.e")) >= F.lit(_SEMDEDUP_COS)
+        )
+        .select(
+            F.col("l.cid").alias("cluster_id"),
+            F.col("l.vec_id").alias("keep_cand"),
+            F.col("r.vec_id").alias("removed"),
+        )
+    )
+    return pairs.groupBy(F.col("removed").alias("removed_vec_id")).agg(
+        F.min("keep_cand").cast("bigint").alias("kept_vec_id"),
+        F.min("cluster_id").cast("bigint").alias("cluster_id"),
+    )

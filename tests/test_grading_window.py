@@ -129,6 +129,10 @@ QUEUED_FOR_NEXT_WINDOW: set[str] = {
     # probed-ADC search; x03's window evidence this round is the
     # LSH/IVF oracle upgrades, so this joins the round-8 (a) group.
     "x03_ivfpq_topk",
+    # Round-7 NEW registration (post-rotation): SemDeDup-style
+    # cluster-scoped semantic dedup; x02 holds three other members in
+    # the round-7 window, so this joins the round-8 (a) group.
+    "x02_semantic_dedup",
 }
 
 

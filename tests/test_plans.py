@@ -468,3 +468,13 @@ def test_ivfpq_corpus_never_shuffles_for_scoring(spark):
     assert "Join type: Inner" in plan
     assert "BroadcastHashJoin Inner" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_semantic_dedup_centroids_broadcast_pairs_equi_join(spark):
+    """x02_semantic_dedup: the K-row centroid table broadcasts into the
+    assignment scan; the candidate join is a real equi hash join on the
+    cluster id (never a cartesian)."""
+    plan = _plan(spark, "x02_semantic_dedup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin Cross BuildRight" in plan  # K-row cents
+    assert "SortMergeJoin Inner" in plan or "BroadcastHashJoin Inner" in plan
