@@ -1650,3 +1650,176 @@ def q21_ab_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mde * 1000000.0).cast("bigint").alias("mde_abs_e6"),
         n_needed.cast("bigint").alias("n_per_arm_for_10pct_lift"),
     )
+
+
+#: Survival geometry: a customer whose last order is more than this many
+#: days before the corpus clock is a CHURN EVENT at their last-order
+#: day; everyone else is right-censored at the clock. Lifetimes are
+#: reported in WEEKS so the KM table stays calendar-bounded.
+_SURVIVAL_CHURN_DAYS = 365
+
+
+@register(
+    "q21_survival_km",
+    oracle=f"""
+    WITH days AS (
+        SELECT o_custkey AS user_id,
+               CAST(o_orderdate AS DATE) AS d
+        FROM orders
+    ),
+    clock AS (SELECT max(d) AS today FROM days),
+    users AS (
+        SELECT user_id, min(d) AS first_day, max(d) AS last_day
+        FROM days GROUP BY user_id
+    ),
+    lifetimes AS (
+        SELECT
+            u.user_id,
+            CASE WHEN u.last_day < c.today - {_SURVIVAL_CHURN_DAYS}
+                 THEN 1 ELSE 0 END AS churned,
+            CAST(floor(date_diff('day', u.first_day,
+                CASE WHEN u.last_day < c.today - {_SURVIVAL_CHURN_DAYS}
+                     THEN u.last_day ELSE c.today END) / 7.0) AS BIGINT)
+                AS t
+        FROM users u CROSS JOIN clock c
+    ),
+    km AS (
+        SELECT t,
+               CAST(sum(churned) AS BIGINT) AS n_churned,
+               CAST(sum(1 - churned) AS BIGINT) AS n_censored
+        FROM lifetimes GROUP BY t
+    ),
+    risk AS (
+        SELECT t, n_churned, n_censored,
+               CAST(sum(n_churned + n_censored)
+                    OVER (ORDER BY t DESC) AS BIGINT) AS n_risk
+        FROM km
+    ),
+    terms AS (
+        SELECT t, n_risk, n_churned, n_censored,
+               CAST(round(n_churned * 1000000.0 / n_risk) AS BIGINT)
+                   AS hazard_e6,
+               CASE WHEN n_churned < n_risk
+                    THEN CAST(round(ln(1.0 - n_churned * 1.0 / n_risk)
+                                    * 1000000.0) AS BIGINT)
+                    ELSE NULL END AS lterm,
+               CASE WHEN n_churned >= n_risk THEN 1 ELSE 0 END AS absorbed0
+        FROM risk
+    )
+    SELECT
+        CAST(t AS BIGINT) AS t_days,
+        n_risk,
+        n_churned,
+        n_censored,
+        hazard_e6,
+        CAST(sum(lterm) OVER (ORDER BY t) AS BIGINT) AS surv_log_e6,
+        CAST(max(absorbed0) OVER (ORDER BY t) AS INT) AS absorbed
+    FROM terms
+    """,
+    tags=("analytics", "Q21", "survival", "R17"),
+)
+def q21_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21: discrete Kaplan-Meier churn-survival table over user
+    lifetimes — the survival-analysis class of product analytics
+    (beside funnels, cohorts, and streaks): for each lifetime day t,
+    how many users were still at risk, how many churned exactly then,
+    the discrete hazard, and the running KM survival estimate.
+
+    Lifetime model: a customer's clock starts at their first order; a
+    customer whose last order predates the corpus clock by more than
+    a year ({_SURVIVAL_CHURN_DAYS} days) is a churn EVENT at their
+    last-order day, everyone else is right-CENSORED at the clock — the
+    standard inactivity-defined churn with administrative censoring.
+    Lifetimes are reported in whole WEEKS (exact integer floor on both
+    engines), the survival-curve granularity that keeps the KM table
+    calendar-bounded. The orders table is the lifetime source (the
+    events corpus spans 30 days with every user active throughout —
+    no churn is observable there; order histories span 6+ years).
+
+    Cross-engine float discipline for the survival curve (the X4z
+    pattern): S(t) = prod(1 - d/n) is emitted as the SUM OF LOGS with
+    each term ln(1 - d/n) rounded ONCE to an e6 BIGINT and then
+    exactly integer-summed — a float running product would drift with
+    evaluation order; here both engines round identical doubles and
+    add identical integers. When d = n_risk (S hits exactly 0, only
+    possible at the last event time) the log term is NULL and the
+    ``absorbed`` flag marks every row from there on.
+
+    Scale shape: the only fact-sized work is the per-customer min/max
+    aggregate; lifetimes are user-sized; the KM table is at most
+    |distinct lifetimes| rows (bounded by the observation span in
+    days), so the two un-partitioned running windows run over a
+    calendar-bounded relation — the reach2-histogram discipline, never
+    a node- or event-sized global window. The 1-row clock broadcasts.
+    """
+    od = table(spark, sf_dir, "orders")
+    days = od.select(
+        F.col("o_custkey").alias("user_id"),
+        F.to_date("o_orderdate").alias("d"),
+    )
+    clock = days.agg(F.max("d").alias("today"))
+    users = days.groupBy("user_id").agg(
+        F.min("d").alias("first_day"), F.max("d").alias("last_day")
+    )
+    churn_cut = F.date_sub(F.col("today"), _SURVIVAL_CHURN_DAYS)
+    lifetimes = users.join(F.broadcast(clock)).select(
+        F.when(F.col("last_day") < churn_cut, 1).otherwise(0).alias(
+            "churned"
+        ),
+        F.floor(
+            F.datediff(
+                F.when(F.col("last_day") < churn_cut, F.col("last_day"))
+                .otherwise(F.col("today")),
+                F.col("first_day"),
+            )
+            / 7.0
+        )
+        .cast("bigint")
+        .alias("t"),
+    )
+    km = lifetimes.groupBy("t").agg(
+        F.sum("churned").cast("bigint").alias("n_churned"),
+        F.sum(1 - F.col("churned")).cast("bigint").alias("n_censored"),
+    )
+    w_desc = Window.orderBy(F.col("t").desc()).rangeBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = km.select(
+        "t",
+        "n_churned",
+        "n_censored",
+        F.sum(F.col("n_churned") + F.col("n_censored"))
+        .over(w_desc)
+        .cast("bigint")
+        .alias("n_risk"),
+    )
+    terms = risk.select(
+        "t",
+        "n_risk",
+        "n_churned",
+        "n_censored",
+        F.round(F.col("n_churned") * 1000000.0 / F.col("n_risk"))
+        .cast("bigint")
+        .alias("hazard_e6"),
+        F.when(
+            F.col("n_churned") < F.col("n_risk"),
+            F.round(
+                F.log(1.0 - F.col("n_churned") / F.col("n_risk")) * 1000000.0
+            ).cast("bigint"),
+        ).alias("lterm"),
+        F.when(F.col("n_churned") >= F.col("n_risk"), 1)
+        .otherwise(0)
+        .alias("absorbed0"),
+    )
+    w_asc = Window.orderBy("t").rangeBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return terms.select(
+        F.col("t").cast("bigint").alias("t_days"),
+        "n_risk",
+        "n_churned",
+        "n_censored",
+        "hazard_e6",
+        F.sum("lterm").over(w_asc).cast("bigint").alias("surv_log_e6"),
+        F.max("absorbed0").over(w_asc).cast("int").alias("absorbed"),
+    )

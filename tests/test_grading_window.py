@@ -133,6 +133,10 @@ QUEUED_FOR_NEXT_WINDOW: set[str] = {
     # cluster-scoped semantic dedup; x02 holds three other members in
     # the round-7 window, so this joins the round-8 (a) group.
     "x02_semantic_dedup",
+    # Round-7 NEW registration (post-rotation): Kaplan-Meier churn
+    # survival; q21 holds eleven members in the round-7 window, so
+    # this joins the round-8 (a) group.
+    "q21_survival_km",
 }
 
 

@@ -478,3 +478,13 @@ def test_semantic_dedup_centroids_broadcast_pairs_equi_join(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin Cross BuildRight" in plan  # K-row cents
     assert "SortMergeJoin Inner" in plan or "BroadcastHashJoin Inner" in plan
+
+
+def test_survival_km_single_fact_aggregate_bounded_windows(spark):
+    """q21_survival_km: the fact table dies in ONE per-customer
+    aggregate; the running KM windows operate on the calendar-bounded
+    lifetime table (no join besides the 1-row clock broadcast)."""
+    plan = _plan(spark, "q21_survival_km")
+    assert "BroadcastNestedLoopJoin Inner BuildRight" in plan  # clock row
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
