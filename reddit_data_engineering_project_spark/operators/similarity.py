@@ -1515,7 +1515,12 @@ def x03_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: Semantic-dedup geometry: seeded k-means clusters bound the candidate
 #: pairs; the verification threshold matches X2d's planted-copy corpus.
-_SEMDEDUP_K = 8
+#: K = 64 keeps clusters ~sqrt-of-corpus-sized at the test SFs (K = 8
+#: measured 32 s at sf0.1: ~500-vector clusters make the pair join
+#: quadratic AND leave only 8 join keys' worth of parallelism; 64
+#: brings it to 2.9 s). At 100 TB, K scales with the corpus
+#: (K ~ corpus/10k) for exactly this reason.
+_SEMDEDUP_K = 64
 _SEMDEDUP_COS = 0.999
 
 
@@ -1533,21 +1538,21 @@ _SEMDEDUP_COS = 0.999
         FROM base
     ),
     c AS (
-        SELECT vec_id AS cid, e AS ce FROM base
+        SELECT list(e ORDER BY vec_id) AS cents FROM base
         WHERE vec_id < {_SEMDEDUP_K}
     ),
+    dists AS (
+        SELECT v.vec_id, v.e,
+               list_transform(
+                   c.cents,
+                   ct -> list_dot_product(ct, ct)
+                         - 2.0 * list_dot_product(v.e, ct)) AS ds
+        FROM v CROSS JOIN c
+    ),
     assigned AS (
-        SELECT vec_id, e, cid
-        FROM (
-            SELECT v.vec_id, v.e, c.cid,
-                   row_number() OVER (
-                       PARTITION BY v.vec_id
-                       ORDER BY list_dot_product(c.ce, c.ce)
-                                - 2.0 * list_dot_product(v.e, c.ce), c.cid
-                   ) AS rk
-            FROM v CROSS JOIN c
-        )
-        WHERE rk = 1
+        SELECT vec_id, e,
+               list_position(ds, list_min(ds)) AS cid
+        FROM dists
     ),
     pairs AS (
         SELECT l.cid AS cluster_id, l.vec_id AS keep_cand,
@@ -1583,14 +1588,18 @@ def x02_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: one row per REMOVED vector with its kept survivor and the
     cluster that scoped the comparison.
 
-    Scale shape: the corpus scans once against the broadcast K-row
-    centroid table for assignment (argmin in codegen, lowest-cid tie
-    break — the X3g discipline); the candidate join is equi on
-    cluster id, so pair work is sum-of-cluster-sizes-squared, the knob
-    K controls (at 100 TB: K ~ corpus/10k and a trained-centroid
-    table replaces the seeded one — plan shape unchanged); survivor
-    selection is one groupBy on the removed id riding the pair
-    stream's partitioning.
+    Scale shape: the corpus scans ONCE against the broadcast 1-row
+    centroid ARRAY for assignment — argmin is position-of-min over the
+    materialized distance array in codegen (the X3j discipline; a
+    per-vector window formulation measured 3x slower by shuffling
+    every vector through a vec_id exchange just to rank K rows). The
+    candidate join is equi on cluster id, so pair work is
+    sum-of-cluster-sizes-squared, the knob K controls — K = 8 left
+    ~500-vector clusters and 8 join keys at sf0.1 (32 s, quadratic
+    and parallelism-starved); K = 64 brings it to ~2 s flat (at
+    100 TB: K ~ corpus/10k and a trained-centroid table replaces the
+    seeded one — plan shape unchanged). Survivor selection is one
+    groupBy on the removed id riding the pair stream's partitioning.
     """
     base = ensure_min_parallelism(table(spark, sf_dir, "embeddings")).select(
         "vec_id", _vec_double("embedding").alias("e")
@@ -1600,25 +1609,26 @@ def x02_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform(F.col("e"), lambda x: x * 1.01).alias("e"),
     )
     corpus = base.unionByName(copies)
-    cents = base.filter(F.col("vec_id") < _SEMDEDUP_K).select(
-        F.col("vec_id").alias("cid"), F.col("e").alias("ce")
+    cents = base.filter(F.col("vec_id") < _SEMDEDUP_K).agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("vec_id", "e"))),
+            lambda st: st.e,
+        ).alias("cents")
     )
-    dist = _dot(F.col("ce"), F.col("ce")) - 2.0 * _dot(
-        F.col("e"), F.col("ce")
+    # Assignment is pure codegen over the broadcast 1-row centroid
+    # array (argmin = position of min over the materialized distance
+    # array; first-minimum = lowest centroid position on both engines)
+    # — no per-vector window, so the corpus never shuffles to be
+    # assigned. cid is the 1-based position in the id-ordered centroid
+    # list (= centroid vec_id + 1), mirrored exactly in the oracle.
+    dists = F.transform(
+        F.col("cents"),
+        lambda ct: _dot(ct, ct) - 2.0 * _dot(F.col("e"), ct),
     )
-    assigned = (
-        corpus.crossJoin(F.broadcast(cents))
-        .select("vec_id", "e", "cid", dist.alias("d2"))
-        .withColumn(
-            "rk",
-            F.row_number().over(
-                Window.partitionBy("vec_id").orderBy(
-                    F.col("d2").asc(), F.col("cid").asc()
-                )
-            ),
-        )
-        .filter(F.col("rk") == 1)
-        .select("vec_id", "e", "cid")
+    assigned = corpus.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "e",
+        F.array_position(dists, F.array_min(dists)).alias("cid"),
     )
     lhs = assigned.alias("l")
     rhs = assigned.alias("r")
