@@ -544,3 +544,133 @@ def x05_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_occurrences") > 1)
     )
+
+
+#: Audio-analog frame geometry: 8-bit samples (payload bytes centered
+#: at 128), 256 samples per analysis frame.
+_ENERGY_FRAME = 256
+
+
+@register(
+    "x05_payload_energy",
+    oracle=f"""
+    WITH hx AS (
+        SELECT doc_id, hex(text) AS h FROM documents
+    ),
+    vals AS (
+        SELECT doc_id,
+               list_transform(
+                   generate_series(1, length(h) // 2),
+                   i -> (strpos('0123456789ABCDEF',
+                                substring(h, CAST(i AS INT) * 2 - 1, 1)) - 1)
+                        * 16
+                        + strpos('0123456789ABCDEF',
+                                 substring(h, CAST(i AS INT) * 2, 1)) - 1
+               ) AS v
+        FROM hx
+    ),
+    frames AS (
+        SELECT
+            doc_id,
+            CAST(f AS BIGINT) AS frame_idx,
+            CAST(len(v[(f * {_ENERGY_FRAME} + 1):
+                       ((f + 1) * {_ENERGY_FRAME})]) AS BIGINT) AS n_samples,
+            CAST(list_sum(list_transform(
+                v[(f * {_ENERGY_FRAME} + 1):((f + 1) * {_ENERGY_FRAME})],
+                x -> (x - 128) * (x - 128))) AS BIGINT) AS energy
+        FROM vals
+        CROSS JOIN LATERAL (
+            SELECT unnest(generate_series(
+                0, CAST(ceil(len(v) / {_ENERGY_FRAME}.0) AS BIGINT) - 1)) AS f
+        ) gs
+    )
+    SELECT
+        doc_id,
+        frame_idx,
+        n_samples,
+        energy,
+        CAST(round(sqrt(energy * 1.0 / n_samples) * 1000.0) AS BIGINT)
+            AS rms_e3
+    FROM frames
+    """,
+    tags=("multimodal", "X5", "audio"),
+)
+def x05_payload_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5: framed RMS energy over binary payloads — the audio
+    feature-extraction shape (silence detection, loudness
+    normalization, voice-activity gating all start from exactly this
+    per-frame energy table). Payload bytes are read as 8-bit PCM
+    samples centered at 128, split into {_ENERGY_FRAME}-sample
+    analysis frames, and each frame reports its sample count, exact
+    integer energy (sum of squared deviations, <= 256 * 128^2 < 2^23
+    per frame), and e3-scaled RMS (the one float op, a sqrt of
+    identical doubles on both engines, rounded once).
+
+    Decode note: per this module's codec seam, the corpus payload is
+    the UTF-8 encoding of ``text``; a real audio deployment swaps the
+    hex-pair byte extraction for the codec in :func:`decode_media` —
+    the framing, energy algebra, and plan shape are unchanged.
+
+    Scale shape: everything up to the final projection is ONE codegen
+    pass riding the corpus scan — bytes never become rows; per-frame
+    energies are computed by a higher-order ``aggregate`` over array
+    SLICES inside ``transform`` (the byte-histogram docstring's
+    "fold before exploding" refinement, implemented here because the
+    output is per-frame anyway), and only the tiny frame table
+    explodes. No shuffle anywhere — the output partitioning is the
+    scan's.
+    """
+    docs = table(spark, sf_dir, "documents")
+    hx = docs.select(
+        "doc_id", F.hex(F.encode(F.col("text"), "UTF-8")).alias("h")
+    )
+    vals = hx.select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(1), (F.length("h") / F.lit(2)).cast("int")),
+            lambda i: (
+                F.instr(F.lit("0123456789ABCDEF"),
+                        F.col("h").substr(i * 2 - 1, F.lit(1)))
+                - 1
+            )
+            * 16
+            + F.instr(F.lit("0123456789ABCDEF"),
+                      F.col("h").substr(i * 2, F.lit(1)))
+            - 1,
+        ).alias("v"),
+    )
+    n_frames = F.ceil(F.size("v") / F.lit(float(_ENERGY_FRAME))).cast("int")
+    frames = vals.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), n_frames - 1),
+                lambda f: F.struct(
+                    f.cast("long").alias("frame_idx"),
+                    F.size(
+                        F.slice(F.col("v"), f * _ENERGY_FRAME + 1,
+                                F.lit(_ENERGY_FRAME))
+                    )
+                    .cast("long")
+                    .alias("n_samples"),
+                    F.aggregate(
+                        F.slice(F.col("v"), f * _ENERGY_FRAME + 1,
+                                F.lit(_ENERGY_FRAME)),
+                        F.lit(0).cast("long"),
+                        lambda acc, x: acc + (x - 128) * (x - 128),
+                    ).alias("energy"),
+                ),
+            )
+        ).alias("fr"),
+    )
+    return frames.select(
+        "doc_id",
+        F.col("fr.frame_idx").alias("frame_idx"),
+        F.col("fr.n_samples").alias("n_samples"),
+        F.col("fr.energy").alias("energy"),
+        F.round(
+            F.sqrt(F.col("fr.energy") * 1.0 / F.col("fr.n_samples")) * 1000.0
+        )
+        .cast("bigint")
+        .alias("rms_e3"),
+    )

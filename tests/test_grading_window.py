@@ -137,6 +137,11 @@ QUEUED_FOR_NEXT_WINDOW: set[str] = {
     # survival; q21 holds eleven members in the round-7 window, so
     # this joins the round-8 (a) group.
     "q21_survival_km",
+    # Round-7 NEW registration (post-rotation): framed RMS payload
+    # energy (audio-analog feature extraction); x05 holds three
+    # members in the round-7 window, so this joins the round-8 (a)
+    # group.
+    "x05_payload_energy",
 }
 
 

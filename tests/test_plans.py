@@ -488,3 +488,12 @@ def test_survival_km_single_fact_aggregate_bounded_windows(spark):
     assert "BroadcastNestedLoopJoin Inner BuildRight" in plan  # clock row
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_payload_energy_no_shuffle_no_python(spark):
+    """x05_payload_energy: a pure codegen scan-side pass — no Exchange
+    (output keeps the scan's partitioning), no Python evaluation node
+    (the byte/energy algebra is all higher-order functions)."""
+    plan = _plan(spark, "x05_payload_energy")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
