@@ -1823,3 +1823,111 @@ def q21_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("lterm").over(w_asc).cast("bigint").alias("surv_log_e6"),
         F.max("absorbed0").over(w_asc).cast("int").alias("absorbed"),
     )
+
+
+@register(
+    "q21_cohort_ltv",
+    oracle="""
+    WITH o AS (
+        SELECT
+            o_custkey,
+            (year(o_orderdate) * 12 + month(o_orderdate)) AS ym,
+            CAST(round(o_totalprice * 100.0) AS BIGINT) AS cents
+        FROM orders
+    ),
+    cohorts AS (
+        SELECT o_custkey, min(ym) AS cohort_ym FROM o GROUP BY o_custkey
+    ),
+    sizes AS (
+        SELECT cohort_ym, CAST(count(*) AS BIGINT) AS n_customers
+        FROM cohorts GROUP BY cohort_ym
+    ),
+    cells AS (
+        SELECT
+            c.cohort_ym,
+            o.ym - c.cohort_ym AS age_months,
+            CAST(sum(o.cents) AS BIGINT) AS revenue_cents
+        FROM o JOIN cohorts c USING (o_custkey)
+        GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT
+            cohort_ym,
+            age_months,
+            revenue_cents,
+            CAST(sum(revenue_cents) OVER (
+                PARTITION BY cohort_ym ORDER BY age_months
+            ) AS BIGINT) AS cum_revenue_cents
+        FROM cells
+    )
+    SELECT
+        CAST(cohort_ym AS BIGINT) AS cohort_ym,
+        CAST(age_months AS BIGINT) AS age_months,
+        s.n_customers,
+        revenue_cents,
+        cum_revenue_cents,
+        CAST(round(cum_revenue_cents * 1.0 / s.n_customers) AS BIGINT)
+            AS cum_ltv_cents_per_user
+    FROM cum JOIN sizes s USING (cohort_ym)
+    """,
+    tags=("analytics", "Q21", "ltv", "R17"),
+)
+def q21_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21: cumulative-revenue LTV triangle — cohort month x age.
+
+    The revenue twin of the retention matrix (Q21 cohort_retention
+    counts who comes back; this accumulates what they SPEND): every
+    customer joins the cohort of their first order month, each order's
+    revenue lands in the (cohort, months-since-cohort) cell, and the
+    running per-cohort cumulative with a per-capita LTV column is the
+    payback-period / LTV-CAC table growth teams actually read.
+
+    Exactness: month arithmetic is pure integers (year*12 + month —
+    no interval types to disagree); revenue is the established
+    integer-cents discipline (each order's price rounded ONCE to
+    cents, then exact BIGINT sums everywhere); the only division is
+    the final per-capita projection, rounded once on both engines.
+
+    Scale shape: one fact-sized groupBy builds the first-order map at
+    customer dimension; the fact re-joins it on the same o_custkey
+    hash layout (co-partitioned — no extra exchange under AQE reuse);
+    the triangle itself is |cohorts| x |ages| rows (calendar-bounded),
+    so the cumulative window and the size join are free.
+    """
+    o = table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("ym"),
+        F.round(F.col("o_totalprice") * 100.0).cast("bigint").alias("cents"),
+    )
+    cohorts = o.groupBy("o_custkey").agg(F.min("ym").alias("cohort_ym"))
+    sizes = cohorts.groupBy("cohort_ym").agg(
+        F.count("*").cast("bigint").alias("n_customers")
+    )
+    cells = (
+        o.join(cohorts, "o_custkey")
+        .groupBy("cohort_ym", (F.col("ym") - F.col("cohort_ym")).alias(
+            "age_months"
+        ))
+        .agg(F.sum("cents").cast("bigint").alias("revenue_cents"))
+    )
+    w = Window.partitionBy("cohort_ym").orderBy("age_months").rangeBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = cells.select(
+        "cohort_ym",
+        "age_months",
+        "revenue_cents",
+        F.sum("revenue_cents").over(w).cast("bigint").alias(
+            "cum_revenue_cents"
+        ),
+    )
+    return cum.join(F.broadcast(sizes), "cohort_ym").select(
+        F.col("cohort_ym").cast("bigint").alias("cohort_ym"),
+        F.col("age_months").cast("bigint").alias("age_months"),
+        "n_customers",
+        "revenue_cents",
+        "cum_revenue_cents",
+        F.round(F.col("cum_revenue_cents") * 1.0 / F.col("n_customers"))
+        .cast("bigint")
+        .alias("cum_ltv_cents_per_user"),
+    )

@@ -123,8 +123,8 @@ def register(
 #       x03_kmeans_step, x03_knn_classify, x03_pq_topk,
 #       + the post-rotation round-7 registrations
 #       (q18_schema_evolution_read, x03_ivfpq_topk,
-#       x02_semantic_dedup, q21_survival_km, x05_payload_energy)
-#       = 18 mandatory slots;
+#       x02_semantic_dedup, q21_survival_km, x05_payload_energy,
+#       q21_cohort_ltv) = 19 mandatory slots;
 #   (b) the 37 entries whose latest green evidence is r02/r03 (the
 #       OLD, pre-regeneration corpus), enumerated from the committed
 #       CORRECTNESS files: q01_csv_scan, q01_json_scan,
@@ -141,7 +141,9 @@ def register(
 #       x01_dedup_exact_key, x02_dedup_clusters, x02_embedding_neardup,
 #       x02_neardup_jaccard, x03_pairwise_label_centroids,
 #       x04_doc_stats, x05_binary_features, x05_frame_sample;
-#   (c) 18 + 37 = 55 — FIVE overflow to round 9: drop
+#   (c) 19 + 37 = 56 — SIX overflow to round 9: drop
+#       q09_cube (q09 keeps the pivot re-grade in and holds green
+#       r05/r06 evidence via rollup/unpivot),
 #       q09_rollup (q09 keeps cube + pivot re-grades in and holds
 #       green r05/r06 evidence via rollup/unpivot),
 #       q12_union_daily_slices, q12_union_by_name (q12 holds fresh r07

@@ -142,6 +142,10 @@ QUEUED_FOR_NEXT_WINDOW: set[str] = {
     # members in the round-7 window, so this joins the round-8 (a)
     # group.
     "x05_payload_energy",
+    # Round-7 NEW registration (post-rotation): cumulative-revenue LTV
+    # triangle; q21 holds eleven members in the round-7 window, so
+    # this joins the round-8 (a) group.
+    "q21_cohort_ltv",
 }
 
 

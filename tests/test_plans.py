@@ -497,3 +497,12 @@ def test_payload_energy_no_shuffle_no_python(spark):
     plan = _plan(spark, "x05_payload_energy")
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_cohort_ltv_single_fact_flow_broadcast_sizes(spark):
+    """q21_cohort_ltv: the cohort map re-joins the fact on the same
+    o_custkey layout; the cohort-size table rides in as a broadcast;
+    no cartesian anywhere."""
+    plan = _plan(spark, "q21_cohort_ltv")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
