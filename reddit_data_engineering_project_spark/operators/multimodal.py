@@ -624,19 +624,17 @@ def x05_payload_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     hx = docs.select(
         "doc_id", F.hex(F.encode(F.col("text"), "UTF-8")).alias("h")
     )
+    # conv(hex-pair) is one intrinsic per byte (a digit-position
+    # formulation with two instr calls per byte measured ~2x slower at
+    # sf0.1); the ORACLE keeps the strpos digit algebra — the emitted
+    # VALUES are method-independent, so the hash still pins them.
     vals = hx.select(
         "doc_id",
         F.transform(
             F.sequence(F.lit(1), (F.length("h") / F.lit(2)).cast("int")),
-            lambda i: (
-                F.instr(F.lit("0123456789ABCDEF"),
-                        F.col("h").substr(i * 2 - 1, F.lit(1)))
-                - 1
-            )
-            * 16
-            + F.instr(F.lit("0123456789ABCDEF"),
-                      F.col("h").substr(i * 2, F.lit(1)))
-            - 1,
+            lambda i: F.conv(
+                F.col("h").substr(i * 2 - 1, F.lit(2)), 16, 10
+            ).cast("long"),
         ).alias("v"),
     )
     n_frames = F.ceil(F.size("v") / F.lit(float(_ENERGY_FRAME))).cast("int")
