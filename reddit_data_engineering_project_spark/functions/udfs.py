@@ -294,3 +294,105 @@ def q20_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInArrow(
         batches, "doc_id long, n_bytes long, lang_code string"
     )
+
+
+@pandas_udf(LongType())
+def _trimmed_sum_cents(cents: pd.Series) -> int:
+    """GROUPED_AGG kernel: exact trimmed sum — sort, drop the lowest and
+    highest ``len // 10`` values, integer-sum the rest.
+
+    All arithmetic is int64 (the caller pre-quantizes to cents), so the
+    result is ORDER-INDEPENDENT — the one discipline a float UDAF could
+    not honor (numpy float sums vary with partition merge order; exact
+    ints cannot). Ties at the trim boundary are value-equal by
+    definition, so which duplicate gets trimmed cannot change the sum.
+    """
+    v = np.sort(cents.to_numpy(dtype=np.int64))
+    k = len(v) // 10
+    kept = v[k : len(v) - k] if len(v) > 2 * k else v[0:0]
+    return int(kept.sum(dtype=np.int64))
+
+
+@pandas_udf(LongType())
+def _group_size(cents: pd.Series) -> int:
+    """GROUPED_AGG companion: exact group cardinality (Spark forbids
+    mixing a GROUPED_AGG pandas UDF with built-in aggregates in one
+    ``agg`` — INVALID_PANDAS_UDF_PLACEMENT — so the count rides the
+    same AggregateInPandas node as the trimmed sum)."""
+    return len(cents)
+
+
+@register(
+    "q20_grouped_agg_pandas",
+    oracle="""
+    WITH c AS (
+        SELECT o_orderpriority,
+               CAST(round(o_totalprice * 100.0) AS BIGINT) AS cents
+        FROM orders
+    ),
+    r AS (
+        SELECT o_orderpriority, cents,
+               row_number() OVER (
+                   PARTITION BY o_orderpriority ORDER BY cents
+               ) AS rn,
+               count(*) OVER (PARTITION BY o_orderpriority) AS n
+        FROM c
+    )
+    SELECT
+        o_orderpriority,
+        CAST(max(n) AS BIGINT) AS n_orders,
+        CAST(max(n) - 2 * (max(n) // 10) AS BIGINT) AS n_kept,
+        CAST(sum(cents) FILTER (
+            WHERE rn > n // 10 AND rn <= n - n // 10
+        ) AS BIGINT) AS trimmed_sum_cents,
+        CAST(round(sum(cents) FILTER (
+                 WHERE rn > n // 10 AND rn <= n - n // 10
+             ) * 1.0 / (max(n) - 2 * (max(n) // 10))) AS BIGINT)
+            AS trimmed_mean_cents
+    FROM r
+    GROUP BY o_orderpriority
+    """,
+    tags=("udf", "Q20", "udaf"),
+)
+def q20_grouped_agg_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20: GROUPED_AGG pandas UDF — the vectorized UDAF rung of the
+    ladder (scalar -> grouped-map -> UDTF -> arrow-scalar -> mapInArrow
+    -> this): a whole group's column arrives as ONE pandas Series and
+    returns ONE value, the shape for custom statistics Spark's
+    built-ins lack (here a 10%-trimmed sum).
+
+    Exactness: the kernel sees pre-quantized integer cents and sums in
+    int64 after an in-group sort — order-independent by construction,
+    so the DuckDB window-rank formulation lands on the identical
+    BIGINT (a float UDAF could never promise this: numpy's partial
+    sums vary with merge order). Boundary ties are value-equal, so
+    trim choice cannot move the sum. The derived mean divides two
+    exact integers and rounds once on both engines.
+
+    Scale shape: GROUPED_AGG evaluates per-group after ONE hash
+    exchange on the group key (`AggregateInPandas` — no
+    whole-partition collect); the trim needs the full group in memory,
+    which is exactly the UDAF contract (groups are priority classes
+    here — five of them; a high-cardinality trim would use the
+    q07_winsorized window formulation instead, documented there).
+    """
+    od = table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100.0).cast("long").alias("cents"),
+    )
+    agg = od.groupBy("o_orderpriority").agg(
+        _group_size(F.col("cents")).cast("bigint").alias("n_orders"),
+        _trimmed_sum_cents(F.col("cents")).alias("trimmed_sum_cents"),
+    )
+    n_kept = (F.col("n_orders") - 2 * F.floor(F.col("n_orders") / 10)).cast(
+        "bigint"
+    )
+    return agg.select(
+        "o_orderpriority",
+        "n_orders",
+        n_kept.alias("n_kept"),
+        F.col("trimmed_sum_cents").cast("bigint").alias("trimmed_sum_cents"),
+        F.round(F.col("trimmed_sum_cents") * 1.0 / n_kept)
+        .cast("bigint")
+        .alias("trimmed_mean_cents"),
+    )

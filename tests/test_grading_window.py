@@ -146,6 +146,10 @@ QUEUED_FOR_NEXT_WINDOW: set[str] = {
     # triangle; q21 holds eleven members in the round-7 window, so
     # this joins the round-8 (a) group.
     "q21_cohort_ltv",
+    # Round-7 NEW registration (post-rotation): the GROUPED_AGG pandas
+    # UDAF rung of the UDF ladder; q20 holds map_in_arrow plus two
+    # r06-green members, window rep is map_in_arrow in round 8.
+    "q20_grouped_agg_pandas",
 }
 
 

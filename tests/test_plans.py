@@ -506,3 +506,16 @@ def test_cohort_ltv_single_fact_flow_broadcast_sizes(spark):
     plan = _plan(spark, "q21_cohort_ltv")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_grouped_agg_pandas_single_exchange(spark):
+    """q20_grouped_agg_pandas: both UDAFs share ONE AggregateInPandas
+    node over one hash exchange on the group key."""
+    plan = _plan(spark, "q20_grouped_agg_pandas")
+    import re
+
+    # Spark 4 names the GROUPED_AGG node ArrowAggregatePython; formatted
+    # explain prints each node twice (tree + detail header), so count
+    # the detail headers.
+    assert len(re.findall(r"\(\d+\) ArrowAggregatePython", plan)) == 1
+    assert plan.count("+- Exchange") == 1
