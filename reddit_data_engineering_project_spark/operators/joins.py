@@ -699,3 +699,138 @@ def q10_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("l_orderkey").cast("bigint").alias("min_orderkey"),
         )
     )
+
+
+@register(
+    "q11_interval_overlap",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, event_type AS etype, CAST(ts AS TIMESTAMP) AS ts,
+               CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS d
+        FROM events
+    ),
+    ua AS (
+        SELECT user_id, d, min(ts) AS s, max(ts) AS e
+        FROM ev GROUP BY user_id, d
+    ),
+    ti AS (
+        SELECT etype, d, min(ts) AS s2, max(ts) AS e2
+        FROM ev GROUP BY etype, d
+    ),
+    ub AS (
+        SELECT user_id, d, s, e, unnest(generate_series(
+                   hour(s), hour(e))) AS hb
+        FROM ua
+    ),
+    tb AS (
+        SELECT etype, d, s2, e2, unnest(generate_series(
+                   hour(s2), hour(e2))) AS hb
+        FROM ti
+    ),
+    cand AS (
+        SELECT DISTINCT ub.user_id, tb.etype, ub.d,
+               ub.s, ub.e, tb.s2, tb.e2
+        FROM ub JOIN tb ON ub.d = tb.d AND ub.hb = tb.hb
+    ),
+    hits AS (
+        SELECT etype, d,
+               user_id,
+               (epoch_us(least(e, e2)) - epoch_us(greatest(s, s2)))
+                   // 1000000 AS overlap_s
+        FROM cand
+        WHERE s <= e2 AND s2 <= e
+    )
+    SELECT
+        etype,
+        d,
+        CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        CAST(sum(overlap_s) AS BIGINT) AS total_overlap_seconds
+    FROM hits
+    GROUP BY etype, d
+    """,
+    tags=("joins", "Q11", "interval", "R17"),
+)
+def q11_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11: interval-overlap join via hour BANDING — the third interval
+    rung beside the as-of join (point-to-latest) and range bands
+    (point-to-bucket): INTERVAL x INTERVAL overlap, the predicate
+    behind incident impact ("which users' activity windows overlapped
+    which incident windows, and for how long").
+
+    A naive formulation is a non-equi theta join (cross product +
+    range filter — unshuffleable, unusable at scale). The scale
+    discipline is BANDING: each interval explodes into the hour bands
+    it covers, candidates join EQUI on (day, band) — hash-partitioned
+    like any other join — duplicates from multi-band matches collapse
+    before verification, and the exact closed-interval predicate
+    (s <= e2 AND s2 <= e) filters band-mates that never overlap.
+    Correctness of the band set: two same-day intervals that overlap
+    share the hour band of max(starts), so no true pair is lost.
+
+    Overlap duration is exact integer arithmetic end-to-end: epoch
+    microseconds subtracted, floor-divided to whole seconds — no
+    float time math.
+
+    Scale shape: both interval relations are AGGREGATES (user-day and
+    type-day bounds), orders of magnitude smaller than the event
+    stream; band fan-out is bounded by 24/interval/day; the candidate
+    join is equi on (d, band); the final rollup reuses the
+    (etype, d)-keyed layout. At 100 TB the band width is the knob
+    (wider bands = fewer candidate rows per interval, more
+    verification work — same plan).
+    """
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("event_type").alias("etype"),
+        F.col("ts"),
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("d"),
+    )
+    ua = ev.groupBy("user_id", "d").agg(
+        F.min("ts").alias("s"), F.max("ts").alias("e")
+    )
+    ti = ev.groupBy("etype", "d").agg(
+        F.min("ts").alias("s2"), F.max("ts").alias("e2")
+    )
+    ub = ua.select(
+        "user_id",
+        "d",
+        "s",
+        "e",
+        F.explode(
+            F.sequence(F.hour("s"), F.hour("e"))
+        ).alias("hb"),
+    )
+    tb = ti.select(
+        "etype",
+        "d",
+        "s2",
+        "e2",
+        F.explode(
+            F.sequence(F.hour("s2"), F.hour("e2"))
+        ).alias("hb"),
+    )
+    cand = (
+        ub.join(tb, ["d", "hb"])
+        .select("user_id", "etype", "d", "s", "e", "s2", "e2")
+        .dropDuplicates(["user_id", "etype", "d"])
+    )
+    hits = cand.filter(
+        (F.col("s") <= F.col("e2")) & (F.col("s2") <= F.col("e"))
+    ).select(
+        "etype",
+        "d",
+        "user_id",
+        F.floor(
+            (
+                F.unix_micros(F.least("e", "e2"))
+                - F.unix_micros(F.greatest("s", "s2"))
+            )
+            / 1_000_000
+        )
+        .cast("bigint")
+        .alias("overlap_s"),
+    )
+    return hits.groupBy("etype", "d").agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        F.sum("overlap_s").cast("bigint").alias("total_overlap_seconds"),
+    )

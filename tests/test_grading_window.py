@@ -150,6 +150,10 @@ QUEUED_FOR_NEXT_WINDOW: set[str] = {
     # UDAF rung of the UDF ladder; q20 holds map_in_arrow plus two
     # r06-green members, window rep is map_in_arrow in round 8.
     "q20_grouped_agg_pandas",
+    # Round-7 NEW registration (post-rotation): hour-banded interval x
+    # interval overlap join; q11 holds asof_tolerance in the round-7
+    # window, so this joins the round-8 (a) group.
+    "q11_interval_overlap",
 }
 
 
@@ -195,14 +199,31 @@ def test_bench_regression_gate_logic():
     pf = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(pf)
 
-    ref = {"sf": 0.001, "queries": {"a": 1.0, "b": 0.1, "c": 5.0, "d": 0.7}}
-    # a: 1.0 -> 2.6 = >2x and >1.5s -> flagged
-    # b: 0.1 -> 0.4 = >2x but only +0.3s jitter -> NOT flagged
-    # c: 5.0 -> 6.9 = +1.9s but <2x -> NOT flagged
+    # A realistic fleet: a stable majority (e..j, ratio ~1.0) so the
+    # suite median reflects the host, plus the edge cases under test.
+    stable_ref = {k: 0.5 for k in "efghij"}
+    stable_fresh = {k: 0.52 for k in "efghij"}
+    ref = {"sf": 0.001, "queries": {"a": 1.0, "b": 0.1, "c": 5.0, "d": 0.7, **stable_ref}}
+    # a: 1.0 -> 2.8 = >2.5x and >1.5s -> flagged
+    # b: 0.1 -> 0.4 = >2.5x but only +0.3s jitter -> NOT flagged
+    # c: 5.0 -> 6.9 = +1.9s but <2.5x -> NOT flagged
     # d: 0.7 -> 1.45 = the measured double-JIT artifact -> NOT flagged
-    fresh = {"sf": 0.001, "queries": {"a": 2.6, "b": 0.4, "c": 6.9, "d": 1.45}}
-    assert pf.bench_regressions(ref, fresh) == {"a": (1.0, 2.6)}
+    fresh = {"sf": 0.001, "queries": {"a": 2.8, "b": 0.4, "c": 6.9, "d": 1.45, **stable_fresh}}
+    assert pf.bench_regressions(ref, fresh) == {"a": (1.0, 2.8)}
     # different sf: incomparable, never a false FAIL
     assert pf.bench_regressions({"sf": 0.1, "queries": {}}, fresh) is None
     # queries added since the committed baseline are ignored
     assert pf.bench_regressions(ref, {"sf": 0.001, "queries": {"z": 9.9}}) == {}
+    # GLOBAL slowdown (ambient host load): every query 1.5x slower ->
+    # the suite-median normalization keeps the gate quiet...
+    slow = {"sf": 0.001, "queries": {n: round(v * 1.5, 3) for n, v in ref["queries"].items()}}
+    assert pf.bench_regressions(ref, slow) == {}
+    # ...but a query that regressed ON TOP of the global slowdown
+    # (here 4x while the fleet moved 1.5x, normalized ~2.7x) still
+    # flags.
+    slow_bad = dict(slow, queries=dict(slow["queries"], a=4.2))
+    assert pf.bench_regressions(ref, slow_bad) == {"a": (1.0, 4.2)}
+    # a globally FASTER host must not mask an absolute regression
+    fast_bad = {"sf": 0.001, "queries": {"a": 3.0, "b": 0.05, "c": 2.5, "d": 0.35,
+                                          **{k: 0.25 for k in "efghij"}}}
+    assert pf.bench_regressions(ref, fast_bad) == {"a": (1.0, 3.0)}

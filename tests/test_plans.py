@@ -519,3 +519,13 @@ def test_grouped_agg_pandas_single_exchange(spark):
     # the detail headers.
     assert len(re.findall(r"\(\d+\) ArrowAggregatePython", plan)) == 1
     assert plan.count("+- Exchange") == 1
+
+
+def test_interval_overlap_is_equi_banded_no_theta_join(spark):
+    """q11_interval_overlap: the candidate join is a hash-partitioned
+    EQUI join on (day, band) — no nested-loop/theta formulation
+    anywhere in the plan."""
+    plan = _plan(spark, "q11_interval_overlap")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin Inner" in plan or "BroadcastHashJoin Inner" in plan

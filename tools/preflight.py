@@ -28,32 +28,56 @@ sys.path.insert(0, os.path.join(REPO, "tools"))
 
 
 def bench_regressions(
-    ref: dict, fresh: dict, ratio: float = 2.0, slack_sec: float = 1.5
+    ref: dict, fresh: dict, ratio: float = 2.5, slack_sec: float = 1.5
 ) -> dict[str, tuple[float, float]] | None:
     """Per-query regressions of ``fresh`` vs the committed ``ref`` detail.
 
     Returns ``{name: (ref_sec, fresh_sec)}`` for queries that slowed by
-    more than ``ratio``x AND ``slack_sec`` absolute, or ``None`` when the
-    readings are not comparable. Sub-second sf0.001 timings jitter
-    across JIT/GC states — a pure ratio on a 0.1 s query would cry
-    wolf, and a measured false positive (pipeline_posts_clean_wire
-    0.68->1.45 s, re-sampled back to 0.67 s immediately after) showed
-    one query can eat the JIT cold path in BOTH bench passes, so the
-    absolute slack must exceed that ~0.8 s artifact; a real
-    algorithmic regression (an accidental cartesian, a lost broadcast)
-    adds far more than 1.5 s even at sf0.001. ``None``:
-    different sf, or no per-query dict in the reference.
+    more than ``ratio``x AND ``slack_sec`` absolute — both measured
+    AFTER normalizing out the suite-median slowdown — or ``None`` when
+    the readings are not comparable (different sf, or no per-query
+    dict in the reference).
+
+    Two measured false-positive classes shaped the thresholds:
+
+    * JIT cold path: one query can eat compilation in BOTH bench
+      passes (pipeline_posts_clean_wire 0.68->1.45 s, re-sampled back
+      to 0.67 s immediately after) — hence the absolute slack above
+      that ~0.8 s artifact; a real algorithmic regression (an
+      accidental cartesian, a lost broadcast) adds far more even at
+      sf0.001.
+    * GLOBAL host slowdown: ambient load once moved the whole suite
+      ~1.3x (median ratio over 185 queries), pushing the two slowest
+      tail queries past a naive 2x+1.5s check with their code
+      untouched. Dividing each query's ratio by the suite MEDIAN
+      ratio makes the gate flag only queries that regressed relative
+      to the fleet — which is what a code regression looks like, and
+      what host throttling does not. Contention also inflates JIT
+      compile time SUPER-linearly for the expression-heaviest queries
+      (x03_ann_lsh_bucketed's seeded-plane trees measured 3.0x raw /
+      ~2.2x fleet-normalized on a degraded host, code untouched), so
+      the ratio bar sits at 2.5x normalized: the gate exists to catch
+      silent bench death and order-of-magnitude plan regressions
+      (a lost broadcast is 10x+), not to relitigate compile jitter.
     """
     if ref.get("sf") != fresh.get("sf") or not isinstance(
         ref.get("queries"), dict
     ):
         return None
-    return {
-        n: (ref["queries"][n], t)
+    common = [
+        (n, ref["queries"][n], t)
         for n, t in fresh.get("queries", {}).items()
         if n in ref["queries"]
-        and t > ratio * ref["queries"][n]
-        and t - ref["queries"][n] > slack_sec
+    ]
+    if not common:
+        return {}
+    rats = sorted(t / r for _, r, t in common if r > 0.05)
+    med = rats[len(rats) // 2] if rats else 1.0
+    med = max(med, 1.0)  # a globally FASTER host must not mask regressions
+    return {
+        n: (r, t)
+        for n, r, t in common
+        if t > ratio * r * med and t - r * med > slack_sec
     }
 
 
