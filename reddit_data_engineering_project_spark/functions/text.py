@@ -313,3 +313,59 @@ def q17_higher_order_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("palindrome_dot"),
     )
+
+
+@register(
+    "q17_variant_shred",
+    oracle="""
+    SELECT
+        event_type,
+        CAST(count(*) AS BIGINT) AS n_events,
+        CAST(count(json_extract_string(props, '$.k')) AS BIGINT)
+            AS n_with_k,
+        CAST(sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
+             AS BIGINT) AS sum_k,
+        CAST(min(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
+             AS BIGINT) AS min_k,
+        CAST(max(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
+             AS BIGINT) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("functions", "Q17", "variant", "semi-structured"),
+)
+def q17_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17: the VARIANT path for semi-structured data — parse ONCE to
+    the open-schema binary VARIANT type, typed-get downstream.
+
+    The Spark 4 answer to schema drift: ``from_json`` (q17_json_funcs)
+    needs the schema declared up front and silently nulls anything
+    that moved; ``parse_json`` shreds the wire string once into
+    VARIANT's binary encoding, and ``try_variant_get`` extracts typed
+    paths lazily — unknown keys cost nothing, type mismatches go NULL
+    per-path instead of per-row, and new producer fields flow through
+    untouched. This is the ingestion shape for event property bags
+    whose schema the producer owns.
+
+    Scale shape: one parse per row riding the scan (the binary
+    encoding is columnar-friendly downstream — substantially cheaper
+    than re-parsing JSON text per extraction); the rollup is a
+    standard partial-agg on event_type. The oracle shreds the same
+    paths with DuckDB's JSON functions — VARIANT is an encoding
+    choice, not a semantics change, so the typed results must agree
+    exactly.
+    """
+    ev = table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type", F.parse_json(F.col("props")).alias("v")
+    ).select(
+        "event_type",
+        F.try_variant_get(F.col("v"), "$.k", "long").alias("k"),
+    )
+    return v.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.count("k").cast("bigint").alias("n_with_k"),
+        F.sum("k").cast("bigint").alias("sum_k"),
+        F.min("k").cast("bigint").alias("min_k"),
+        F.max("k").cast("bigint").alias("max_k"),
+    )

@@ -154,6 +154,10 @@ QUEUED_FOR_NEXT_WINDOW: set[str] = {
     # interval overlap join; q11 holds asof_tolerance in the round-7
     # window, so this joins the round-8 (a) group.
     "q11_interval_overlap",
+    # Round-7 NEW registration (post-rotation): Spark 4 VARIANT
+    # semi-structured path; q17 holds higher_order_funcs + json_funcs
+    # evidence, so this joins the round-8 (a) group.
+    "q17_variant_shred",
 }
 
 
