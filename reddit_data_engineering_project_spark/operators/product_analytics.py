@@ -1931,3 +1931,104 @@ def q21_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("cum_ltv_cents_per_user"),
     )
+
+
+@register(
+    "q21_degree_powerlaw",
+    oracle=f"""
+    WITH li AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    half AS (
+        SELECT a.l_partkey AS src, b.l_partkey AS dst
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        HAVING count(*) >= {_BASKET_MIN_PAIR_ORDERS}
+    ),
+    edges AS (
+        SELECT src, dst FROM half
+        UNION ALL
+        SELECT dst AS src, src AS dst FROM half
+    ),
+    deg AS (
+        SELECT src AS node, CAST(count(*) AS BIGINT) AS d
+        FROM edges GROUP BY 1
+    ),
+    bounds AS (
+        SELECT min(d) AS dmin, max(d) AS dmax,
+               CAST(count(*) AS BIGINT) AS n
+        FROM deg
+    ),
+    terms AS (
+        SELECT b.n, b.dmin, b.dmax,
+               CAST(round(ln(deg.d * 1.0 / b.dmin) * 1000000.0) AS BIGINT)
+                   AS lterm
+        FROM deg CROSS JOIN bounds b
+    )
+    SELECT
+        CAST(max(n) AS BIGINT) AS n_nodes,
+        CAST(max(dmin) AS BIGINT) AS d_min,
+        CAST(max(dmax) AS BIGINT) AS d_max,
+        CAST(sum(lterm) AS BIGINT) AS sum_ln_e6,
+        CASE WHEN sum(lterm) > 0
+             THEN CAST(1000000 + round(max(n) * 1000000000000.0
+                                       / sum(lterm)) AS BIGINT)
+             ELSE NULL END AS alpha_e6
+    FROM terms
+    """,
+    tags=("analytics", "Q21", "graph", "skew"),
+)
+def q21_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21: power-law tail exponent of the co-purchase degree
+    distribution — the continuous-MLE alpha-hat (Clauset/Shalizi/
+    Newman form: alpha = 1 + n / sum ln(d / d_min)) that quantifies
+    HOW skewed the graph is. This closes the skew-discipline loop:
+    heavy-hitters (Q7y) names the hot keys, this measures the tail
+    exponent that decides whether degree-capping (reach2) and salting
+    (Q10's battery) are necessary — alpha near 2 means hub fan-out
+    dominates every hop join; alpha above 3 means the tail is benign.
+
+    Exactness (the X4z discipline): each node's ln(d/d_min) is
+    rounded ONCE to an e6 BIGINT, the sum is exact integer, and the
+    final alpha divides two exact integers with one rounding on both
+    engines. All-equal degrees (sum = 0) yield NULL alpha rather than
+    a division blow-up.
+
+    Scale shape: the degree table is one count over the edge list;
+    bounds are a 1-row broadcast; the log-term pass and the final
+    1-row rollup ride the degree table's layout. Nothing here exceeds
+    node-dimension size.
+    """
+    edges = _copurchase_edges(spark, sf_dir)
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").cast("bigint").alias("d")
+    )
+    bounds = deg.agg(
+        F.min("d").alias("dmin"),
+        F.max("d").alias("dmax"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    terms = deg.crossJoin(F.broadcast(bounds)).select(
+        "n",
+        "dmin",
+        "dmax",
+        F.round(F.log(F.col("d") * 1.0 / F.col("dmin")) * 1000000.0)
+        .cast("bigint")
+        .alias("lterm"),
+    )
+    return terms.agg(
+        F.max("n").cast("bigint").alias("n_nodes"),
+        F.max("dmin").cast("bigint").alias("d_min"),
+        F.max("dmax").cast("bigint").alias("d_max"),
+        F.sum("lterm").cast("bigint").alias("sum_ln_e6"),
+        F.when(
+            F.sum("lterm") > 0,
+            (
+                F.lit(1000000)
+                + F.round(
+                    F.max("n") * 1000000000000.0 / F.sum("lterm")
+                )
+            ).cast("bigint"),
+        ).alias("alpha_e6"),
+    )

@@ -125,7 +125,7 @@ def register(
 #       (q18_schema_evolution_read, x03_ivfpq_topk,
 #       x02_semantic_dedup, q21_survival_km, x05_payload_energy,
 #       q21_cohort_ltv, q20_grouped_agg_pandas, q11_interval_overlap,
-#       q17_variant_shred) = 22 mandatory slots;
+#       q17_variant_shred, q21_degree_powerlaw) = 23 mandatory slots;
 #   (b) the 37 entries whose latest green evidence is r02/r03 (the
 #       OLD, pre-regeneration corpus), enumerated from the committed
 #       CORRECTNESS files: q01_csv_scan, q01_json_scan,
@@ -142,7 +142,9 @@ def register(
 #       x01_dedup_exact_key, x02_dedup_clusters, x02_embedding_neardup,
 #       x02_neardup_jaccard, x03_pairwise_label_centroids,
 #       x04_doc_stats, x05_binary_features, x05_frame_sample;
-#   (c) 22 + 37 = 59 — NINE overflow to round 9: drop
+#   (c) 23 + 37 = 60 — TEN overflow to round 9: drop
+#       q10_join_full_outer (q10 gets fresh r07 evidence via
+#       join_null_safe; anti/broadcast/star re-grades stay in),
 #       q21_event_transitions (q21 gets eleven fresh r07 rows;
 #       funnel_conversion stays in as the events-family re-grade),
 #       x02_dedup_clusters (x02 gets five fresh r07 rows; its

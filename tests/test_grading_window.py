@@ -158,6 +158,11 @@ QUEUED_FOR_NEXT_WINDOW: set[str] = {
     # semi-structured path; q17 holds higher_order_funcs + json_funcs
     # evidence, so this joins the round-8 (a) group.
     "q17_variant_shred",
+    # Round-7 NEW registration (post-rotation): power-law tail
+    # exponent of the co-purchase degree distribution (the skew
+    # measurement behind capping/salting); q21 holds eleven members
+    # in the round-7 window, so this joins the round-8 (a) group.
+    "q21_degree_powerlaw",
 }
 
 
