@@ -321,8 +321,8 @@ def q17_higher_order_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
         event_type,
         CAST(count(*) AS BIGINT) AS n_events,
-        CAST(count(json_extract_string(props, '$.k')) AS BIGINT)
-            AS n_with_k,
+        CAST(count(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
+             AS BIGINT) AS n_with_k,
         CAST(sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
              AS BIGINT) AS sum_k,
         CAST(min(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
@@ -353,7 +353,11 @@ def q17_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard partial-agg on event_type. The oracle shreds the same
     paths with DuckDB's JSON functions — VARIANT is an encoding
     choice, not a semantics change, so the typed results must agree
-    exactly.
+    exactly. Presence (``n_with_k``) is counted through the SAME
+    typed lens on both sides: the oracle TRY_CASTs the extracted
+    string to BIGINT to mirror ``try_variant_get(..., 'long')``, so
+    a non-numeric ``k`` (string/float/object) counts as absent in
+    both engines instead of diverging.
     """
     ev = table(spark, sf_dir, "events")
     v = ev.select(

@@ -628,10 +628,20 @@ def x05_payload_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     # formulation with two instr calls per byte measured ~2x slower at
     # sf0.1); the ORACLE keeps the strpos digit algebra — the emitted
     # VALUES are method-independent, so the hash still pins them.
+    # Empty-payload guard (both spines): Spark's ``sequence(a, b)``
+    # defaults step to -1 when a > b, so an empty payload would turn
+    # sequence(1, 0) / sequence(0, -1) into DESCENDING two-element
+    # arrays and emit bogus frames — while DuckDB's generate_series
+    # with the default +1 step is empty. Gate each sequence on a
+    # positive length so both engines emit zero rows for zero bytes.
+    _empty_ints = F.expr("CAST(array() AS array<int>)")
+    n_bytes = (F.length("h") / F.lit(2)).cast("int")
     vals = hx.select(
         "doc_id",
         F.transform(
-            F.sequence(F.lit(1), (F.length("h") / F.lit(2)).cast("int")),
+            F.when(n_bytes > 0, F.sequence(F.lit(1), n_bytes)).otherwise(
+                _empty_ints
+            ),
             lambda i: F.conv(
                 F.col("h").substr(i * 2 - 1, F.lit(2)), 16, 10
             ).cast("long"),
@@ -642,7 +652,8 @@ def x05_payload_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(
             F.transform(
-                F.sequence(F.lit(0), n_frames - 1),
+                F.when(n_frames > 0, F.sequence(F.lit(0), n_frames - 1))
+                .otherwise(_empty_ints),
                 lambda f: F.struct(
                     f.cast("long").alias("frame_idx"),
                     F.size(

@@ -1707,7 +1707,7 @@ _SURVIVAL_CHURN_DAYS = 365
         FROM risk
     )
     SELECT
-        CAST(t AS BIGINT) AS t_days,
+        CAST(t AS BIGINT) AS t_weeks,
         n_risk,
         n_churned,
         n_censored,
@@ -1721,7 +1721,8 @@ _SURVIVAL_CHURN_DAYS = 365
 def q21_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q21: discrete Kaplan-Meier churn-survival table over user
     lifetimes — the survival-analysis class of product analytics
-    (beside funnels, cohorts, and streaks): for each lifetime day t,
+    (beside funnels, cohorts, and streaks): for each lifetime WEEK t
+    (``t_weeks`` = floor(lifetime-days / 7) on both engines),
     how many users were still at risk, how many churned exactly then,
     the discrete hazard, and the running KM survival estimate.
 
@@ -1815,7 +1816,7 @@ def q21_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         Window.unboundedPreceding, Window.currentRow
     )
     return terms.select(
-        F.col("t").cast("bigint").alias("t_days"),
+        F.col("t").cast("bigint").alias("t_weeks"),
         "n_risk",
         "n_churned",
         "n_censored",

@@ -89,141 +89,112 @@ def register(
 # enforces that every family has driver evidence from SOME round.
 # Round 4+: rotate representatives so coverage stays fresh.
 #
-# ROUND-7 ROTATION (executes the round-6 verdict's "Next round" items
-# 1+2 — the never-graded backlog sweep). CORRECTNESS_r06 graded the
-# previous 50-slot window fully green (50/50 hash), which was the
-# precondition the round-6 status note set for this rotation. The new
-# window below holds ONLY entries with no driver hash row:
-#   (a) 49 of the 62 never-driver-graded entries: all 12 ungraded x04,
-#       11 of 13 ungraded q21, the two rows-only-to-full-oracle
-#       upgrades (x03_ann_lsh_bucketed, x03_ivf_topk) whose only
-#       driver row is a round-2 ``no_oracle``, all 4 ungraded q22,
-#       x02 containment/keep_best/fuzzy, all 3 ungraded x05,
-#       q19 cdc/incremental, q20_map_in_arrow, all 4 ungraded
-#       pipelines, and one family-evidence representative for each
-#       family whose never-graded members would otherwise all sit
-#       outside the window (q07_winsorized_stats, q10_join_null_safe,
-#       q11_asof_tolerance, q12_table_diff, q13_percent_rank_cume,
-#       q16_null_semantics, q17_higher_order_funcs);
-#   (b) q18_snapshot_publish_read — NEW this round (snapshot-protocol
-#       read-back audit, verdict item 5); it takes the q18 family
-#       slot now that q18 has never-graded members again.
-# Rotated out: the entire round-6 window (50/50 green r06 rows — every
-# family keeps that as its continuity evidence).
+# ROUND-8 ROTATION (executes the round-7 verdict's "Next round"
+# items 1+5 — drain the ENTIRE never-driver-graded backlog and
+# re-grade the reworked triangle count). CORRECTNESS_r07 graded the
+# previous window 50/50 green, the precondition for this rotation.
+# The new window below =
+#   (a) ALL 23 never-driver-graded entries — the 13 round-7 deferrals
+#       (q07 corr/heavy_hitters/mode, q10_local_supplier_volume,
+#       q13 range_interval/value_functions, q16_bitwise,
+#       q21 ab_power/next_event, x03 recall/kmeans/knn/pq) plus the
+#       10 round-7 registrations (q18_schema_evolution_read,
+#       x03_ivfpq_topk, x02_semantic_dedup, q21_survival_km,
+#       x05_payload_energy, q21_cohort_ltv, q20_grouped_agg_pandas,
+#       q11_interval_overlap, q17_variant_shred, q21_degree_powerlaw).
+#       After this round NOTHING registered before round 8 lacks a
+#       driver row.
+#   (b) 26 of the 37 stale re-grades (latest green row r02/r03 = the
+#       OLD pre-regeneration corpus): the whole simple-relational
+#       tier (q01 csv/json, q02-q06, q07_percentiles, q08 x3),
+#       q09_pivot, q10 anti/broadcast/star, q11_range_join_bands,
+#       q12_intersect_users, q13_running_frames, q17 adhoc/map_funcs,
+#       q21_funnel_conversion, x01_dedup_exact_key,
+#       x02_embedding_neardup, x03_pairwise_label_centroids,
+#       x04_doc_stats, x05_binary_features.
+#   (c) q21_triangle_count RE-grade: its round-7 green row predates
+#       this round's degree-ordering orientation rework (verdict item
+#       5); the changed implementation earns a fresh hash row in the
+#       same round it lands.
+# 23 + 26 + 1 = 50. ELEVEN stale re-grades overflow to round 9 (the
+# verdict's ten named drops + x05_frame_sample, which cedes its slot
+# to the triangle re-grade; x05 keeps binary_features in-window plus
+# three fresh r07 rows): q10_join_full_outer, q10_join_left_outer,
+# q10_join_semi (q10 holds fresh r07 null_safe evidence and three
+# battery re-grades stay in), q21_event_transitions (q21 got eleven
+# r07 rows; funnel_conversion is the events-family re-grade),
+# x02_dedup_clusters, x02_neardup_jaccard (x02 got five r07 rows and
+# keeps the embedding re-grade in), q09_cube, q09_rollup (ONLY the
+# pivot re-grade stays in-window; q09 holds green r05/r06 evidence
+# via rollup/unpivot), q12_union_daily_slices, q12_union_by_name
+# (q12 holds fresh r07 table_diff evidence and the intersect re-grade
+# stays in), x05_frame_sample.
 #
-# ROUND-8 ROTATION PLAN (committed now per verdict item 2 so no entry
-# waits on an undocumented promise; 51 candidates for 50 slots):
-#   (a) the 13 never-graded entries deferred this round (they are
-#       tests/test_grading_window.py::QUEUED_FOR_NEXT_WINDOW minus the
-#       new q18_schema_evolution_read, which also joins this list):
-#       q07_corr_exact_moments, q07_heavy_hitters, q07_mode_exact,
-#       q10_local_supplier_volume, q13_range_interval_frames,
-#       q13_value_functions, q16_bitwise_funcs, q21_ab_power_analysis,
-#       q21_next_event_prediction, x03_ann_recall_report,
-#       x03_kmeans_step, x03_knn_classify, x03_pq_topk,
-#       + the post-rotation round-7 registrations
-#       (q18_schema_evolution_read, x03_ivfpq_topk,
-#       x02_semantic_dedup, q21_survival_km, x05_payload_energy,
-#       q21_cohort_ltv, q20_grouped_agg_pandas, q11_interval_overlap,
-#       q17_variant_shred, q21_degree_powerlaw) = 23 mandatory slots;
-#   (b) the 37 entries whose latest green evidence is r02/r03 (the
-#       OLD, pre-regeneration corpus), enumerated from the committed
-#       CORRECTNESS files: q01_csv_scan, q01_json_scan,
-#       q02_projection_pruning, q03_filter_predicates, q04_topk,
-#       q05_multikey_sort, q06_limit_offset, q07_percentiles,
-#       q08_approx_distinct, q08_count_distinct, q08_distinct_pairs,
-#       q09_cube, q09_pivot, q09_rollup, q10_join_anti,
-#       q10_join_broadcast_dims, q10_join_full_outer,
-#       q10_join_inner_star, q10_join_left_outer, q10_join_semi,
-#       q11_range_join_bands, q12_intersect_users, q12_union_by_name,
-#       q12_union_daily_slices, q13_running_frames,
-#       q17_adhoc_sql_correlated, q17_map_funcs,
-#       q21_event_transitions, q21_funnel_conversion,
-#       x01_dedup_exact_key, x02_dedup_clusters, x02_embedding_neardup,
-#       x02_neardup_jaccard, x03_pairwise_label_centroids,
-#       x04_doc_stats, x05_binary_features, x05_frame_sample;
-#   (c) 23 + 37 = 60 — TEN overflow to round 9: drop
-#       q10_join_full_outer (q10 gets fresh r07 evidence via
-#       join_null_safe; anti/broadcast/star re-grades stay in),
-#       q21_event_transitions (q21 gets eleven fresh r07 rows;
-#       funnel_conversion stays in as the events-family re-grade),
-#       x02_dedup_clusters (x02 gets five fresh r07 rows; its
-#       recursive-CTE-oracled twin keep_best carries the iterative
-#       evidence),
-#       x02_neardup_jaccard (x02 gets five fresh r07 rows and keeps
-#       the clusters/embedding re-grades in),
-#       q09_cube (q09 keeps the pivot re-grade in and holds green
-#       r05/r06 evidence via rollup/unpivot),
-#       q09_rollup (q09 keeps cube + pivot re-grades in and holds
-#       green r05/r06 evidence via rollup/unpivot),
-#       q12_union_daily_slices, q12_union_by_name (q12 holds fresh r07
-#       evidence via table_diff and one union re-grade stays in),
-#       q10_join_left_outer and q10_join_semi (q10 gets fresh r07
-#       evidence via join_null_safe and three other battery re-grades
-#       stay in), unless a red r07 row creates a more urgent re-grade.
+# ROUND-9 ROTATION PLAN (committed now so no entry waits on an
+# undocumented promise): mandatory slots = the 11 stale overflows
+# above + every round-8 NEW registration (each new entry adds itself
+# to this list AND to tests/test_grading_window.py's
+# QUEUED_FOR_NEXT_WINDOW in the same commit). Remaining capacity
+# (50 - 11 - new) backfills current-corpus re-grades of the OLDEST
+# r04/r05 rows, oldest first. After round 9 the stale-evidence queue
+# is empty.
 GRADING_PRIORITY: tuple[str, ...] = (
-    # (a) q21 product/graph analytics — 11 of 13 never-graded members
-    "q21_ab_lift_ztest",
-    "q21_activity_streaks",
-    "q21_attribution_last_touch",
-    "q21_copurchase_lift",
-    "q21_copurchase_reach2",
-    "q21_dau_wau_stickiness",
-    "q21_part_pagerank",
-    "q21_rfm_segments",
-    "q21_sessionize_gap",
-    "q21_spend_trend_ols",
+    # (a) the 13 round-7 deferrals
+    "q07_corr_exact_moments",
+    "q07_heavy_hitters",
+    "q07_mode_exact",
+    "q10_local_supplier_volume",
+    "q13_range_interval_frames",
+    "q13_value_functions",
+    "q16_bitwise_funcs",
+    "q21_ab_power_analysis",
+    "q21_next_event_prediction",
+    "x03_ann_recall_report",
+    "x03_kmeans_step",
+    "x03_knn_classify",
+    "x03_pq_topk",
+    # (a) the 10 round-7 post-rotation registrations
+    "q11_interval_overlap",
+    "q17_variant_shred",
+    "q18_schema_evolution_read",
+    "q20_grouped_agg_pandas",
+    "q21_cohort_ltv",
+    "q21_degree_powerlaw",
+    "q21_survival_km",
+    "x02_semantic_dedup",
+    "x03_ivfpq_topk",
+    "x05_payload_energy",
+    # (b) stale re-grades: simple-relational tier
+    "q01_csv_scan",
+    "q01_json_scan",
+    "q02_projection_pruning",
+    "q03_filter_predicates",
+    "q04_topk",
+    "q05_multikey_sort",
+    "q06_limit_offset",
+    "q07_percentiles",
+    "q08_approx_distinct",
+    "q08_count_distinct",
+    "q08_distinct_pairs",
+    # (b) stale re-grades: aggregates/joins/sets/windows
+    "q09_pivot",
+    "q10_join_anti",
+    "q10_join_broadcast_dims",
+    "q10_join_inner_star",
+    "q11_range_join_bands",
+    "q12_intersect_users",
+    "q13_running_frames",
+    "q17_adhoc_sql_correlated",
+    "q17_map_funcs",
+    "q21_funnel_conversion",
+    # (b) stale re-grades: x-families
+    "x01_dedup_exact_key",
+    "x02_embedding_neardup",
+    "x03_pairwise_label_centroids",
+    "x04_doc_stats",
+    "x05_binary_features",
+    # (c) re-grade of this round's degree-ordering rework
     "q21_triangle_count",
-    # (a) x04 text-analysis / curation — all 12 never-graded members
-    "x04_bm25_scores",
-    "x04_boilerplate_removal",
-    "x04_bpe_merge_apply",
-    "x04_bpe_pair_stats",
-    "x04_char_entropy",
-    "x04_data_quality_report",
-    "x04_feature_hashing",
-    "x04_global_shuffle",
-    "x04_lm_quality_score",
-    "x04_quality_percentile_gate",
-    "x04_readability",
-    "x04_source_caps",
-    # (a) x03 rows-only -> full-oracle upgrades (first hash grading)
-    "x03_ann_lsh_bucketed",
-    "x03_ivf_topk",
-    # (a) q22 time series — all 4 never-graded members
-    "q22_cusum_drift",
-    "q22_ewma_window",
-    "q22_locf_fill",
-    "q22_seasonal_naive",
-    # (a) x02 near-dup ladder rungs
-    "x02_containment_pairs",
-    "x02_dedup_keep_best",
-    "x02_fuzzy_levenshtein_neardup",
-    # (a) x05 multimodal
-    "x05_byte_histogram",
-    "x05_frame_dedup",
-    "x05_size_binned_shards",
-    # (a) q19 changelog / materialized-view maintenance
-    "q19_cdc_apply",
-    "q19_incremental_agg_maintain",
-    # (a) q20 Arrow seam
-    "q20_map_in_arrow",
-    # (a) composed pipelines
-    "pipeline_dedup_report",
-    "pipeline_events_monitor",
-    "pipeline_feature_store",
-    "pipeline_split_leakage_audit",
-    # (a) family-evidence representatives (their families' other
-    # never-graded members defer to round 8)
-    "q07_winsorized_stats",
-    "q10_join_null_safe",
-    "q11_asof_tolerance",
-    "q12_table_diff",
-    "q13_percent_rank_cume",
-    "q16_null_semantics",
-    "q17_higher_order_funcs",
-    # (b) new this round: snapshot-protocol audit (q18 family slot)
-    "q18_snapshot_publish_read",
 )
 
 GRADED_WINDOW = 50

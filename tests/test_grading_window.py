@@ -99,71 +99,12 @@ def test_every_family_has_driver_evidence():
 # Queries registered after a window was pinned: consciously queued for
 # the next window rotation (they hold check_oracle + pytest coverage
 # meanwhile). Adding a name here is the explicit act the guard demands —
-# silent additions fail the test below. The round-6 rotation moved the
-# entire 21-entry round-3 queue into the graded window; the entries
-# below are round-6 NEW registrations awaiting the round-7 rotation.
-QUEUED_FOR_NEXT_WINDOW: set[str] = {
-    # Round-7 rotation deferrals: the 62-entry never-graded backlog
-    # exceeded the 50-slot window by 13; these defer to round 8 as its
-    # MANDATORY (a) group (full plan at registry.py, ROUND-8 ROTATION
-    # PLAN). Each family below keeps >=1 never-graded member inside the
-    # round-7 window, so no family waits for evidence.
-    "q07_corr_exact_moments",  # q07 rep in window: winsorized_stats
-    "q07_heavy_hitters",
-    "q07_mode_exact",
-    "q10_local_supplier_volume",  # q10 rep in window: join_null_safe
-    "q13_range_interval_frames",  # q13 rep in window: percent_rank_cume
-    "q13_value_functions",
-    "q16_bitwise_funcs",  # q16 rep in window: null_semantics
-    "q21_ab_power_analysis",  # q21 holds 11 other members in window
-    "q21_next_event_prediction",
-    "x03_ann_recall_report",  # x03 reps in window: lsh/ivf upgrades;
-    "x03_kmeans_step",  # recall_report's oracle is composed from the
-    "x03_knn_classify",  # audited stages' own registered oracles
-    "x03_pq_topk",
-    # Round-7 NEW registration (verdict item 5 second half): the
-    # schema-evolution read-back audit; its sibling
-    # q18_snapshot_publish_read took the round-7 q18 window slot.
-    "q18_schema_evolution_read",
-    # Round-7 NEW registration (post-rotation): the composed IVF-PQ
-    # probed-ADC search; x03's window evidence this round is the
-    # LSH/IVF oracle upgrades, so this joins the round-8 (a) group.
-    "x03_ivfpq_topk",
-    # Round-7 NEW registration (post-rotation): SemDeDup-style
-    # cluster-scoped semantic dedup; x02 holds three other members in
-    # the round-7 window, so this joins the round-8 (a) group.
-    "x02_semantic_dedup",
-    # Round-7 NEW registration (post-rotation): Kaplan-Meier churn
-    # survival; q21 holds eleven members in the round-7 window, so
-    # this joins the round-8 (a) group.
-    "q21_survival_km",
-    # Round-7 NEW registration (post-rotation): framed RMS payload
-    # energy (audio-analog feature extraction); x05 holds three
-    # members in the round-7 window, so this joins the round-8 (a)
-    # group.
-    "x05_payload_energy",
-    # Round-7 NEW registration (post-rotation): cumulative-revenue LTV
-    # triangle; q21 holds eleven members in the round-7 window, so
-    # this joins the round-8 (a) group.
-    "q21_cohort_ltv",
-    # Round-7 NEW registration (post-rotation): the GROUPED_AGG pandas
-    # UDAF rung of the UDF ladder; q20 holds map_in_arrow plus two
-    # r06-green members, window rep is map_in_arrow in round 8.
-    "q20_grouped_agg_pandas",
-    # Round-7 NEW registration (post-rotation): hour-banded interval x
-    # interval overlap join; q11 holds asof_tolerance in the round-7
-    # window, so this joins the round-8 (a) group.
-    "q11_interval_overlap",
-    # Round-7 NEW registration (post-rotation): Spark 4 VARIANT
-    # semi-structured path; q17 holds higher_order_funcs + json_funcs
-    # evidence, so this joins the round-8 (a) group.
-    "q17_variant_shred",
-    # Round-7 NEW registration (post-rotation): power-law tail
-    # exponent of the co-purchase degree distribution (the skew
-    # measurement behind capping/salting); q21 holds eleven members
-    # in the round-7 window, so this joins the round-8 (a) group.
-    "q21_degree_powerlaw",
-}
+# silent additions fail the test below. The round-8 rotation moved the
+# ENTIRE never-graded backlog (13 round-7 deferrals + 10 round-7
+# registrations) into the graded window, so this set holds only
+# round-8 NEW registrations awaiting the round-9 rotation (each must
+# also appear in registry.py's ROUND-9 ROTATION PLAN comment).
+QUEUED_FOR_NEXT_WINDOW: set[str] = set()
 
 
 def test_previously_ungraded_entries_are_all_in_window():

@@ -93,6 +93,15 @@ def stage(name: str, fn) -> tuple[str, bool, str]:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--full", action="store_true", help="check all entries")
+    ap.add_argument(
+        "--bless-bench",
+        action="store_true",
+        help=(
+            "write this run's fresh sf0.001 per-query detail to "
+            "BENCH_BASELINE_DETAIL.json as the new blessed regression "
+            "reference (the ONLY way that file moves)"
+        ),
+    )
     args = ap.parse_args()
 
     results: list[tuple[str, bool, str]] = []
@@ -162,20 +171,17 @@ def main() -> int:
     results.append(stage("oracle-gate", oracle_gate))
 
     def bench_parse():
-        # Regression reference: the COMMITTED per-query detail (bench.py
-        # overwrites BENCH_DETAIL.json on every run, so the working-tree
-        # copy is about to become the fresh reading, not the baseline).
+        # Regression reference: the BLESSED per-query detail.
+        # BENCH_DETAIL.json is overwritten by every bench.py run (any
+        # stray sf0.1 round run replaces the sf0.001 reading, silently
+        # disarming a git-HEAD-based gate — measured in round 7), so
+        # the gate diffs against BENCH_BASELINE_DETAIL.json, which
+        # ONLY moves via an explicit ``--bless-bench`` run.
         ref = {}
+        baseline_path = os.path.join(REPO, "BENCH_BASELINE_DETAIL.json")
         try:
-            shown = subprocess.run(
-                ["git", "show", "HEAD:BENCH_DETAIL.json"],
-                cwd=REPO,
-                capture_output=True,
-                text=True,
-                timeout=30,
-            )
-            if shown.returncode == 0:
-                ref = json.loads(shown.stdout)
+            with open(baseline_path) as fh:
+                ref = json.load(fh)
         except Exception:
             ref = {}
 
@@ -210,7 +216,7 @@ def main() -> int:
         # on a 0.1 s query would cry wolf).
         with open(os.path.join(REPO, "BENCH_DETAIL.json")) as fh:
             fresh = json.load(fh)
-        note = "no committed baseline at this sf"
+        note = "no blessed baseline at this sf (run --bless-bench)"
         regressed = bench_regressions(ref, fresh)
         if regressed is not None:
             if regressed:
@@ -218,13 +224,21 @@ def main() -> int:
                     regressed.items(), key=lambda kv: kv[1][1], reverse=True
                 )[:10]
                 raise RuntimeError(
-                    "per-query bench regressions >2x vs committed "
-                    "BENCH_DETAIL.json: "
+                    "per-query bench regressions >2.5x (median-normalized) "
+                    "vs blessed BENCH_BASELINE_DETAIL.json: "
                     + ", ".join(
                         f"{n} {old:.2f}s->{new:.2f}s" for n, (old, new) in top
                     )
                 )
-            note = f"0 regressions vs {len(ref['queries'])} committed mins"
+            note = f"0 regressions vs {len(ref['queries'])} blessed mins"
+        if args.bless_bench:
+            fresh["blessed_note"] = (
+                "sf0.001 per-query regression reference; moves ONLY via "
+                "tools/preflight.py --bless-bench"
+            )
+            with open(baseline_path, "w") as fh:
+                json.dump(fresh, fh, indent=1, sort_keys=True)
+            note += "; BLESSED as new baseline"
         return f"{d['value']}s, {len(d['queries'])} queries; {note}"
 
     results.append(stage("bench-parse", bench_parse))
