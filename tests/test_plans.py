@@ -329,13 +329,18 @@ def test_source_caps_is_rank_then_filter_one_exchange(spark):
 
 def test_triangle_count_all_hash_joins_no_cartesian(spark):
     """q21_triangle_count: wedge build and closure are equi hash joins —
-    a cartesian anywhere means the orientation trick broke."""
+    a cartesian anywhere means the orientation trick broke — and the
+    degree-ordered oriented edge list is persisted ONCE and read by all
+    three plan branches (column pruning defeats ReusedExchange here, so
+    an InMemoryTableScan missing means the orientation subtree — basket
+    build + two degree joins — runs three times)."""
     plan = _plan(spark, "q21_triangle_count")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert ("ShuffledHashJoin" in plan) or ("SortMergeJoin" in plan) or (
         "BroadcastHashJoin" in plan
     )
+    assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan
 
 
 def test_rfm_anchor_is_broadcast(spark):
