@@ -104,11 +104,12 @@ def register(
 #       q11_interval_overlap, q17_variant_shred, q21_degree_powerlaw).
 #       After this round NOTHING registered before round 8 lacks a
 #       driver row.
-#   (b) 26 of the 37 stale re-grades (latest green row r02/r03 = the
+#   (b) 25 of the 37 stale re-grades (latest green row r02/r03 = the
 #       OLD pre-regeneration corpus): the whole simple-relational
 #       tier (q01 csv/json, q02-q06, q07_percentiles, q08 x3),
 #       q09_pivot, q10 anti/broadcast/star, q11_range_join_bands,
-#       q12_intersect_users, q13_running_frames, q17 adhoc/map_funcs,
+#       q12_intersect_users, q13_running_frames,
+#       q17_adhoc_sql_correlated,
 #       q21_funnel_conversion, x01_dedup_exact_key,
 #       x02_embedding_neardup, x03_pairwise_label_centroids,
 #       x04_doc_stats, x05_binary_features.
@@ -116,10 +117,15 @@ def register(
 #       this round's degree-ordering orientation rework (verdict item
 #       5); the changed implementation earns a fresh hash row in the
 #       same round it lands.
-# 23 + 26 + 1 = 50. ELEVEN stale re-grades overflow to round 9 (the
-# verdict's ten named drops + x05_frame_sample, which cedes its slot
-# to the triangle re-grade; x05 keeps binary_features in-window plus
-# three fresh r07 rows): q10_join_full_outer, q10_join_left_outer,
+#   (c) q21_triangle_count re-grade (degree-ordering rework landed
+#       this round) and (d) s08_stateful_zscore_replay, the one
+#       round-8 NEW registration, graded in its landing round.
+# 23 + 25 + 1 + 1 = 50. TWELVE stale re-grades overflow to round 9
+# (the verdict's ten named drops + x05_frame_sample, which cedes its
+# slot to the triangle re-grade — x05 keeps binary_features in-window
+# plus three fresh r07 rows — + q17_map_funcs, which cedes to the new
+# s08 family slot; q17 keeps the adhoc re-grade and variant_shred
+# in-window): q10_join_full_outer, q10_join_left_outer,
 # q10_join_semi (q10 holds fresh r07 null_safe evidence and three
 # battery re-grades stay in), q21_event_transitions (q21 got eleven
 # r07 rows; funnel_conversion is the events-family re-grade),
@@ -128,14 +134,14 @@ def register(
 # pivot re-grade stays in-window; q09 holds green r05/r06 evidence
 # via rollup/unpivot), q12_union_daily_slices, q12_union_by_name
 # (q12 holds fresh r07 table_diff evidence and the intersect re-grade
-# stays in), x05_frame_sample.
+# stays in), x05_frame_sample, q17_map_funcs.
 #
 # ROUND-9 ROTATION PLAN (committed now so no entry waits on an
-# undocumented promise): mandatory slots = the 11 stale overflows
+# undocumented promise): mandatory slots = the 12 stale overflows
 # above + every round-8 NEW registration (each new entry adds itself
 # to this list AND to tests/test_grading_window.py's
 # QUEUED_FOR_NEXT_WINDOW in the same commit). Remaining capacity
-# (50 - 11 - new) backfills current-corpus re-grades of the OLDEST
+# (50 - 12 - new) backfills current-corpus re-grades of the OLDEST
 # r04/r05 rows, oldest first. After round 9 the stale-evidence queue
 # is empty.
 GRADING_PRIORITY: tuple[str, ...] = (
@@ -185,7 +191,6 @@ GRADING_PRIORITY: tuple[str, ...] = (
     "q12_intersect_users",
     "q13_running_frames",
     "q17_adhoc_sql_correlated",
-    "q17_map_funcs",
     "q21_funnel_conversion",
     # (b) stale re-grades: x-families
     "x01_dedup_exact_key",
@@ -195,6 +200,12 @@ GRADING_PRIORITY: tuple[str, ...] = (
     "x05_binary_features",
     # (c) re-grade of this round's degree-ordering rework
     "q21_triangle_count",
+    # (d) round-8 NEW registration, graded the round it lands: the S8
+    # stateful z-score promoted to an exact-hash batch replay (r07
+    # verdict item 6). s08 is a NEW family, so it must hold a window
+    # slot; q17_map_funcs cedes (q17 keeps the adhoc re-grade plus
+    # variant_shred in-window) and joins the round-9 overflows.
+    "s08_stateful_zscore_replay",
 )
 
 GRADED_WINDOW = 50

@@ -427,3 +427,131 @@ def s07_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= 3)
     )
+
+
+class _ReplayGroupState:
+    """Minimal batch stand-in for :class:`pyspark.sql.streaming.state.
+    GroupState` — just the ``exists`` / ``get`` / ``update`` surface the
+    z-score transition function touches. Lets the LITERAL streaming
+    state-transition code run under batch ``applyInPandas``."""
+
+    __slots__ = ("_v",)
+
+    def __init__(self) -> None:
+        self._v = None
+
+    @property
+    def exists(self) -> bool:
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v) -> None:
+        self._v = v
+
+
+def _replay_zscore_user(pdf):
+    """Fold ONE user's full history through ``score_rolling_zscore`` as
+    a single micro-batch against fresh state.
+
+    The caller pre-quantizes ``value`` to e4 integers (held in integral
+    doubles), so every frame sum / sum-of-squares inside the transition
+    function is EXACT float arithmetic — the replay is bit-deterministic
+    and hash-gradable, where the raw-double streaming path needs the ±1
+    e4-unit tolerance ``tests/test_stateful_stream.py`` documents. The
+    function's own e4 output scaling therefore lands on v*1e4*1e4; the
+    exact integer division below restores the e4 value.
+    """
+    from .stateful import score_rolling_zscore
+
+    state = _ReplayGroupState()
+    (out,) = list(
+        score_rolling_zscore(
+            (int(pdf["user_id"].iloc[0]),), iter([pdf]), state
+        )
+    )
+    out["value_e4"] = (out["value_e4"] // 10000).astype("Int64")
+    return out
+
+
+@register(
+    "s08_stateful_zscore_replay",
+    oracle="""
+    WITH q AS (
+        SELECT
+            user_id,
+            event_id,
+            CAST(ts AS TIMESTAMP) AS ts,
+            CAST(round(value * 10000.0) AS BIGINT) AS vq
+        FROM events
+    ),
+    framed AS (
+        SELECT
+            user_id, event_id, vq,
+            count(vq) OVER w AS n,
+            sum(vq) OVER w AS s,
+            sum(vq * vq) OVER w AS ss
+        FROM q
+        WINDOW w AS (
+            PARTITION BY user_id
+            ORDER BY ts NULLS LAST, event_id
+            ROWS BETWEEN 7 PRECEDING AND CURRENT ROW
+        )
+    )
+    SELECT
+        user_id,
+        event_id,
+        vq AS value_e4,
+        CASE WHEN vq IS NOT NULL AND n > 1
+                  AND (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n)
+                      / (n - 1) > 1e-12
+             THEN CAST(round(
+                    (vq - CAST(s AS DOUBLE) / n)
+                    / sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n)
+                           / (n - 1))
+                    * 10000.0) AS BIGINT)
+        END AS z_e4
+    FROM framed
+    """,
+    tags=("streaming", "S8", "stateful"),
+)
+def s08_stateful_zscore_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """S8 promoted to a driver-gradable entry (r07 verdict item 6): the
+    stateful rolling z-score's state transitions, replayed in batch.
+
+    The streaming operator (:func:`..streaming.stateful.
+    score_rolling_zscore` under ``applyInPandasWithState``) was
+    pytest-parity-only: its per-frame float accumulation order can
+    differ from a window plan's by an ulp, so batch equivalence was
+    asserted ±1 e4 unit, below the driver's exact-hash bar. This entry
+    closes that gap with the registry's integer discipline: values are
+    quantized to e4 BIGINTs (Spark HALF_UP round, mirrored by DuckDB's
+    round) BEFORE the transition function runs, making every frame sum
+    exact while frame·(value·1e4)² < 2⁵³ (corpus max |value| ≈ 560 →
+    2.5e14, headroom ~36×; z is scale-invariant, so quantized-domain z
+    equals raw-domain z up to the shared single sqrt/divide). The
+    driver therefore hash-grades the LITERAL streaming transition code
+    — same function object, same trailing-8 frame, same NULL-occupies-
+    slot rule, same 1e-12 variance floor (applied in the quantized
+    domain) — against an independent SQL window formulation.
+
+    Scale shape: one hash exchange on user_id into Arrow-batched
+    ``applyInPandas``; per-group memory is O(user history) in the
+    replay (vs O(frame) in the true stream — the replay is a grading
+    harness, not the deployment path; ``run_zscore_stream`` is).
+    """
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.round(F.col("value") * 10000.0).cast("double").alias("value"),
+    )
+    from .stateful import ZSCORE_OUT_SCHEMA
+
+    return ev.groupBy("user_id").applyInPandas(
+        _replay_zscore_user, schema=ZSCORE_OUT_SCHEMA
+    )

@@ -124,3 +124,81 @@ def test_variant_shred_nonnumeric_k_counts_as_absent(spark, tmp_path):
     oracle = con.execute(ORACLES["q17_variant_shred"]).fetchall()
     (o,) = oracle
     assert (o[1], o[2], o[3]) == (5, 2, 12)
+
+
+# --------------------------------------------- s08 stateful replay twin
+
+
+def test_s08_replay_nulls_occupy_slots_and_match_oracle(spark, tmp_path):
+    """The batch replay of the streaming z-score transition function:
+    NULL values occupy frame slots but contribute nothing (the corpus
+    has no NULL values, so this contract only lives here), and the
+    crafted result matches the registered DuckDB oracle exactly."""
+    import duckdb
+    from pyspark.sql import Row
+    from pyspark.sql import functions as FF
+
+    from reddit_data_engineering_project_spark.streaming import (
+        stream_queries,
+    )
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 7, "view", 10.0),
+        (2, "2024-01-01 00:01:00", 7, "view", None),
+        (3, "2024-01-01 00:02:00", 7, "view", 30.0),
+        (4, "2024-01-01 00:03:00", 7, "view", 10.0),
+        (5, "2024-01-01 00:00:30", 8, "view", 5.0),
+    ]
+    df = spark.createDataFrame(
+        [
+            Row(
+                event_id=r[0],
+                ts=r[1],
+                user_id=r[2],
+                event_type=r[3],
+                value=r[4],
+                props="{}",
+            )
+            for r in rows
+        ]
+    ).withColumn("ts", FF.to_timestamp("ts"))
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    sf = str(tmp_path)
+
+    got = {
+        r.event_id: r
+        for r in stream_queries.s08_stateful_zscore_replay(
+            spark, sf
+        ).collect()
+    }
+    assert got[2].value_e4 is None and got[2].z_e4 is None
+    # event 3: frame = [10, NULL, 30] -> stats over {10, 30}
+    assert got[3].value_e4 == 300000
+    import math
+
+    mean, var = 20.0, ((10 - 20) ** 2 + (30 - 20) ** 2) / 1
+    z = (30 - mean) / math.sqrt(var)
+    assert got[3].z_e4 == int(z * 10000 + 0.5)
+    # single-event user: n=1 -> no score
+    assert got[5].z_e4 is None
+
+    con = duckdb.connect()
+    glob = (sf + "/events.parquet/*.parquet").replace("'", "''")
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{glob}')"
+    )
+    from reddit_data_engineering_project_spark.registry import ORACLES
+
+    oracle = {
+        r[1]: r
+        for r in con.execute(
+            ORACLES["s08_stateful_zscore_replay"]
+        ).fetchall()
+    }
+    for eid, row in got.items():
+        assert (oracle[eid][2], oracle[eid][3]) == (
+            row.value_e4,
+            row.z_e4,
+        ), f"event {eid} diverged from oracle"
