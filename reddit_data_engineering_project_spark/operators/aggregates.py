@@ -791,3 +791,159 @@ def q07_corr_exact_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(num / den * 1000000.0).cast("bigint").alias("corr_e6"),
     )
+
+
+#: Count-Min sketch geometry: d hash rows x w cells, with fixed affine
+#: hash constants (same literals on both engines — integer math only).
+_CMS_P = 2147483647
+_CMS_W = 512
+_CMS_HASHES = (
+    (1000003, 12345),
+    (999983, 54321),
+    (1000033, 777),
+    (999979, 424242),
+)
+_CMS_TOP = 20
+
+_CMS_CELLS_SQL = ", ".join(
+    f"(({a} * k + {b}) % {_CMS_P}) % {_CMS_W} AS c{i}"
+    for i, (a, b) in enumerate(_CMS_HASHES)
+)
+
+
+@register(
+    "q07_cms_heavy_hitters",
+    oracle=f"""
+    WITH keys AS (SELECT l_partkey AS k FROM lineitem),
+    cells AS (
+        SELECT k, {_CMS_CELLS_SQL} FROM keys
+    ),
+    sketch AS (
+        SELECT i, cell, CAST(count(*) AS BIGINT) AS cn
+        FROM (
+            {" UNION ALL ".join(
+                f"SELECT {i} AS i, c{i} AS cell FROM cells"
+                for i in range(len(_CMS_HASHES))
+            )}
+        )
+        GROUP BY i, cell
+    ),
+    exact AS (
+        SELECT k, CAST(count(*) AS BIGINT) AS exact_n
+        FROM keys GROUP BY k
+    ),
+    top AS (
+        SELECT k, exact_n,
+               row_number() OVER (ORDER BY exact_n DESC, k ASC) AS rank
+        FROM exact
+        QUALIFY rank <= {_CMS_TOP}
+    ),
+    est AS (
+        SELECT t.k, min(s.cn) AS cms_n
+        FROM (SELECT k, {_CMS_CELLS_SQL} FROM top) t
+        JOIN sketch s
+          ON {" OR ".join(
+               f"(s.i = {i} AND s.cell = t.c{i})"
+               for i in range(len(_CMS_HASHES))
+          )}
+        GROUP BY t.k
+    )
+    SELECT
+        CAST(top.rank AS BIGINT) AS rank,
+        top.k AS partkey,
+        top.exact_n,
+        est.cms_n,
+        est.cms_n - top.exact_n AS overcount
+    FROM top JOIN est ON est.k = top.k
+    """,
+    tags=("aggregates", "Q7", "sketch"),
+)
+def q07_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7: Count-Min sketch frequency estimation with a built-in
+    overcount audit — the mergeable-sketch class (beside Q8's
+    approx_count_distinct HLL and Q7's exact heavy hitters).
+
+    The sketch is a {len(_CMS_HASHES)}×{_CMS_W} integer grid: each
+    record increments one cell per hash row; a key's estimate is the
+    MIN over its cells — never below the true count (one-sided error,
+    ε ≈ e/w of total mass). The affine hashes ((a·k + b) mod p mod w)
+    are fixed integer literals, so both engines build bit-identical
+    sketches. The entry emits the exact top-{_CMS_TOP} keys with exact
+    count, CMS estimate, and the (always ≥0) overcount — the sketch
+    auditing itself against the exact aggregate it would replace at
+    scale, the x03_ann_recall_report pattern.
+
+    Scale shape — WHY this beats the exact groupBy at 100 TB: the
+    explode-then-count formulation partial-aggregates BEFORE the
+    shuffle, and the partial-agg state per task is capped at d·w = 2048
+    cells REGARDLESS of key cardinality — map-side combine IS the
+    sketch merge (CMS is linear), so the exchange moves ≤ 2048 rows per
+    task where the exact count shuffles every distinct key. The exact
+    side here exists only as the audit baseline; candidate cells join
+    the 2048-row sketch via broadcast.
+    """
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("k")
+    )
+    cell_cols = [
+        ((F.lit(a) * F.col("k") + F.lit(b)) % _CMS_P % _CMS_W).alias(
+            f"c{i}"
+        )
+        for i, (a, b) in enumerate(_CMS_HASHES)
+    ]
+    cells = li.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"), cell_cols[i].alias("cell")
+                    )
+                    for i in range(len(_CMS_HASHES))
+                ]
+            )
+        ).alias("h")
+    )
+    sketch = cells.groupBy(
+        F.col("h.i").alias("i"), F.col("h.cell").alias("cell")
+    ).agg(F.count("*").cast("bigint").alias("cn"))
+
+    exact = li.groupBy("k").agg(
+        F.count("*").cast("bigint").alias("exact_n")
+    )
+    # Distributed top-k (TakeOrderedAndProject) over the key-sized
+    # relation, then rank over the surviving 20 rows — never an
+    # un-partitioned window over every distinct key.
+    w = Window.orderBy(F.col("exact_n").desc(), F.col("k").asc())
+    top = (
+        exact.orderBy(F.col("exact_n").desc(), F.col("k").asc())
+        .limit(_CMS_TOP)
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+    )
+    probe = top.select(
+        "k",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"), cell_cols[i].alias("cell")
+                    )
+                    for i in range(len(_CMS_HASHES))
+                ]
+            )
+        ).alias("h"),
+    ).select("k", F.col("h.i").alias("i"), F.col("h.cell").alias("cell"))
+    est = (
+        probe.join(F.broadcast(sketch), ["i", "cell"])
+        .groupBy("k")
+        .agg(F.min("cn").alias("cms_n"))
+    )
+    return (
+        top.join(est, "k")
+        .select(
+            "rank",
+            F.col("k").alias("partkey"),
+            "exact_n",
+            "cms_n",
+            (F.col("cms_n") - F.col("exact_n")).alias("overcount"),
+        )
+    )

@@ -2099,3 +2099,108 @@ def q21_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint"),
         ).alias("alpha_e6"),
     )
+
+
+#: k-core threshold and unrolled peel rounds (fixed for oracle parity,
+#: like PageRank's 3 power iterations).
+_KCORE_K = 3
+_KCORE_ROUNDS = 3
+
+
+def _kcore_oracle() -> str:
+    """Stacked-CTE spelling of the unrolled peel (built by loop so the
+    round count stays a single constant)."""
+    parts = [
+        f"""
+    WITH li AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    und AS (
+        SELECT a.l_partkey AS u, b.l_partkey AS v
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        HAVING count(*) >= {_BASKET_MIN_PAIR_ORDERS}
+    ),
+    e0 AS (
+        SELECT u AS src, v AS dst FROM und
+        UNION ALL
+        SELECT v AS src, u AS dst FROM und
+    )"""
+    ]
+    for r in range(_KCORE_ROUNDS):
+        parts.append(
+            f""",
+    k{r} AS (
+        SELECT src FROM e{r} GROUP BY src
+        HAVING count(*) >= {_KCORE_K}
+    ),
+    e{r + 1} AS (
+        SELECT e.src, e.dst
+        FROM e{r} e
+        JOIN k{r} a ON a.src = e.src
+        JOIN k{r} b ON b.src = e.dst
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT src AS part, CAST(count(*) AS BIGINT) AS deg_in_core
+    FROM e{_KCORE_ROUNDS}
+    GROUP BY src"""
+    )
+    return "".join(parts)
+
+
+@register(
+    "q21_kcore_peel",
+    oracle=_kcore_oracle(),
+    tags=("analytics", "Q21", "graph"),
+)
+def q21_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21: k-core decomposition ({_KCORE_ROUNDS} unrolled peel rounds,
+    K={_KCORE_K}) over the co-purchase graph — the fifth graph class in
+    the battery (after PageRank's fixed-point, label propagation's
+    components, reach2's bounded closure, and triangle counting's
+    closed wedges).
+
+    The k-core is the maximal subgraph where every node keeps degree
+    ≥ K — the standard dense-community / graph-degeneracy primitive
+    (a part in the 3-core sits in a bundle web that survives removing
+    every weakly-attached product). Peeling: drop nodes with degree
+    < K, recompute degrees on the induced subgraph, repeat. Like
+    PageRank's 3 power iterations, the round count is FIXED and
+    mirrored in the oracle's stacked CTEs so both engines compute the
+    identical partial peel; production iterates to fixpoint with the
+    label-propagation convergence pattern (one O(1)-row check per
+    round), and the docstring of that loop — not a different algebra —
+    is the only delta. On this corpus the peel converges within the
+    unrolled rounds.
+
+    Scale shape: each round is one degree aggregate (node-sized) + two
+    left-semi hash joins of the shrinking edge list against the
+    shrinking keep-set — work is monotonically DECREASING per round
+    (the first round's degree agg is the peak); no window, no
+    cartesian, no driver-side data. Degrees never materialize per-edge
+    state beyond the partial-agg.
+    """
+    # Each round references the previous edge list TWICE (degree agg +
+    # the filtered survivor), so an unpersisted chain re-evaluates the
+    # basket build 2^rounds times. Persist per round — the iterative
+    # discipline label propagation uses (lifecycle: bench/check_oracle
+    # clearCache between queries; production checkpoints the shrinking
+    # edge list per peel, which is also what bounds lineage depth when
+    # the fixpoint loop replaces the fixed unroll).
+    edges = _copurchase_edges(spark, sf_dir).select("src", "dst").persist()
+    for _ in range(_KCORE_ROUNDS):
+        keep = (
+            edges.groupBy("src")
+            .agg(F.count("*").alias("deg"))
+            .filter(F.col("deg") >= _KCORE_K)
+            .select("src")
+        )
+        edges = edges.join(keep, "src", "left_semi").join(
+            keep.select(F.col("src").alias("dst")), "dst", "left_semi"
+        ).persist()
+    return edges.groupBy(F.col("src").alias("part")).agg(
+        F.count("*").cast("bigint").alias("deg_in_core")
+    )

@@ -1651,3 +1651,128 @@ def x02_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("keep_cand").cast("bigint").alias("kept_vec_id"),
         F.min("cluster_id").cast("bigint").alias("cluster_id"),
     )
+
+
+def _pack_sign_bits(vec: Column, lo_dim: int) -> Column:
+    """Pack 32 sign bits (dims ``lo_dim``..``lo_dim+31``, 1-indexed,
+    bit set iff the component is > 0) into one BIGINT word, in codegen.
+
+    Horner fold (``acc*2 + bit``) reading dims high→low, so dim d lands
+    on bit (d - lo_dim) — ``shiftleft`` needs a literal shift count, a
+    fold does not."""
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(31)),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc * 2
+        + F.when(
+            F.element_at(vec, F.lit(lo_dim + 31) - i) > 0.0, F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .cast("long"),
+    )
+
+
+def _pack_sql(lo_dim: int) -> str:
+    """DuckDB spelling of :func:`_pack_sign_bits` over a column ``e``."""
+    return (
+        "CAST(list_sum(list_transform(generate_series(1, 32), i -> "
+        f"CASE WHEN e[CAST(i AS INT) + {lo_dim - 1}] > 0 "
+        "THEN (CAST(1 AS BIGINT) << (CAST(i AS INT) - 1)) "
+        "ELSE CAST(0 AS BIGINT) END)) AS BIGINT)"
+    )
+
+
+@register(
+    "x03_hamming_topk",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    packed AS (
+        SELECT vec_id,
+               {_pack_sql(1)} AS w0,
+               {_pack_sql(33)} AS w1
+        FROM v
+    ),
+    q AS (
+        SELECT vec_id AS query_id, w0 AS q0, w1 AS q1
+        FROM packed WHERE vec_id < {_N_QUERIES}
+    ),
+    scored AS (
+        SELECT
+            q.query_id,
+            c.vec_id AS neighbor_id,
+            CAST(bit_count(xor(q.q0, c.w0))
+                 + bit_count(xor(q.q1, c.w1)) AS BIGINT) AS hamming
+        FROM q JOIN packed c ON c.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, rank, hamming
+    FROM (
+        SELECT query_id, neighbor_id, hamming,
+               row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY hamming ASC, neighbor_id ASC
+               ) AS rank
+        FROM scored
+    )
+    WHERE rank <= {_TOP_K}
+    """,
+    tags=("similarity", "X3", "binary"),
+)
+def x03_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3g: 1-bit binarized embeddings + Hamming top-k — the cheapest
+    rung of the ANN ladder (below SQ8's 8-bit and PQ's 4-bit codes).
+
+    Sign binarization packs each 64-dim float vector into TWO BIGINT
+    words (bit i = component > 0) — a 16-byte representation, 16× under
+    SQ8 and 64× under the raw floats. Scoring a pair is 2 XOR + 2
+    POPCOUNT integer instructions; Hamming distance on sign bits is a
+    proven proxy for cosine order (the SimHash bound: P[bit differs] =
+    angle/π), which is why binary-first → exact-rerank is the standard
+    billion-scale retrieval layout. The emitted distance is an exact
+    integer — no float anywhere after the sign test, so the hash pins
+    the full output with no rounding discipline needed.
+
+    Scale shape: packing rides the corpus scan in codegen (``aggregate``
+    over a 32-int spine per word — no explode); queries broadcast; the
+    corpus is scanned once and never shuffles for scoring (same contract
+    as the brute-force twin); the per-query window ranks |corpus| rows
+    hashed by query_id. At 10⁹ vectors the packed corpus is 16 GB —
+    memory-resident per executor fleet, where the float corpus is 256 GB
+    of scan per query batch. Deployment reranks the Hamming top-R with
+    exact cosine; the recall audit for that composition is
+    x03_ann_recall_report's pattern.
+    """
+    emb = ensure_min_parallelism(table(spark, sf_dir, "embeddings")).select(
+        "vec_id", _vec_double("embedding").alias("e")
+    )
+    packed = emb.select(
+        "vec_id",
+        _pack_sign_bits(F.col("e"), 1).alias("w0"),
+        _pack_sign_bits(F.col("e"), 33).alias("w1"),
+    )
+    q = packed.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("w0").alias("q0"),
+        F.col("w1").alias("q1"),
+    )
+    scored = packed.join(
+        F.broadcast(q), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (
+            F.bit_count(F.col("q0").bitwiseXOR(F.col("w0")))
+            + F.bit_count(F.col("q1").bitwiseXOR(F.col("w1")))
+        )
+        .cast("long")
+        .alias("hamming"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("hamming").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("query_id", "neighbor_id", "rank", "hamming")
+    )

@@ -698,3 +698,166 @@ def q22_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(err.cast("double"))).cast("bigint").alias("mae_cents"),
         F.max(err).cast("bigint").alias("worst_abs_err"),
     )
+
+
+@register(
+    "q22_hampel_mad",
+    oracle="""
+    WITH q AS (
+        SELECT
+            user_id,
+            event_id,
+            CAST(ts AS TIMESTAMP) AS ts,
+            CAST(round(value * 10000.0) AS BIGINT) AS vq
+        FROM events
+    ),
+    framed AS (
+        SELECT user_id, event_id, vq,
+               list_sort(list_filter(list(vq) OVER w,
+                                     x -> x IS NOT NULL)) AS s
+        FROM q
+        WINDOW w AS (
+            PARTITION BY user_id
+            ORDER BY ts NULLS LAST, event_id
+            ROWS BETWEEN 7 PRECEDING AND CURRENT ROW
+        )
+    ),
+    med AS (
+        SELECT *, len(s) AS n,
+               CASE WHEN len(s) = 0 THEN NULL
+                    WHEN len(s) % 2 = 1 THEN 2 * s[(len(s) + 1) // 2]
+                    ELSE s[len(s) // 2] + s[len(s) // 2 + 1]
+               END AS med2
+        FROM framed
+    ),
+    dev AS (
+        SELECT *,
+               list_sort(list_transform(s, x -> abs(2 * x - med2))) AS d
+        FROM med
+    ),
+    mad AS (
+        SELECT *,
+               CASE WHEN n = 0 THEN NULL
+                    WHEN n % 2 = 1 THEN 2 * d[(n + 1) // 2]
+                    ELSE d[n // 2] + d[n // 2 + 1]
+               END AS mad4
+        FROM dev
+    )
+    SELECT
+        user_id,
+        event_id,
+        vq AS value_e4,
+        CAST(med2 AS BIGINT) AS med2,
+        CAST(mad4 AS BIGINT) AS mad4,
+        CASE WHEN vq IS NOT NULL AND n >= 3 AND mad4 > 0
+             THEN CAST(CASE WHEN 20000 * abs(2 * vq - med2)
+                                 > 44478 * mad4
+                            THEN 1 ELSE 0 END AS INT)
+        END AS is_outlier
+    FROM mad
+    """,
+    tags=("timeseries", "Q22", "anomaly", "robust"),
+)
+def q22_hampel_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22: Hampel filter — rolling median/MAD robust outlier gate, the
+    heavy-tail-safe sibling of q22_rolling_zscore.
+
+    Mean/std anomaly gates self-destruct on the anomalies they hunt (a
+    spike inflates the std that judges it, masking neighbors); the
+    Hampel filter scores each value against the MEDIAN of its trailing
+    8-row frame and flags |v - med| > 3·1.4826·MAD — breakdown point
+    50% instead of 0%. All in exact integers: values e4-quantized,
+    medians carried ×2 (a half-integer mid-pair becomes the integer
+    sum), MAD carried ×4, and the flag compare cross-multiplied to
+    20000·|2v - med2| > 44478·mad4 (= 3·1.4826 scaled e4) — no float
+    exists anywhere in the operator, so both engines agree bit-exactly
+    with no rounding discipline needed. NULL values occupy frame slots
+    but are excluded from the order statistics (the q22/s08 ROWS-frame
+    convention); the flag needs ≥3 observations and MAD > 0 (a
+    constant frame has no robust scale — NULL, the 1e-12-floor
+    analog).
+
+    Scale shape: ONE user_id hash exchange + sort (identical to the
+    z-score twin — in a fused deployment both gates share it); the
+    8-element frame list is collected, sorted, and indexed entirely
+    inside whole-stage codegen — order statistics over a BOUNDED frame
+    need no second shuffle and no UDF, and per-row cost is O(8 log 8)
+    regardless of corpus size.
+    """
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.round(F.col("value") * 10000.0).cast("bigint").alias("vq"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-7, Window.currentRow)
+    )
+    framed = ev.select(
+        "user_id",
+        "event_id",
+        "vq",
+        F.sort_array(F.collect_list("vq").over(w)).alias("s"),
+    )
+    n = F.size("s")
+    med = framed.select(
+        "user_id",
+        "event_id",
+        "vq",
+        "s",
+        n.alias("n"),
+        F.when(n == 0, F.lit(None).cast("bigint"))
+        .when(
+            n % 2 == 1,
+            F.lit(2) * F.element_at("s", ((n + 1) / 2).cast("int")),
+        )
+        .otherwise(
+            F.element_at("s", (n / 2).cast("int"))
+            + F.element_at("s", (n / 2).cast("int") + 1)
+        )
+        .alias("med2"),
+    )
+    dev = med.select(
+        "user_id",
+        "event_id",
+        "vq",
+        "n",
+        "med2",
+        F.sort_array(
+            F.transform("s", lambda x: F.abs(x * 2 - F.col("med2")))
+        ).alias("d"),
+    )
+    nn = F.col("n")
+    mad = dev.select(
+        "user_id",
+        "event_id",
+        "vq",
+        "n",
+        "med2",
+        F.when(nn == 0, F.lit(None).cast("bigint"))
+        .when(
+            nn % 2 == 1,
+            F.lit(2) * F.element_at("d", ((nn + 1) / 2).cast("int")),
+        )
+        .otherwise(
+            F.element_at("d", (nn / 2).cast("int"))
+            + F.element_at("d", (nn / 2).cast("int") + 1)
+        )
+        .alias("mad4"),
+    )
+    return mad.select(
+        "user_id",
+        "event_id",
+        F.col("vq").alias("value_e4"),
+        F.col("med2").cast("bigint").alias("med2"),
+        F.col("mad4").cast("bigint").alias("mad4"),
+        F.when(
+            F.col("vq").isNotNull() & (nn >= 3) & (F.col("mad4") > 0),
+            (
+                F.lit(20000) * F.abs(F.col("vq") * 2 - F.col("med2"))
+                > F.lit(44478) * F.col("mad4")
+            ).cast("int"),
+        ).alias("is_outlier"),
+    )

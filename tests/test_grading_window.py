@@ -42,7 +42,13 @@ def family_of(name: str) -> str:
 
 def _past_green_families() -> set[str]:
     """Families where EVERY registered entry has a green row (hash pass,
-    or declared rows-only) in some committed CORRECTNESS_r*.json."""
+    or declared rows-only) in some committed CORRECTNESS_r*.json.
+
+    Entries in :data:`QUEUED_FOR_NEXT_WINDOW` are exempt from the
+    all-green requirement — they are consciously queued, which is the
+    explicit act this guard demands — but a family consisting ONLY of
+    queued members (a brand-new family) still fails and must take a
+    window slot in its landing round."""
     greens: dict[str, set[str]] = {}
     for path in sorted(REPO.glob("CORRECTNESS_r*.json")):
         try:
@@ -62,8 +68,12 @@ def _past_green_families() -> set[str]:
                 greens.setdefault(name, set()).add(path.name)
     out = set()
     for fam in {family_of(n) for n in registry.QUERIES}:
-        members = [n for n in registry.QUERIES if family_of(n) == fam]
-        if all(m in greens for m in members):
+        members = [
+            n
+            for n in registry.QUERIES
+            if family_of(n) == fam and n not in QUEUED_FOR_NEXT_WINDOW
+        ]
+        if members and all(m in greens for m in members):
             out.add(fam)
     return out
 
@@ -104,7 +114,16 @@ def test_every_family_has_driver_evidence():
 # registrations) into the graded window, so this set holds only
 # round-8 NEW registrations awaiting the round-9 rotation (each must
 # also appear in registry.py's ROUND-9 ROTATION PLAN comment).
-QUEUED_FOR_NEXT_WINDOW: set[str] = set()
+QUEUED_FOR_NEXT_WINDOW: set[str] = {
+    # Round-8 NEW registrations (post-rotation), each named in
+    # registry.py's ROUND-9 ROTATION PLAN as a mandatory slot. Family
+    # evidence meanwhile: q07/q21/q22 all hold members in the round-8
+    # window; x03 holds five (recall/kmeans/knn/pq/ivfpq).
+    "q07_cms_heavy_hitters",   # Count-Min sketch w/ overcount audit
+    "q21_kcore_peel",          # k-core peeling (5th graph class)
+    "q22_hampel_mad",          # median/MAD robust anomaly gate
+    "x03_hamming_topk",        # 1-bit binary-sketch ANN rung
+}
 
 
 def test_previously_ungraded_entries_are_all_in_window():

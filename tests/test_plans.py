@@ -534,3 +534,45 @@ def test_interval_overlap_is_equi_banded_no_theta_join(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "SortMergeJoin Inner" in plan or "BroadcastHashJoin Inner" in plan
+
+
+def test_hamming_topk_broadcasts_queries_corpus_never_shuffles(spark):
+    """x03_hamming_topk: the 5 packed queries ride in as a broadcast
+    (BNLJ on the != predicate); the corpus is scanned once — the only
+    Exchange is the per-query window rank."""
+    plan = _plan(spark, "x03_hamming_topk")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_cms_sketch_is_broadcast_and_topk_is_take_ordered(spark):
+    """q07_cms_heavy_hitters: the d*w sketch joins candidates as a
+    broadcast hash join, and the exact top-20 runs as distributed
+    TakeOrderedAndProject — never an un-partitioned full-key window."""
+    plan = _plan(spark, "q07_cms_heavy_hitters")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_hampel_single_user_exchange_no_joins(spark):
+    """q22_hampel_mad: the whole operator rides ONE user_id hash
+    exchange (shared-frame discipline of the z-score twin); the order
+    statistics are array ops in codegen, never a join or second
+    shuffle."""
+    plan = _plan(spark, "q22_hampel_mad")
+    assert "Join" not in plan
+    assert plan.count("Exchange (") - plan.count("BroadcastExchange (") == 1
+    assert "hashpartitioning(user_id" in plan
+
+
+def test_kcore_peel_semi_joins_no_cartesian(spark):
+    """q21_kcore_peel: every peel round is a degree agg + two LeftSemi
+    hash joins on the persisted shrinking edge list; no cartesian, no
+    BNLJ, and the per-round edge list materializes exactly once."""
+    plan = _plan(spark, "q21_kcore_peel")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftSemi" in plan
+    assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan

@@ -202,3 +202,27 @@ def test_s08_replay_nulls_occupy_slots_and_match_oracle(spark, tmp_path):
             row.value_e4,
             row.z_e4,
         ), f"event {eid} diverged from oracle"
+
+
+# ------------------------------------------------------- k-core fixpoint
+
+
+def test_kcore_unrolled_rounds_reach_fixpoint(spark):
+    """The fixed 3-round unroll converges on the fixture corpus: one
+    more peel changes nothing. If a corpus regeneration breaks this,
+    the round count (and its oracle CTE stack) must grow together."""
+    from conftest import SF_DIR
+    from pyspark.sql import functions as F
+
+    from reddit_data_engineering_project_spark.operators import (
+        product_analytics as pa,
+    )
+
+    core3 = pa.q21_kcore_peel(spark, SF_DIR)
+    # One extra peel over the 3-core output's survivors.
+    keep = core3.filter(
+        F.col("deg_in_core") >= pa._KCORE_K
+    ).select(F.col("part"))
+    assert core3.join(keep, "part", "left_anti").count() == 0, (
+        "a 4th peel round would still remove nodes — grow _KCORE_ROUNDS"
+    )
