@@ -576,3 +576,55 @@ def test_kcore_peel_semi_joins_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "LeftSemi" in plan
     assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan
+
+
+def test_aqe_splits_skewed_join_partition_at_runtime(spark):
+    """AQE skew-join split — the runtime lever the docstrings cite as
+    the alternative to manual salting (q10_join_salted_skew): a hot key
+    whose partition exceeds the skew threshold is split into multiple
+    tasks at runtime, visible as ``skew=true`` on the sort-merge join
+    in the ADAPTIVE executed plan. Thresholds are forced tiny so the
+    test corpus exhibits "skew" the way a 100 TB hot key would; the
+    manual-salting op remains the answer where AQE can't see the skew
+    (e.g. pre-aggregation explosions), which is why both exist."""
+    from pyspark.sql import functions as F
+
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        )
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "16KB",
+    )
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    try:
+        # Left: one hot key (0) carrying ~50k rows, a benign tail.
+        left = spark.range(0, 50_000).select(
+            F.when(F.col("id") < 49_000, F.lit(0))
+            .otherwise(F.col("id") % 100)
+            .alias("k"),
+            F.concat(F.lit("payload-"), F.col("id")).alias("payload"),
+        )
+        right = spark.range(0, 100).select(
+            (F.col("id") % 100).alias("k"),
+            F.col("id").alias("dim_val"),
+        )
+        joined = left.join(right, "k")
+        # collect() on THIS DataFrame: count() spawns its own
+        # QueryExecution, leaving joined's plan isFinalPlan=false.
+        assert len(joined.collect()) == 50_000  # every key matches once
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:2000]
+        assert "AQEShuffleRead" in plan  # the runtime re-plan artifact
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
