@@ -226,3 +226,133 @@ def test_kcore_unrolled_rounds_reach_fixpoint(spark):
     assert core3.join(keep, "part", "left_anti").count() == 0, (
         "a 4th peel round would still remove nodes — grow _KCORE_ROUNDS"
     )
+
+
+# ---------------------------------------- round-8 op property invariants
+
+
+def test_hampel_matches_python_reference(spark, tmp_path):
+    """Third-engine check (the q22_cusum Python-replay discipline): the
+    med2/mad4/flag algebra reproduced with statistics.median over the
+    same trailing frames must equal the Spark op row-for-row on a
+    crafted multi-user corpus with ties, negatives, and a constant
+    run (MAD=0 path)."""
+    import statistics
+
+    from pyspark.sql import Row
+    from pyspark.sql import functions as FF
+
+    from reddit_data_engineering_project_spark.operators import timeseries
+
+    vals = {
+        7: [10.0, 10.0, 10.0, 10.0, 200.5, -3.25, 10.0, 10.0, 10.0, 9.5],
+        8: [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 9.0, 100.0],
+    }
+    rows = []
+    eid = 0
+    for uid, vs in vals.items():
+        for i, v in enumerate(vs):
+            eid += 1
+            rows.append(
+                Row(
+                    event_id=eid,
+                    ts=f"2024-01-01 00:{i:02d}:00",
+                    user_id=uid,
+                    event_type="view",
+                    value=v,
+                    props="{}",
+                )
+            )
+    df = spark.createDataFrame(rows).withColumn(
+        "ts", FF.to_timestamp("ts")
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    got = {
+        (r.user_id, r.event_id): r
+        for r in timeseries.q22_hampel_mad(spark, str(tmp_path)).collect()
+    }
+
+    def half_up(x):
+        return int(x * 10000 + 0.5) if x >= 0 else -int(-x * 10000 + 0.5)
+
+    eid = 0
+    for uid, vs in vals.items():
+        tail = []
+        for v in vs:
+            eid += 1
+            vq = half_up(v)
+            tail.append(vq)
+            frame = tail[-8:]
+            med2 = int(2 * statistics.median(frame))
+            devs = sorted(abs(2 * x - med2) for x in frame)
+            mad4 = int(2 * statistics.median(devs))
+            n = len(frame)
+            if n >= 3 and mad4 > 0:
+                expect_flag = int(
+                    20000 * abs(2 * vq - med2) > 44478 * mad4
+                )
+            else:
+                expect_flag = None
+            r = got[(uid, eid)]
+            assert (r.value_e4, r.med2, r.mad4, r.is_outlier) == (
+                vq,
+                med2,
+                mad4,
+                expect_flag,
+            ), f"user {uid} event {eid}"
+
+
+def test_cms_estimate_never_undercounts(spark):
+    """The CMS one-sided-error guarantee on the real corpus: every
+    emitted estimate >= its exact count (overcount >= 0). A negative
+    overcount means the hash/cell algebra diverged between the sketch
+    build and the probe."""
+    from conftest import SF_DIR
+
+    from reddit_data_engineering_project_spark.operators import aggregates
+
+    rows = aggregates.q07_cms_heavy_hitters(spark, SF_DIR).collect()
+    assert len(rows) == aggregates._CMS_TOP
+    assert all(r.overcount >= 0 for r in rows)
+    assert all(r.cms_n == r.exact_n + r.overcount for r in rows)
+
+
+def test_hamming_matches_python_popcount(spark):
+    """Packed-word Hamming distances equal a Python big-int popcount
+    over the same sign bits, for every emitted (query, neighbor)."""
+    from conftest import SF_DIR
+
+    from reddit_data_engineering_project_spark.operators import similarity
+    from reddit_data_engineering_project_spark.tables import table
+
+    emb = {
+        r.vec_id: r.embedding
+        for r in table(spark, SF_DIR, "embeddings").collect()
+    }
+
+    def sig(v):
+        return sum(1 << i for i, x in enumerate(v) if x > 0)
+
+    out = similarity.x03_hamming_topk(spark, SF_DIR).collect()
+    assert len(out) == similarity._N_QUERIES * similarity._TOP_K
+    for r in out:
+        expect = bin(sig(emb[r.query_id]) ^ sig(emb[r.neighbor_id])).count(
+            "1"
+        )
+        assert r.hamming == expect, (r.query_id, r.neighbor_id)
+
+
+def test_kcore_survivors_all_meet_degree_floor(spark):
+    """After the (fixpoint-pinned) peel, every surviving node's degree
+    in the induced subgraph is >= K — the defining k-core property."""
+    from conftest import SF_DIR
+
+    from reddit_data_engineering_project_spark.operators import (
+        product_analytics as pa,
+    )
+
+    rows = pa.q21_kcore_peel(spark, SF_DIR).collect()
+    assert rows, "3-core unexpectedly empty on the fixture corpus"
+    assert min(r.deg_in_core for r in rows) >= pa._KCORE_K
