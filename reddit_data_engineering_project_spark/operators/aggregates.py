@@ -947,3 +947,147 @@ def q07_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cms_n") - F.col("exact_n")).alias("overcount"),
         )
     )
+
+
+#: Histogram-quantile geometry: fixed bin count over the observed
+#: integer-cents range (width chosen so the max lands in bin B-1).
+_HQ_BINS = 256
+_HQ_PCTS = (25, 50, 75, 90, 99)
+
+
+@register(
+    "q07_histogram_quantiles",
+    oracle=f"""
+    WITH c AS (
+        SELECT CAST(round(l_extendedprice * 100.0) AS BIGINT) AS cents
+        FROM lineitem
+    ),
+    b AS (
+        SELECT min(cents) AS mn,
+               CAST(count(*) AS BIGINT) AS n,
+               (max(cents) - min(cents)) // {_HQ_BINS} + 1 AS width
+        FROM c
+    ),
+    hist AS (
+        SELECT (cents - (SELECT mn FROM b)) // (SELECT width FROM b)
+                   AS bin,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM c GROUP BY 1
+    ),
+    cum AS (
+        SELECT bin, CAST(sum(cnt) OVER (ORDER BY bin) AS BIGINT) AS cum
+        FROM hist
+    ),
+    tgt AS (
+        SELECT pct,
+               (pct * (SELECT n FROM b) + 99) // 100 AS target_rank
+        FROM (SELECT unnest([{", ".join(str(p) for p in _HQ_PCTS)}])
+                  AS pct)
+    ),
+    chosen AS (
+        SELECT t.pct, t.target_rank, min(cu.bin) AS bin_id
+        FROM tgt t JOIN cum cu ON cu.cum >= t.target_rank
+        GROUP BY 1, 2
+    )
+    SELECT
+        CAST(ch.pct AS INT) AS pct,
+        CAST(ch.target_rank AS BIGINT) AS target_rank,
+        CAST(ch.bin_id AS BIGINT) AS bin_id,
+        (SELECT mn FROM b) + ch.bin_id * (SELECT width FROM b)
+            AS bin_lo_cents,
+        (SELECT mn FROM b) + (ch.bin_id + 1) * (SELECT width FROM b) - 1
+            AS bin_hi_cents,
+        cu.cum AS cum_at_bin,
+        (SELECT n FROM b) AS n_total
+    FROM chosen ch JOIN cum cu ON cu.bin = ch.bin_id
+    """,
+    tags=("aggregates", "Q7", "sketch", "quantile"),
+)
+def q07_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7: mergeable histogram quantile BRACKETS — the quantile-sketch
+    class beside the CMS frequency sketch (the deterministic stand-in
+    for t-digest/KLL, whose float centroids could never hash-match
+    across engines).
+
+    A {_HQ_BINS}-bin equi-width integer histogram over price cents:
+    bin width is floor(range/{_HQ_BINS})+1, so the max lands in the
+    last bin by construction and every boundary is exact integer
+    arithmetic. For each target percentile the entry emits the rank it
+    must bracket (ceil(pct·N/100) in pure integer math), the first bin
+    whose running count reaches it, and that bin's closed [lo, hi]
+    cents bounds — a quantile ESTIMATE with a hard ±width guarantee
+    (the true rank-r value provably lies inside the bracket;
+    ``tests/test_round8_ops.py`` pins that against a Python
+    rank-select). No float exists anywhere in the operator.
+
+    Scale shape — the same merge law as the CMS twin: the histogram's
+    partial-agg state is ≤ {_HQ_BINS} cells per task at ANY data size
+    (histogram-of-union = cell-wise sum), so the exchange moves bins,
+    not values; the cumulative window and the 5-row percentile probe
+    run over the ≤{_HQ_BINS}-row histogram (the calendar-bounded-window
+    discipline); the bounds row broadcasts into the binning scan. Two
+    fact passes total (bounds, then binning) — the streaming variant
+    fixes the domain a priori and takes one.
+    """
+    li = table(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100.0)
+        .cast("bigint")
+        .alias("cents")
+    )
+    b = li.agg(
+        F.min("cents").alias("mn"),
+        ((F.max("cents") - F.min("cents")) / _HQ_BINS)
+        .cast("bigint")
+        .alias("w0"),
+        F.count("*").cast("bigint").alias("n"),
+    ).select("mn", (F.col("w0") + 1).alias("width"), "n")
+    hist = (
+        li.join(F.broadcast(b))
+        .select(
+            ((F.col("cents") - F.col("mn")) / F.col("width"))
+            .cast("bigint")
+            .alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    wcum = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select(
+        "bin", F.sum("cnt").over(wcum).cast("bigint").alias("cum")
+    )
+    tgt = b.select(
+        F.explode(F.array(*[F.lit(p) for p in _HQ_PCTS])).alias("pct"),
+        "mn",
+        "width",
+        "n",
+    ).select(
+        F.col("pct").cast("int").alias("pct"),
+        ((F.col("pct") * F.col("n") + 99) / 100)
+        .cast("bigint")
+        .alias("target_rank"),
+        "mn",
+        "width",
+        "n",
+    )
+    chosen = (
+        tgt.join(F.broadcast(cum), F.col("cum") >= F.col("target_rank"))
+        .groupBy("pct", "target_rank", "mn", "width", "n")
+        .agg(F.min(F.struct("bin", "cum")).alias("sel"))
+    )
+    return chosen.select(
+        "pct",
+        "target_rank",
+        F.col("sel.bin").alias("bin_id"),
+        (F.col("mn") + F.col("sel.bin") * F.col("width")).alias(
+            "bin_lo_cents"
+        ),
+        (
+            F.col("mn")
+            + (F.col("sel.bin") + 1) * F.col("width")
+            - 1
+        ).alias("bin_hi_cents"),
+        F.col("sel.cum").alias("cum_at_bin"),
+        F.col("n").alias("n_total"),
+    )

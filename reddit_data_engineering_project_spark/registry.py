@@ -138,14 +138,14 @@ def register(
 #
 # ROUND-9 ROTATION PLAN (committed now so no entry waits on an
 # undocumented promise): mandatory slots = the 12 stale overflows
-# above + the FOUR round-8 post-rotation registrations
-# (q07_cms_heavy_hitters, q21_kcore_peel, q22_hampel_mad,
-# x03_hamming_topk — mirrored in tests/test_grading_window.py's
-# QUEUED_FOR_NEXT_WINDOW; any further registration adds itself to
-# both lists in its own commit). 12 + 4 = 16 mandatory; the remaining
-# 34 slots backfill current-corpus re-grades of the OLDEST r04/r05
-# rows, oldest first. After round 9 the stale-evidence queue is
-# empty.
+# above + the FIVE round-8 post-rotation registrations
+# (q07_cms_heavy_hitters, q07_histogram_quantiles, q21_kcore_peel,
+# q22_hampel_mad, x03_hamming_topk — mirrored in
+# tests/test_grading_window.py's QUEUED_FOR_NEXT_WINDOW; any further
+# registration adds itself to both lists in its own commit).
+# 12 + 5 = 17 mandatory; the remaining 33 slots backfill
+# current-corpus re-grades of the OLDEST r04/r05 rows, oldest first.
+# After round 9 the stale-evidence queue is empty.
 GRADING_PRIORITY: tuple[str, ...] = (
     # (a) the 13 round-7 deferrals
     "q07_corr_exact_moments",

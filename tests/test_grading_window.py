@@ -120,6 +120,7 @@ QUEUED_FOR_NEXT_WINDOW: set[str] = {
     # evidence meanwhile: q07/q21/q22 all hold members in the round-8
     # window; x03 holds five (recall/kmeans/knn/pq/ivfpq).
     "q07_cms_heavy_hitters",   # Count-Min sketch w/ overcount audit
+    "q07_histogram_quantiles",  # mergeable quantile-bracket sketch
     "q21_kcore_peel",          # k-core peeling (5th graph class)
     "q22_hampel_mad",          # median/MAD robust anomaly gate
     "x03_hamming_topk",        # 1-bit binary-sketch ANN rung

@@ -628,3 +628,14 @@ def test_aqe_splits_skewed_join_partition_at_runtime(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_histogram_quantiles_bounds_broadcast_hist_partial_aggs(spark):
+    """q07_histogram_quantiles: the 1-row bounds broadcast into the
+    binning scan (BNLJ, never a shuffle of the fact for the join); the
+    histogram aggregate partial-combines (exchange carries bins, not
+    values); no cartesian."""
+    plan = _plan(spark, "q07_histogram_quantiles")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan or "partial" in plan.lower()

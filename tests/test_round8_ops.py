@@ -356,3 +356,38 @@ def test_kcore_survivors_all_meet_degree_floor(spark):
     rows = pa.q21_kcore_peel(spark, SF_DIR).collect()
     assert rows, "3-core unexpectedly empty on the fixture corpus"
     assert min(r.deg_in_core for r in rows) >= pa._KCORE_K
+
+
+def test_histogram_quantile_brackets_contain_exact_quantiles(spark):
+    """The hard guarantee the histogram sells: the true rank-r value
+    lies inside every emitted [lo, hi] bracket (Python rank-select as
+    the third engine), and the bracket is at most one bin wide."""
+    from conftest import SF_DIR
+
+    from reddit_data_engineering_project_spark.operators import aggregates
+    from reddit_data_engineering_project_spark.tables import table
+    from pyspark.sql import functions as FF
+
+    cents = sorted(
+        r.c
+        for r in table(spark, SF_DIR, "lineitem")
+        .select(
+            FF.round(FF.col("l_extendedprice") * 100.0)
+            .cast("bigint")
+            .alias("c")
+        )
+        .collect()
+    )
+    rows = aggregates.q07_histogram_quantiles(spark, SF_DIR).collect()
+    assert sorted(r.pct for r in rows) == sorted(aggregates._HQ_PCTS)
+    for r in rows:
+        assert r.n_total == len(cents)
+        assert r.target_rank == -(-r.pct * len(cents) // 100)  # ceil
+        exact = cents[r.target_rank - 1]
+        assert r.bin_lo_cents <= exact <= r.bin_hi_cents, (
+            f"pct {r.pct}: exact {exact} outside "
+            f"[{r.bin_lo_cents}, {r.bin_hi_cents}]"
+        )
+        assert r.bin_hi_cents - r.bin_lo_cents + 1 == (
+            (max(cents) - min(cents)) // aggregates._HQ_BINS + 1
+        )
