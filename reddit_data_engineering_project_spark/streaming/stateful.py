@@ -26,6 +26,7 @@ from pyspark.sql.types import (
     ArrayType,
     DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
     TimestampType,
@@ -251,6 +252,133 @@ def run_zscore_stream(
 
     (
         scored.writeStream.outputMode("update")
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+#: Session-gap threshold shared with the batch sessionizer
+#: (q21_sessionize_gap) and the S3 session window: 30 minutes.
+_SESSION_GAP_MS = 30 * 60 * 1000
+
+SESSION_STATE_SCHEMA = StructType(
+    [
+        StructField("start_us", LongType()),
+        StructField("last_us", LongType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+SESSION_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start", TimestampType()),
+        StructField("session_end", TimestampType()),
+        StructField("n_events", LongType()),
+        StructField("closed_by", StringType()),
+    ]
+)
+
+
+def close_idle_sessions(
+    key: tuple,
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-user sessionization with EVENT-TIME timeout close.
+
+    The mechanism the profile/z-score operators don't exercise: an
+    open session lives in state with ``setTimeoutTimestamp(last_event
+    + gap)``; when the WATERMARK passes that instant the function is
+    re-invoked for the key with ``state.hasTimedOut`` and NO data, and
+    the session closes with ``closed_by='timeout'`` — the only way a
+    streaming sessionizer can ever emit the LAST session of an idle
+    user (a gap-split needs a next event; a timeout needs only time to
+    pass). In-batch and cross-batch gap splits close eagerly with
+    ``closed_by='gap'``. Event-time (not processing-time) timeouts
+    keep replays deterministic: the close fires at the same point in
+    the DATA under any wall-clock schedule, which is what makes the
+    availableNow test reproducible.
+    """
+    (user_id,) = key
+
+    def row(start_us: int, last_us: int, n: int, why: str) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": pd.array([user_id], dtype="Int64"),
+                "session_start": [pd.Timestamp(start_us * 1000)],
+                "session_end": [pd.Timestamp(last_us * 1000)],
+                "n_events": pd.array([n], dtype="Int64"),
+                "closed_by": [why],
+            }
+        )
+
+    if state.hasTimedOut:
+        start_us, last_us, n = state.get
+        state.remove()
+        yield row(start_us, last_us, n, "timeout")
+        return
+
+    cur = state.get if state.exists else None
+    closed: list[pd.DataFrame] = []
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for ts in pdf["ts"].astype("int64") // 1000:  # ns -> µs
+            ts = int(ts)
+            if cur is None:
+                cur = (ts, ts, 1)
+            elif ts - cur[1] > _SESSION_GAP_MS * 1000:
+                closed.append(row(cur[0], cur[1], cur[2], "gap"))
+                cur = (ts, ts, 1)
+            else:
+                cur = (cur[0], ts, cur[2] + 1)
+    state.update(cur)
+    state.setTimeoutTimestamp(cur[1] // 1000 + _SESSION_GAP_MS)
+    for c in closed:
+        yield c
+
+
+def run_session_stream(
+    spark, source_dir: str, sink_dir: str, checkpoint_dir: str
+) -> None:
+    """File stream → watermarked event-time sessionizer → parquet.
+
+    The watermark (0 s delay — the corpus files arrive in time order)
+    is what drives the timeout: after each micro-batch it advances to
+    that batch's max event time, and every open session whose
+    last-event + gap fell behind it closes on the NEXT batch. Append
+    mode: only CLOSED sessions are emitted, exactly once each.
+    """
+    from ..session import ensure_session_confs
+
+    ensure_session_confs(spark)
+    schema = spark.read.parquet(source_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+        .withWatermark("ts", "0 seconds")
+    )
+    sessions = stream.groupBy("user_id").applyInPandasWithState(
+        close_idle_sessions,
+        outputStructType=SESSION_OUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+    def write_batch(batch_df, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(
+            f"{sink_dir}/batch={batch_id}"
+        )
+
+    (
+        sessions.writeStream.outputMode("append")
         .foreachBatch(write_batch)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)

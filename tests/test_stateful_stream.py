@@ -160,3 +160,94 @@ def test_streaming_zscore_null_values_occupy_frame_slots(spark, tmp_path):
     }
     assert streamed == batch
     assert streamed[8] == (None, None)  # the NULL row itself unscored
+
+
+def test_event_time_timeout_closes_idle_sessions(spark, tmp_path):
+    """EventTimeTimeout mechanism live: a user's burst separated by more
+    than the gap splits into a gap-closed session; a user who goes
+    silent while OTHERS keep the watermark advancing gets their last
+    session closed by TIMEOUT — the emission no gap-split could ever
+    produce. Three availableNow runs over time-ordered file drops keep
+    the watermark (0 s delay) marching deterministically."""
+    import pandas as pd
+
+    from reddit_data_engineering_project_spark.streaming.stateful import (
+        run_session_stream,
+    )
+
+    src = os.path.join(str(tmp_path), "src")
+    sink = os.path.join(str(tmp_path), "sink")
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+
+    def drop(rows):
+        # rows: (event_id, iso_ts, user_id)
+        import datetime
+
+        pdf = spark.createDataFrame(
+            [
+                (
+                    e,
+                    datetime.datetime.fromisoformat(t),
+                    u,
+                    "view",
+                    1.0,
+                )
+                for e, t, u in rows
+            ],
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double",
+        )
+        pdf.coalesce(1).write.mode("append").parquet(src)
+
+    # File 1: user 1 burst A (2 events); user 2 active.
+    drop(
+        [
+            (1, "2024-01-01 00:00:00", 1),
+            (2, "2024-01-01 00:10:00", 1),
+            (3, "2024-01-01 00:05:00", 2),
+        ]
+    )
+    run_session_stream(spark, src, sink, ckpt)
+    # File 2: user 1 returns AFTER the 30-min gap (splits burst A off);
+    # user 2 still active.
+    drop(
+        [
+            (4, "2024-01-01 02:00:00", 1),
+            (5, "2024-01-01 02:00:00", 2),
+        ]
+    )
+    run_session_stream(spark, src, sink, ckpt)
+    # File 3: ONLY user 2, far in the future — the watermark passes
+    # user 1's (last + gap) instant, firing their timeout.
+    drop([(6, "2024-01-01 06:00:00", 2)])
+    run_session_stream(spark, src, sink, ckpt)
+
+    out = (
+        spark.read.option("recursiveFileLookup", True)
+        .parquet(sink)
+        .collect()
+    )
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r.user_id, []).append(r)
+
+    u1 = sorted(by_user[1], key=lambda r: r.session_start)
+    # Burst A closed by the in-data gap when event 4 arrived.
+    assert (
+        u1[0].n_events == 2
+        and u1[0].closed_by == "gap"
+        and u1[0].session_start == pd.Timestamp("2024-01-01 00:00:00")
+        and u1[0].session_end == pd.Timestamp("2024-01-01 00:10:00")
+    )
+    # The 02:00 singleton closed by WATERMARK TIMEOUT (no later event
+    # of user 1 exists to gap-split it).
+    assert (
+        u1[1].n_events == 1
+        and u1[1].closed_by == "timeout"
+        and u1[1].session_start == pd.Timestamp("2024-01-01 02:00:00")
+    )
+    # User 2's gap-closed earlier sessions emitted; their final (06:00)
+    # session is still OPEN in state — append mode must NOT have
+    # emitted it.
+    ends = {r.session_end for r in by_user[2]}
+    assert pd.Timestamp("2024-01-01 06:00:00") not in ends
