@@ -144,8 +144,22 @@ def register(
 # tests/test_grading_window.py's QUEUED_FOR_NEXT_WINDOW; any further
 # registration adds itself to both lists in its own commit).
 # 12 + 5 = 17 mandatory; the remaining 33 slots backfill
-# current-corpus re-grades of the OLDEST r04/r05 rows, oldest first.
-# After round 9 the stale-evidence queue is empty.
+# current-corpus re-grades of the OLDEST rows. Concretely (computed
+# from the committed CORRECTNESS files at end of round 8): no entry's
+# latest green is r04; exactly 28 entries sit at r05 —
+# pipeline_posts_clean_wire, q01_scan_explicit_schema,
+# q07_hash_aggregate, q09_grouping_sets, q10_star_report,
+# q13_rank_dense_rank, q13_topn_per_group, q13_window_share,
+# q14_string_funcs, q14_string_funcs2, q15_datetime_funcs,
+# q17_array_funcs, q17_explode_tokens, q17_json_corrupt_records,
+# q20_arrow_udf_ttr, q20_udtf_chunks, x01_dedup_content_hash,
+# x02_minhash_lsh_neardup, x03_cosine_topk_bruteforce,
+# x04_fingerprint, x04_hash_sample, x04_language_id,
+# x04_length_histogram, x04_quality_filter, x04_stratified_sample,
+# x04_term_frequency, x04_tfidf, x04_token_count —
+# all 28 fit (17 + 28 = 45), leaving 5 slots for the oldest r06 rows
+# (flagship entry() twin first). After round 9 the stale r02/r03
+# queue is EMPTY and nothing older than r06 remains.
 GRADING_PRIORITY: tuple[str, ...] = (
     # (a) the 13 round-7 deferrals
     "q07_corr_exact_moments",
