@@ -1682,9 +1682,11 @@ def _pack_sql(lo_dim: int) -> str:
     )
 
 
-@register(
-    "x03_hamming_topk",
-    oracle=f"""
+def _hamming_sql(k: int) -> str:
+    """DuckDB spelling of packed-sign-bit Hamming top-``k`` — shared by
+    the registered x03_hamming_topk oracle (k = top-k) and the rerank
+    audit's candidate CTE (k = R), so the two can never diverge."""
+    return f"""
     WITH v AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
     ),
@@ -1715,8 +1717,13 @@ def _pack_sql(lo_dim: int) -> str:
                ) AS rank
         FROM scored
     )
-    WHERE rank <= {_TOP_K}
-    """,
+    WHERE rank <= {k}
+    """
+
+
+@register(
+    "x03_hamming_topk",
+    oracle=_hamming_sql(_TOP_K),
     tags=("similarity", "X3", "binary"),
 )
 def x03_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1743,6 +1750,14 @@ def x03_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact cosine; the recall audit for that composition is
     x03_ann_recall_report's pattern.
     """
+    return _hamming_candidates(spark, sf_dir, _TOP_K)
+
+
+def _hamming_candidates(
+    spark: SparkSession, sf_dir: str, k: int
+) -> DataFrame:
+    """Packed-sign-bit Hamming top-``k`` per query (shared by the
+    registered top-k entry and the rerank audit's candidate stage)."""
     emb = ensure_min_parallelism(table(spark, sf_dir, "embeddings")).select(
         "vec_id", _vec_double("embedding").alias("e")
     )
@@ -1773,6 +1788,112 @@ def x03_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= _TOP_K)
+        .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "hamming")
+    )
+
+
+#: Binary-first rerank depth: Hamming top-R candidates per query get
+#: the exact-cosine second pass.
+_HAM_RERANK_R = 50
+
+
+@register(
+    "x03_hamming_rerank",
+    oracle=f"""
+    WITH cand AS ({_hamming_sql(_HAM_RERANK_R)}),
+    vv AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    rerank AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT c.query_id, c.neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY c.query_id
+                       ORDER BY
+                           list_dot_product(qv.e, nv.e)
+                           / (sqrt(list_dot_product(qv.e, qv.e))
+                              * sqrt(list_dot_product(nv.e, nv.e))) DESC,
+                           c.neighbor_id ASC
+                   ) AS rank
+            FROM cand c
+            JOIN vv qv ON qv.vec_id = c.query_id
+            JOIN vv nv ON nv.vec_id = c.neighbor_id
+        ) WHERE rank <= {_TOP_K}
+    ),
+    exact AS ({{BRUTE}})
+    SELECT
+        e.query_id,
+        CAST(count(r.neighbor_id) AS BIGINT) AS n_hits,
+        CAST({_TOP_K} AS BIGINT) AS k,
+        CAST(round(count(r.neighbor_id) * 1000000.0 / {_TOP_K})
+             AS BIGINT) AS recall_e6
+    FROM exact e
+    LEFT JOIN rerank r
+      ON r.query_id = e.query_id AND r.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id
+    """.replace("{BRUTE}", _ORACLES["x03_cosine_topk_bruteforce"]),
+    tags=("similarity", "X3", "binary", "evaluation"),
+)
+def x03_hamming_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3h: the complete binary-first retrieval layout, audited —
+    Hamming top-{_HAM_RERANK_R} candidate pass (16-byte signatures,
+    integer XOR+POPCOUNT) → exact-cosine rerank to top-{_TOP_K} →
+    recall@{_TOP_K} against the brute-force truth, per query.
+
+    This is the deployment composition x03_hamming_topk's docstring
+    names: at 10⁹ vectors the packed first pass touches 16 GB, and the
+    float corpus is only consulted for R candidates per query. The
+    entry emits the AUDIT (the recall_report pattern): sustained
+    recall below target is the trigger to raise R — the one knob. The
+    oracle composes the SHARED ``_hamming_sql`` text (same function
+    the top-k entry registers, at R) plus the registered brute-force
+    oracle, so neither stage can drift from what it audits.
+
+    Scale shape: the candidate set is |queries|·R rows at ANY corpus
+    size — it broadcasts (with the query vectors) into ONE pass over
+    the float corpus for rerank scoring; the corpus never shuffles in
+    either stage; the recall join is |queries|·k vs |queries|·k.
+    """
+    cand = _hamming_candidates(spark, sf_dir, _HAM_RERANK_R).select(
+        "query_id", "neighbor_id"
+    )
+    emb = ensure_min_parallelism(table(spark, sf_dir, "embeddings")).select(
+        "vec_id", _vec_double("embedding").alias("e")
+    )
+    qv = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    c2 = cand.join(qv, "query_id")
+    nv = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("e").alias("ne")
+    )
+    scored = nv.join(F.broadcast(c2), "neighbor_id").select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("qe"), F.col("ne")).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    rerank = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("query_id", F.col("neighbor_id").alias("rr_neighbor_id"))
+    )
+    exact = x03_cosine_topk_bruteforce(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    hits = exact.join(
+        F.broadcast(rerank),
+        (exact["query_id"] == rerank["query_id"])
+        & (exact["neighbor_id"] == rerank["rr_neighbor_id"]),
+        "left",
+    ).select(exact["query_id"].alias("qid"), "rr_neighbor_id")
+    return hits.groupBy(F.col("qid").alias("query_id")).agg(
+        F.count("rr_neighbor_id").cast("bigint").alias("n_hits"),
+        F.lit(_TOP_K).cast("bigint").alias("k"),
+        F.round(F.count("rr_neighbor_id") * 1000000.0 / _TOP_K)
+        .cast("bigint")
+        .alias("recall_e6"),
     )

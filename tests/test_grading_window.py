@@ -124,6 +124,7 @@ QUEUED_FOR_NEXT_WINDOW: set[str] = {
     "q21_kcore_peel",          # k-core peeling (5th graph class)
     "q22_hampel_mad",          # median/MAD robust anomaly gate
     "x03_hamming_topk",        # 1-bit binary-sketch ANN rung
+    "x03_hamming_rerank",      # binary-first + exact-rerank audit
 }
 
 

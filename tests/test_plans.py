@@ -639,3 +639,13 @@ def test_histogram_quantiles_bounds_broadcast_hist_partial_aggs(spark):
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
     assert "partial_count" in plan or "partial" in plan.lower()
+
+
+def test_hamming_rerank_candidates_broadcast_corpus_single_pass(spark):
+    """x03_hamming_rerank: the |queries|*R candidate set (with query
+    vectors) broadcasts into the float-corpus rerank scan — the corpus
+    never shuffles in either stage; no cartesian, no SMJ."""
+    plan = _plan(spark, "x03_hamming_rerank")
+    assert "SortMergeJoin" not in plan  # recall join rides a broadcast
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan

@@ -391,3 +391,34 @@ def test_histogram_quantile_brackets_contain_exact_quantiles(spark):
         assert r.bin_hi_cents - r.bin_lo_cents + 1 == (
             (max(cents) - min(cents)) // aggregates._HQ_BINS + 1
         )
+
+
+def test_hamming_rerank_recall_dominates_direct_binary_topk(spark):
+    """Provable dominance: any true-top-10 member inside the R=50
+    candidate set survives the exact-cosine rerank (every candidate
+    scoring above it is itself in the true top-10), so rerank hits
+    >= hits of the direct binary top-10 for every query."""
+    from conftest import SF_DIR
+
+    from reddit_data_engineering_project_spark.operators import similarity
+
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.x03_cosine_topk_bruteforce(
+            spark, SF_DIR
+        ).collect()
+    }
+    direct_hits = {}
+    for r in similarity.x03_hamming_topk(spark, SF_DIR).collect():
+        direct_hits.setdefault(r.query_id, 0)
+        if (r.query_id, r.neighbor_id) in exact:
+            direct_hits[r.query_id] += 1
+    rerank = {
+        r.query_id: r.n_hits
+        for r in similarity.x03_hamming_rerank(spark, SF_DIR).collect()
+    }
+    assert set(rerank) == set(direct_hits)
+    for q, n in rerank.items():
+        assert n >= direct_hits[q], (
+            f"query {q}: rerank {n} < direct {direct_hits[q]}"
+        )
