@@ -21,14 +21,24 @@ from ..tables import table
 @register(
     "q17_json_funcs",
     oracle="""
+    WITH typed AS (
+        SELECT event_id,
+               CASE WHEN json_type(json_extract(props, '$.k'))
+                         IN ('BIGINT', 'UBIGINT')
+                         AND TRY_CAST(json_extract_string(props, '$.k')
+                                      AS BIGINT)
+                             BETWEEN -2147483648 AND 2147483647
+                    THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+               END AS k,
+               json_extract_string(props, '$.missing') AS missing
+        FROM events
+    )
     SELECT
         event_id,
-        coalesce(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT), -1)
-            AS prop_k,
-        (json_extract_string(props, '$.k') IS NOT NULL) AS has_k,
-        coalesce(json_extract_string(props, '$.missing'), 'absent')
-            AS missing_default
-    FROM events
+        coalesce(k, -1) AS prop_k,
+        (k IS NOT NULL) AS has_k,
+        coalesce(missing, 'absent') AS missing_default
+    FROM typed
     """,
     tags=("functions", "Q17", "json"),
 )
@@ -39,6 +49,13 @@ def q17_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``from_json`` with an explicit schema) are exercised; the schema'd
     parse is what a production pipeline should use — one parse, typed
     columns, vectorized downstream.
+
+    Typed-lens parity (probed, round-8 audit): ``from_json`` with an
+    ``IntegerType`` field accepts ONLY strict in-range JSON integers —
+    7.5, 7.0, and "7" all null out — so the oracle gates on DuckDB's
+    ``json_type`` (BIGINT/UBIGINT) plus the int32 range instead of a
+    bare TRY_CAST, which would round '7.5' to 8 and accept strings.
+    ``has_k`` follows the same typed lens on both sides.
     """
     props_schema = StructType(
         [
@@ -133,7 +150,9 @@ def q17_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
         event_id,
         event_type,
-        coalesce(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT), 0)
+        coalesce(CAST(trunc(TRY_CAST(
+                     json_extract_string(props, '$.k') AS DOUBLE))
+                 AS BIGINT), 0)
             AS k_from_map,
         2 AS n_map_keys
     FROM events
@@ -146,6 +165,11 @@ def q17_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     The map round-trip (create_map → element_at / map_keys) is verified by
     extracting scalar values the oracle can hash; the map itself never
     crosses the comparison boundary.
+
+    Typed-lens parity (probed, round-8 audit): Spark's string→long CAST
+    parses any numeric string and TRUNCATES toward zero ('7.5' → 7),
+    so the oracle goes TRY_CAST-to-DOUBLE + trunc — a bare
+    TRY_CAST-to-BIGINT would ROUND '7.5' to 8.
     """
     ev = table(spark, sf_dir, "events")
     k_val = F.coalesce(
@@ -318,18 +342,21 @@ def q17_higher_order_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q17_variant_shred",
     oracle="""
+    WITH shred AS (
+        SELECT event_type,
+               CAST(trunc(TRY_CAST(
+                   json_extract_string(props, '$.k') AS DOUBLE))
+                    AS BIGINT) AS k
+        FROM events
+    )
     SELECT
         event_type,
         CAST(count(*) AS BIGINT) AS n_events,
-        CAST(count(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
-             AS BIGINT) AS n_with_k,
-        CAST(sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
-             AS BIGINT) AS sum_k,
-        CAST(min(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
-             AS BIGINT) AS min_k,
-        CAST(max(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
-             AS BIGINT) AS max_k
-    FROM events
+        CAST(count(k) AS BIGINT) AS n_with_k,
+        CAST(sum(k) AS BIGINT) AS sum_k,
+        CAST(min(k) AS BIGINT) AS min_k,
+        CAST(max(k) AS BIGINT) AS max_k
+    FROM shred
     GROUP BY event_type
     """,
     tags=("functions", "Q17", "variant", "semi-structured"),
@@ -353,11 +380,13 @@ def q17_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard partial-agg on event_type. The oracle shreds the same
     paths with DuckDB's JSON functions — VARIANT is an encoding
     choice, not a semantics change, so the typed results must agree
-    exactly. Presence (``n_with_k``) is counted through the SAME
-    typed lens on both sides: the oracle TRY_CASTs the extracted
-    string to BIGINT to mirror ``try_variant_get(..., 'long')``, so
-    a non-numeric ``k`` (string/float/object) counts as absent in
-    both engines instead of diverging.
+    exactly. The typed lens is mirrored precisely (probed, not
+    assumed): ``try_variant_get(..., 'long')`` accepts any numeric
+    (and numeric-string) ``k`` and TRUNCATES toward zero (7.5 → 7),
+    so the oracle goes through TRY_CAST-to-DOUBLE + ``trunc`` — a
+    straight TRY_CAST-to-BIGINT would ROUND ('7.5' → 8) and a
+    non-numeric ``k`` counts as absent on both sides. Pinned on
+    crafted floats in ``tests/test_round8_ops.py``.
     """
     ev = table(spark, sf_dir, "events")
     v = ev.select(

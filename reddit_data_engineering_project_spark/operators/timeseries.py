@@ -718,7 +718,7 @@ def q22_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM q
         WINDOW w AS (
             PARTITION BY user_id
-            ORDER BY ts NULLS LAST, event_id
+            ORDER BY ts NULLS FIRST, event_id
             ROWS BETWEEN 7 PRECEDING AND CURRENT ROW
         )
     ),
@@ -775,7 +775,10 @@ def q22_hampel_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     but are excluded from the order statistics (the q22/s08 ROWS-frame
     convention); the flag needs ≥3 observations and MAD > 0 (a
     constant frame has no robust scale — NULL, the 1e-12-floor
-    analog).
+    analog). Frame order is (ts NULLS FIRST, event_id) on BOTH
+    engines — Spark's ``Window.orderBy`` ascending default — unlike
+    the s08 replay twin, whose oracle mirrors pandas' NULLS-LAST sort;
+    the two entries document the two orderings their engines impose.
 
     Scale shape: ONE user_id hash exchange + sort (identical to the
     z-score twin — in a fused deployment both gates share it); the

@@ -267,7 +267,9 @@ def pipeline_posts_clean_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
         user_id,
         coalesce(nullif(trim(event_type), ''), 'unknown') AS event_type,
         round(coalesce(value, 0.0) * 100.0) / 100.0 AS value_clean,
-        coalesce(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT), 0) AS prop_k,
+        coalesce(CAST(trunc(TRY_CAST(
+                     json_extract_string(props, '$.k') AS DOUBLE))
+                 AS BIGINT), 0) AS prop_k,
         (coalesce(value, 0.0) > 100.0) AS high_value
     FROM events
     """,
@@ -280,6 +282,11 @@ def pipeline_clean_coerce(spark: SparkSession, sf_dir: str) -> DataFrame:
     trim+default (R6/R7), falsy-default numeric (R5), epoch↔timestamp
     round-trip (R4), bool coercion (R8). One narrow projection — no
     shuffle, survives any scale.
+
+    Typed-lens parity (probed, round-8 audit): Spark's string→long
+    CAST truncates numeric strings toward zero ('7.5' → 7), so the
+    oracle mirrors with TRY_CAST-to-DOUBLE + trunc — a bare
+    TRY_CAST-to-BIGINT would round (see q17_map_funcs, same lens).
     """
     ev = table(spark, sf_dir, "events")
     return ev.select(

@@ -106,15 +106,21 @@ def test_variant_shred_nonnumeric_k_counts_as_absent(spark, tmp_path):
         (3, "2024-01-01 00:02:00", 10, "view", 1.0, '{"k": {"a": 1}}'),
         (4, "2024-01-01 00:03:00", 10, "view", 1.0, '{"other": 1}'),
         (5, "2024-01-01 00:04:00", 10, "view", 1.0, '{"k": 5}'),
+        # The probed truncation semantics: variant-get-to-long
+        # TRUNCATES 7.5 -> 7 (a round would give 8), takes 3.0 -> 3,
+        # and parses numeric strings.
+        (6, "2024-01-01 00:05:00", 10, "view", 1.0, '{"k": 7.5}'),
+        (7, "2024-01-01 00:06:00", 10, "view", 1.0, '{"k": 3.0}'),
+        (8, "2024-01-01 00:07:00", 10, "view", 1.0, '{"k": "11"}'),
     ]
     sf = _write_events(spark, tmp_path, rows)
     got = {
         r.event_type: r
         for r in textfns.q17_variant_shred(spark, sf).collect()
     }
-    assert got["view"].n_events == 5
-    assert got["view"].n_with_k == 2
-    assert got["view"].sum_k == 12
+    assert got["view"].n_events == 8
+    assert got["view"].n_with_k == 5
+    assert got["view"].sum_k == 12 + 7 + 3 + 11
 
     con = duckdb.connect()
     glob = (sf + "/events.parquet/*.parquet").replace("'", "''")
@@ -123,7 +129,7 @@ def test_variant_shred_nonnumeric_k_counts_as_absent(spark, tmp_path):
     )
     oracle = con.execute(ORACLES["q17_variant_shred"]).fetchall()
     (o,) = oracle
-    assert (o[1], o[2], o[3]) == (5, 2, 12)
+    assert (o[1], o[2], o[3]) == (8, 5, 33)
 
 
 # --------------------------------------------- s08 stateful replay twin
@@ -422,3 +428,62 @@ def test_hamming_rerank_recall_dominates_direct_binary_topk(spark):
         assert n >= direct_hits[q], (
             f"query {q}: rerank {n} < direct {direct_hits[q]}"
         )
+
+
+def test_json_typed_lenses_match_oracles_on_float_and_string_k(
+    spark, tmp_path
+):
+    """Round-8 audit: the THREE json-extraction lenses have different
+    probed semantics — from_json(IntegerType) accepts only strict
+    in-range JSON integers; string-CAST truncates numeric strings
+    toward zero; variant-get-to-long truncates any numeric. Each
+    oracle must mirror its own lens exactly on floats, numeric
+    strings, and negatives (all absent from the fixture corpus)."""
+    import duckdb
+
+    from reddit_data_engineering_project_spark.functions import (
+        text as textfns,
+    )
+    from reddit_data_engineering_project_spark.registry import ORACLES
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 10, "view", 1.0, '{"k": 7}'),
+        (2, "2024-01-01 00:01:00", 10, "view", 1.0, '{"k": 7.5}'),
+        (3, "2024-01-01 00:02:00", 10, "view", 1.0, '{"k": 7.0}'),
+        (4, "2024-01-01 00:03:00", 10, "view", 1.0, '{"k": "7"}'),
+        (5, "2024-01-01 00:04:00", 10, "view", 1.0, '{"k": "-7.5"}'),
+        (6, "2024-01-01 00:05:00", 10, "view", 1.0, '{"k": -3}'),
+        (7, "2024-01-01 00:06:00", 10, "view", 1.0, '{"k": 9999999999}'),
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    con = duckdb.connect()
+    glob = (sf + "/events.parquet/*.parquet").replace("'", "''")
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{glob}')"
+    )
+
+    # Lens 1: from_json(IntegerType) — only rows 1 and 6 yield k.
+    jf = {
+        r.event_id: (r.prop_k, r.has_k)
+        for r in textfns.q17_json_funcs(spark, sf).collect()
+    }
+    assert jf[1] == (7, True) and jf[6] == (-3, True)
+    for eid in (2, 3, 4, 5, 7):  # float / string / out-of-int32-range
+        assert jf[eid] == (-1, False), f"event {eid}: {jf[eid]}"
+    oracle = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(ORACLES["q17_json_funcs"]).fetchall()
+    }
+    assert oracle == jf
+
+    # Lens 2: string-CAST — truncates toward zero, parses strings.
+    mf = {
+        r.event_id: r.k_from_map
+        for r in textfns.q17_map_funcs(spark, sf).collect()
+    }
+    assert mf[2] == 7 and mf[5] == -7 and mf[4] == 7 and mf[7] == 9999999999
+    oracle = {
+        r[0]: r[2]
+        for r in con.execute(ORACLES["q17_map_funcs"]).fetchall()
+    }
+    assert oracle == mf
