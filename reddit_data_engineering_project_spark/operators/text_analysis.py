@@ -15,7 +15,7 @@ gate checks the implementation, not linguistics.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
 from ..functions.numeric import dround
 from ..registry import register
@@ -1381,3 +1381,83 @@ def x04_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hashed.groupBy("doc_id", F.col("dim").cast("bigint").alias("dim")).agg(
         F.count("*").cast("bigint").alias("tf")
     )
+
+
+#: Weighted-sample geometry: sample size, hex digits of md5 used as the
+#: 48-bit uniform, and the (2^48 + 1) denominator that keeps u in (0,1).
+_WS_N = 100
+_WS_DENOM = 281474976710657.0
+
+
+@register(
+    "x04_weighted_sample",
+    oracle=f"""
+    WITH pri AS (
+        SELECT doc_id, source, n_chars,
+               CAST(round(
+                   ln((CAST(concat('0x',
+                           substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+                        AS BIGINT) + 1) / {_WS_DENOM!r})
+                   / greatest(n_chars, 1) * 1000000.0) AS BIGINT)
+                   AS key_e6
+        FROM documents
+    )
+    SELECT CAST(rank AS BIGINT) AS rank, doc_id, source, n_chars, key_e6
+    FROM (
+        SELECT doc_id, source, n_chars, key_e6,
+               row_number() OVER (
+                   ORDER BY key_e6 DESC, doc_id ASC
+               ) AS rank
+        FROM pri
+    )
+    WHERE rank <= {_WS_N}
+    """,
+    tags=("curation", "X4", "sampling", "weighted"),
+)
+def x04_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: weighted sampling WITHOUT replacement (Efraimidis–Spirakis
+    A-ES) — the curation primitive rate/cap sampling can't express:
+    pick {_WS_N} docs with inclusion probability proportional to a
+    per-doc weight (here ``n_chars``, i.e. a token-budget-proportional
+    draw; swap in a quality score unchanged).
+
+    A-ES: each doc gets priority u^(1/w) for u ~ Uniform(0,1); the
+    top-N priorities ARE a weight-proportional sample without
+    replacement — one pass, no sequential state, merge = top-N, which
+    is what makes it THE distributed weighted sampler. Determinism
+    discipline: u derives from md5(doc_id) (identical digests on both
+    engines, 48 bits via the shared hex-to-int parse, +1 over 2^48+1
+    keeps u strictly inside (0,1)); the monotone-equivalent key
+    ln(u)/w is the one libm call, rounded ONCE to e6 (the
+    x04_lm_quality_score precedent — ulp-level ln divergence is ~1e-11
+    of an e6 unit here, 10 orders below the rounding step).
+
+    Scale shape: priority is a narrow map-side projection riding the
+    scan (md5 + one ln per row, no shuffle); the top-{_WS_N} runs as
+    distributed TakeOrderedAndProject (never a global sort — the
+    q04_topk contract); the rank window orders only the {_WS_N}
+    surviving rows. Merge-compatibility means the same plan shape
+    holds per-partition at any fleet size.
+    """
+    docs = table(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10
+    ).cast("long")
+    u = (h + F.lit(1)) / F.lit(_WS_DENOM)
+    key_e6 = (
+        F.round(
+            F.log(u)
+            / F.greatest(F.col("n_chars"), F.lit(1))
+            * 1000000.0
+        )
+        .cast("bigint")
+        .alias("key_e6")
+    )
+    pri = docs.select("doc_id", "source", "n_chars", key_e6)
+    top = pri.orderBy(F.col("key_e6").desc(), F.col("doc_id").asc()).limit(
+        _WS_N
+    )
+    w = Window.orderBy(F.col("key_e6").desc(), F.col("doc_id").asc())
+    return top.withColumn(
+        "rank", F.row_number().over(w).cast("bigint")
+    ).select("rank", "doc_id", "source", "n_chars", "key_e6")

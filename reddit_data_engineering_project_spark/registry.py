@@ -138,12 +138,13 @@ def register(
 #
 # ROUND-9 ROTATION PLAN (committed now so no entry waits on an
 # undocumented promise): mandatory slots = the 12 stale overflows
-# above + the SIX round-8 post-rotation registrations
+# above + the SEVEN round-8 post-rotation registrations
 # (q07_cms_heavy_hitters, q07_histogram_quantiles, q21_kcore_peel,
-# q22_hampel_mad, x03_hamming_topk, x03_hamming_rerank — mirrored in
-# tests/test_grading_window.py's QUEUED_FOR_NEXT_WINDOW; any further
-# registration adds itself to both lists in its own commit).
-# 12 + 6 = 18 mandatory; the remaining 33 slots backfill
+# q22_hampel_mad, x03_hamming_topk, x03_hamming_rerank,
+# x04_weighted_sample — mirrored in tests/test_grading_window.py's
+# QUEUED_FOR_NEXT_WINDOW; any further registration adds itself to
+# both lists in its own commit).
+# 12 + 7 = 19 mandatory; the remaining 33 slots backfill
 # current-corpus re-grades of the OLDEST rows. Concretely (computed
 # from the committed CORRECTNESS files at end of round 8): no entry's
 # latest green is r04; exactly 28 entries sit at r05 —
@@ -157,7 +158,7 @@ def register(
 # x04_fingerprint, x04_hash_sample, x04_language_id,
 # x04_length_histogram, x04_quality_filter, x04_stratified_sample,
 # x04_term_frequency, x04_tfidf, x04_token_count —
-# all 28 fit (18 + 28 = 46), leaving 4 slots for the oldest r06 rows
+# all 28 fit (19 + 28 = 47), leaving 3 slots for the oldest r06 rows
 # (flagship entry() twin first). After round 9 the stale r02/r03
 # queue is EMPTY and nothing older than r06 remains.
 GRADING_PRIORITY: tuple[str, ...] = (

@@ -125,6 +125,7 @@ QUEUED_FOR_NEXT_WINDOW: set[str] = {
     "q22_hampel_mad",          # median/MAD robust anomaly gate
     "x03_hamming_topk",        # 1-bit binary-sketch ANN rung
     "x03_hamming_rerank",      # binary-first + exact-rerank audit
+    "x04_weighted_sample",     # A-ES weighted sampling w/o replacement
 }
 
 

@@ -649,3 +649,13 @@ def test_hamming_rerank_candidates_broadcast_corpus_single_pass(spark):
     assert "SortMergeJoin" not in plan  # recall join rides a broadcast
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_weighted_sample_take_ordered_no_global_sort(spark):
+    """x04_weighted_sample: priority is a map-side projection riding the
+    scan; the top-N is distributed TakeOrderedAndProject, never a
+    rangepartitioning global sort; no join anywhere."""
+    plan = _plan(spark, "x04_weighted_sample")
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan.lower()
+    assert "Join" not in plan

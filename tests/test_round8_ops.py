@@ -487,3 +487,33 @@ def test_json_typed_lenses_match_oracles_on_float_and_string_k(
         for r in con.execute(ORACLES["q17_map_funcs"]).fetchall()
     }
     assert oracle == mf
+
+
+def test_weighted_sample_is_length_biased_not_uniform(spark):
+    """The weighting must actually bite: under A-ES with weight
+    n_chars, long documents are over-represented, so the sample's mean
+    length exceeds the corpus mean (a uniform sampler's would match
+    it). Deterministic on the fixed corpus; also sanity-pins the
+    without-replacement and key-ordering contracts."""
+    from conftest import SF_DIR
+
+    from reddit_data_engineering_project_spark.operators import (
+        text_analysis as ta,
+    )
+    from reddit_data_engineering_project_spark.tables import table
+    from pyspark.sql import functions as FF
+
+    rows = ta.x04_weighted_sample(spark, SF_DIR).collect()
+    assert len(rows) == ta._WS_N
+    assert len({r.doc_id for r in rows}) == ta._WS_N  # no replacement
+    keys = [r.key_e6 for r in sorted(rows, key=lambda r: r.rank)]
+    assert keys == sorted(keys, reverse=True)
+    corpus_mean = (
+        table(spark, SF_DIR, "documents")
+        .agg(FF.avg("n_chars"))
+        .first()[0]
+    )
+    sample_mean = sum(r.n_chars for r in rows) / len(rows)
+    assert sample_mean > corpus_mean, (
+        f"sample mean {sample_mean:.1f} not above corpus {corpus_mean:.1f}"
+    )
