@@ -22,7 +22,7 @@ Scale notes (100 TB design point):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
 from ..functions.numeric import dround
 from ..registry import register
@@ -833,4 +833,151 @@ def q11_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits.groupBy("etype", "d").agg(
         F.countDistinct("user_id").cast("bigint").alias("n_users"),
         F.sum("overlap_s").cast("bigint").alias("total_overlap_seconds"),
+    )
+
+
+#: Bloom-prune geometry: m bits (as m/64 packed BIGINT words in a map)
+#: and k probe positions per key, each a 32-bit md5 slice mod m.
+_BLOOM_BITS = 8192
+_BLOOM_K = 4
+
+
+def _bloom_probe_positions(col: Column) -> "list[Column]":
+    """The k bit positions a key sets/tests in the Bloom filter.
+
+    Four disjoint 8-hex-digit (32-bit) slices of md5(key) mod m —
+    independent-enough hashes from ONE digest call, all codegen
+    (md5/substring/conv are JVM built-ins). Deterministic, so the
+    pruned plan is reproducible run-to-run; correctness never depends
+    on hash quality because an exact join runs behind the filter.
+    """
+    h = F.md5(col.cast("string"))
+    return [
+        F.conv(F.substring(h, 1 + 8 * i, 8), 16, 10).cast("long")
+        % _BLOOM_BITS
+        for i in range(_BLOOM_K)
+    ]
+
+
+def build_bloom(keys: DataFrame, key: str) -> DataFrame:
+    """Aggregate a key column into a one-row Bloom filter.
+
+    Output: a single row holding ``map<int, bigint>`` from word index →
+    64-bit word (absent word = 0). Build cost is one partial-aggregating
+    pass over the (already filtered, small) build side; the result is a
+    ≤1 KiB broadcast no matter how large the build side grows, which is
+    the property that lets the probe-side scan stay map-side-only.
+    """
+    pos = keys.select(
+        F.explode(F.array(*_bloom_probe_positions(F.col(key)))).alias("pos")
+    )
+    words = (
+        pos.select(
+            (F.col("pos") / 64).cast("int").alias("word"),
+            (F.col("pos") % 64).cast("int").alias("bit"),
+        )
+        .select("word", F.expr("shiftleft(1L, bit)").alias("mask"))
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+    return words.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("word", "bits"))
+        ).alias("bloom")
+    )
+
+
+def bloom_prune(big: DataFrame, key: str, bloom: DataFrame) -> DataFrame:
+    """Filter ``big`` to rows whose ``key`` passes the Bloom filter.
+
+    The one-row bloom map is broadcast (BroadcastNestedLoopJoin over a
+    single row — free) and the k bit tests run inside the probe scan's
+    WholeStageCodegen: element_at on the 128-entry map + shiftright +
+    AND per probe, O(1) per row, no shuffle of ``big`` whatsoever.
+    False negatives are impossible (every build-key bit is set); false
+    positives are expected and removed by the exact join the caller
+    runs next.
+    """
+    probes = _bloom_probe_positions(F.col(key))
+    pruned = big.crossJoin(F.broadcast(bloom))
+    helper = []
+    for i, pos in enumerate(probes):
+        wcol, bcol = f"_bw{i}", f"_bb{i}"
+        pruned = pruned.withColumn(
+            wcol,
+            F.coalesce(
+                F.element_at(F.col("bloom"), (pos / 64).cast("int")), F.lit(0)
+            ),
+        ).withColumn(bcol, (pos % 64).cast("int"))
+        helper += [wcol, bcol]
+    test = " AND ".join(
+        f"((shiftright(_bw{i}, _bb{i}) & 1) = 1)" for i in range(_BLOOM_K)
+    )
+    return pruned.filter(F.expr(test)).drop("bloom", *helper)
+
+
+@register(
+    "q10_bloom_prune",
+    oracle="""
+    SELECT
+        n.n_name AS nation,
+        CAST(count(*) AS BIGINT) AS n_lineitems,
+        round(sum(l.l_extendedprice * (1 - l.l_discount)) * 100.0) / 100.0
+            AS revenue
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'EUROPE'
+    GROUP BY 1
+    """,
+    tags=("joins", "Q10", "bloom", "runtime-filter"),
+)
+def q10_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10: Bloom-filter semi-join pruning — the explicit, deterministic
+    form of Spark's runtime bloom filter (the pattern behind
+    ``spark.sql.optimizer.runtime.bloomFilter.enabled``), owned by the
+    engine so the plan is pinned rather than optimizer-dependent.
+
+    A selective dim predicate (EUROPE suppliers ≈ 1/5 of suppliers)
+    should prune the FACT SCAN, not just the join: the filtered dim's
+    keys are folded into an m=8192-bit Bloom filter (one tiny agg),
+    broadcast as a single ≤1 KiB row, and every lineitem tests k=4 bit
+    positions inside its own scan stage — rows that cannot join are
+    dropped map-side BEFORE any join work. The exact broadcast join
+    behind it removes the ~p^k ≈ 1e-4 false positives, so the result is
+    bit-identical to the plain join and the oracle is the plain SQL
+    join: the bloom is provably transparent (also pinned by a pytest
+    that diffs the bloom path against the direct join).
+
+    Scale shape: at 100 TB the bloom build cost is one partial agg on
+    the dim, the broadcast is constant-size, and the FACT table never
+    shuffles — the plan's only Exchanges are the ≤25-row final nation
+    rollup plus two dim-sized ones inside the bloom build (≤4·|dim|
+    probe rows → ≤128 words → 1 row), all constant-size w.r.t. the
+    fact. This is exactly the shape that turns a selective star query
+    from scan-bound to index-like.
+    """
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    dim = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .filter(F.col("r_name") == "EUROPE")
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    bloom = build_bloom(dim, "s_suppkey")
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    pruned = bloom_prune(li, "l_suppkey", bloom)
+    exact = pruned.join(
+        F.broadcast(dim), pruned.l_suppkey == dim.s_suppkey
+    )
+    return exact.groupBy("nation").agg(
+        F.count("*").cast("bigint").alias("n_lineitems"),
+        dround(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        ).alias("revenue"),
     )

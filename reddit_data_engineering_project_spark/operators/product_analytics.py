@@ -2204,3 +2204,126 @@ def q21_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edges.groupBy(F.col("src").alias("part")).agg(
         F.count("*").cast("bigint").alias("deg_in_core")
     )
+
+
+#: Adamic-Adar geometry: report the top-N predicted (non-)edges.
+_AA_TOP_N = 50
+
+
+@register(
+    "q21_adamic_adar",
+    oracle=f"""
+    WITH li AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    half AS (
+        SELECT a.l_partkey AS src, b.l_partkey AS dst
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        HAVING count(*) >= {{min_pair}}
+    ),
+    edges AS (
+        SELECT src, dst FROM half
+        UNION ALL
+        SELECT dst AS src, src AS dst FROM half
+    ),
+    term AS (
+        SELECT src AS v,
+               CAST(round(1000000.0 / ln(count(*))) AS BIGINT) AS term_e6
+        FROM edges GROUP BY 1
+    ),
+    scored AS (
+        SELECT a.dst AS part_a, b.dst AS part_b,
+               CAST(count(*) AS BIGINT) AS common_neighbors,
+               CAST(sum(t.term_e6) AS BIGINT) AS aa_score_e6
+        FROM edges a
+        JOIN edges b ON a.src = b.src AND a.dst < b.dst
+        JOIN term t ON t.v = a.src
+        GROUP BY 1, 2
+    ),
+    nonedge AS (
+        SELECT * FROM scored s
+        WHERE NOT EXISTS (
+            SELECT 1 FROM edges e
+            WHERE e.src = s.part_a AND e.dst = s.part_b
+        )
+    )
+    SELECT CAST(rank AS BIGINT) AS rank,
+           part_a, part_b, common_neighbors, aa_score_e6
+    FROM (
+        SELECT part_a, part_b, common_neighbors, aa_score_e6,
+               row_number() OVER (
+                   ORDER BY aa_score_e6 DESC, part_a ASC, part_b ASC
+               ) AS rank
+        FROM nonedge
+    )
+    WHERE rank <= {{top_n}}
+    """.replace("{min_pair}", str(_BASKET_MIN_PAIR_ORDERS)).replace(
+        "{top_n}", str(_AA_TOP_N)
+    ),
+    tags=("analytics", "graph", "link-prediction"),
+)
+def q21_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21: Adamic-Adar link prediction — the sixth graph class
+    (after components, PageRank, triangles, reach2, k-core): score
+    NON-edges by their common neighborhood, down-weighting hub
+    neighbors by 1/ln(deg) — "which parts will be co-purchased next".
+
+    Exact-integer discipline for the one transcendental: each center's
+    contribution is quantized ONCE as term_e6 = round(1e6/ln(deg))
+    (deg ≥ 2 for any wedge center — it touches both endpoints — so ln
+    is never 0), and pair scores are exact BIGINT sums of those terms —
+    both engines add identical integers in any order. The same
+    ln-once-then-integer-fold rule as x04_lm_quality_score.
+
+    Scale shape: one wedge join (edges ⋈ edges on the center vertex =
+    ONE shuffle on v), one (part_a, part_b) aggregation, one left-anti
+    against the existing edge list, then a distributed
+    TakeOrderedAndProject for the top-{_AA_TOP_N} (never a global
+    sort). Wedge fan-out is Σ deg(v)² — on a skewed graph the hub
+    centers dominate, which is why the basket floor prunes singleton
+    pairs first and production would cap or salt hub degrees (the
+    reach2 precedent); the unfiltered exact form is the semantics the
+    oracle checks here.
+    """
+    edges = _copurchase_edges(spark, sf_dir).persist()
+    term = (
+        edges.groupBy(F.col("src").alias("v"))
+        .agg(F.count("*").alias("deg"))
+        .select(
+            "v",
+            F.round(F.lit(1_000_000.0) / F.log(F.col("deg")))
+            .cast("bigint")
+            .alias("term_e6"),
+        )
+    )
+    a = edges.select(F.col("src").alias("v"), F.col("dst").alias("part_a"))
+    b = edges.select(F.col("src").alias("v"), F.col("dst").alias("part_b"))
+    wedges = a.join(b, "v").filter(F.col("part_a") < F.col("part_b"))
+    scored = (
+        wedges.join(term, "v")
+        .groupBy("part_a", "part_b")
+        .agg(
+            F.count("*").cast("bigint").alias("common_neighbors"),
+            F.sum("term_e6").cast("bigint").alias("aa_score_e6"),
+        )
+    )
+    nonedge = scored.join(
+        edges,
+        (scored.part_a == edges.src) & (scored.part_b == edges.dst),
+        "left_anti",
+    )
+    top = nonedge.orderBy(
+        F.col("aa_score_e6").desc(),
+        F.col("part_a").asc(),
+        F.col("part_b").asc(),
+    ).limit(_AA_TOP_N)
+    w = Window.orderBy(
+        F.col("aa_score_e6").desc(),
+        F.col("part_a").asc(),
+        F.col("part_b").asc(),
+    )
+    return top.withColumn(
+        "rank", F.row_number().over(w).cast("bigint")
+    ).select("rank", "part_a", "part_b", "common_neighbors", "aa_score_e6")

@@ -1897,3 +1897,75 @@ def x03_hamming_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("recall_e6"),
     )
+
+
+#: Range-search radius: e6-quantized cosine threshold (≈ the 99th
+#: percentile of the synthetic corpus' pair cosines, so ~1% qualify).
+_RANGE_T_E6 = 300_000
+
+
+@register(
+    "x03_range_search",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 5),
+    scored AS (
+        SELECT
+            q.query_id,
+            v.vec_id AS neighbor_id,
+            CAST(round(
+                list_dot_product(q.qe, v.e)
+                / (sqrt(list_dot_product(q.qe, q.qe))
+                   * sqrt(list_dot_product(v.e, v.e))) * 1000000.0
+            ) AS BIGINT) AS cos_e6
+        FROM q JOIN v ON v.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id,
+           cos_e6 / 1000000.0 + 0.0 AS cosine_sim
+    FROM scored
+    WHERE cos_e6 >= {_RANGE_T_E6}
+    """,
+    tags=("similarity", "X3", "range-search"),
+)
+def x03_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3: cosine RANGE search — all neighbors within a similarity
+    radius, the set-semantics dual of top-k (what dedup thresholds,
+    recall-guaranteed retrieval, and density estimation actually want:
+    "everything ≥ 0.30", not "the best 10 whatever they are").
+
+    The threshold compares the e6-QUANTIZED cosine on both engines
+    (multiply-then-round to BIGINT, then ``>=``): a float-path ulp
+    wobble near the radius boundary would otherwise flip membership of
+    a borderline pair between engines — the same discipline as the
+    sketch ops, applied to a predicate instead of an output.
+
+    Scale shape: unlike top-k (which needs a per-query rank → one hash
+    exchange), range search is a PURE MAP-SIDE scan — queries
+    broadcast, the dot product + threshold run inside the corpus
+    scan's WholeStageCodegen, and the plan has ZERO shuffles
+    (plan-pinned). At 100 TB it reads the corpus once and writes only
+    qualifying pairs; output size scales with true neighbor density,
+    not corpus size.
+    """
+    emb = ensure_min_parallelism(table(spark, sf_dir, "embeddings")).select(
+        "vec_id", _vec_double("embedding").alias("e")
+    )
+    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    scored = emb.join(
+        F.broadcast(q), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(cosine(F.col("qe"), F.col("e")) * 1_000_000.0)
+        .cast("bigint")
+        .alias("cos_e6"),
+    )
+    return scored.filter(F.col("cos_e6") >= _RANGE_T_E6).select(
+        "query_id",
+        "neighbor_id",
+        (F.col("cos_e6") / 1_000_000.0).alias("cosine_sim"),
+    )

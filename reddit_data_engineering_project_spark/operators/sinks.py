@@ -368,3 +368,68 @@ def q18_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_legacy_rows"),
         dround(F.sum("o_totalprice")).alias("known_price"),
     )
+
+
+#: The pruned day for q18_partitioned_prune — mid-corpus, guaranteed by
+#: the fixture generator's fixed 2024-01 window (test pins non-empty).
+_PRUNE_DAY = "2024-01-15"
+
+
+@register(
+    "q18_partitioned_prune",
+    oracle=f"""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           round(sum(coalesce(value, 0.0)) * 100.0) / 100.0
+               AS total_value
+    FROM events
+    WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '{_PRUNE_DAY} 00:00:00'
+      AND CAST(ts AS TIMESTAMP) <  TIMESTAMP '{_PRUNE_DAY} 00:00:00'
+                                   + INTERVAL 1 DAY
+    GROUP BY 1
+    """,
+    tags=("sinks", "Q18", "partition-pruning"),
+)
+def q18_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18: partition-PRUNED read over the date-partitioned lake layout —
+    the payoff side of ``write_partitioned_parquet`` (the write side is
+    ``q18_sink_roundtrip``; this op proves the layout buys reads).
+
+    Events are written Hive-partitioned by ``ds``; the read filters on
+    one day and the planner must resolve that to directory-listing
+    metadata — the scan's ``PartitionFilters`` carries the ``ds``
+    equality and only 1 of ~30 day directories is opened (plan-pinned in
+    ``tests/test_plans.py``; a regression here silently turns every
+    daily query into a full-lake scan). The oracle reads the ORIGINAL
+    table with the equivalent timestamp-range predicate, so the
+    partition round-trip (timestamp → DATE dir key → pruned read) must
+    also preserve values exactly.
+
+    Scale shape: at 100 TB with ~3 000 day partitions, pruning is the
+    difference between a 30 GB scan and a 100 TB scan — it happens at
+    PLANNING time (file-index listing), zero tasks touch excluded
+    days. The same mechanism powers the engine's backfills and
+    dynamic-overwrite upserts.
+    """
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        "ts",
+        "user_id",
+        "event_type",
+        F.coalesce(F.col("value"), F.lit(0.0)).alias("value"),
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("ds"),
+    )
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"reddit_data_engineering_project_spark_part_prune_{os.getpid()}",
+    )
+    write_partitioned_parquet(ev, out, "ds")
+    back = spark.read.parquet(out).filter(
+        F.col("ds") == F.lit(_PRUNE_DAY).cast("date")
+    )
+    return back.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        dround(F.sum("value")).alias("total_value"),
+    )

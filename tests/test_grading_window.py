@@ -126,6 +126,10 @@ QUEUED_FOR_NEXT_WINDOW: set[str] = {
     "x03_hamming_topk",        # 1-bit binary-sketch ANN rung
     "x03_hamming_rerank",      # binary-first + exact-rerank audit
     "x04_weighted_sample",     # A-ES weighted sampling w/o replacement
+    "q10_bloom_prune",         # deterministic Bloom runtime-filter join
+    "q18_partitioned_prune",   # PartitionFilters pruned lake read
+    "x03_range_search",        # cosine radius query, zero-shuffle scan
+    "q21_adamic_adar",         # link prediction, 6th graph class
 }
 
 

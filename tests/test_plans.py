@@ -659,3 +659,49 @@ def test_weighted_sample_take_ordered_no_global_sort(spark):
     assert "TakeOrderedAndProject" in plan
     assert "rangepartitioning" not in plan.lower()
     assert "Join" not in plan
+
+
+def test_bloom_prune_fact_never_shuffles(spark):
+    """q10_bloom_prune: the fact side meets only broadcasts — the 1-row
+    bloom map rides a BroadcastNestedLoopJoin, the exact FP-removal join
+    a BroadcastHashJoin; the only shuffles are the final rollup plus the
+    two constant-size aggs inside the bloom build."""
+    plan = _plan(spark, "q10_bloom_prune")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin Cross" in plan
+    assert "BroadcastHashJoin" in plan
+    ex = plan.count("Exchange (") - plan.count("BroadcastExchange (")
+    assert ex == 3
+
+
+def test_partitioned_prune_reaches_directory_metadata(spark):
+    """q18_partitioned_prune: the day predicate must become a
+    PartitionFilter (directory pruning at planning time), never a data
+    filter over all days; the scan also prunes to the 3 read columns."""
+    plan = _plan(spark, "q18_partitioned_prune")
+    scan = plan[plan.index("PartitionFilters"):]
+    assert "(ds" in scan[: scan.index("]")]
+    assert " = 2024-01-15" in scan[: scan.index("]")]
+    assert "struct<user_id:bigint,event_type:string,value:double>" in plan
+
+
+def test_range_search_no_rank_no_shuffle(spark):
+    """x03_range_search: set semantics need no per-query rank — no
+    Window, no sort, no SMJ; the only Exchanges are the two
+    ensure_min_parallelism round-robins (local-fixture widening that
+    vanishes at scale), never a key shuffle of the corpus."""
+    plan = _plan(spark, "x03_range_search")
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    ex = plan.count("Exchange (") - plan.count("BroadcastExchange (")
+    assert ex <= 2
+
+
+def test_adamic_adar_topn_is_take_ordered(spark):
+    """q21_adamic_adar: the top-N must run as a distributed
+    TakeOrderedAndProject, never a rangepartitioning global sort of
+    the wedge aggregate."""
+    plan = _plan(spark, "q21_adamic_adar")
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan.lower()

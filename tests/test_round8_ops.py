@@ -517,3 +517,91 @@ def test_weighted_sample_is_length_biased_not_uniform(spark):
     assert sample_mean > corpus_mean, (
         f"sample mean {sample_mean:.1f} not above corpus {corpus_mean:.1f}"
     )
+
+
+def test_bloom_prune_no_false_negatives_and_bites(spark):
+    """The Bloom pre-filter must (a) never drop a joinable row — every
+    build-key bit is set, so survivors ⊇ exact matches — and (b)
+    actually prune: EUROPE holds ~1/5 of suppliers, so most lineitems
+    must die map-side before the join. Deterministic md5 probes make
+    both counts stable."""
+    from conftest import SF_DIR
+
+    from pyspark.sql import functions as FF
+
+    from reddit_data_engineering_project_spark.operators import joins as J
+    from reddit_data_engineering_project_spark.tables import table
+
+    li = table(spark, SF_DIR, "lineitem").select("l_suppkey")
+    s = table(spark, SF_DIR, "supplier")
+    n = table(spark, SF_DIR, "nation")
+    r = table(spark, SF_DIR, "region")
+    dim = (
+        s.join(n, s.s_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .filter(FF.col("r_name") == "EUROPE")
+        .select("s_suppkey")
+    )
+    bloom = J.build_bloom(dim, "s_suppkey")
+    survivors = J.bloom_prune(li, "l_suppkey", bloom)
+    total = li.count()
+    passed = survivors.count()
+    exact = li.join(dim, li.l_suppkey == dim.s_suppkey).count()
+    assert exact <= passed < total
+    # m=8192/k=4 at this fill keeps false positives ~1e-4: pin an
+    # upper bound so a probe-slicing regression (correlated probes)
+    # shows up as a selectivity explosion, not a silent slowdown.
+    assert passed - exact <= max(10, total // 100)
+
+
+def test_partitioned_prune_day_exists_in_fixture(spark):
+    """The pruned day is a fixed literal; if a corpus regeneration ever
+    moves the 2024-01 event window, the op would go silently empty-but-
+    green — pin non-emptiness so that shows up here instead."""
+    from conftest import SF_DIR
+
+    from reddit_data_engineering_project_spark.operators import sinks as S
+
+    rows = S.q18_partitioned_prune(spark, SF_DIR).collect()
+    assert rows and sum(r.n_events for r in rows) > 0
+
+
+def test_adamic_adar_matches_python_reference(spark):
+    """Full Python re-derivation of Adamic-Adar on the sf0.001 graph:
+    rebuild neighborhoods from the SAME edge list, score every
+    non-adjacent pair with sum(round(1e6/ln(deg(v)))) over common
+    neighbors, and demand the operator's top-50 (values AND order)."""
+    import math
+    from collections import defaultdict
+
+    from conftest import SF_DIR
+
+    from reddit_data_engineering_project_spark.operators import (
+        product_analytics as pa,
+    )
+
+    edges = pa._copurchase_edges(spark, SF_DIR).collect()
+    nbrs = defaultdict(set)
+    for r in edges:
+        nbrs[r.src].add(r.dst)
+    scores = {}
+    for v, ns in nbrs.items():
+        t = round(1_000_000.0 / math.log(len(ns)))
+        ns_sorted = sorted(ns)
+        for i, u in enumerate(ns_sorted):
+            for w in ns_sorted[i + 1:]:
+                cn, aa = scores.get((u, w), (0, 0))
+                scores[(u, w)] = (cn + 1, aa + t)
+    expect = sorted(
+        (
+            (-aa, u, w, cn)
+            for (u, w), (cn, aa) in scores.items()
+            if w not in nbrs[u]
+        ),
+    )[: pa._AA_TOP_N]
+    got = sorted(
+        pa.q21_adamic_adar(spark, SF_DIR).collect(), key=lambda r: r.rank
+    )
+    assert [(r.part_a, r.part_b, r.common_neighbors, r.aa_score_e6)
+            for r in got] == [(u, w, cn, -negaa)
+                              for negaa, u, w, cn in expect]
