@@ -864,3 +864,347 @@ def q22_hampel_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("int"),
         ).alias("is_outlier"),
     )
+
+
+def _hourly_count_series(ev: DataFrame) -> DataFrame:
+    """Dense hour-indexed total-count series ``(t, x)`` — the shared
+    spine of the correlogram and decomposition operators.
+
+    ``t`` is the hour index off the corpus min (0..n-1, no gaps), ``x``
+    the event count that hour (explicit 0 for silent hours — lag-k
+    neighbours are only meaningful on a dense grid). Exactly ONE
+    event-sized aggregate exists (the absolute-hour roll-up), and it is
+    persisted: the min/max bounds, the hour-index projection, AND both
+    downstream consumers of the series (per-lag stats + global moments;
+    trend rows + seasonal means) all branch from the 720-row cache.
+    Unpersisted, column pruning would specialize each branch's scan
+    schema, defeat ReusedExchange (the q21_triangle_count lesson), and
+    re-run the fact scan up to four times — persist pins ONE fact scan
+    total. Same lifecycle convention as the k-core/label-prop edge
+    lists (caller's action completes; session teardown reclaims the
+    720 rows). Calendar-sized at ANY corpus size.
+    """
+    hourly = (
+        ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("h"))
+        .agg(F.count("*").cast("bigint").alias("x"))
+        .persist()
+    )
+    bounds = hourly.agg(
+        F.min("h").alias("h0"),
+        ((F.unix_timestamp(F.max("h")) - F.unix_timestamp(F.min("h"))) / 3600)
+        .cast("bigint")
+        .alias("tmax"),
+    )
+    indexed = hourly.crossJoin(F.broadcast(bounds)).select(
+        ((F.unix_timestamp("h") - F.unix_timestamp("h0")) / 3600)
+        .cast("bigint")
+        .alias("t"),
+        "x",
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence(F.lit(0).cast("bigint"), F.col("tmax"))
+        ).alias("t")
+    )
+    return spine.join(F.broadcast(indexed), "t", "left").select(
+        "t", F.coalesce("x", F.lit(0).cast("bigint")).alias("x")
+    )
+
+
+@register(
+    "q22_acf_hourly",
+    oracle="""
+    WITH bounds AS (
+        SELECT
+            date_trunc('hour', min(CAST(ts AS TIMESTAMP))) AS h0,
+            date_trunc('hour', max(CAST(ts AS TIMESTAMP))) AS h1
+        FROM events
+    ),
+    spine AS (
+        SELECT CAST(unnest(generate_series(
+            0, date_diff('hour', h0, h1))) AS BIGINT) AS t
+        FROM bounds
+    ),
+    hourly AS (
+        SELECT
+            CAST(date_diff('hour',
+                (SELECT h0 FROM bounds),
+                date_trunc('hour', CAST(ts AS TIMESTAMP))) AS BIGINT) AS t,
+            CAST(count(*) AS BIGINT) AS x
+        FROM events
+        GROUP BY 1
+    ),
+    series AS (
+        SELECT s.t, COALESCE(h.x, CAST(0 AS BIGINT)) AS x
+        FROM spine s LEFT JOIN hourly h USING (t)
+    ),
+    tot AS (
+        SELECT
+            CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(x) AS BIGINT) AS s,
+            CAST(sum(x * x) AS BIGINT) AS q
+        FROM series
+    ),
+    lags AS (
+        SELECT CAST(unnest(generate_series(1, 24)) AS BIGINT) AS k
+    ),
+    pairs AS (
+        SELECT l.k, a.x AS xa, b.x AS xb
+        FROM series a
+        CROSS JOIN lags l
+        JOIN series b ON b.t = a.t + l.k
+    ),
+    lagstats AS (
+        SELECT
+            k,
+            CAST(count(*) AS BIGINT) AS m,
+            CAST(sum(xa * xb) AS BIGINT) AS c,
+            CAST(sum(xa) AS BIGINT) AS ah,
+            CAST(sum(xb) AS BIGINT) AS bt
+        FROM pairs
+        GROUP BY k
+    )
+    SELECT
+        k AS lag_h,
+        m AS n_pairs,
+        CAST(round(
+            CAST(n * n * c - n * s * (ah + bt) + m * s * s AS DOUBLE)
+            / CAST(n * n * q - n * s * s AS DOUBLE) * 1000000.0
+        ) AS BIGINT) AS acf_e6
+    FROM lagstats CROSS JOIN tot
+    WHERE n * n * q - n * s * s > 0
+    """,
+    tags=("timeseries", "Q22", "autocorrelation"),
+)
+def q22_acf_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22: sample autocorrelation of hourly traffic at lags 1-24 — the
+    correlogram that tells a forecaster which seasonality exists.
+
+    "Does traffic have a daily cycle?" — ACF(24) answers it, and the
+    lag-1..23 profile sizes AR terms for any downstream forecast model
+    (the seasonal-naive baseline q22_seasonal_naive ASSUMES period 24;
+    this operator is the measurement that justifies the assumption).
+    r_k = SUM_t (x_t - mean)(x_{t+k} - mean) / SUM_t (x_t - mean)^2 on
+    the dense zero-filled hourly grid (gaps would silently misalign
+    lag pairs on a sparse series).
+
+    Float mean-centering would be run-order-dependent, so the estimator
+    is expanded into pure integer moments (the q21_spend_trend_ols
+    discipline): with S=SUM x, Q=SUM x^2, and per-lag pair sums
+    C_k=SUM x_t*x_{t+k}, A_k/B_k the head/tail sums over the m_k pairs,
+    n^2 * num_k = n^2*C_k - n*S*(A_k+B_k) + m_k*S^2 and
+    n^2 * den = n^2*Q - n*S^2 are exact BIGINTs; the single double
+    division emits acf_e6. Terms are bounded by ~4*n^3*xbar^2 — exact
+    through ~7e4 events/hour on the 30-day grid; above that, pre-scale
+    the counts (ACF is invariant under uniform scaling of x, up to the
+    e6 rounding).
+
+    Scale shape: ONE event-sized hash aggregate (the hourly roll-up);
+    everything after runs on the calendar-sized series — the 24 lead
+    columns come from one un-partitioned window over 720 rows (the
+    documented calendar-bounded exception), the pair explosion is
+    |hours|*24 rows, and the moments join is a 1-row broadcast. No
+    event-sized shuffle beyond the roll-up, no self-join of the fact.
+    """
+    ev = table(spark, sf_dir, "events")
+    series = _hourly_count_series(ev)
+    wo = Window.orderBy("t")
+    lead_cols = series.select(
+        "t",
+        "x",
+        *[F.lead("x", k).over(wo).alias(f"xb{k}") for k in range(1, 25)],
+    )
+    pairs = (
+        lead_cols.select(
+            "x",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(k).cast("bigint").alias("k"),
+                            F.col(f"xb{k}").alias("xb"),
+                        )
+                        for k in range(1, 25)
+                    ]
+                )
+            ).alias("p"),
+        )
+        .select("x", F.col("p.k").alias("k"), F.col("p.xb").alias("xb"))
+        .where(F.col("xb").isNotNull())
+    )
+    lagstats = pairs.groupBy("k").agg(
+        F.count("*").cast("bigint").alias("m"),
+        F.sum(F.col("x") * F.col("xb")).cast("bigint").alias("c"),
+        F.sum("x").cast("bigint").alias("ah"),
+        F.sum("xb").cast("bigint").alias("bt"),
+    )
+    tot = series.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("q"),
+    )
+    num = (
+        F.col("n") * F.col("n") * F.col("c")
+        - F.col("n") * F.col("s") * (F.col("ah") + F.col("bt"))
+        + F.col("m") * F.col("s") * F.col("s")
+    )
+    den = F.col("n") * F.col("n") * F.col("q") - F.col("n") * F.col(
+        "s"
+    ) * F.col("s")
+    return (
+        lagstats.crossJoin(F.broadcast(tot))
+        .where(den > 0)
+        .select(
+            F.col("k").alias("lag_h"),
+            F.col("m").alias("n_pairs"),
+            F.round(num.cast("double") / den.cast("double") * 1000000.0)
+            .cast("bigint")
+            .alias("acf_e6"),
+        )
+    )
+
+
+@register(
+    "q22_seasonal_decompose",
+    oracle="""
+    WITH bounds AS (
+        SELECT
+            date_trunc('hour', min(CAST(ts AS TIMESTAMP))) AS h0,
+            date_trunc('hour', max(CAST(ts AS TIMESTAMP))) AS h1
+        FROM events
+    ),
+    spine AS (
+        SELECT CAST(unnest(generate_series(
+            0, date_diff('hour', h0, h1))) AS BIGINT) AS t
+        FROM bounds
+    ),
+    hourly AS (
+        SELECT
+            CAST(date_diff('hour',
+                (SELECT h0 FROM bounds),
+                date_trunc('hour', CAST(ts AS TIMESTAMP))) AS BIGINT) AS t,
+            CAST(count(*) AS BIGINT) AS x
+        FROM events
+        GROUP BY 1
+    ),
+    series AS (
+        SELECT s.t, COALESCE(h.x, CAST(0 AS BIGINT)) AS x
+        FROM spine s LEFT JOIN hourly h USING (t)
+    ),
+    tr AS (
+        SELECT
+            t, x, t % 24 AS hod,
+            lag(x, 12) OVER wo
+            + 2 * CAST(sum(x) OVER w11 AS BIGINT)
+            + lead(x, 12) OVER wo AS trend48
+        FROM series
+        WINDOW wo AS (ORDER BY t),
+               w11 AS (ORDER BY t
+                       ROWS BETWEEN 11 PRECEDING AND 11 FOLLOWING)
+    ),
+    seas AS (
+        SELECT
+            hod,
+            CAST(sum(48 * x - trend48) AS BIGINT) AS num,
+            CAST(count(*) AS BIGINT) AS cnt
+        FROM tr
+        WHERE trend48 IS NOT NULL
+        GROUP BY hod
+    )
+    SELECT
+        tr.t AS t,
+        tr.hod AS hod,
+        tr.x AS x,
+        CASE WHEN trend48 IS NOT NULL THEN
+            CAST(round(CAST(1000000 * trend48 AS DOUBLE) / 48.0)
+                 AS BIGINT) END AS trend_e6,
+        CAST(round(CAST(1000000 * num AS DOUBLE)
+                   / CAST(48 * cnt AS DOUBLE)) AS BIGINT) AS seasonal_e6,
+        CASE WHEN trend48 IS NOT NULL AND num IS NOT NULL THEN
+            1000000 * tr.x
+            - CAST(round(CAST(1000000 * trend48 AS DOUBLE) / 48.0)
+                   AS BIGINT)
+            - CAST(round(CAST(1000000 * num AS DOUBLE)
+                         / CAST(48 * cnt AS DOUBLE)) AS BIGINT)
+        END AS resid_e6
+    FROM tr LEFT JOIN seas USING (hod)
+    """,
+    tags=("timeseries", "Q22", "seasonality"),
+)
+def q22_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22: classical additive decomposition of hourly traffic —
+    trend + hour-of-day seasonal + residual, all in exact integers.
+
+    The textbook moving-average decomposition (Hyndman & Athanasopoulos
+    fpp ch. 3): trend is the 2x24 centered moving average (even period,
+    so the 25-hour window with half weights at both ends), the seasonal
+    index is the mean DETRENDED value per hour-of-day, the residual is
+    what neither explains — the series a drift monitor actually wants to
+    alert on (q22_rolling_zscore on raw counts fires every rush hour;
+    on resid_e6 it fires on genuine anomalies).
+
+    Exact-integer algebra: the weighted 25-hour window sum carries the
+    trend x48 (weights 1,2,...,2,1 sum to 48) as
+    lag(x,12) + 2*SUM[-11..+11] + lead(x,12) — a plain integer — so the
+    detrended value x48 is 48*x - trend48 and the per-hod seasonal mean
+    has integer numerator SUM(48x - trend48) and denominator 48*cnt.
+    The only doubles are the two final e6 divisions, identical
+    expressions on both engines. Seasonal indices are deliberately NOT
+    re-centered to sum 0: re-centering divides by a second fractional
+    mean whose 24-term float summation order differs across engines;
+    the constant it would remove lands in resid_e6 identically on both
+    sides. hod = t % 24 (index arithmetic), never dayofweek()/hour() —
+    engine day-numbering conventions differ (0- vs 1-based), mod does
+    not.
+
+    Scale shape: identical to the correlogram twin — one event-sized
+    hash aggregate, then calendar-sized windows (un-partitioned over
+    720 rows, the documented exception), a 24-row seasonal aggregate
+    broadcast back. Edge rows (t < 12, t > n-13) emit NULL trend/resid
+    exactly like the oracle.
+    """
+    ev = table(spark, sf_dir, "events")
+    series = _hourly_count_series(ev)
+    wo = Window.orderBy("t")
+    w11 = Window.orderBy("t").rowsBetween(-11, 11)
+    tr = series.select(
+        "t",
+        "x",
+        (F.col("t") % 24).alias("hod"),
+        (
+            F.lag("x", 12).over(wo)
+            + F.lit(2) * F.sum("x").over(w11)
+            + F.lead("x", 12).over(wo)
+        ).alias("trend48"),
+    )
+    seas = (
+        tr.where(F.col("trend48").isNotNull())
+        .groupBy("hod")
+        .agg(
+            F.sum(F.lit(48) * F.col("x") - F.col("trend48"))
+            .cast("bigint")
+            .alias("num"),
+            F.count("*").cast("bigint").alias("cnt"),
+        )
+    )
+    trend_e6 = F.when(
+        F.col("trend48").isNotNull(),
+        F.round(
+            (F.lit(1000000) * F.col("trend48")).cast("double") / F.lit(48.0)
+        ).cast("bigint"),
+    )
+    seasonal_e6 = F.round(
+        (F.lit(1000000) * F.col("num")).cast("double")
+        / (F.lit(48) * F.col("cnt")).cast("double")
+    ).cast("bigint")
+    return tr.join(F.broadcast(seas), "hod", "left").select(
+        "t",
+        "hod",
+        "x",
+        trend_e6.alias("trend_e6"),
+        seasonal_e6.alias("seasonal_e6"),
+        F.when(
+            F.col("trend48").isNotNull() & F.col("num").isNotNull(),
+            F.lit(1000000) * F.col("x") - trend_e6 - seasonal_e6,
+        ).alias("resid_e6"),
+    )

@@ -138,14 +138,15 @@ def register(
 #
 # ROUND-9 ROTATION PLAN (committed now so no entry waits on an
 # undocumented promise): mandatory slots = the 12 stale overflows
-# above + the ELEVEN round-8 post-rotation registrations
+# above + the THIRTEEN round-8 post-rotation registrations
 # (q07_cms_heavy_hitters, q07_histogram_quantiles, q21_kcore_peel,
 # q22_hampel_mad, x03_hamming_topk, x03_hamming_rerank,
 # x04_weighted_sample, q10_bloom_prune, q18_partitioned_prune,
-# x03_range_search, q21_adamic_adar — mirrored in
+# x03_range_search, q21_adamic_adar, q22_acf_hourly,
+# q22_seasonal_decompose — mirrored in
 # tests/test_grading_window.py's QUEUED_FOR_NEXT_WINDOW; any further
 # registration adds itself to both lists in its own commit).
-# 12 + 11 = 23 mandatory; the remaining 27 slots backfill
+# 12 + 13 = 25 mandatory; the remaining 25 slots backfill
 # current-corpus re-grades of the OLDEST rows. Concretely (computed
 # from the committed CORRECTNESS files at end of round 8): no entry's
 # latest green is r04; exactly 28 entries sit at r05 —
@@ -159,11 +160,12 @@ def register(
 # x04_fingerprint, x04_hash_sample, x04_language_id,
 # x04_length_histogram, x04_quality_filter, x04_stratified_sample,
 # x04_term_frequency, x04_tfidf, x04_token_count —
-# 27 of the 28 fit (23 + 27 = 50); the alphabetically-last r05 row
-# (x04_token_count) plus the oldest r06 rows (flagship entry() twin
-# first) roll to round 10's backfill instead. After round 9 the
-# stale r02/r03 queue is EMPTY and nothing older than r05 remains —
-# with exactly ONE r05 row left.
+# 25 of the 28 fit (25 + 25 = 50); the three alphabetically-last r05
+# rows (x04_term_frequency, x04_tfidf, x04_token_count) plus the
+# oldest r06 rows (flagship entry() twin first) roll to round 10's
+# backfill instead. After round 9 the stale r02/r03 queue is EMPTY
+# and nothing older than r05 remains — with exactly THREE r05 rows
+# left.
 GRADING_PRIORITY: tuple[str, ...] = (
     # (a) the 13 round-7 deferrals
     "q07_corr_exact_moments",

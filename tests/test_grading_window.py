@@ -130,6 +130,8 @@ QUEUED_FOR_NEXT_WINDOW: set[str] = {
     "q18_partitioned_prune",   # PartitionFilters pruned lake read
     "x03_range_search",        # cosine radius query, zero-shuffle scan
     "q21_adamic_adar",         # link prediction, 6th graph class
+    "q22_acf_hourly",          # correlogram, exact integer moments
+    "q22_seasonal_decompose",  # classical 2x24-MA decomposition
 }
 
 

@@ -705,3 +705,36 @@ def test_adamic_adar_topn_is_take_ordered(spark):
     plan = _plan(spark, "q21_adamic_adar")
     assert "TakeOrderedAndProject" in plan
     assert "rangepartitioning" not in plan.lower()
+
+
+def test_acf_hourly_single_fact_scan_no_smj(spark):
+    """q22_acf_hourly: ONE event-sized aggregate total — the persisted
+    absolute-hour roll-up — feeds bounds, spine fill, lag stats, and
+    global moments (every fact reference is an InMemoryTableScan of the
+    same relation: exactly one distinct parquet-scan node id). All
+    joins are broadcast; no sort-merge, no cartesian product."""
+    plan = _plan(spark, "q22_acf_hourly")
+    tree = plan.split("\n\n")[0]
+    assert "InMemoryTableScan" in tree
+    import re
+
+    scan_ids = set(re.findall(r"Scan parquet\s+\((\d+)\)", tree))
+    assert len(scan_ids) == 1, scan_ids
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_seasonal_decompose_single_fact_scan_broadcast_seasonal(spark):
+    """q22_seasonal_decompose: same single-fact-scan contract as the
+    correlogram twin, plus the 24-row seasonal join must come back as a
+    BroadcastHashJoin (never a shuffle of the calendar rows)."""
+    plan = _plan(spark, "q22_seasonal_decompose")
+    tree = plan.split("\n\n")[0]
+    assert "InMemoryTableScan" in tree
+    import re
+
+    scan_ids = set(re.findall(r"Scan parquet\s+\((\d+)\)", tree))
+    assert len(scan_ids) == 1, scan_ids
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in tree

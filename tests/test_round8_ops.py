@@ -605,3 +605,104 @@ def test_adamic_adar_matches_python_reference(spark):
     assert [(r.part_a, r.part_b, r.common_neighbors, r.aa_score_e6)
             for r in got] == [(u, w, cn, -negaa)
                               for negaa, u, w, cn in expect]
+
+
+def _hourly_series_python(spark):
+    """Independent Python re-derivation of the dense hourly count
+    series the q22 correlogram/decomposition operators consume."""
+    from conftest import SF_DIR
+
+    from reddit_data_engineering_project_spark.tables import table
+
+    rows = table(spark, SF_DIR, "events").select("ts").collect()
+    hs = [r.ts.replace(minute=0, second=0, microsecond=0) for r in rows]
+    h0 = min(hs)
+    idx = [int((h - h0).total_seconds()) // 3600 for h in hs]
+    x = [0] * (max(idx) + 1)
+    for t in idx:
+        x[t] += 1
+    return x
+
+
+def _half_away(v):
+    import math
+
+    return math.floor(v + 0.5) if v >= 0 else math.ceil(v - 0.5)
+
+
+def test_acf_hourly_matches_python_reference(spark):
+    """Full Python re-derivation of the lag-1..24 correlogram: rebuild
+    the dense hourly series from raw timestamps, expand the
+    mean-centered estimator into the same integer moments, mirror the
+    double division (float() = Spark's cast-to-double), and demand
+    every (n_pairs, acf_e6) cell exactly."""
+    from conftest import SF_DIR
+
+    from reddit_data_engineering_project_spark.operators import (
+        timeseries as tsops,
+    )
+
+    x = _hourly_series_python(spark)
+    n = len(x)
+    s = sum(x)
+    q = sum(v * v for v in x)
+    den = n * n * q - n * s * s
+    expect = {}
+    for k in range(1, 25):
+        pairs = list(zip(x, x[k:]))
+        m = len(pairs)
+        c = sum(a * b for a, b in pairs)
+        ah = sum(a for a, _ in pairs)
+        bt = sum(b for _, b in pairs)
+        num = n * n * c - n * s * (ah + bt) + m * s * s
+        expect[k] = (m, _half_away(float(num) / float(den) * 1000000.0))
+    got = {
+        r.lag_h: (r.n_pairs, r.acf_e6)
+        for r in tsops.q22_acf_hourly(spark, SF_DIR).collect()
+    }
+    assert got == expect
+
+
+def test_seasonal_decompose_matches_python_reference(spark):
+    """Full Python re-derivation of the 2x24-MA decomposition: weighted
+    25-hour trend window, per-hour-of-day detrended means, the two e6
+    divisions mirrored through float(), and the additive identity
+    resid = 1e6*x - trend_e6 - seasonal_e6 on every interior row; the
+    24 edge rows (t < 12, t > n-13) must carry NULL trend/resid."""
+    from collections import defaultdict
+
+    from conftest import SF_DIR
+
+    from reddit_data_engineering_project_spark.operators import (
+        timeseries as tsops,
+    )
+
+    x = _hourly_series_python(spark)
+    n = len(x)
+    trend48 = {
+        t: x[t - 12] + 2 * sum(x[t - 11 : t + 12]) + x[t + 12]
+        for t in range(12, n - 12)
+    }
+    num = defaultdict(int)
+    cnt = defaultdict(int)
+    for t, tr in trend48.items():
+        num[t % 24] += 48 * x[t] - tr
+        cnt[t % 24] += 1
+    seas_e6 = {
+        h: _half_away(float(1000000 * num[h]) / float(48 * cnt[h]))
+        for h in num
+    }
+    rows = tsops.q22_seasonal_decompose(spark, SF_DIR).collect()
+    assert len(rows) == n
+    for r in rows:
+        t = r.t
+        assert r.hod == t % 24
+        assert r.x == x[t]
+        assert r.seasonal_e6 == seas_e6[t % 24]
+        if 12 <= t <= n - 13:
+            tr_e6 = _half_away(float(1000000 * trend48[t]) / 48.0)
+            assert r.trend_e6 == tr_e6
+            assert r.resid_e6 == 1000000 * x[t] - tr_e6 - seas_e6[t % 24]
+        else:
+            assert r.trend_e6 is None
+            assert r.resid_e6 is None
