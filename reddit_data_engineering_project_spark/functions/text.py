@@ -23,14 +23,19 @@ from ..tables import table
     oracle="""
     WITH typed AS (
         SELECT event_id,
-               CASE WHEN json_type(json_extract(props, '$.k'))
-                         IN ('BIGINT', 'UBIGINT')
-                         AND TRY_CAST(json_extract_string(props, '$.k')
-                                      AS BIGINT)
-                             BETWEEN -2147483648 AND 2147483647
-                    THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+               CASE WHEN json_valid(props) THEN
+                   CASE WHEN json_type(json_extract(props, '$.k'))
+                             IN ('BIGINT', 'UBIGINT')
+                             AND TRY_CAST(json_extract_string(props, '$.k')
+                                          AS BIGINT)
+                                 BETWEEN -2147483648 AND 2147483647
+                        THEN CAST(json_extract_string(props, '$.k')
+                                  AS BIGINT)
+                   END
                END AS k,
-               json_extract_string(props, '$.missing') AS missing
+               CASE WHEN json_valid(props)
+                    THEN json_extract_string(props, '$.missing')
+               END AS missing
         FROM events
     )
     SELECT
@@ -150,9 +155,10 @@ def q17_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
         event_id,
         event_type,
-        coalesce(CAST(trunc(TRY_CAST(
-                     json_extract_string(props, '$.k') AS DOUBLE))
-                 AS BIGINT), 0)
+        coalesce(CASE WHEN json_valid(props) THEN
+                     CAST(trunc(TRY_CAST(
+                         json_extract_string(props, '$.k') AS DOUBLE))
+                     AS BIGINT) END, 0)
             AS k_from_map,
         2 AS n_map_keys
     FROM events
@@ -344,9 +350,33 @@ def q17_higher_order_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH shred AS (
         SELECT event_type,
-               CAST(trunc(TRY_CAST(
-                   json_extract_string(props, '$.k') AS DOUBLE))
-                    AS BIGINT) AS k
+               CASE WHEN json_valid(props) THEN
+                   CASE json_type(json_extract(props, '$.k'))
+                       WHEN 'BIGINT' THEN
+                           TRY_CAST(json_extract_string(props, '$.k')
+                                    AS BIGINT)
+                       WHEN 'UBIGINT' THEN
+                           TRY_CAST(json_extract_string(props, '$.k')
+                                    AS BIGINT)
+                       WHEN 'DOUBLE' THEN
+                           CASE WHEN abs(TRY_CAST(
+                                    json_extract_string(props, '$.k')
+                                    AS DOUBLE)) < 9.2233720368547e18
+                                THEN CAST(trunc(TRY_CAST(
+                                    json_extract_string(props, '$.k')
+                                    AS DOUBLE)) AS BIGINT) END
+                       WHEN 'BOOLEAN' THEN
+                           CASE json_extract_string(props, '$.k')
+                               WHEN 'true' THEN 1 ELSE 0 END
+                       WHEN 'VARCHAR' THEN
+                           CASE WHEN regexp_matches(
+                                    trim(json_extract_string(props, '$.k')),
+                                    '^[+-]?[0-9]+$')
+                                THEN TRY_CAST(
+                                    trim(json_extract_string(props, '$.k'))
+                                    AS BIGINT) END
+                   END
+               END AS k
         FROM events
     )
     SELECT
@@ -380,17 +410,26 @@ def q17_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard partial-agg on event_type. The oracle shreds the same
     paths with DuckDB's JSON functions — VARIANT is an encoding
     choice, not a semantics change, so the typed results must agree
-    exactly. The typed lens is mirrored precisely (probed, not
-    assumed): ``try_variant_get(..., 'long')`` accepts any numeric
-    (and numeric-string) ``k`` and TRUNCATES toward zero (7.5 → 7),
-    so the oracle goes through TRY_CAST-to-DOUBLE + ``trunc`` — a
-    straight TRY_CAST-to-BIGINT would ROUND ('7.5' → 8) and a
-    non-numeric ``k`` counts as absent on both sides. Pinned on
-    crafted floats in ``tests/test_round8_ops.py``.
+    exactly. The typed lens is mirrored PER JSON TYPE (probed on
+    crafted inputs, re-probed by the adversarial-corpus sweep —
+    the earlier single-formula trunc oracle was wrong on three
+    classes the fixtures never exhibit):
+    ``try_variant_get(..., 'long')`` truncates JSON NUMBERS toward
+    zero (7.9 → 7, -0.5 → 0; out-of-int64-range → NULL), casts
+    BOOLEANS (true → 1, false → 0), accepts only STRICT-INTEGER
+    strings ("7" → 7 but "7.5"/"1e2" → NULL — TRY-cast semantics,
+    unlike the plain string CAST in q17_map_funcs which truncates
+    '7.5' → 7), and nulls arrays/objects. ``parse_json`` is the
+    THROWING variant (FAILFAST on any malformed wire string — one
+    bad shard kills the job); ``try_parse_json`` is the total
+    function an ingest path must use, and the oracle mirrors its
+    NULL-on-malformed with a lazy ``json_valid`` CASE guard.
+    Pinned on crafted floats/strings/booleans in
+    ``tests/test_round8_ops.py``.
     """
     ev = table(spark, sf_dir, "events")
     v = ev.select(
-        "event_type", F.parse_json(F.col("props")).alias("v")
+        "event_type", F.try_parse_json(F.col("props")).alias("v")
     ).select(
         "event_type",
         F.try_variant_get(F.col("v"), "$.k", "long").alias("k"),

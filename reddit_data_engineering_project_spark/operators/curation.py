@@ -126,17 +126,23 @@ def x04_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the explode: every expression stays inside whole-stage codegen. The
     # equivalent transform(sequence(...), i -> concat(toks[i], ...)) lambda
     # runs interpreted and measured 2.4x slower on this stage.
+    # Filter BEFORE the slice projection: slice(toks, 1, size-1) with an
+    # empty token list asks for length -1 and ABORTS the job (adversarial
+    # -sweep finding — a whitespace-only document kills the stage; the
+    # committed fixtures have no empty docs). A where in the same select
+    # would not help: the projection evaluates bz for every input row.
     base = (
         docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+        .where(F.size("toks") >= 2)
         .select(
             "doc_id",
             sz.alias("n_tokens"),
             F.size(F.array_distinct("toks")).alias("n_distinct"),
             F.arrays_zip(
-                F.slice("toks", 1, sz - 1), F.slice(F.col("toks"), 2, sz - 1)
+                F.slice("toks", 1, F.greatest(sz - 1, F.lit(0))),
+                F.slice(F.col("toks"), 2, F.greatest(sz - 1, F.lit(0))),
             ).alias("bz"),
         )
-        .where(F.col("n_tokens") >= 2)
     )
     counted = (
         base.select(
@@ -580,12 +586,15 @@ _UNK_ID = _VOCAB_SIZE
         FROM e LEFT JOIN vocab v ON e.tok = v.token
     )
     SELECT
-        doc_id,
-        count(*) AS n_tokens,
-        count(*) FILTER (id = {_UNK_ID}) AS n_unk,
-        md5(array_to_string(list(id ORDER BY pos), ',')) AS ids_md5
-    FROM mapped
-    GROUP BY doc_id
+        t.doc_id,
+        count(m.id) AS n_tokens,
+        count(*) FILTER (m.id = {_UNK_ID}) AS n_unk,
+        md5(coalesce(
+            array_to_string(list(m.id ORDER BY m.pos)
+                            FILTER (m.id IS NOT NULL), ','),
+            '')) AS ids_md5
+    FROM t LEFT JOIN mapped m USING (doc_id)
+    GROUP BY t.doc_id
     """,
     tags=("text", "X4", "tokenizer"),
 )
@@ -603,9 +612,13 @@ def x04_tokenize_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapsed to ONE map literal row, and broadcast; per-doc encoding is
     then ``transform(toks, t -> coalesce(vmap[t], UNK))`` — a stateless
     per-row lookup with NO explode-rejoin and NO shuffle of the token
-    stream. The oracle deliberately takes the dumb explode + join + 
+    stream. The oracle deliberately takes the dumb explode + join +
     re-sort route: different plan, same answer, which is the point of
-    differential checking.
+    differential checking — with a LEFT join back from the doc table so
+    a ZERO-token document (empty/whitespace text) still emits its
+    (n_tokens=0, md5 of the empty id string) row; the unnest route
+    alone silently drops such docs while the map-transform route keeps
+    them (adversarial-sweep finding).
     """
     docs = table(spark, sf_dir, "documents")
     toksed = docs.select("doc_id", tokens(F.col("text")).alias("toks"))

@@ -89,8 +89,8 @@ def q10_join_inner_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.c_custkey,
         c.c_name,
         count(o.o_orderkey) AS n_urgent_orders,
-        round(coalesce(sum(o.o_totalprice), 0.0) * 100.0) / 100.0
-            AS urgent_spend
+        CAST(coalesce(sum(CAST(round(o.o_totalprice * 100.0) AS BIGINT)),
+                      0) AS BIGINT) AS urgent_spend_cents
     FROM customer c
     LEFT JOIN (
         SELECT * FROM orders WHERE o_orderpriority = '1-URGENT'
@@ -105,6 +105,14 @@ def q10_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     The urgent filter is applied BEFORE the join (filter-then-join, not
     join-then-filter — the latter would silently turn the outer join into
     an inner one and also move the filter off the pushdown path).
+
+    Spend is summed as integer CENTS (round each price once, then an
+    exact BIGINT sum), not as a rounded double sum: a high-order-count
+    customer makes the float summation ORDER diverge between engines at
+    the last ulp, which flips the final cent when the true sum sits on a
+    half-cent boundary (found by the adversarial-corpus sweep — a whale
+    customer with 300 orders of x.xx5 prices; the committed fixtures
+    never exceed a handful of orders per customer).
     """
     c = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders").filter(
@@ -115,9 +123,12 @@ def q10_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey", "c_name")
         .agg(
             F.count("o_orderkey").alias("n_urgent_orders"),
-            dround(F.coalesce(F.sum("o_totalprice"), F.lit(0.0))).alias(
-                "urgent_spend"
-            ),
+            F.coalesce(
+                F.sum(F.round(F.col("o_totalprice") * 100.0).cast("bigint")),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("urgent_spend_cents"),
         )
     )
 

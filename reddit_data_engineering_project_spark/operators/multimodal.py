@@ -304,23 +304,32 @@ def _resize_payloads(
 @register(
     "x05_payload_resize",
     oracle="""
-    WITH chars AS (
-        SELECT doc_id,
-               length(text) AS orig_bytes,
-               list_filter(
-                   string_split(text, ''),
-                   (x, i) -> (i - 1) % 4 = 0
-               ) AS kept
+    WITH hx AS (
+        SELECT doc_id, hex(encode(text)) AS h
         FROM documents
         WHERE lang = 'en'
+    ),
+    m AS (
+        SELECT doc_id,
+               length(h) // 2 AS orig_bytes,
+               list_filter(
+                   list_transform(
+                       generate_series(1, length(h) // 2),
+                       i -> CASE WHEN (i - 1) % 4 = 0
+                                 THEN substring(h, CAST(i AS INT) * 2 - 1, 2)
+                            END
+                   ),
+                   x -> x IS NOT NULL
+               ) AS kept
+        FROM hx
     )
     SELECT
         doc_id,
         CAST(orig_bytes AS INT) AS orig_bytes,
         CAST(len(kept) AS INT) AS resized_bytes,
-        lower(hex(encode(substr(array_to_string(kept, ''), 1, 8))))
+        coalesce(lower(array_to_string(kept[1:8], '')), '')
             AS resized_head_hex
-    FROM chars
+    FROM m
     """,
     tags=("multimodal", "X5", "resize", "pandas-udf"),
 )
@@ -330,10 +339,13 @@ def x05_payload_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     Completes the multimodal op set (decode-stub / features / resize /
     frame-sample): every 4th byte of each payload survives, modeling the
     thumbnail/decimation step before storage or featurization. The
-    ``lang='en'`` slice keeps byte ↔ char equivalence exact so the
-    oracle can reproduce the slice relationally (index-aware
-    ``list_filter`` over the character array). No shuffle anywhere: the
-    resize is embarrassingly parallel over Arrow batches.
+    oracle mirrors the stride at the BYTE level (hex-pair windows over
+    the encoded payload, the x05_byte_histogram technique) — an earlier
+    character-stride oracle was only equivalent while every lang='en'
+    doc happened to be pure ASCII; a multi-byte UTF-8 character in the
+    slice breaks byte↔char equivalence (adversarial-sweep finding).
+    No shuffle anywhere: the resize is embarrassingly parallel over
+    Arrow batches.
     """
     docs = (
         table(spark, sf_dir, "documents")
@@ -472,12 +484,20 @@ def x05_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = table(spark, sf_dir, "documents")
     hx = docs.select(F.hex(F.encode(F.col("text"), "UTF-8")).alias("h"))
+    # Empty-payload guard (the x05_payload_energy sequence hazard): with
+    # length 0, sequence(1, 0) silently DESCENDS and fabricates two
+    # empty-string "bytes" per empty doc; DuckDB's generate_series(1, 0)
+    # is empty. Adversarial-sweep finding — fixtures have no empty text.
+    nb = (F.length("h") / F.lit(2)).cast("int")
     bytes_ = hx.select(
         F.explode(
-            F.transform(
-                F.sequence(F.lit(1), (F.length("h") / F.lit(2)).cast("int")),
-                lambda i: F.col("h").substr(i * 2 - 1, F.lit(2)),
-            )
+            F.when(
+                nb > 0,
+                F.transform(
+                    F.sequence(F.lit(1), nb),
+                    lambda i: F.col("h").substr(i * 2 - 1, F.lit(2)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
         ).alias("byte")
     )
     counted = bytes_.groupBy("byte").agg(F.count("*").alias("n"))

@@ -441,8 +441,31 @@ def x03_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "x02_embedding_neardup",
     oracle="""
-    SELECT vec_id AS vec_a, vec_id + 100000 AS vec_b FROM embeddings
-    """,
+    WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    corpus AS (
+        SELECT vec_id, e FROM v
+        UNION ALL
+        SELECT vec_id + 100000 AS vec_id,
+               list_transform(e, x -> x * 1.01) AS e
+        FROM v
+    ),
+    nz AS (
+        SELECT vec_id, e FROM corpus
+        WHERE list_dot_product(e, e) > 0
+    ),
+    b AS (SELECT vec_id, e, {BUCKET_SQL} AS bucket FROM nz),
+    pairs AS (
+        SELECT l.vec_id AS vec_a, r.vec_id AS vec_b,
+               list_dot_product(l.e, r.e)
+                   / (sqrt(list_dot_product(l.e, l.e))
+                      * sqrt(list_dot_product(r.e, r.e))) AS cos
+        FROM b l JOIN b r
+          ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+    )
+    SELECT vec_a, vec_b FROM pairs WHERE cos >= 0.999
+    """.replace("{BUCKET_SQL}", _BUCKET_SQL),
     tags=("dedup", "X2", "embedding"),
 )
 def x02_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -452,10 +475,19 @@ def x02_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ×1.01, fresh ids) — the "same item re-embedded" scenario. Cosine is
     scale-invariant, so each copy is an exact near-dup of its source and,
     crucially, has IDENTICAL hyperplane signs — SimHash recall on scaled
-    duplicates is 1.0 by construction, making the bucketed pipeline
-    deterministic: bucket equi-join → cosine ≥ 0.999 verification →
-    exactly the planted (v, v+100000) pairs. The corpus's organic max
-    pairwise cosine is 0.51, so no false positives survive verification.
+    duplicates is 1.0 by construction. On the committed fixtures the
+    survivors are exactly the planted (v, v+100000) pairs (organic max
+    pairwise cosine 0.51), but the oracle does NOT assume that: it
+    mirrors the whole method — seeded planes as SQL literals (the
+    x03_ann_lsh_bucketed pattern), bucket equi-join, the same float64
+    cosine, the same ≥ 0.999 predicate — so a corpus carrying ORGANIC
+    near-dups (exact duplicate vectors, antipodes, 1e-7 perturbations)
+    grades correctly too (adversarial-sweep finding: the earlier
+    planted-pair identity oracle undercounted on duplicate blocks).
+    Zero-norm vectors are excluded on both sides before pairing —
+    cosine is undefined there, and NaN-vs-threshold comparison
+    semantics differ across engines (Spark orders NaN above every
+    double; IEEE says incomparable).
     """
     base = ensure_min_parallelism(table(spark, sf_dir, "embeddings")).select(
         "vec_id", _vec_double("embedding").alias("e")
@@ -464,7 +496,9 @@ def x02_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") + 100_000).alias("vec_id"),
         F.transform(F.col("e"), lambda x: x * 1.01).alias("e"),
     )
-    corpus = base.unionByName(copies)
+    corpus = base.unionByName(copies).filter(
+        _dot(F.col("e"), F.col("e")) > 0
+    )
     indexed = corpus.select(
         "vec_id", "e", _bucket_bits(F.col("e")).alias("bucket")
     )
@@ -493,24 +527,25 @@ def x02_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
     ),
     dims AS (
-        SELECT label, gs.i AS dim, e[gs.i + 1] AS val
+        SELECT label, gs.i AS dim,
+               CAST(round(e[gs.i + 1] * 1000000.0) AS HUGEINT) AS vq
         FROM v CROSS JOIN LATERAL (SELECT unnest(range(0, 64)) AS i) gs
     ),
     agg AS (
-        SELECT label, dim, avg(val) AS mean_val, count(*) AS n
+        SELECT label, dim, sum(vq) AS sq, count(*) AS n
         FROM dims GROUP BY 1, 2
     )
     SELECT
         label,
-        max(n) AS n_vectors,
-        round(max(CASE WHEN dim = 0 THEN mean_val END) * 1000000.0)
-            / 1000000.0 + 0.0 AS c0,
-        round(max(CASE WHEN dim = 1 THEN mean_val END) * 1000000.0)
-            / 1000000.0 + 0.0 AS c1,
-        round(max(CASE WHEN dim = 2 THEN mean_val END) * 1000000.0)
-            / 1000000.0 + 0.0 AS c2,
-        round(max(CASE WHEN dim = 3 THEN mean_val END) * 1000000.0)
-            / 1000000.0 + 0.0 AS c3
+        CAST(max(n) AS BIGINT) AS n_vectors,
+        CAST(round(CAST(max(CASE WHEN dim = 0 THEN sq END) AS DOUBLE)
+                   / max(n)) AS BIGINT) AS c0_e6,
+        CAST(round(CAST(max(CASE WHEN dim = 1 THEN sq END) AS DOUBLE)
+                   / max(n)) AS BIGINT) AS c1_e6,
+        CAST(round(CAST(max(CASE WHEN dim = 2 THEN sq END) AS DOUBLE)
+                   / max(n)) AS BIGINT) AS c2_e6,
+        CAST(round(CAST(max(CASE WHEN dim = 3 THEN sq END) AS DOUBLE)
+                   / max(n)) AS BIGINT) AS c3_e6
     FROM agg
     GROUP BY label
     """,
@@ -523,31 +558,54 @@ def x03_pairwise_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     computes the (label-supervised) centroid pass as a plain aggregate:
     element-wise vector mean via posexplode + groupBy, one shuffle keyed
     by (label, dim) then one by label.
+
+    Exactness: components are quantized ONCE to e6 integers, summed
+    exactly (DECIMAL(38,0) / HUGEINT — a plain BIGINT sum can wrap once
+    |component| reaches ~1e10 over thousands of members), and divided
+    once; a float ``avg`` would be partial-aggregation-order-dependent,
+    which the e6 output rounding stops absorbing as soon as component
+    magnitudes push the mean's ulp past 1e-6 (adversarial-sweep
+    finding: 1e10-magnitude vectors flipped the last rounded digit).
     """
     emb = ensure_min_parallelism(table(spark, sf_dir, "embeddings")).select(
         "label", _vec_double("embedding").alias("e")
     )
     by_dim = (
         emb.select("label", F.posexplode(F.col("e")).alias("dim", "val"))
+        .select(
+            "label",
+            "dim",
+            F.round(F.col("val") * 1000000.0)
+            .cast("decimal(38,0)")
+            .alias("vq"),
+        )
         .groupBy("label", "dim")
-        .agg(F.avg("val").alias("mean_val"), F.count("*").alias("n"))
+        .agg(F.sum("vq").alias("sq"), F.count("*").alias("n"))
+        .select(
+            "label",
+            "dim",
+            "n",
+            F.round(F.col("sq").cast("double") / F.col("n"))
+            .cast("bigint")
+            .alias("mean_e6"),
+        )
     )
     per_label = (
         by_dim.groupBy("label")
         .agg(
             F.max("n").alias("n_vectors"),
             F.map_from_entries(
-                F.collect_list(F.struct("dim", "mean_val"))
+                F.collect_list(F.struct("dim", "mean_e6"))
             ).alias("cmap"),
         )
     )
     return per_label.select(
         "label",
         "n_vectors",
-        dround(F.element_at("cmap", 0), 6).alias("c0"),
-        dround(F.element_at("cmap", 1), 6).alias("c1"),
-        dround(F.element_at("cmap", 2), 6).alias("c2"),
-        dround(F.element_at("cmap", 3), 6).alias("c3"),
+        F.element_at("cmap", 0).alias("c0_e6"),
+        F.element_at("cmap", 1).alias("c1_e6"),
+        F.element_at("cmap", 2).alias("c2_e6"),
+        F.element_at("cmap", 3).alias("c3_e6"),
     )
 
 

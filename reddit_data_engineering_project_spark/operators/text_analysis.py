@@ -252,7 +252,7 @@ def _profile_score(toks: Column, words: list[str]) -> Column:
     scored AS (
         SELECT
             doc_id, lang, toks,
-            (regexp_extract(text, '[\\u4e00-\\u9fff]') <> '') AS has_cjk,
+            (regexp_extract(text, '[\\x{4e00}-\\x{9fff}]') <> '') AS has_cjk,
             len(list_filter(toks, x -> list_contains(
                 ['the','a','and','of','to','in','is','that'], x))) AS s_en,
             len(list_filter(toks, x -> list_contains(
@@ -291,6 +291,13 @@ def x04_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     stopword-profile hit counts with a deterministic preference order on
     ties. The oracle runs the identical decision tree, so the gate
     verifies the classifier's implementation end-to-end.
+
+    Regex-dialect note (adversarial-sweep finding): Java regex takes
+    the CJK block as ``[\\u4e00-\\u9fff]`` but DuckDB's RE2 does NOT
+    support ``\\uXXXX`` — it needs ``[\\x{{4e00}}-\\x{{9fff}}]``; the
+    old oracle spelling silently never matched, which the fixtures
+    (whose "zh" docs are ASCII word salads) could not reveal — only
+    a corpus with REAL CJK text fires the branch on both engines.
     """
     docs = table(spark, sf_dir, "documents")
     toks = tokens(F.col("text"))

@@ -434,17 +434,20 @@ _EWMA_WEIGHTS = (8, 4, 2, 1)
         event_id,
         user_id,
         cents,
+        CASE WHEN cents IS NOT NULL OR c1 IS NOT NULL
+                  OR c2 IS NOT NULL OR c3 IS NOT NULL THEN
         CAST(round(
-            CAST({_EWMA_WEIGHTS[0]} * cents
+            CAST({_EWMA_WEIGHTS[0]} * coalesce(cents, 0)
                  + {_EWMA_WEIGHTS[1]} * coalesce(c1, 0)
                  + {_EWMA_WEIGHTS[2]} * coalesce(c2, 0)
                  + {_EWMA_WEIGHTS[3]} * coalesce(c3, 0) AS DOUBLE)
             * 100.0
-            / ({_EWMA_WEIGHTS[0]}
+            / (CASE WHEN cents IS NULL THEN 0
+                    ELSE {_EWMA_WEIGHTS[0]} END
                + CASE WHEN c1 IS NULL THEN 0 ELSE {_EWMA_WEIGHTS[1]} END
                + CASE WHEN c2 IS NULL THEN 0 ELSE {_EWMA_WEIGHTS[2]} END
                + CASE WHEN c3 IS NULL THEN 0 ELSE {_EWMA_WEIGHTS[3]} END)
-        ) AS BIGINT) AS ewma_cents_e2
+        ) AS BIGINT) END AS ewma_cents_e2
     FROM lagged
     """,
     tags=("timeseries", "Q22", "smoothing"),
@@ -463,8 +466,12 @@ def q22_ewma_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: integer cents × power-of-two weights → exact BIGINT
     numerator; the single double division is the same IEEE op on both
-    engines; stream-start rows renormalize over the lags that exist
-    (no zero-padding bias).
+    engines; stream-start rows — and NULL observations anywhere in the
+    frame, current row included (adversarial-sweep finding: the oracle
+    previously nulled the whole numerator when the CURRENT value was
+    NULL while Spark renormalized) — renormalize over the values that
+    exist (no zero-padding bias); an all-NULL frame emits NULL
+    explicitly (an unguarded 0/0 is ANSI-conf-dependent).
 
     Scale shape: identical to every trailing-window op here — one hash
     exchange on ``user_id``, one per-partition sort shared by all four
@@ -499,9 +506,13 @@ def q22_ewma_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         "cents",
-        F.round(num.cast("double") * 100.0 / den)
-        .cast("bigint")
-        .alias("ewma_cents_e2"),
+        # den = 0 iff current AND all lags are NULL (possible once the
+        # stream carries NULL values) — emit NULL explicitly; an
+        # unguarded 0/0 is ANSI-conf-dependent (error vs NaN).
+        F.when(
+            den > 0,
+            F.round(num.cast("double") * 100.0 / den).cast("bigint"),
+        ).alias("ewma_cents_e2"),
     )
 
 

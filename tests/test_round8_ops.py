@@ -454,6 +454,15 @@ def test_json_typed_lenses_match_oracles_on_float_and_string_k(
         (5, "2024-01-01 00:04:00", 10, "view", 1.0, '{"k": "-7.5"}'),
         (6, "2024-01-01 00:05:00", 10, "view", 1.0, '{"k": -3}'),
         (7, "2024-01-01 00:06:00", 10, "view", 1.0, '{"k": 9999999999}'),
+        # adversarial-sweep classes: booleans, malformed/empty wire,
+        # non-scalar k, JSON null literal, NULL props
+        (8, "2024-01-01 00:07:00", 10, "view", 1.0, '{"k": true}'),
+        (9, "2024-01-01 00:08:00", 10, "view", 1.0, '{"k": false}'),
+        (10, "2024-01-01 00:09:00", 10, "view", 1.0, ""),
+        (11, "2024-01-01 00:10:00", 10, "view", 1.0, "{not json"),
+        (12, "2024-01-01 00:11:00", 10, "view", 1.0, '{"k": [1, 2]}'),
+        (13, "2024-01-01 00:12:00", 10, "view", 1.0, "null"),
+        (14, "2024-01-01 00:13:00", 10, "view", 1.0, None),
     ]
     sf = _write_events(spark, tmp_path, rows)
     con = duckdb.connect()
@@ -468,7 +477,9 @@ def test_json_typed_lenses_match_oracles_on_float_and_string_k(
         for r in textfns.q17_json_funcs(spark, sf).collect()
     }
     assert jf[1] == (7, True) and jf[6] == (-3, True)
-    for eid in (2, 3, 4, 5, 7):  # float / string / out-of-int32-range
+    # float / string / out-of-int32-range / boolean / malformed /
+    # non-scalar / null-literal / NULL-props
+    for eid in (2, 3, 4, 5, 7, 8, 9, 10, 11, 12, 13, 14):
         assert jf[eid] == (-1, False), f"event {eid}: {jf[eid]}"
     oracle = {
         r[0]: (r[1], r[2])
@@ -482,11 +493,33 @@ def test_json_typed_lenses_match_oracles_on_float_and_string_k(
         for r in textfns.q17_map_funcs(spark, sf).collect()
     }
     assert mf[2] == 7 and mf[5] == -7 and mf[4] == 7 and mf[7] == 9999999999
+    for eid in (8, 9, 10, 11, 12, 13, 14):  # bools/malformed/etc -> 0
+        assert mf[eid] == 0, f"event {eid}: {mf[eid]}"
     oracle = {
         r[0]: r[2]
         for r in con.execute(ORACLES["q17_map_funcs"]).fetchall()
     }
     assert oracle == mf
+
+    # Lens 3: VARIANT try_variant_get(..., 'long') — truncates JSON
+    # NUMBERS toward zero (out-of-int64 -> NULL), casts BOOLEANS
+    # (true -> 1, false -> 0), TRY-casts strings ("7" -> 7 but
+    # "-7.5" -> NULL, unlike lens 2's truncating plain CAST), nulls
+    # non-scalars, and is TOTAL over malformed wires (try_parse_json).
+    # Rows with k: 1..4, 6..9 -> 7+7+7+7-3+9999999999+1+0.
+    vs = textfns.q17_variant_shred(spark, sf).collect()
+    assert len(vs) == 1 and vs[0].event_type == "view"
+    got = (
+        vs[0].n_events,
+        vs[0].n_with_k,
+        vs[0].sum_k,
+        vs[0].min_k,
+        vs[0].max_k,
+    )
+    assert got == (14, 8, 10000000025, -3, 9999999999), got
+    oracle_row = con.execute(ORACLES["q17_variant_shred"]).fetchall()
+    assert len(oracle_row) == 1
+    assert tuple(oracle_row[0]) == ("view",) + got
 
 
 def test_weighted_sample_is_length_biased_not_uniform(spark):
