@@ -126,7 +126,7 @@ def q21_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id, event_type,
                lag(event_type) OVER (
                    PARTITION BY user_id
-                   ORDER BY CAST(ts AS TIMESTAMP), event_id
+                   ORDER BY CAST(ts AS TIMESTAMP) NULLS FIRST, event_id
                ) AS prev_type
         FROM events
     )
@@ -617,9 +617,16 @@ def q21_sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q21_activity_streaks",
     oracle="""
     WITH days AS (
+        -- d IS NOT NULL: a streak is over real calendar days, so
+        -- NULL-event-time rows carry no activity day. (Also dodges a
+        -- DuckDB 1.0.0 bug: its parallel partitioned window sort
+        -- places a NULL DATE key NONDETERMINISTICALLY — even with
+        -- explicit NULLS FIRST — observed longest_streak 16..30
+        -- across reruns of the identical query.)
         SELECT DISTINCT user_id,
                CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS d
         FROM events
+        WHERE ts IS NOT NULL
     ),
     grouped AS (
         SELECT user_id, d,
@@ -662,9 +669,15 @@ def q21_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     ev = table(spark, sf_dir, "events")
-    days = ev.select(
-        "user_id", F.to_date(F.date_trunc("day", F.col("ts"))).alias("d")
-    ).dropDuplicates(["user_id", "d"])
+    # NULL event times carry no activity day — excluded on both sides
+    # (see the oracle's WHERE for the DuckDB rationale).
+    days = (
+        ev.filter(F.col("ts").isNotNull())
+        .select(
+            "user_id", F.to_date(F.date_trunc("day", F.col("ts"))).alias("d")
+        )
+        .dropDuplicates(["user_id", "d"])
+    )
     w = Window.partitionBy("user_id").orderBy("d")
     grouped = days.withColumn(
         "grp", F.date_sub(F.col("d"), F.row_number().over(w))
@@ -1143,7 +1156,7 @@ def q21_spend_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id, event_type,
                lag(event_type) OVER (
                    PARTITION BY user_id
-                   ORDER BY CAST(ts AS TIMESTAMP), event_id
+                   ORDER BY CAST(ts AS TIMESTAMP) NULLS FIRST, event_id
                ) AS prev_type
         FROM events
     ),
@@ -1274,7 +1287,8 @@ def q21_next_event_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
                    lag(cents, 3) OVER w AS c3,
                    row_number() OVER w2 AS rn
             FROM ev WHERE event_type = 'purchase'
-            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+            WINDOW w AS (PARTITION BY user_id
+                          ORDER BY ts NULLS FIRST, event_id),
                    w2 AS (PARTITION BY user_id
                           ORDER BY ts DESC, event_id DESC)
         ) WHERE rn = 1
@@ -1544,7 +1558,8 @@ def q21_ab_lift_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
     attributed AS (
         SELECT event_id, event_type, cents,
                last_value(touch IGNORE NULLS) OVER (
-                   PARTITION BY user_id ORDER BY ts, event_id
+                   PARTITION BY user_id
+                   ORDER BY ts NULLS FIRST, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
                ) AS attributed_touch
         FROM ev

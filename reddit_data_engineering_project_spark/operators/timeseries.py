@@ -428,7 +428,9 @@ _EWMA_WEIGHTS = (8, 4, 2, 1)
             lag(cents, 2) OVER w AS c2,
             lag(cents, 3) OVER w AS c3
         FROM ev
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        WINDOW w AS (
+            PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id
+        )
     )
     SELECT
         event_id,
@@ -537,7 +539,7 @@ _CUSUM_TARGET_CENTS = 5000
                CAST(sum(dev) OVER w AS BIGINT) AS cum_dev
         FROM p
         WINDOW w AS (
-            PARTITION BY user_id ORDER BY ts, event_id
+            PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
         )
     )
@@ -546,7 +548,7 @@ _CUSUM_TARGET_CENTS = 5000
                AS cusum_pos
     FROM s
     WINDOW w2 AS (
-        PARTITION BY user_id ORDER BY ts, event_id
+        PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id
         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
     )
     """,

@@ -167,7 +167,7 @@ def q19_upsert_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(ts AS TIMESTAMP) AS ts, event_id,
                lag(event_type) OVER (
                    PARTITION BY user_id
-                   ORDER BY CAST(ts AS TIMESTAMP), event_id
+                   ORDER BY CAST(ts AS TIMESTAMP) NULLS FIRST, event_id
                ) AS prev_type
         FROM events
     ),
@@ -182,7 +182,9 @@ def q19_upsert_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
            (lead(ts) OVER w IS NULL) AS is_current,
            CAST(row_number() OVER w AS INT) AS version
     FROM changes
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    WINDOW w AS (
+        PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id
+    )
     """,
     tags=("upsert", "scd2", "Q19", "R16"),
 )

@@ -123,7 +123,10 @@ def q13_rank_dense_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             - epoch(lag(CAST(ts AS TIMESTAMP)) OVER w)
         ) AS BIGINT) AS secs_since_prev
     FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+    WINDOW w AS (
+        PARTITION BY user_id
+        ORDER BY CAST(ts AS TIMESTAMP) NULLS FIRST, event_id
+    )
     """,
     tags=("windows", "Q13"),
 )
@@ -154,15 +157,18 @@ def q13_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
         event_id,
         CAST(ts AS TIMESTAMP) AS ts,
         round(sum(coalesce(value, 0.0)) OVER (
-            PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+            PARTITION BY user_id
+            ORDER BY CAST(ts AS TIMESTAMP) NULLS FIRST, event_id
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
         ) * 100.0) / 100.0 AS running_value,
         round(avg(coalesce(value, 0.0)) OVER (
-            PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+            PARTITION BY user_id
+            ORDER BY CAST(ts AS TIMESTAMP) NULLS FIRST, event_id
             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
         ) * 10000.0) / 10000.0 AS moving_avg_3,
         first_value(event_type) OVER (
-            PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+            PARTITION BY user_id
+            ORDER BY CAST(ts AS TIMESTAMP) NULLS FIRST, event_id
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
         ) AS first_type
     FROM events
@@ -370,7 +376,7 @@ def q13_range_interval_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
             AS latest_purchase_cents
     FROM ev
     WINDOW w AS (
-        PARTITION BY user_id ORDER BY ts, event_id
+        PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id
         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
     )
     """,

@@ -44,6 +44,15 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _timed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events with a usable event time. Structured Streaming's window /
+    session_window operators DROP rows whose event-time column is NULL
+    (a NULL event time cannot be bucketed or watermarked); the batch
+    twins make that drop explicit so the oracle can mirror it with
+    ``WHERE ts IS NOT NULL``."""
+    return _events(spark, sf_dir).filter(F.col("ts").isNotNull())
+
+
 @register(
     "s01_tumbling_window",
     oracle="""
@@ -53,6 +62,7 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
         count(*) AS n_events,
         round(sum(coalesce(value, 0.0)) * 100.0) / 100.0 AS total_value
     FROM events
+    WHERE ts IS NOT NULL
     GROUP BY 1, 2
     """,
     tags=("streaming", "S1"),
@@ -65,7 +75,7 @@ def s01_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     epoch hour, which is exactly ``date_trunc('hour')`` for the oracle.
     """
     return (
-        _events(spark, sf_dir)
+        _timed_events(spark, sf_dir)
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
@@ -91,6 +101,7 @@ def s01_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events CROSS JOIN LATERAL (
             SELECT unnest(range(0, 4)) AS k
         ) gs
+        WHERE ts IS NOT NULL
     )
     SELECT
         window_start,
@@ -109,7 +120,7 @@ def s02_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment arithmetic (15-minute bucket minus k slides).
     """
     return (
-        _events(spark, sf_dir)
+        _timed_events(spark, sf_dir)
         .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
         .agg(
             F.count("*").alias("n_events"),
@@ -140,6 +151,7 @@ def s02_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                       >= INTERVAL 30 MINUTE
                  THEN 1 ELSE 0 END AS new_session
         FROM events
+        WHERE ts IS NOT NULL
     ),
     sessions AS (
         SELECT *,
@@ -169,7 +181,7 @@ def s03_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the comparable end is ``max(ts)`` computed as an aggregate.
     """
     return (
-        _events(spark, sf_dir)
+        _timed_events(spark, sf_dir)
         .groupBy(
             F.session_window("ts", "30 minutes").alias("w"), "user_id"
         )
@@ -364,6 +376,7 @@ def s05_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             CAST(sum(CAST(round(coalesce(value, 0.0) * 100.0) AS BIGINT))
                  AS BIGINT) AS cents
         FROM events
+        WHERE ts IS NOT NULL
         GROUP BY 1, 2
     )
     SELECT window_start, user_id, n_events, cents,
@@ -402,7 +415,7 @@ def s07_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     events), and WindowGroupLimit prunes to the top-3 during the sort.
     """
     agg = (
-        _events(spark, sf_dir)
+        _timed_events(spark, sf_dir)
         .groupBy(
             F.window("ts", "1 hour").alias("w"),
             "user_id",

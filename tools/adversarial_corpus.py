@@ -274,7 +274,10 @@ def gen_events(rng: random.Random) -> dict:
     tie_ts = T0 + dt.timedelta(days=5, hours=9, minutes=30)
     for i in range(1, n + 1):
         eid.append(i)
-        if i % 17 == 0:
+        if i % 311 == 0:
+            ts.append(None)  # NULL event time (pre-cleaning ingest rows;
+            # probes window NULLS FIRST/LAST mirroring + time-spine drops)
+        elif i % 17 == 0:
             ts.append(tie_ts)  # ~235 events at ONE timestamp, many users
         elif i % 23 == 0 and i > 100:
             ts.append(ts[-1])  # consecutive duplicate within stream order
@@ -286,9 +289,12 @@ def gen_events(rng: random.Random) -> dict:
             uid.append(999999)  # single-event user
         else:
             uid.append(rng.randrange(2, 300))
-        etype.append(
-            "refund" if i % 251 == 0 else EVENT_TYPES[rng.randrange(5)]
-        )
+        if i % 397 == 0:
+            etype.append(None)  # NULL type (clean_coerce defaults these)
+        elif i % 251 == 0:
+            etype.append("refund")
+        else:
+            etype.append(EVENT_TYPES[rng.randrange(5)])
         r = i % 7
         if r == 0:
             val.append(None)  # NULL value — fixtures have zero of these
