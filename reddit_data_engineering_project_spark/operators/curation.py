@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from ..functions.numeric import dround
 from ..registry import register
 from ..tables import table
-from .text_analysis import tokens
+from .text_analysis import nsize, tokens
 
 #: Hash-split constants: Knuth multiplicative hash under a Mersenne-ish
 #: prime. Pure 64-bit-safe integer arithmetic so Spark and any oracle
@@ -260,13 +260,13 @@ def x04_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     # string literal would eat the \b word boundaries as escape sequences.
     return aug.select(
         "doc_id",
-        F.size(
+        nsize(
             F.regexp_extract_all(F.col("text"), F.lit(_EMAIL_RE), F.lit(0))
         ).alias("n_emails"),
-        F.size(
+        nsize(
             F.regexp_extract_all(F.col("text"), F.lit(_PHONE_RE), F.lit(0))
         ).alias("n_phones"),
-        F.size(
+        nsize(
             F.regexp_extract_all(F.col("text"), F.lit(_IP_RE), F.lit(0))
         ).alias("n_ips"),
         F.md5(redacted).alias("redacted_md5"),
@@ -484,14 +484,17 @@ def curate(docs: DataFrame) -> DataFrame:
     ``tests/test_stream_curation.py`` (stream output ≡ batch output).
     """
     toks1 = tokens(F.col("text"))
+    # nsize (not size): legacy size(NULL) = -1 made rep_frac 0.0 for a
+    # NULL doc, sneaking contentless rows through the gate; NULL rep_frac
+    # fails the predicate on both engines, so NULL docs are curated OUT.
     rep = docs.select(
         "doc_id",
         "source",
         "text",
         (
             1.0
-            - F.size(F.array_distinct(toks1)).cast("double")
-            / F.size(toks1)
+            - nsize(F.array_distinct(toks1)).cast("double")
+            / nsize(toks1)
         ).alias("rep_frac"),
     ).where(F.col("rep_frac") <= 0.62)
     aug = rep.select(
@@ -640,13 +643,19 @@ def x04_tokenize_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sort_array(F.collect_list(F.struct("token", "id")))
         ).alias("vmap")
     )
+    # NULL text tokenizes to the EMPTY id stream (n_tokens 0, md5 of
+    # ''), matching the oracle's LEFT-join route where a NULL doc emits
+    # no mapped rows.
     encoded = toksed.crossJoin(F.broadcast(vmap)).select(
         "doc_id",
-        F.transform(
-            "toks",
-            lambda t: F.coalesce(
-                F.element_at(F.col("vmap"), t), F.lit(_UNK_ID)
+        F.coalesce(
+            F.transform(
+                "toks",
+                lambda t: F.coalesce(
+                    F.element_at(F.col("vmap"), t), F.lit(_UNK_ID)
+                ),
             ),
+            F.array().cast("array<int>"),
         ).alias("ids"),
     )
     return encoded.select(

@@ -534,19 +534,25 @@ def x02_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg AS (
         SELECT label, dim, sum(vq) AS sq, count(*) AS n
         FROM dims GROUP BY 1, 2
+    ),
+    rounded AS (
+        -- exact integer round-half-away(sq / n): no double anywhere,
+        -- so HUGEINT magnitude (1e10-component vectors -> 1e17 sums,
+        -- past double exactness) cannot produce last-digit drift
+        SELECT label, dim, n,
+               CAST(CASE WHEN sq >= 0 THEN (2*sq + n) // (2*n)
+                         ELSE -((2*(-sq) + n) // (2*n)) END
+                    AS BIGINT) AS mean_e6
+        FROM agg
     )
     SELECT
         label,
         CAST(max(n) AS BIGINT) AS n_vectors,
-        CAST(round(CAST(max(CASE WHEN dim = 0 THEN sq END) AS DOUBLE)
-                   / max(n)) AS BIGINT) AS c0_e6,
-        CAST(round(CAST(max(CASE WHEN dim = 1 THEN sq END) AS DOUBLE)
-                   / max(n)) AS BIGINT) AS c1_e6,
-        CAST(round(CAST(max(CASE WHEN dim = 2 THEN sq END) AS DOUBLE)
-                   / max(n)) AS BIGINT) AS c2_e6,
-        CAST(round(CAST(max(CASE WHEN dim = 3 THEN sq END) AS DOUBLE)
-                   / max(n)) AS BIGINT) AS c3_e6
-    FROM agg
+        max(CASE WHEN dim = 0 THEN mean_e6 END) AS c0_e6,
+        max(CASE WHEN dim = 1 THEN mean_e6 END) AS c1_e6,
+        max(CASE WHEN dim = 2 THEN mean_e6 END) AS c2_e6,
+        max(CASE WHEN dim = 3 THEN mean_e6 END) AS c3_e6
+    FROM rounded
     GROUP BY label
     """,
     tags=("similarity", "X3", "centroid"),
@@ -561,11 +567,17 @@ def x03_pairwise_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: components are quantized ONCE to e6 integers, summed
     exactly (DECIMAL(38,0) / HUGEINT — a plain BIGINT sum can wrap once
-    |component| reaches ~1e10 over thousands of members), and divided
-    once; a float ``avg`` would be partial-aggregation-order-dependent,
-    which the e6 output rounding stops absorbing as soon as component
-    magnitudes push the mean's ulp past 1e-6 (adversarial-sweep
-    finding: 1e10-magnitude vectors flipped the last rounded digit).
+    |component| reaches ~1e10 over thousands of members), and the mean
+    is an exact integer half-away division — no double appears after
+    quantization. Two adversarial-sweep findings force that shape:
+    (1) a float ``avg`` is partial-aggregation-order-dependent; (2) for
+    quantized values past 2^53, Spark's double→DECIMAL cast goes
+    through the SHORTEST decimal string (BigDecimal.valueOf) while
+    DuckDB casts the exact binary value — so the Spark side quantizes
+    via ``cast("bigint")`` (exact binary truncation of the already-
+    integral rounded double; |vq| must stay < 2^63, i.e. components
+    < ~9e12) and divides in integer space, where the engines cannot
+    disagree.
     """
     emb = ensure_min_parallelism(table(spark, sf_dir, "embeddings")).select(
         "label", _vec_double("embedding").alias("e")
@@ -575,7 +587,11 @@ def x03_pairwise_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "label",
             "dim",
+            # bigint first: (long)d is the EXACT binary value; a direct
+            # double→decimal cast detours through the shortest decimal
+            # string and drifts off DuckDB past 2^53.
             F.round(F.col("val") * 1000000.0)
+            .cast("bigint")
             .cast("decimal(38,0)")
             .alias("vq"),
         )
@@ -585,9 +601,12 @@ def x03_pairwise_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             "label",
             "dim",
             "n",
-            F.round(F.col("sq").cast("double") / F.col("n"))
-            .cast("bigint")
-            .alias("mean_e6"),
+            # exact integer round-half-away(sq / n), mirrored verbatim
+            # in the oracle's HUGEINT formulation
+            F.expr(
+                "CAST(CASE WHEN sq >= 0 THEN (2*sq + n) DIV (2*n) "
+                "ELSE -((2*abs(sq) + n) DIV (2*n)) END AS BIGINT)"
+            ).alias("mean_e6"),
         )
     )
     per_label = (

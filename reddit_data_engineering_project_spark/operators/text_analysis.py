@@ -41,6 +41,15 @@ def tokens(col: Column) -> Column:
     return F.filter(F.split(col, " "), lambda t: t != "")
 
 
+def nsize(arr: Column) -> Column:
+    """NULL-in → NULL-out array length. Spark's legacy ``size`` returns
+    -1 for a NULL array (``spark.sql.legacy.sizeOfNull``, the non-ANSI
+    default) while DuckDB's ``len`` propagates NULL — and -1 silently
+    poisons every downstream ratio/sum. ``size`` yields -1 ONLY for NULL
+    input (a real empty array is 0), so the nullif is exact."""
+    return F.nullif(F.size(arr), F.lit(-1))
+
+
 @register(
     "x04_doc_stats",
     oracle="""
@@ -80,13 +89,13 @@ def x04_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     toks = tokens(F.col("text"))
     stop_arr = F.array(*[F.lit(w) for w in _EN_STOP])
-    n_toks = F.size(toks)
+    n_toks = nsize(toks)
     return docs.select(
         "doc_id",
         "lang",
         "n_chars",
         n_toks.alias("n_tokens"),
-        F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
+        nsize(F.array_distinct(toks)).alias("n_unique_tokens"),
         dround(
             F.aggregate(
                 F.transform(toks, lambda t: F.length(t)),
@@ -97,10 +106,10 @@ def x04_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("avg_token_len"),
         dround(
-            F.size(F.array_distinct(toks)).cast("double") / n_toks, 4
+            nsize(F.array_distinct(toks)).cast("double") / n_toks, 4
         ).alias("type_token_ratio"),
         dround(
-            F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+            nsize(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
             .cast("double")
             / n_toks,
             4,
@@ -252,6 +261,7 @@ def _profile_score(toks: Column, words: list[str]) -> Column:
     scored AS (
         SELECT
             doc_id, lang, toks,
+            text IS NULL AS no_text,
             (regexp_extract(text, '[\\x{4e00}-\\x{9fff}]') <> '') AS has_cjk,
             len(list_filter(toks, x -> list_contains(
                 ['the','a','and','of','to','in','is','that'], x))) AS s_en,
@@ -267,6 +277,7 @@ def _profile_score(toks: Column, words: list[str]) -> Column:
         doc_id,
         lang,
         CASE
+            WHEN no_text THEN NULL
             WHEN has_cjk THEN 'zh'
             WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
             WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
@@ -274,6 +285,7 @@ def _profile_score(toks: Column, words: list[str]) -> Column:
             ELSE 'fr'
         END AS guessed_lang,
         (CASE
+            WHEN no_text THEN NULL
             WHEN has_cjk THEN 'zh'
             WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
             WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
@@ -304,6 +316,9 @@ def x04_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = docs.select(
         "doc_id",
         "lang",
+        # NULL text -> NULL guess: a language-id stage must say
+        # "unknown", not fall through the vote tree to a default.
+        F.col("text").isNull().alias("no_text"),
         (F.regexp_extract(F.col("text"), "[\\u4e00-\\u9fff]", 0) != "").alias(
             "has_cjk"
         ),
@@ -313,7 +328,8 @@ def x04_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         _profile_score(toks, _PROFILES["fr"]).alias("s_fr"),
     )
     guess = (
-        F.when(F.col("has_cjk"), F.lit("zh"))
+        F.when(F.col("no_text"), F.lit(None).cast("string"))
+        .when(F.col("has_cjk"), F.lit("zh"))
         .when(
             (F.col("s_en") >= F.col("s_es"))
             & (F.col("s_en") >= F.col("s_de"))
@@ -380,16 +396,16 @@ def x04_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = table(spark, sf_dir, "documents")
     toks = tokens(F.col("text"))
-    n_toks = F.size(toks)
+    n_toks = nsize(toks)
     stop_arr = F.array(*[F.lit(w) for w in _EN_STOP])
     feat = docs.select(
         "doc_id",
         "lang",
         "n_chars",
         n_toks.alias("n_tokens"),
-        (F.size(F.array_distinct(toks)).cast("double") / n_toks).alias("ttr"),
+        (nsize(F.array_distinct(toks)).cast("double") / n_toks).alias("ttr"),
         (
-            F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+            nsize(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
             .cast("double")
             / n_toks
         ).alias("stop_ratio"),
@@ -504,11 +520,11 @@ def x04_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     wordish = F.expr(
         r"regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]', 0)"
     )
-    n_wordish = F.size(wordish)
+    n_wordish = nsize(wordish)
     return docs.select(
         "doc_id",
         "lang",
-        F.size(tokens(F.col("text"))).alias("n_whitespace"),
+        nsize(tokens(F.col("text"))).alias("n_whitespace"),
         n_wordish.alias("n_wordish"),
         F.ceil(F.length("text") / 4.0).cast("long").alias("n_tokens_estimate"),
         dround(
@@ -528,6 +544,7 @@ def x04_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT
         doc_id,
+        CASE WHEN toks IS NULL THEN NULL ELSE
         list_reduce(
             list_prepend(
                 CAST(0 AS BIGINT),
@@ -544,7 +561,7 @@ def x04_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ),
             (acc, v) -> (acc * 131 + v) % 1000000007
-        ) AS fingerprint,
+        ) END AS fingerprint,
         len(toks) AS n_tokens
     FROM t
     """,
@@ -577,7 +594,7 @@ def x04_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         doc_hash.alias("fingerprint"),
-        F.size(toks).alias("n_tokens"),
+        nsize(toks).alias("n_tokens"),
     )
 
 
@@ -659,7 +676,8 @@ def x04_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH toks AS (
         SELECT doc_id,
                doc_id % 16 AS shard,
-               len(list_filter(string_split(text, ' '), x -> x <> ''))
+               coalesce(len(list_filter(string_split(text, ' '),
+                                        x -> x <> '')), 0)
                    AS n_tokens
         FROM documents
     ),
@@ -697,8 +715,12 @@ def x04_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     budget = 2048
     docs = table(spark, sf_dir, "documents")
     shard = (F.col("doc_id") % 16).alias("shard")
+    # NULL text packs zero tokens (the doc still occupies its slot in
+    # the deterministic doc_id order, shifting nothing).
     base = docs.select(
-        "doc_id", shard, F.size(tokens(F.col("text"))).alias("n_tokens")
+        "doc_id",
+        shard,
+        F.coalesce(nsize(tokens(F.col("text"))), F.lit(0)).alias("n_tokens"),
     )
     from pyspark.sql import Window
 
@@ -1077,12 +1099,12 @@ def x04_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = tokens(F.col("text"))
     tok = docs.select(
         "doc_id",
-        F.size(toks).alias("dl"),
+        nsize(toks).alias("dl"),
         F.explode(toks).alias("token"),
     ).filter(F.col("token").isin(*_BM25_TERMS))
     tf = tok.groupBy("doc_id", "dl", "token").agg(F.count("*").alias("tf"))
     stats = docs.agg(
-        F.count("*").alias("n"), F.sum(F.size(toks)).alias("sum_dl")
+        F.count("*").alias("n"), F.sum(nsize(toks)).alias("sum_dl")
     )
     df = tf.groupBy("token").agg(F.count("*").alias("df"))
     avgdl = F.col("sum_dl").cast("double") / F.col("n")

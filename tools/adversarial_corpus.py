@@ -355,6 +355,9 @@ def gen_documents(rng: random.Random) -> dict:
             texts.append('regex meta: a+b* (c|d) [e-f] {2,3} \\ "quoted" $^')
         elif r == 12:
             texts.append("word\nword\nword\nword\nword")  # dup lines
+        elif r == 13:
+            texts.append(None)  # NULL text (failed extraction upstream;
+            # probes every text op's NULL discipline vs empty-string)
         else:
             texts.append(
                 " ".join(rng.choice(WORDS) for _ in range(rng.randrange(8, 120)))
