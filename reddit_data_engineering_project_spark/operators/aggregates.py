@@ -863,12 +863,13 @@ def q07_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     overcount audit — the mergeable-sketch class (beside Q8's
     approx_count_distinct HLL and Q7's exact heavy hitters).
 
-    The sketch is a {len(_CMS_HASHES)}×{_CMS_W} integer grid: each
-    record increments one cell per hash row; a key's estimate is the
-    MIN over its cells — never below the true count (one-sided error,
-    ε ≈ e/w of total mass). The affine hashes ((a·k + b) mod p mod w)
-    are fixed integer literals, so both engines build bit-identical
-    sketches. The entry emits the exact top-{_CMS_TOP} keys with exact
+    The sketch is a 4×512 (``len(_CMS_HASHES)`` × ``_CMS_W``) integer
+    grid: each record increments one cell per hash row; a key's
+    estimate is the MIN over its cells — never below the true count
+    (one-sided error, ε ≈ e/w of total mass). The affine hashes
+    ((a·k + b) mod p mod w) are fixed integer literals, so both engines
+    build bit-identical sketches. The entry emits the exact top-20
+    (``_CMS_TOP``) keys with exact
     count, CMS estimate, and the (always ≥0) overcount — the sketch
     auditing itself against the exact aggregate it would replace at
     scale, the x03_ann_recall_report pattern.

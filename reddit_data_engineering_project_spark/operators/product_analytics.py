@@ -2172,8 +2172,9 @@ def _kcore_oracle() -> str:
     tags=("analytics", "Q21", "graph"),
 )
 def q21_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q21: k-core decomposition ({_KCORE_ROUNDS} unrolled peel rounds,
-    K={_KCORE_K}) over the co-purchase graph — the fifth graph class in
+    """Q21: k-core decomposition (3 unrolled peel rounds and K=3 —
+    ``_KCORE_ROUNDS`` / ``_KCORE_K``) over the co-purchase graph — the
+    fifth graph class in
     the battery (after PageRank's fixed-point, label propagation's
     components, reach2's bounded closure, and triangle counting's
     closed wedges).
@@ -2244,9 +2245,14 @@ _AA_TOP_N = 50
         SELECT dst AS src, src AS dst FROM half
     ),
     term AS (
+        -- deg >= 2: a deg-1 node can never be a wedge center, and at
+        -- deg=1 ln(deg)=0 diverges cross-engine (Spark round(Inf) ->
+        -- Long.MaxValue, DuckDB CAST(round(inf) AS BIGINT) -> NULL) —
+        -- keep the divergent row out of the relation entirely.
         SELECT src AS v,
                CAST(round(1000000.0 / ln(count(*))) AS BIGINT) AS term_e6
         FROM edges GROUP BY 1
+        HAVING count(*) >= 2
     ),
     scored AS (
         SELECT a.dst AS part_a, b.dst AS part_b,
@@ -2295,7 +2301,7 @@ def q21_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one wedge join (edges ⋈ edges on the center vertex =
     ONE shuffle on v), one (part_a, part_b) aggregation, one left-anti
     against the existing edge list, then a distributed
-    TakeOrderedAndProject for the top-{_AA_TOP_N} (never a global
+    TakeOrderedAndProject for the top-50 (``_AA_TOP_N``; never a global
     sort). Wedge fan-out is Σ deg(v)² — on a skewed graph the hub
     centers dominate, which is why the basket floor prunes singleton
     pairs first and production would cap or salt hub degrees (the
@@ -2306,6 +2312,11 @@ def q21_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     term = (
         edges.groupBy(F.col("src").alias("v"))
         .agg(F.count("*").alias("deg"))
+        # deg >= 2 mirrors the oracle's HAVING: deg-1 nodes are never
+        # wedge centers, and their ln(1)=0 term is a cross-engine
+        # divergence trap (Spark round(Inf)->Long.MaxValue vs DuckDB
+        # NULL) if this relation is ever reused.
+        .filter(F.col("deg") >= 2)
         .select(
             "v",
             F.round(F.lit(1_000_000.0) / F.log(F.col("deg")))

@@ -1914,9 +1914,9 @@ _HAM_RERANK_R = 50
 )
 def x03_hamming_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3h: the complete binary-first retrieval layout, audited —
-    Hamming top-{_HAM_RERANK_R} candidate pass (16-byte signatures,
-    integer XOR+POPCOUNT) → exact-cosine rerank to top-{_TOP_K} →
-    recall@{_TOP_K} against the brute-force truth, per query.
+    Hamming top-50 (``_HAM_RERANK_R``) candidate pass (16-byte
+    signatures, integer XOR+POPCOUNT) → exact-cosine rerank to top-k →
+    recall@k (k = ``_TOP_K``) against the brute-force truth, per query.
 
     This is the deployment composition x03_hamming_topk's docstring
     names: at 10⁹ vectors the packed first pass touches 16 GB, and the

@@ -113,10 +113,6 @@ def register(
 #       q21_funnel_conversion, x01_dedup_exact_key,
 #       x02_embedding_neardup, x03_pairwise_label_centroids,
 #       x04_doc_stats, x05_binary_features.
-#   (c) q21_triangle_count RE-grade: its round-7 green row predates
-#       this round's degree-ordering orientation rework (verdict item
-#       5); the changed implementation earns a fresh hash row in the
-#       same round it lands.
 #   (c) q21_triangle_count re-grade (degree-ordering rework landed
 #       this round) and (d) s08_stateful_zscore_replay, the one
 #       round-8 NEW registration, graded in its landing round.
@@ -166,68 +162,76 @@ def register(
 # backfill instead. After round 9 the stale r02/r03 queue is EMPTY
 # and nothing older than r05 remains — with exactly THREE r05 rows
 # left.
+#
+# ROUND-9 WINDOW (executes the plan above verbatim; CORRECTNESS_r08
+# graded the round-8 window 50/50 green, the precondition):
+#   (a) the 13 round-8 post-rotation registrations — after this round
+#       NOTHING registered before round 9 lacks a driver row;
+#   (b) the 12 round-8 stale overflows — the last entries whose latest
+#       green row is the OLD r02/r03 corpus, plus q17_map_funcs, whose
+#       only driver row is an r05 ERROR (a since-fixed tables.py
+#       ts-dtype bug; the single latest-grade red in history);
+#   (c) 25 backfill re-grades of the oldest current rows: 25 of the 28
+#       entries whose latest green is r05, alphabetical; the three
+#       alphabetically-last (x04_term_frequency, x04_tfidf,
+#       x04_token_count) roll to round 10's backfill.
+# 13 + 12 + 25 = 50. After this round the r02/r03 class is EMPTY and
+# exactly three r05 rows remain.
 GRADING_PRIORITY: tuple[str, ...] = (
-    # (a) the 13 round-7 deferrals
-    "q07_corr_exact_moments",
-    "q07_heavy_hitters",
-    "q07_mode_exact",
-    "q10_local_supplier_volume",
-    "q13_range_interval_frames",
-    "q13_value_functions",
-    "q16_bitwise_funcs",
-    "q21_ab_power_analysis",
-    "q21_next_event_prediction",
-    "x03_ann_recall_report",
-    "x03_kmeans_step",
-    "x03_knn_classify",
-    "x03_pq_topk",
-    # (a) the 10 round-7 post-rotation registrations
-    "q11_interval_overlap",
-    "q17_variant_shred",
-    "q18_schema_evolution_read",
-    "q20_grouped_agg_pandas",
-    "q21_cohort_ltv",
-    "q21_degree_powerlaw",
-    "q21_survival_km",
-    "x02_semantic_dedup",
-    "x03_ivfpq_topk",
-    "x05_payload_energy",
-    # (b) stale re-grades: simple-relational tier
-    "q01_csv_scan",
-    "q01_json_scan",
-    "q02_projection_pruning",
-    "q03_filter_predicates",
-    "q04_topk",
-    "q05_multikey_sort",
-    "q06_limit_offset",
-    "q07_percentiles",
-    "q08_approx_distinct",
-    "q08_count_distinct",
-    "q08_distinct_pairs",
-    # (b) stale re-grades: aggregates/joins/sets/windows
-    "q09_pivot",
-    "q10_join_anti",
-    "q10_join_broadcast_dims",
-    "q10_join_inner_star",
-    "q11_range_join_bands",
-    "q12_intersect_users",
-    "q13_running_frames",
-    "q17_adhoc_sql_correlated",
-    "q21_funnel_conversion",
-    # (b) stale re-grades: x-families
-    "x01_dedup_exact_key",
-    "x02_embedding_neardup",
-    "x03_pairwise_label_centroids",
-    "x04_doc_stats",
-    "x05_binary_features",
-    # (c) re-grade of this round's degree-ordering rework
-    "q21_triangle_count",
-    # (d) round-8 NEW registration, graded the round it lands: the S8
-    # stateful z-score promoted to an exact-hash batch replay (r07
-    # verdict item 6). s08 is a NEW family, so it must hold a window
-    # slot; q17_map_funcs cedes (q17 keeps the adhoc re-grade plus
-    # variant_shred in-window) and joins the round-9 overflows.
-    "s08_stateful_zscore_replay",
+    # (a) the 13 round-8 post-rotation registrations
+    "q07_cms_heavy_hitters",
+    "q07_histogram_quantiles",
+    "q10_bloom_prune",
+    "q18_partitioned_prune",
+    "q21_adamic_adar",
+    "q21_kcore_peel",
+    "q22_acf_hourly",
+    "q22_hampel_mad",
+    "q22_seasonal_decompose",
+    "x03_hamming_topk",
+    "x03_hamming_rerank",
+    "x03_range_search",
+    "x04_weighted_sample",
+    # (b) the 12 round-8 stale overflows (incl. the q17_map_funcs
+    # r05-error redemption — the non-negotiable slot)
+    "q09_cube",
+    "q09_rollup",
+    "q10_join_full_outer",
+    "q10_join_left_outer",
+    "q10_join_semi",
+    "q12_union_by_name",
+    "q12_union_daily_slices",
+    "q17_map_funcs",
+    "q21_event_transitions",
+    "x02_dedup_clusters",
+    "x02_neardup_jaccard",
+    "x05_frame_sample",
+    # (c) backfill: 25 oldest (r05) current-corpus re-grades
+    "pipeline_posts_clean_wire",
+    "q01_scan_explicit_schema",
+    "q07_hash_aggregate",
+    "q09_grouping_sets",
+    "q10_star_report",
+    "q13_rank_dense_rank",
+    "q13_topn_per_group",
+    "q13_window_share",
+    "q14_string_funcs",
+    "q14_string_funcs2",
+    "q15_datetime_funcs",
+    "q17_array_funcs",
+    "q17_explode_tokens",
+    "q17_json_corrupt_records",
+    "q20_arrow_udf_ttr",
+    "q20_udtf_chunks",
+    "x01_dedup_content_hash",
+    "x02_minhash_lsh_neardup",
+    "x03_cosine_topk_bruteforce",
+    "x04_fingerprint",
+    "x04_hash_sample",
+    "x04_language_id",
+    "x04_length_histogram",
+    "x04_quality_filter",
+    "x04_stratified_sample",
 )
 
 GRADED_WINDOW = 50

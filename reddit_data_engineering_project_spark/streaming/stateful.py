@@ -324,10 +324,16 @@ def close_idle_sessions(
 
     cur = state.get if state.exists else None
     closed: list[pd.DataFrame] = []
-    for pdf in batches:
-        if not len(pdf):
-            continue
-        pdf = pdf.sort_values(["ts", "event_id"])
+    # A key's micro-batch data can span multiple Arrow chunks (~10k rows
+    # each); sorting chunks independently would fold events out of order
+    # (mis-fired gap splits, last_us moving backward). Concat ALL chunks
+    # first, drop NaT event times (they carry no event-time position),
+    # then sort ONCE by (ts, event_id) — same discipline as
+    # score_rolling_zscore above.
+    frames = [pdf for pdf in batches if len(pdf)]
+    if frames:
+        pdf = pd.concat(frames)
+        pdf = pdf[pdf["ts"].notna()].sort_values(["ts", "event_id"])
         for ts in pdf["ts"].astype("int64") // 1000:  # ns -> µs
             ts = int(ts)
             if cur is None:
@@ -337,6 +343,9 @@ def close_idle_sessions(
                 cur = (ts, ts, 1)
             else:
                 cur = (cur[0], ts, cur[2] + 1)
+    if cur is None:
+        # Only empty/NaT-ts chunks and no prior state: nothing to track.
+        return
     state.update(cur)
     state.setTimeoutTimestamp(cur[1] // 1000 + _SESSION_GAP_MS)
     for c in closed:

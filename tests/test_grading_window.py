@@ -109,30 +109,13 @@ def test_every_family_has_driver_evidence():
 # Queries registered after a window was pinned: consciously queued for
 # the next window rotation (they hold check_oracle + pytest coverage
 # meanwhile). Adding a name here is the explicit act the guard demands —
-# silent additions fail the test below. The round-8 rotation moved the
-# ENTIRE never-graded backlog (13 round-7 deferrals + 10 round-7
-# registrations) into the graded window, so this set holds only
-# round-8 NEW registrations awaiting the round-9 rotation (each must
-# also appear in registry.py's ROUND-9 ROTATION PLAN comment).
-QUEUED_FOR_NEXT_WINDOW: set[str] = {
-    # Round-8 NEW registrations (post-rotation), each named in
-    # registry.py's ROUND-9 ROTATION PLAN as a mandatory slot. Family
-    # evidence meanwhile: q07/q21/q22 all hold members in the round-8
-    # window; x03 holds five (recall/kmeans/knn/pq/ivfpq).
-    "q07_cms_heavy_hitters",   # Count-Min sketch w/ overcount audit
-    "q07_histogram_quantiles",  # mergeable quantile-bracket sketch
-    "q21_kcore_peel",          # k-core peeling (5th graph class)
-    "q22_hampel_mad",          # median/MAD robust anomaly gate
-    "x03_hamming_topk",        # 1-bit binary-sketch ANN rung
-    "x03_hamming_rerank",      # binary-first + exact-rerank audit
-    "x04_weighted_sample",     # A-ES weighted sampling w/o replacement
-    "q10_bloom_prune",         # deterministic Bloom runtime-filter join
-    "q18_partitioned_prune",   # PartitionFilters pruned lake read
-    "x03_range_search",        # cosine radius query, zero-shuffle scan
-    "q21_adamic_adar",         # link prediction, 6th graph class
-    "q22_acf_hourly",          # correlogram, exact integer moments
-    "q22_seasonal_decompose",  # classical 2x24-MA decomposition
-}
+# silent additions fail the test below. The round-9 rotation moved ALL
+# 13 round-8 registrations into the graded window, so this set holds
+# only round-9 NEW registrations awaiting the round-10 rotation — and
+# round 9 grades its new registrations IN the landing window (s08
+# precedent), so the set stays empty unless a registration genuinely
+# cannot take a slot.
+QUEUED_FOR_NEXT_WINDOW: set[str] = set()
 
 
 def test_previously_ungraded_entries_are_all_in_window():
