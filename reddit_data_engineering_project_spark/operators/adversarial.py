@@ -1,0 +1,293 @@
+"""X0: the adversarial audit — hostile value classes, driver-graded.
+
+``tools/adversarial_corpus.py`` re-checks every oracle per pytest run on
+a hostile same-schema corpus, but that guarantee lived only in pytest:
+the driver's fixtures may simply never exhibit the value classes that
+historically caused silent cross-engine divergence (round-8 found 28 of
+them). This entry PLANTS a deterministic hostile slice inside the
+standard corpus — every hostile value derives from corpus keys via
+literal CASE expressions that both engines evaluate identically — and
+runs a compact cross-section of the divergence-prone lens classes over
+it, so the guarantees earn a driver hash row every round:
+
+- the three JSON extraction lenses (strict ``from_json`` int, the
+  truncating string→long CAST, the ``try_variant_get`` long lens) over
+  8 planted wire classes: int, float, quoted int, boolean, negative
+  float, out-of-int64 number, malformed, empty string — each lens has
+  DIFFERENT semantics, mirrored per the probed parity table (see
+  q17_json_funcs / q17_map_funcs / q17_variant_shred docstrings);
+- window rank + lag over PLANTED NULL event times (NULLS FIRST
+  ordering parity, NULL-propagating µs gaps);
+- empty-payload framing: the guarded ``sequence`` spine (Spark's
+  ``sequence(0, -1)`` silently DESCENDS; the guard must emit an empty
+  frame and a zero fold on both engines);
+- zero-vector cosine (the normalization guard: zero norm → NULL, not
+  a division blow-up);
+- rounding ties at exact half boundaries (HALF-away-from-zero parity,
+  including a binary-inexact 0.05 case).
+
+Every probe output is a BIGINT (scaled where fractional), emitted as
+``(probe, id, out)`` rows so any single divergent value flips the
+driver hash. The slice is fixed-size (event_id ≤ 256, vec_id < 32) —
+constant cost at any corpus scale; the pytest sweep remains the broad
+net, this entry is its driver-visible sentinel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql.types import IntegerType, StructField, StructType
+
+from ..registry import register
+from ..tables import table
+from .similarity import _dot, _vec_double
+
+#: Planted wire strings, one hostile JSON class per event_id % 8 bucket.
+_WIRES = (
+    '{"v": 7}',                       # strict in-range int: all lenses 7
+    '{"v": 7.9}',                     # float: int lens NULL, others trunc 7
+    '{"v": "7"}',                     # quoted int: int lens NULL, others 7
+    '{"v": true}',                    # bool: only variant casts (-> 1)
+    '{"v": -7.5}',                    # negative float: trunc toward zero -7
+    '{"v": 99999999999999999999}',    # out of int64: every lens NULL
+    "not json",                       # malformed: every lens NULL
+    "",                               # empty wire: every lens NULL
+)
+
+#: Planted half-boundary doubles (incl. a binary-inexact 0.05 pair).
+_HALVES = (-2.5, -1.5, -0.5, 0.5, 1.5, 2.5, 0.05, -0.05)
+
+
+def _case_over_bucket(bucket, values) -> F.Column:
+    expr = F.lit(values[-1])
+    for i in range(len(values) - 2, -1, -1):
+        expr = F.when(bucket == i, F.lit(values[i])).otherwise(expr)
+    return expr
+
+
+def _sql_case(col: str, values, quote: bool) -> str:
+    arms = " ".join(
+        "WHEN {} THEN {}".format(
+            i, "'" + v.replace("'", "''") + "'" if quote else repr(v)
+        )
+        for i, v in enumerate(values)
+    )
+    return f"CASE {col} {arms} END"
+
+
+@register(
+    "x00_adversarial_audit",
+    oracle="""
+    WITH sl AS (
+        SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+               event_id % 8 AS b
+        FROM events WHERE event_id <= 256
+    ),
+    planted AS (
+        SELECT event_id, user_id, b,
+               {WIRE_CASE} AS wire,
+               {HALF_CASE} AS x,
+               CASE WHEN b <= 2 THEN 0 ELSE event_id % 4 END AS n,
+               CASE WHEN b = 3 THEN NULL ELSE ts END AS ts2
+        FROM sl
+    ),
+    wide AS (
+        SELECT event_id,
+            -- strict from_json int lens: in-range JSON integers only
+            CASE WHEN json_valid(wire) THEN
+                CASE WHEN json_type(json_extract(wire, '$.v'))
+                          IN ('BIGINT', 'UBIGINT')
+                          AND TRY_CAST(json_extract_string(wire, '$.v')
+                                       AS BIGINT)
+                              BETWEEN -2147483648 AND 2147483647
+                     THEN CAST(json_extract_string(wire, '$.v') AS BIGINT)
+                END END AS json_int,
+            -- string->long CAST lens: any numeric string, trunc to zero
+            CASE WHEN json_valid(wire) THEN
+                CASE WHEN abs(TRY_CAST(json_extract_string(wire, '$.v')
+                                       AS DOUBLE)) < 9.2233720368547e18
+                     THEN CAST(trunc(TRY_CAST(
+                              json_extract_string(wire, '$.v') AS DOUBLE))
+                          AS BIGINT)
+                END END AS json_cast,
+            -- try_variant_get long lens: per-json-type semantics
+            CASE WHEN json_valid(wire) THEN
+                CASE json_type(json_extract(wire, '$.v'))
+                    WHEN 'BIGINT' THEN
+                        TRY_CAST(json_extract_string(wire, '$.v') AS BIGINT)
+                    WHEN 'UBIGINT' THEN
+                        TRY_CAST(json_extract_string(wire, '$.v') AS BIGINT)
+                    WHEN 'DOUBLE' THEN
+                        CASE WHEN abs(TRY_CAST(
+                                 json_extract_string(wire, '$.v')
+                                 AS DOUBLE)) < 9.2233720368547e18
+                             THEN CAST(trunc(TRY_CAST(
+                                 json_extract_string(wire, '$.v')
+                                 AS DOUBLE)) AS BIGINT) END
+                    WHEN 'BOOLEAN' THEN
+                        CASE json_extract_string(wire, '$.v')
+                            WHEN 'true' THEN 1 ELSE 0 END
+                    WHEN 'VARCHAR' THEN
+                        CASE WHEN regexp_matches(
+                                 trim(json_extract_string(wire, '$.v')),
+                                 '^[+-]?[0-9]+$')
+                             THEN TRY_CAST(
+                                 trim(json_extract_string(wire, '$.v'))
+                                 AS BIGINT) END
+                END END AS json_var,
+            CAST(row_number() OVER w AS BIGINT) AS win_rank,
+            epoch_us(ts2) - lag(epoch_us(ts2)) OVER w AS gap_us,
+            CAST(len(range(0, n)) * 1000
+                 + coalesce(list_aggregate(range(0, n), 'sum'), 0)
+                 AS BIGINT) AS frame,
+            CAST(round(x) AS BIGINT) * 1000
+                + CAST(round(x * 10) AS BIGINT) AS round_pair
+        FROM planted
+        WINDOW w AS (
+            PARTITION BY user_id
+            ORDER BY ts2 ASC NULLS FIRST, event_id
+        )
+    ),
+    ev_probes AS (
+        SELECT 'json_int' AS probe, event_id AS id, json_int AS out
+        FROM wide
+        UNION ALL
+        SELECT 'json_cast', event_id, json_cast FROM wide
+        UNION ALL
+        SELECT 'json_var', event_id, json_var FROM wide
+        UNION ALL
+        SELECT 'win_rank', event_id, win_rank FROM wide
+        UNION ALL
+        SELECT 'gap_us', event_id, gap_us FROM wide
+        UNION ALL
+        SELECT 'frame', event_id, frame FROM wide
+        UNION ALL
+        SELECT 'round_pair', event_id, round_pair FROM wide
+    ),
+    v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        FROM embeddings WHERE vec_id < 32
+    ),
+    pv AS (
+        SELECT vec_id,
+               CASE WHEN vec_id % 4 = 0
+                    THEN list_transform(e, z -> 0.0) ELSE e END AS e
+        FROM v
+    ),
+    q AS (SELECT e AS qe FROM v WHERE vec_id = 1),
+    vec_probe AS (
+        SELECT 'zerovec_cos' AS probe, pv.vec_id AS id,
+               CASE WHEN list_dot_product(pv.e, pv.e) > 0
+                         AND list_dot_product(q.qe, q.qe) > 0
+                    THEN CAST(round(
+                         list_dot_product(pv.e, q.qe)
+                         / (sqrt(list_dot_product(pv.e, pv.e))
+                            * sqrt(list_dot_product(q.qe, q.qe)))
+                         * 1000000.0) AS BIGINT)
+               END AS out
+        FROM pv, q
+    )
+    SELECT probe, id, out FROM ev_probes
+    UNION ALL
+    SELECT probe, id, out FROM vec_probe
+    """.replace("{WIRE_CASE}", _sql_case("b", _WIRES, quote=True))
+    .replace("{HALF_CASE}", _sql_case("b", _HALVES, quote=False)),
+    tags=("adversarial", "X0", "audit"),
+)
+def x00_adversarial_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X0: the planted hostile-slice audit (module docstring has the
+    full probe inventory). 256 event rows + 32 vectors, all hostile
+    values planted by literal CASE over corpus keys, every output a
+    BIGINT row ``(probe, id, out)``.
+
+    Scale shape: irrelevant by construction — the slice is fixed-size
+    at any SF (two pruned scans, one tiny window, one 1-row broadcast);
+    the entry buys cross-engine certainty, not throughput.
+    """
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_id") <= 256)
+        .select("event_id", "user_id", "ts")
+    )
+    b = (F.col("event_id") % 8).cast("int")
+    wire = _case_over_bucket(b, _WIRES)
+    x = _case_over_bucket(b, _HALVES)
+    n = F.when(b <= 2, F.lit(0)).otherwise(
+        (F.col("event_id") % 4).cast("int")
+    )
+    ts2 = F.when(b == 3, F.lit(None).cast("timestamp")).otherwise(
+        F.col("ts")
+    )
+    planted = ev.select(
+        "event_id", "user_id", wire.alias("wire"), x.alias("x"),
+        n.alias("n"), ts2.alias("ts2"),
+    )
+
+    # Spark Window.orderBy ascending = NULLS FIRST (oracle mirrors it
+    # explicitly; DuckDB's ASC default is NULLS LAST).
+    w = Window.partitionBy("user_id").orderBy("ts2", "event_id")
+    vschema = StructType([StructField("v", IntegerType(), True)])
+    arr = F.when(
+        F.col("n") > 0,
+        F.sequence(F.lit(0), F.col("n") - 1).cast("array<bigint>"),
+    ).otherwise(F.array().cast("array<bigint>"))
+    wide = planted.select(
+        "event_id",
+        F.from_json("wire", vschema).v.cast("long").alias("json_int"),
+        F.get_json_object("wire", "$.v").cast("long").alias("json_cast"),
+        F.try_variant_get(
+            F.try_parse_json("wire"), "$.v", "long"
+        ).alias("json_var"),
+        F.row_number().over(w).cast("long").alias("win_rank"),
+        (
+            F.unix_micros("ts2") - F.lag(F.unix_micros("ts2")).over(w)
+        ).alias("gap_us"),
+        (
+            F.size(arr).cast("long") * 1000
+            + F.aggregate(arr, F.lit(0).cast("long"), lambda a, z: a + z)
+        ).alias("frame"),
+        (
+            F.round("x").cast("long") * 1000
+            + F.round(F.col("x") * 10).cast("long")
+        ).alias("round_pair"),
+    )
+    stacked = wide.select(
+        F.expr(
+            "stack(7, 'json_int', json_int, 'json_cast', json_cast, "
+            "'json_var', json_var, 'win_rank', win_rank, "
+            "'gap_us', gap_us, 'frame', frame, "
+            "'round_pair', round_pair) AS (probe, out)"
+        ),
+        F.col("event_id").alias("id"),
+    ).select("probe", "id", "out")
+
+    emb = (
+        table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 32)
+        .select("vec_id", _vec_double("embedding").alias("e"))
+    )
+    pv = emb.select(
+        "vec_id",
+        F.when(
+            F.col("vec_id") % 4 == 0,
+            F.transform("e", lambda z: F.lit(0.0)),
+        ).otherwise(F.col("e")).alias("e"),
+    )
+    q = emb.filter(F.col("vec_id") == 1).select(F.col("e").alias("qe"))
+    vec_probe = pv.join(F.broadcast(q)).select(
+        F.lit("zerovec_cos").alias("probe"),
+        F.col("vec_id").alias("id"),
+        F.when(
+            (_dot(F.col("e"), F.col("e")) > 0)
+            & (_dot(F.col("qe"), F.col("qe")) > 0),
+            F.round(
+                _dot(F.col("e"), F.col("qe"))
+                / (
+                    F.sqrt(_dot(F.col("e"), F.col("e")))
+                    * F.sqrt(_dot(F.col("qe"), F.col("qe")))
+                )
+                * 1_000_000.0
+            ).cast("long"),
+        ).alias("out"),
+    )
+    return stacked.unionByName(vec_probe)

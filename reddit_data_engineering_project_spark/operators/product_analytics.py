@@ -2353,3 +2353,168 @@ def q21_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn(
         "rank", F.row_number().over(w).cast("bigint")
     ).select("rank", "part_a", "part_b", "common_neighbors", "aa_score_e6")
+
+
+#: Wedge-center degree cap percentile for the capped Adamic-Adar —
+#: same p95 discipline as the reach2 middle cap.
+_AA_CAP_PCT = 95
+
+
+@register(
+    "q21_adamic_adar_capped",
+    oracle=f"""
+    WITH li AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    half AS (
+        SELECT a.l_partkey AS src, b.l_partkey AS dst
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        HAVING count(*) >= {{min_pair}}
+    ),
+    edges AS (
+        SELECT src, dst FROM half
+        UNION ALL
+        SELECT dst AS src, src AS dst FROM half
+    ),
+    deg AS (
+        SELECT src AS v, CAST(count(*) AS BIGINT) AS deg
+        FROM edges GROUP BY 1
+    ),
+    hist AS (
+        SELECT deg, CAST(count(*) AS BIGINT) AS cnt FROM deg GROUP BY 1
+    ),
+    cum AS (
+        SELECT
+            deg,
+            CAST(sum(cnt) OVER (ORDER BY deg) AS BIGINT) AS cum,
+            CAST(sum(cnt) OVER () AS BIGINT) AS n
+        FROM hist
+    ),
+    cap AS (
+        SELECT min(deg) AS cap FROM cum
+        WHERE cum * 100 >= n * {{cap_pct}}
+    ),
+    term AS (
+        -- capped centers only: deg in [2, p95-cap]. deg >= 2 keeps the
+        -- ln(1)=0 divergence out (see q21_adamic_adar); deg <= cap is
+        -- the hub guard under audit.
+        SELECT v, CAST(round(1000000.0 / ln(deg)) AS BIGINT) AS term_e6
+        FROM deg, cap
+        WHERE deg >= 2 AND deg <= cap.cap
+    ),
+    scored AS (
+        SELECT a.dst AS part_a, b.dst AS part_b,
+               CAST(count(*) AS BIGINT) AS common_neighbors,
+               CAST(sum(t.term_e6) AS BIGINT) AS aa_score_e6
+        FROM edges a
+        JOIN term t ON t.v = a.src
+        JOIN edges b ON a.src = b.src AND a.dst < b.dst
+        GROUP BY 1, 2
+    ),
+    nonedge AS (
+        SELECT * FROM scored s
+        WHERE NOT EXISTS (
+            SELECT 1 FROM edges e
+            WHERE e.src = s.part_a AND e.dst = s.part_b
+        )
+    )
+    SELECT CAST(rank AS BIGINT) AS rank,
+           part_a, part_b, common_neighbors, aa_score_e6
+    FROM (
+        SELECT part_a, part_b, common_neighbors, aa_score_e6,
+               row_number() OVER (
+                   ORDER BY aa_score_e6 DESC, part_a ASC, part_b ASC
+               ) AS rank
+        FROM nonedge
+    )
+    WHERE rank <= {{top_n}}
+    """.replace("{min_pair}", str(_BASKET_MIN_PAIR_ORDERS))
+    .replace("{cap_pct}", str(_AA_CAP_PCT))
+    .replace("{top_n}", str(_AA_TOP_N)),
+    tags=("analytics", "graph", "link-prediction", "skew"),
+)
+def q21_adamic_adar_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21: Adamic-Adar with the hub-cap made PHYSICAL (r08 verdict
+    item 4) — wedge centers above the p95 degree percentile are
+    excluded from the self-join, so the Σ deg(v)² fan-out is bounded by
+    cap²·|centers| instead of being dominated by a handful of hubs.
+    This is the declared semantics of the entry (capped AA, the form a
+    100 TB deployment runs), not an approximation the oracle forgives:
+    the oracle applies the identical cap, so both engines score the
+    identical wedge set. The exact form stays graded as
+    ``q21_adamic_adar``.
+
+    Mechanics, all shared with the reach2 precedent: the cap comes from
+    the degree HISTOGRAM in pure integer arithmetic (the global
+    cumulative window runs over distinct-degree rows, ≪ nodes), joins
+    back as a broadcast 1-row relation, and — the capped form's extra
+    win — the 1/ln(deg) term relation, already restricted to capped
+    centers, is inner-joined to the a-side BEFORE the wedge self-join,
+    so the cap prunes the join INPUT rather than its output (and the
+    exact form's third join disappears: term rides the wedge build).
+    Hub parts still appear as wedge ENDPOINTS via their capped
+    neighbors; they just stop being O(deg²) centers — the standard
+    capped-AA trade (Σ capped-deg² work for a provably-bounded stage).
+    """
+    edges = _copurchase_edges(spark, sf_dir).persist()
+    deg = edges.groupBy(F.col("src").alias("v")).agg(
+        F.count("*").alias("deg")
+    )
+    hist = deg.groupBy("deg").agg(F.count("*").cast("bigint").alias("cnt"))
+    w_cum = Window.orderBy("deg").rangeBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select(
+        "deg",
+        F.sum("cnt").over(w_cum).cast("bigint").alias("cum"),
+        F.sum("cnt").over(
+            Window.orderBy(F.lit(1)).rangeBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).cast("bigint").alias("n"),
+    )
+    cap = cum.filter(
+        F.col("cum") * 100 >= F.col("n") * _AA_CAP_PCT
+    ).agg(F.min("deg").alias("cap"))
+    term = (
+        deg.join(F.broadcast(cap))
+        .filter((F.col("deg") >= 2) & (F.col("deg") <= F.col("cap")))
+        .select(
+            "v",
+            F.round(F.lit(1_000_000.0) / F.log(F.col("deg")))
+            .cast("bigint")
+            .alias("term_e6"),
+        )
+    )
+    a = edges.select(F.col("src").alias("v"), F.col("dst").alias("part_a"))
+    b = edges.select(F.col("src").alias("v"), F.col("dst").alias("part_b"))
+    # term ⋈ a BEFORE the self-join: the cap prunes the wedge input.
+    wedges = (
+        a.join(term, "v")
+        .join(b, "v")
+        .filter(F.col("part_a") < F.col("part_b"))
+    )
+    scored = wedges.groupBy("part_a", "part_b").agg(
+        F.count("*").cast("bigint").alias("common_neighbors"),
+        F.sum("term_e6").cast("bigint").alias("aa_score_e6"),
+    )
+    nonedge = scored.join(
+        edges,
+        (scored.part_a == edges.src) & (scored.part_b == edges.dst),
+        "left_anti",
+    )
+    top = nonedge.orderBy(
+        F.col("aa_score_e6").desc(),
+        F.col("part_a").asc(),
+        F.col("part_b").asc(),
+    ).limit(_AA_TOP_N)
+    w = Window.orderBy(
+        F.col("aa_score_e6").desc(),
+        F.col("part_a").asc(),
+        F.col("part_b").asc(),
+    )
+    return top.withColumn(
+        "rank", F.row_number().over(w).cast("bigint")
+    ).select("rank", "part_a", "part_b", "common_neighbors", "aa_score_e6")

@@ -1021,6 +1021,10 @@ def q22_acf_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = table(spark, sf_dir, "events")
     series = _hourly_count_series(ev)
+    # Un-partitioned window: this is the source of the "WindowExec: No
+    # Partition Defined" WARN in bench/driver logs — intentional and
+    # safe, the input is the calendar-bounded 720-row hourly series
+    # (single-partition-by-construction), never event-sized data.
     wo = Window.orderBy("t")
     lead_cols = series.select(
         "t",
@@ -1178,6 +1182,8 @@ def q22_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = table(spark, sf_dir, "events")
     series = _hourly_count_series(ev)
+    # Un-partitioned windows (the "WindowExec: No Partition Defined"
+    # WARN): intentional — input is the 720-row calendar series.
     wo = Window.orderBy("t")
     w11 = Window.orderBy("t").rowsBetween(-11, 11)
     tr = series.select(

@@ -171,12 +171,23 @@ def register(
 #       green row is the OLD r02/r03 corpus, plus q17_map_funcs, whose
 #       only driver row is an r05 ERROR (a since-fixed tables.py
 #       ts-dtype bug; the single latest-grade red in history);
-#   (c) 25 backfill re-grades of the oldest current rows: 25 of the 28
-#       entries whose latest green is r05, alphabetical; the three
-#       alphabetically-last (x04_term_frequency, x04_tfidf,
-#       x04_token_count) roll to round 10's backfill.
-# 13 + 12 + 25 = 50. After this round the r02/r03 class is EMPTY and
-# exactly three r05 rows remain.
+#   (c) the THREE round-9 registrations, graded in their landing round
+#       (s08 precedent, and the only way the proof-lag queue stays at
+#       zero): s09_session_gap_replay (the timeout sessionizer's
+#       gap-closed batch twin — verdict item 6; s09 is a NEW family so
+#       it must take a slot), x00_adversarial_audit (the planted
+#       hostile-slice sentinel — verdict item 3; new family, must take
+#       a slot), q21_adamic_adar_capped (the physical hub cap —
+#       verdict item 4);
+#   (d) 22 backfill re-grades of the oldest current rows: the
+#       alphabetically-first 22 of the 28 entries whose latest green
+#       is r05; the six alphabetically-last (x04_length_histogram,
+#       x04_quality_filter, x04_stratified_sample, x04_term_frequency,
+#       x04_tfidf, x04_token_count — the last three per the original
+#       plan, the first three ceding their slots to the (c)
+#       registrations) roll to round 10's backfill.
+# 13 + 12 + 3 + 22 = 50. After this round the r02/r03 class is EMPTY,
+# no registration lacks a driver row, and exactly six r05 rows remain.
 GRADING_PRIORITY: tuple[str, ...] = (
     # (a) the 13 round-8 post-rotation registrations
     "q07_cms_heavy_hitters",
@@ -206,7 +217,11 @@ GRADING_PRIORITY: tuple[str, ...] = (
     "x02_dedup_clusters",
     "x02_neardup_jaccard",
     "x05_frame_sample",
-    # (c) backfill: 25 oldest (r05) current-corpus re-grades
+    # (c) round-9 registrations, graded the round they land
+    "s09_session_gap_replay",
+    "x00_adversarial_audit",
+    "q21_adamic_adar_capped",
+    # (d) backfill: 22 oldest (r05) current-corpus re-grades
     "pipeline_posts_clean_wire",
     "q01_scan_explicit_schema",
     "q07_hash_aggregate",
@@ -229,9 +244,6 @@ GRADING_PRIORITY: tuple[str, ...] = (
     "x04_fingerprint",
     "x04_hash_sample",
     "x04_language_id",
-    "x04_length_histogram",
-    "x04_quality_filter",
-    "x04_stratified_sample",
 )
 
 GRADED_WINDOW = 50
@@ -262,6 +274,7 @@ def ordered_oracles() -> dict[str, str]:
 def load_all_operators() -> None:
     """Import every operator module so registrations run."""
     from .operators import (  # noqa: F401
+        adversarial,
         aggregates,
         bucketing,
         curation,

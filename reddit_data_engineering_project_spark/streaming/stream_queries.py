@@ -444,14 +444,22 @@ def s07_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 class _ReplayGroupState:
     """Minimal batch stand-in for :class:`pyspark.sql.streaming.state.
-    GroupState` — just the ``exists`` / ``get`` / ``update`` surface the
-    z-score transition function touches. Lets the LITERAL streaming
-    state-transition code run under batch ``applyInPandas``."""
+    GroupState` — the ``exists`` / ``get`` / ``update`` surface the
+    z-score transition function touches, plus the timeout surface the
+    sessionizer touches (``hasTimedOut`` is always False in a replay:
+    a single batch never advances a watermark past itself, which is
+    exactly why the replay grades only the gap-closed subset). Lets
+    the LITERAL streaming state-transition code run under batch
+    ``applyInPandas``."""
 
-    __slots__ = ("_v",)
+    __slots__ = ("_v", "timeout_ts")
+
+    #: replays never re-invoke on watermark passage
+    hasTimedOut = False
 
     def __init__(self) -> None:
         self._v = None
+        self.timeout_ts = None
 
     @property
     def exists(self) -> bool:
@@ -463,6 +471,12 @@ class _ReplayGroupState:
 
     def update(self, v) -> None:
         self._v = v
+
+    def remove(self) -> None:
+        self._v = None
+
+    def setTimeoutTimestamp(self, ts_ms: int) -> None:
+        self.timeout_ts = ts_ms
 
 
 def _replay_zscore_user(pdf):
@@ -567,4 +581,119 @@ def s08_stateful_zscore_replay(
 
     return ev.groupBy("user_id").applyInPandas(
         _replay_zscore_user, schema=ZSCORE_OUT_SCHEMA
+    )
+
+
+def _replay_sessions_user(pdf):
+    """Fold ONE user's full history through ``close_idle_sessions`` as a
+    single micro-batch against fresh state; emit its gap-closed sessions.
+
+    ``hasTimedOut`` never fires in a replay (no second batch advances
+    the watermark), so the user's FINAL session — which only an
+    event-time timeout can close — stays in state and is NOT emitted.
+    That is precisely the batch-expressible subset the entry grades.
+    """
+    import pandas as pd
+
+    from .stateful import SESSION_OUT_SCHEMA, close_idle_sessions
+
+    # The transition fn converts event times ns->µs; Arrow may hand
+    # batch pandas timestamps at a different unit, so pin ns here.
+    pdf = pdf.assign(ts=pdf["ts"].astype("datetime64[ns]"))
+    uid = pdf["user_id"].iloc[0]
+    state = _ReplayGroupState()
+    out = list(
+        close_idle_sessions(
+            (None if pd.isna(uid) else int(uid),), iter([pdf]), state
+        )
+    )
+    if not out:
+        return pd.DataFrame(
+            {f.name: pd.Series(dtype=object) for f in SESSION_OUT_SCHEMA}
+        )
+    return pd.concat(out, ignore_index=True)
+
+
+@register(
+    "s09_session_gap_replay",
+    oracle="""
+    WITH ordered AS (
+        SELECT
+            user_id,
+            CAST(ts AS TIMESTAMP) AS ts,
+            event_id,
+            CASE WHEN lag(event_id) OVER w IS NULL
+                   OR CAST(ts AS TIMESTAMP)
+                      - lag(CAST(ts AS TIMESTAMP)) OVER w
+                      > INTERVAL 30 MINUTE
+                 THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WHERE ts IS NOT NULL
+        WINDOW w AS (
+            PARTITION BY user_id
+            ORDER BY CAST(ts AS TIMESTAMP), event_id
+        )
+    ),
+    tagged AS (
+        SELECT
+            user_id, ts,
+            sum(new_session) OVER (
+                PARTITION BY user_id
+                ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            ) AS session_seq
+        FROM ordered
+    ),
+    sess AS (
+        SELECT
+            user_id,
+            session_seq,
+            min(ts) AS session_start,
+            max(ts) AS session_end,
+            CAST(count(*) AS BIGINT) AS n_events
+        FROM tagged
+        GROUP BY user_id, session_seq
+    )
+    SELECT user_id, session_start, session_end, n_events,
+           'gap' AS closed_by
+    FROM sess
+    -- the per-user LAST session is still open (only a watermark
+    -- timeout can close it); the gap-closed subset excludes it
+    QUALIFY session_seq < max(session_seq) OVER (PARTITION BY user_id)
+    """,
+    tags=("streaming", "S9", "stateful", "sessionize"),
+)
+def s09_session_gap_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9's batch-expressible subset, driver-gradable (r08 verdict item
+    6): the event-time-timeout sessionizer's GAP-closed sessions,
+    produced by the LITERAL streaming transition function
+    (:func:`..streaming.stateful.close_idle_sessions`) replayed under
+    batch ``applyInPandas`` — same function object, same (ts, event_id)
+    fold order, same strict ``> 30 min`` µs gap predicate, same
+    NaT-drop. Only timeout-closure is inherently non-batch (it fires
+    when the WATERMARK passes ``last_event + gap``, which needs a later
+    micro-batch to advance it); that path keeps its live 3-batch
+    ``availableNow`` coverage in ``tests/test_session_stream.py`` and
+    is exactly each user's final open session — excluded here on both
+    engines (the oracle's QUALIFY).
+
+    The oracle is an independent SQL formulation: gaps-and-islands
+    (lag-boundary + running sum) → per-session min/max/count → drop
+    each user's last session. Session bounds are raw µs timestamps, so
+    no float discipline is needed anywhere.
+
+    Scale shape: one hash exchange on user_id into Arrow-batched
+    ``applyInPandas``; per-group memory is O(user history) in the
+    replay harness (the deployment path, ``run_session_stream``, holds
+    O(1) state per user under ``applyInPandasWithState``).
+    """
+    from .stateful import SESSION_OUT_SCHEMA
+
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select("user_id", "event_id", "ts")
+    )
+    return ev.groupBy("user_id").applyInPandas(
+        _replay_sessions_user, schema=SESSION_OUT_SCHEMA
     )

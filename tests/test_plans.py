@@ -738,3 +738,44 @@ def test_seasonal_decompose_single_fact_scan_broadcast_seasonal(spark):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in tree
+
+
+def test_adamic_adar_capped_cap_is_physical_input_prune(spark):
+    """q21_adamic_adar_capped: the hub cap is a PHYSICAL guard on the
+    wedge-join input — the 1-row p95 cap attaches via broadcast (never
+    a shuffle), the deg >= 2 half of the center filter pushes below it,
+    and the top-N stays a distributed TakeOrderedAndProject with no
+    cartesian anywhere."""
+    import re
+
+    plan = _plan(spark, "q21_adamic_adar_capped")
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan.lower()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin Inner BuildRight" in plan
+    assert re.search(r"deg#\d+L? >= 2", plan)
+
+
+def test_s09_session_replay_single_exchange(spark):
+    """s09_session_gap_replay: one hash exchange on user_id into the
+    Arrow-batched FlatMapGroupsInPandas; the NULL-ts drop pushes to the
+    parquet scan."""
+    plan = _plan(spark, "s09_session_gap_replay")
+    assert "FlatMapGroupsInPandas" in plan
+    assert "hashpartitioning(user_id" in plan
+    ex = plan.count("Exchange (") - plan.count("BroadcastExchange (")
+    assert ex == 1
+    assert "IsNotNull(ts)" in plan  # pushed to the scan
+
+
+def test_x00_audit_slice_filters_push_to_scans(spark):
+    """x00_adversarial_audit: the fixed-size slice is a SCAN property —
+    both the event_id and vec_id bounds reach the parquet readers as
+    pushed filters, the 1-row query vector rides a broadcast, and no
+    real cartesian appears (the 32x1 pairing is the sanctioned 1-row
+    BroadcastNestedLoopJoin shape)."""
+    plan = _plan(spark, "x00_adversarial_audit")
+    assert "CartesianProduct" not in plan
+    assert "LessThanOrEqual(event_id,256)" in plan
+    assert "LessThan(vec_id,32)" in plan
+    assert "BroadcastNestedLoopJoin Inner BuildRight" in plan
