@@ -14,11 +14,14 @@ import pytest
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 
+from reddit_data_engineering_project_spark import registry
 from reddit_data_engineering_project_spark.registry import ORACLES
 from reddit_data_engineering_project_spark.streaming import stream_queries
 from reddit_data_engineering_project_spark.streaming.stateful import (
     close_idle_sessions,
 )
+
+registry.load_all_operators()
 
 # ------------------------------------------- s09 session gap replay twin
 
@@ -165,9 +168,7 @@ def test_x00_planted_lens_semantics(spark):
     lenses disagree in the documented pattern; the guarded frame is
     empty (not a descending sequence) for n=0; zeroed vectors score
     NULL cosine; half-boundary rounding is HALF-away-from-zero."""
-    from reddit_data_engineering_project_spark.registry import QUERIES
-
-    rows = QUERIES["x00_adversarial_audit"](
+    rows = registry.QUERIES["x00_adversarial_audit"](
         spark, "/root/testdata/sf0.001"
     ).collect()
     out = {(r.probe, r.id): r.out for r in rows}
