@@ -188,6 +188,27 @@ def register(
 #       registrations) roll to round 10's backfill.
 # 13 + 12 + 3 + 22 = 50. After this round the r02/r03 class is EMPTY,
 # no registration lacks a driver row, and exactly six r05 rows remain.
+#
+# ROUND-10 ROTATION PLAN (committed now so no entry waits on an
+# undocumented promise; precondition: CORRECTNESS_r09 grades the
+# window above 50/50 green). Round 9 registered exactly three entries
+# and graded all three in their landing window, so round 10 has ZERO
+# mandatory never-graded slots — the whole window is backfill, the
+# first fully-settled rotation since round 2:
+#   (a) the six remaining r05 rows (x04_length_histogram,
+#       x04_quality_filter, x04_stratified_sample, x04_term_frequency,
+#       x04_tfidf, x04_token_count);
+#   (b) 44 of the 50 entries whose latest green is r06, alphabetical
+#       (pipeline_* leads, so the flagship entry() twin
+#       pipeline_topk_window re-grades here); the alphabetically-last
+#       six (x04_pii_scrub, x04_repetition_metrics,
+#       x04_sequence_packing, x04_tokenize_to_ids, x05_corpus_slice,
+#       x05_payload_resize) roll to round 11's backfill.
+# 6 + 44 = 50. After round 10 nothing older than r06 remains (six r06
+# rows), and every round-10 registration must either take a slot from
+# the (b) tail in its own commit or add itself to
+# QUEUED_FOR_NEXT_WINDOW — keep velocity ≤ the handful the window can
+# absorb.
 GRADING_PRIORITY: tuple[str, ...] = (
     # (a) the 13 round-8 post-rotation registrations
     "q07_cms_heavy_hitters",
