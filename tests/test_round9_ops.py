@@ -214,3 +214,66 @@ def test_x00_planted_lens_semantics(spark):
     # event times still hold a rank (NULLS FIRST), never dropped
     ranks = [r.out for r in rows if r.probe == "win_rank"]
     assert len(ranks) == 257 and all(r is not None for r in ranks)
+
+
+def test_close_idle_sessions_state_continuation_branches():
+    """The two cross-micro-batch state paths of the vectorized fold,
+    pinned at the function level (the replay never exercises them —
+    a replay folds each user in ONE call from empty state): (a) a
+    later batch within the gap MERGES into the carried open session
+    (start and count carry over); (b) a later batch beyond the gap
+    CLOSES the carried session as 'gap' and opens a new one."""
+
+    class S:
+        hasTimedOut = False
+
+        def __init__(self):
+            self._v = None
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+        def setTimeoutTimestamp(self, ms):
+            pass
+
+    def chunk(eids, tss):
+        return pd.DataFrame(
+            {"event_id": eids, "ts": pd.to_datetime(pd.Series(tss)),
+             "user_id": [7] * len(eids)}
+        )
+
+    # (a) merge: batch 1 opens at 00:00 (2 events), batch 2 arrives
+    # 29 min after the last event -> same session, count 3, start 00:00
+    st = S()
+    out = list(close_idle_sessions(
+        (7,), iter([chunk([1, 2], ["2024-01-01 00:00:00",
+                                   "2024-01-01 00:05:00"])]), st))
+    assert out == [] and st.get[2] == 2
+    out = list(close_idle_sessions(
+        (7,), iter([chunk([3], ["2024-01-01 00:34:00"])]), st))
+    assert out == []
+    start_us, last_us, n = st.get
+    assert n == 3
+    assert pd.Timestamp(start_us * 1000) == pd.Timestamp("2024-01-01 00:00:00")
+    assert pd.Timestamp(last_us * 1000) == pd.Timestamp("2024-01-01 00:34:00")
+
+    # (b) gap close: next batch arrives 31 min later -> the carried
+    # session emits as one 3-event 'gap' row; state holds the new one
+    out = list(close_idle_sessions(
+        (7,), iter([chunk([4], ["2024-01-01 01:05:00"])]), st))
+    (frame,) = out
+    assert list(frame["n_events"]) == [3]
+    assert list(frame["closed_by"]) == ["gap"]
+    assert frame["session_start"].iloc[0] == pd.Timestamp(
+        "2024-01-01 00:00:00")
+    assert frame["session_end"].iloc[0] == pd.Timestamp(
+        "2024-01-01 00:34:00")
+    assert st.get[2] == 1  # the new open session
