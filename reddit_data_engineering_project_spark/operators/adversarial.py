@@ -86,7 +86,12 @@ def _sql_case(col: str, values, quote: bool) -> str:
     planted AS (
         SELECT event_id, user_id, b,
                {WIRE_CASE} AS wire,
-               {HALF_CASE} AS x,
+               -- CAST to DOUBLE: repr() splices exact decimals, which
+               -- DuckDB would otherwise type DECIMAL(3,2) and round in
+               -- exact decimal arithmetic — the cast puts the oracle on
+               -- the same binary-float rounding path Spark uses, so the
+               -- 0.05 pair genuinely probes float semantics (r09 advice).
+               CAST({HALF_CASE} AS DOUBLE) AS x,
                CASE WHEN b <= 2 THEN 0 ELSE event_id % 4 END AS n,
                CASE WHEN b = 3 THEN NULL ELSE ts END AS ts2
         FROM sl

@@ -395,6 +395,14 @@ def run_session_stream(
     that batch's max event time, and every open session whose
     last-event + gap fell behind it closes on the NEXT batch. Append
     mode: only CLOSED sessions are emitted, exactly once each.
+
+    Null event times: rows with NaT ``ts`` are dropped inside
+    :func:`close_idle_sessions` (they carry no event-time position).
+    This is a deliberate live-path semantics change from the pre-r09
+    fold, which coerced NaT to int64-min and force-split sessions —
+    the drop matches the s09 oracle's ``ts IS NOT NULL`` filter and is
+    pinned by ``test_session_stream_ignores_nat_event_times`` in
+    ``tests/test_stateful_stream.py``.
     """
     from ..session import ensure_session_confs
 

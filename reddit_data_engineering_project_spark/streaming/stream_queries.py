@@ -622,7 +622,10 @@ def _replay_sessions_user(pdf):
             user_id,
             CAST(ts AS TIMESTAMP) AS ts,
             event_id,
-            CASE WHEN lag(event_id) OVER w IS NULL
+            -- first-row detector on ts (NOT NULL in this CTE), not on
+            -- event_id: lag(event_id) IS NULL would be indistinguishable
+            -- from a NULL event_id data value (r09 advice)
+            CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL
                    OR CAST(ts AS TIMESTAMP)
                       - lag(CAST(ts AS TIMESTAMP)) OVER w
                       > INTERVAL 30 MINUTE

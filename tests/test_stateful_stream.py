@@ -251,3 +251,49 @@ def test_event_time_timeout_closes_idle_sessions(spark, tmp_path):
     # emitted it.
     ends = {r.session_end for r in by_user[2]}
     assert pd.Timestamp("2024-01-01 06:00:00") not in ends
+
+
+def test_session_stream_ignores_nat_event_times():
+    """Live-path semantics pin (r09 advice): NaT event times are DROPPED
+    by close_idle_sessions — they neither split a session (the pre-r09
+    fold coerced NaT to int64-min, force-splitting), nor count toward
+    n_events, nor move session bounds. Matches the s09 oracle's
+    ``ts IS NOT NULL`` filter."""
+    import pandas as pd
+
+    from reddit_data_engineering_project_spark.streaming.stateful import (
+        close_idle_sessions,
+    )
+    from reddit_data_engineering_project_spark.streaming.stream_queries import (
+        _ReplayGroupState,
+    )
+
+    def fold(ts_list):
+        pdf = pd.DataFrame(
+            {
+                "user_id": [1] * len(ts_list),
+                "event_id": range(1, len(ts_list) + 1),
+                "ts": pd.to_datetime(pd.Series(ts_list)),
+            }
+        )
+        state = _ReplayGroupState()
+        out = list(close_idle_sessions((1,), iter([pdf]), state))
+        return out, state
+
+    base = ["2024-01-01 00:00:00", "2024-01-01 00:10:00",
+            "2024-01-01 02:00:00"]
+    with_nat = base[:2] + [None, None] + base[2:]
+
+    out_a, st_a = fold(base)
+    out_b, st_b = fold(with_nat)
+    # identical emissions (one gap-closed 2-event session)...
+    a = pd.concat(out_a, ignore_index=True)
+    b = pd.concat(out_b, ignore_index=True)
+    pd.testing.assert_frame_equal(a, b)
+    assert list(a["n_events"]) == [2] and list(a["closed_by"]) == ["gap"]
+    # ...and identical open-session state + timeout instant
+    assert st_a.get == st_b.get and st_a.timeout_ts == st_b.timeout_ts
+
+    # an ALL-NaT batch with no prior state tracks nothing at all
+    out_c, st_c = fold([None, None])
+    assert out_c == [] and not st_c.exists and st_c.timeout_ts is None
