@@ -211,6 +211,183 @@ def x02_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _simhash_signatures(docs: DataFrame) -> DataFrame:
+    """Per-doc 64-bit SimHash packed-lane aggregate: ``doc_id``,
+    ``n_shingles`` (overflow-guarded), ``p0..p15``.
+
+    Each distinct shingle votes ±1 on every one of 64 bit positions
+    (weight = the shingle hash's bit); the signature is the sign
+    vector. The 64 per-bit counters are PACKED four to a long (16-bit
+    lanes): 16 sum columns instead of 64 quarters the generated
+    aggregate code, which measured 3.5× off the first-run JIT compile
+    and 1.7× off the warm aggregate at sf0.1 versus the unpacked form
+    (round-3 A/B; majority bits bit-identical). Lanes never interact
+    because a lane's value is the count of distinct shingles voting 1
+    on that bit, bounded by the doc's distinct-shingle count — guard
+    that bound explicitly: at 2^16 distinct shingles per doc (≈ half a
+    megabyte of unique words) a lane could carry into its neighbor, so
+    such docs must be rejected loudly rather than silently mis-signed.
+    (A document-local higher-order-function fold was also tried and is
+    ~3× slower than either form: HOF lambdas run interpreted, outside
+    whole-stage codegen.)
+    """
+    sh = shingles(docs)
+    h = F.xxhash64(F.col("shingle"))
+    packed = []
+    for k in range(16):
+        lanes = F.lit(0).cast("long")
+        for m in range(4):
+            lanes = lanes + F.shiftleft(
+                F.shiftright(h, 4 * k + m).bitwiseAND(F.lit(1)), 16 * m
+            )
+        packed.append(F.sum(lanes).alias(f"p{k}"))
+    sig = sh.groupBy("doc_id").agg(
+        F.count("*").alias("n_shingles"), *packed
+    )
+    # Refuse to emit a signature whose lane arithmetic could have
+    # overflowed — wrong signatures would silently miss near-dups.
+    return sig.withColumn(
+        "n_shingles",
+        F.when(F.col("n_shingles") < F.lit(1 << 16), F.col("n_shingles"))
+        .otherwise(
+            F.raise_error(
+                F.format_string(
+                    "simhash lane overflow: doc %s has %s distinct "
+                    "shingles (limit 65535); use the unpacked 64-column "
+                    "aggregate for such documents",
+                    F.col("doc_id").cast("string"),
+                    F.col("n_shingles").cast("string"),
+                )
+            ).cast("long")
+        ),
+    )
+
+
+def _simhash_buckets(sig: DataFrame, band_bits: int) -> DataFrame:
+    """Band-bucket rows from packed-lane signatures: ``doc_id``,
+    ``sig64`` (the full signature for the Hamming pre-filter),
+    ``band_id``, ``band_val`` — ``64 / band_bits`` bands of
+    ``band_bits`` majority bits each."""
+    assert 64 % band_bits == 0
+
+    def bit(j: int):
+        # Majority vote for bit j: ones*2 >= n (ties round to 1, same
+        # as the signed-vote formulation's `sum(±1) >= 0`).
+        ones = F.shiftright(F.col(f"p{j // 4}"), 16 * (j % 4)).bitwiseAND(
+            F.lit(0xFFFF)
+        )
+        return (ones * 2 - F.col("n_shingles") >= 0).cast("long")
+
+    band_cols = []
+    sig64 = F.lit(0).cast("long")
+    for band in range(64 // band_bits):
+        val = F.lit(0).cast("long")
+        for j in range(band_bits):
+            val = val + F.shiftleft(bit(band * band_bits + j), j)
+        band_cols.append(
+            F.struct(F.lit(band).alias("band_id"), val.alias("band_val"))
+        )
+        sig64 = sig64 + F.shiftleft(val, band * band_bits)
+    return sig.select(
+        "doc_id",
+        sig64.alias("sig64"),
+        F.explode(F.array(*band_cols)).alias("bb"),
+    ).select("doc_id", "sig64", "bb.band_id", "bb.band_val")
+
+
+def _probe_masks(band_bits: int, radius: int) -> list[int]:
+    """All XOR masks of Hamming weight ≤ ``radius`` over ``band_bits``
+    bits, ascending weight — 9 masks for (8,1), 697 for (16,3)."""
+    from itertools import combinations
+
+    return [
+        sum(1 << j for j in bits)
+        for r in range(radius + 1)
+        for bits in combinations(range(band_bits), r)
+    ]
+
+
+def _simhash_candidates(
+    docs: DataFrame,
+    band_bits: int,
+    radius: int,
+    max_hamming: int | None = 15,
+) -> DataFrame:
+    """SimHash candidate pairs via pigeonhole banding with in-band
+    multi-probe: two signatures within Hamming distance
+    ``(radius + 1) * n_bands - 1`` must have SOME band at distance
+    ≤ ``radius``, so the equi-join on (band, probed_value) captures
+    them. Probing multiplies the PROBE streams by |masks| — never the
+    candidate space — and the ``max_hamming`` popcount pre-filter on
+    the XOR of full signatures kills random band collisions (expected
+    distance ≈ 32) before the expensive content verification.
+
+    The probe radius is SPLIT across the two join sides —
+    ``ceil(radius/2)`` on the left, the rest on the right: a band
+    difference of weight ≤ radius always decomposes into two disjoint
+    masks of those weights (XOR of the probed values then meets in the
+    middle), so capture is identical to one-sided radius-``radius``
+    probing while the exploded row volume drops from |ball(radius)|
+    per bucket row to |ball(⌈r/2⌉)| + |ball(⌊r/2⌋)| — at (16, 3) that
+    is (137 + 17) vs (697 + 1) per bucket row, 4.5× less generate +
+    join input. For radius ≤ 1 the split degenerates to the classic
+    probe-vs-exact form. The masks ride as ONE literal array column
+    exploded per bucket row (a single codegen'd generate + one XOR per
+    probe row); building |masks| separate XOR expressions instead
+    blows up whole-stage codegen at 137+ masks.
+    """
+    n_bands = 64 // band_bits
+    # max_hamming=None skips the popcount pre-filter and exposes the raw
+    # banding collision stream (tests measure it; production always
+    # filters).
+    assert max_hamming is None or (
+        (radius + 1) * n_bands - 1 >= max_hamming
+    ), (
+        "banding guarantee weaker than the Hamming pre-filter: pairs "
+        "inside max_hamming could be missed"
+    )
+    buckets = _simhash_buckets(_simhash_signatures(docs), band_bits)
+    r_l = (radius + 1) // 2
+    r_r = radius - r_l
+
+    def probe(side: DataFrame, r: int) -> DataFrame:
+        if r == 0:
+            return side
+        return side.select(
+            "doc_id",
+            "sig64",
+            "band_id",
+            "band_val",
+            F.explode(F.lit(_probe_masks(band_bits, r))).alias("mask"),
+        ).select(
+            "doc_id",
+            "sig64",
+            "band_id",
+            F.col("band_val").bitwiseXOR(F.col("mask")).alias("band_val"),
+        )
+
+    lhs = probe(buckets, r_l).alias("l")
+    rhs = probe(buckets, r_r).alias("r")
+    joined = lhs.join(
+        rhs,
+        (F.col("l.band_id") == F.col("r.band_id"))
+        & (F.col("l.band_val") == F.col("r.band_val"))
+        & (F.col("l.doc_id") < F.col("r.doc_id")),
+    )
+    if max_hamming is not None:
+        joined = joined.filter(
+            F.bit_count(F.col("l.sig64").bitwiseXOR(F.col("r.sig64")))
+            <= max_hamming
+        )
+    return (
+        joined.select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+        )
+        .dropDuplicates()
+    )
+
+
 @register(
     "x02_simhash_neardup",
     oracle="""
@@ -256,124 +433,79 @@ def x02_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     band pair). Still no all-pairs Hamming scan anywhere. Candidates are
     verified with exact Jaccard ≥ 0.6; with the planted corpus the
     verified output equals the ground-truth pair set, so the entry is
-    hash-checked.
+    hash-checked. Shared machinery: :func:`_simhash_signatures` /
+    :func:`_simhash_buckets` / :func:`_simhash_candidates` — the 16-bit
+    large-corpus variant (``x02_simhash16_neardup``) differs only in
+    ``(band_bits, radius)``.
     """
     docs = table(spark, sf_dir, "documents")
-    sh = shingles(docs)
-    # Signature build: one hash aggregate over the distinct shingle
-    # stream — the dedupe shuffle doubles as the repartitioning that
-    # parallelizes the aggregate's map side. The 64 per-bit counters are
-    # PACKED four to a long (16-bit lanes): 16 sum columns instead of
-    # 64 quarters the generated aggregate code, which measured 3.5× off
-    # the first-run JIT compile and 1.7× off the warm aggregate at
-    # sf0.1 versus the unpacked form (round-3 A/B; majority bits
-    # bit-identical). Lanes never interact because a lane's value is
-    # the count of distinct shingles voting 1 on that bit, bounded by
-    # the doc's distinct-shingle count — guard that bound explicitly:
-    # at 2^16 distinct shingles per doc (≈ half a megabyte of unique
-    # words) a lane could carry into its neighbor, so such docs must be
-    # rejected loudly rather than silently mis-signed. (A
-    # document-local higher-order-function fold was also tried and is
-    # ~3× slower than either form: HOF lambdas run interpreted,
-    # outside whole-stage codegen.)
-    h = F.xxhash64(F.col("shingle"))
-    packed = []
-    for k in range(16):
-        lanes = F.lit(0).cast("long")
-        for m in range(4):
-            lanes = lanes + F.shiftleft(
-                F.shiftright(h, 4 * k + m).bitwiseAND(F.lit(1)), 16 * m
-            )
-        packed.append(F.sum(lanes).alias(f"p{k}"))
-    sig = sh.groupBy("doc_id").agg(
-        F.count("*").alias("n_shingles"), *packed
+    return _verify_jaccard(
+        docs, _simhash_candidates(docs, band_bits=8, radius=1)
     )
 
-    def bit(j: int):
-        # Majority vote for bit j: ones*2 >= n (ties round to 1, same
-        # as the signed-vote formulation's `sum(±1) >= 0`).
-        ones = F.shiftright(F.col(f"p{j // 4}"), 16 * (j % 4)).bitwiseAND(
-            F.lit(0xFFFF)
-        )
-        return (ones * 2 - F.col("n_shingles") >= 0).cast("long")
 
-    # Refuse to emit a signature whose lane arithmetic could have
-    # overflowed — wrong signatures would silently miss near-dups.
-    sig = sig.withColumn(
-        "n_shingles",
-        F.when(F.col("n_shingles") < F.lit(1 << 16), F.col("n_shingles"))
-        .otherwise(
-            F.raise_error(
-                F.format_string(
-                    "simhash lane overflow: doc %s has %s distinct "
-                    "shingles (limit 65535); use the unpacked 64-column "
-                    "aggregate for such documents",
-                    F.col("doc_id").cast("string"),
-                    F.col("n_shingles").cast("string"),
-                )
-            ).cast("long")
-        ),
+@register(
+    "x02_simhash16_neardup",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               -- list slice (not positional ||) so docs shorter than 4
+               -- tokens yield their whole text, matching shingles()
+               array_to_string(w[gs.i:gs.i+3], '_') AS shingle
+        FROM toks CROSS JOIN LATERAL (
+            SELECT unnest(range(1, greatest(len(w) - 2, 2))) AS i
+        ) gs
+    ),
+    counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
     )
-    # Assemble 8 bands of 8 majority bits each, plus the full 64-bit
-    # signature for the Hamming pre-filter.
-    band_cols = []
-    sig64 = F.lit(0).cast("long")
-    for band in range(8):
-        val = F.lit(0).cast("long")
-        for j in range(8):
-            val = val + F.shiftleft(bit(band * 8 + j), j)
-        band_cols.append(
-            F.struct(F.lit(band).alias("band_id"), val.alias("band_val"))
-        )
-        sig64 = sig64 + F.shiftleft(val, band * 8)
-    buckets = sig.select(
-        "doc_id",
-        sig64.alias("sig64"),
-        F.explode(F.array(*band_cols)).alias("bb"),
-    ).select("doc_id", "sig64", "bb.band_id", "bb.band_val")
+    SELECT doc_a, doc_b
+    FROM pairs
+    JOIN counts ca ON doc_a = ca.doc_id
+    JOIN counts cb ON doc_b = cb.doc_id
+    WHERE inter::DOUBLE / (ca.n + cb.n - inter) >= 0.6
+    """,
+    tags=("dedup", "X2", "simhash"),
+)
+def x02_simhash16_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2c': SimHash near-dup with 16-BIT bands — the large-corpus
+    regime ``SCALE.md`` names (r09 verdict item 4).
 
-    # Probe side: the exact band value plus all 8 single-bit flips.
-    probes = buckets.select(
-        "doc_id",
-        "sig64",
-        "band_id",
-        F.explode(
-            F.array(
-                F.col("band_val"),
-                *[
-                    F.col("band_val").bitwiseXOR(F.lit(1 << j))
-                    for j in range(8)
-                ],
-            )
-        ).alias("band_val"),
+    The 8-bit form's bands take only 256 values, so at 10⁹ docs every
+    band bucket holds ~n/256 docs and the pre-filter candidate stream
+    degenerates to O(n²/256) RANDOM pairs — pigeonhole collisions, not
+    near-dups. 16-bit bands take 65 536 values (4 bands of 16 bits
+    from the same 64-bit signature); to keep the IDENTICAL capture
+    guarantee — any pair within Hamming distance 15 has some band at
+    distance ≤ floor(15/4) = 3 — the in-band probe deepens to radius 3,
+    split across the join sides as radius 2 vs radius 1 (137 + 17
+    masks; see :func:`_simhash_candidates`). Net random-collision
+    probability per pair: 4·697/65536 ≈ 4.3% vs the 8-bit form's
+    8·9/256 ≈ 28% — ~6.6× fewer junk candidates at equal recall
+    guarantee, bought with wider (but narrow-row, generate-only) probe
+    streams that never multiply the candidate space. ``tests/test_round10_ops.py`` pins
+    the candidate-count reduction on a template-skewed corpus; the
+    measured true-pair signature distances (max 15 at sf0.1) sit
+    exactly at the guarantee boundary, so verification returns the
+    ground-truth pair set and the entry is hash-checked against the
+    same exact-Jaccard oracle as the 8-bit form.
+
+    Regime guidance (SCALE.md near-dup section): MinHash-LSH stays the
+    default; prefer this form over the 8-bit one when corpus size
+    makes 256-value buckets collide, and shrink ``radius`` (1 → 17
+    masks) in the very-high-similarity regime (J ≳ 0.95) where the
+    distance budget is small.
+    """
+    docs = table(spark, sf_dir, "documents")
+    return _verify_jaccard(
+        docs, _simhash_candidates(docs, band_bits=16, radius=3)
     )
-    lhs = probes.alias("l")
-    rhs = buckets.alias("r")
-    # Hamming pre-filter BEFORE the expensive content verification: an
-    # 8-bit band over a large corpus collides by pigeonhole (256 values
-    # per band), so the raw candidate stream is noisy; popcount on the
-    # XOR of full signatures is a one-instruction filter that kills
-    # random pairs (expected distance ≈ 32) while keeping every pair the
-    # banding guarantees (d ≤ 15). Only survivors reach the shingle join.
-    candidates = (
-        lhs.join(
-            rhs,
-            (F.col("l.band_id") == F.col("r.band_id"))
-            & (F.col("l.band_val") == F.col("r.band_val"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
-        )
-        .filter(
-            F.bit_count(
-                F.col("l.sig64").bitwiseXOR(F.col("r.sig64"))
-            )
-            <= 15
-        )
-        .select(
-            F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
-        )
-        .dropDuplicates()
-    )
-    return _verify_jaccard(docs, candidates)
 
 
 def _verify_jaccard(

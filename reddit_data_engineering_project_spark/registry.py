@@ -189,82 +189,103 @@ def register(
 # 13 + 12 + 3 + 22 = 50. After this round the r02/r03 class is EMPTY,
 # no registration lacks a driver row, and exactly six r05 rows remain.
 #
-# ROUND-10 ROTATION PLAN (committed now so no entry waits on an
-# undocumented promise; precondition: CORRECTNESS_r09 grades the
-# window above 50/50 green). Round 9 registered exactly three entries
-# and graded all three in their landing window, so round 10 has ZERO
-# mandatory never-graded slots — the whole window is backfill, the
-# first fully-settled rotation since round 2:
-#   (a) the six remaining r05 rows (x04_length_histogram,
-#       x04_quality_filter, x04_stratified_sample, x04_term_frequency,
-#       x04_tfidf, x04_token_count);
-#   (b) 44 of the 50 entries whose latest green is r06, alphabetical
-#       (pipeline_* leads, so the flagship entry() twin
-#       pipeline_topk_window re-grades here); the alphabetically-last
-#       six (x04_pii_scrub, x04_repetition_metrics,
-#       x04_sequence_packing, x04_tokenize_to_ids, x05_corpus_slice,
-#       x05_payload_resize) roll to round 11's backfill.
-# 6 + 44 = 50. After round 10 nothing older than r06 remains (six r06
-# rows), and every round-10 registration must either take a slot from
-# the (b) tail in its own commit or add itself to
+# ROUND-10 WINDOW (executes the committed round-10 plan, amended per
+# its own velocity rule; precondition held: CORRECTNESS_r09 graded the
+# round-9 window 50/50 green). The committed plan was pure backfill —
+# the six r05 rows + the alphabetically-first 44 r06 rows. Round 10
+# then (i) registered two entries off the r09 verdict
+# (s09_session_timeout_replay — the watermark-advance timeout-closure
+# twin, verdict item 3; x02_simhash16_neardup — the 16-bit-band
+# large-corpus SimHash, verdict item 4) and (ii) bounded
+# s09_session_gap_replay to a deterministic md5 1-in-8 user sample
+# (verdict item 2), which CHANGES its output — a changed-output entry
+# must re-grade in its landing round or its past green row describes
+# code that no longer exists. Per the committed rule ("every round-10
+# registration must either take a slot from the (b) tail in its own
+# commit or add itself to QUEUED_FOR_NEXT_WINDOW"), those three take
+# the three alphabetically-last slots of the 44: x04_decontamination,
+# x04_mixing_rebalance, x04_ngram_vocab roll to round 11.
+#   (a) the six remaining r05 rows;
+#   (b) the three landing-round grades: s09_session_gap_replay
+#       (sampled re-grade), s09_session_timeout_replay (new),
+#       x02_simhash16_neardup (new);
+#   (c) the alphabetically-first 41 r06 rows (pipeline_* leads, so the
+#       flagship entry() twin pipeline_topk_window re-grades here;
+#       x02_simhash_neardup's helper refactor re-grades in its
+#       natural slot).
+# 6 + 3 + 41 = 50. After round 10 nothing older than r06 remains
+# (nine r06 rows).
+#
+# ROUND-11 ROTATION PLAN (committed now so no entry waits on an
+# undocumented promise; precondition: CORRECTNESS_r10 grades the
+# window above 50/50 green). Round 10 graded its registrations in
+# their landing window, so round 11 has ZERO mandatory never-graded
+# slots — pure backfill again:
+#   (a) the nine remaining r06 rows (x04_decontamination,
+#       x04_mixing_rebalance, x04_ngram_vocab, x04_pii_scrub,
+#       x04_repetition_metrics, x04_sequence_packing,
+#       x04_tokenize_to_ids, x05_corpus_slice, x05_payload_resize);
+#   (b) 41 of the 49 entries whose latest green will then be r07,
+#       alphabetical; the alphabetically-last eight roll to round 12.
+# 9 + 41 = 50. Every round-11 registration must either take a slot
+# from the (b) tail in its own commit or add itself to
 # QUEUED_FOR_NEXT_WINDOW — keep velocity ≤ the handful the window can
 # absorb.
 GRADING_PRIORITY: tuple[str, ...] = (
-    # (a) the 13 round-8 post-rotation registrations
-    "q07_cms_heavy_hitters",
-    "q07_histogram_quantiles",
-    "q10_bloom_prune",
-    "q18_partitioned_prune",
-    "q21_adamic_adar",
-    "q21_kcore_peel",
-    "q22_acf_hourly",
-    "q22_hampel_mad",
-    "q22_seasonal_decompose",
-    "x03_hamming_topk",
-    "x03_hamming_rerank",
-    "x03_range_search",
-    "x04_weighted_sample",
-    # (b) the 12 round-8 stale overflows (incl. the q17_map_funcs
-    # r05-error redemption — the non-negotiable slot)
-    "q09_cube",
-    "q09_rollup",
-    "q10_join_full_outer",
-    "q10_join_left_outer",
-    "q10_join_semi",
-    "q12_union_by_name",
-    "q12_union_daily_slices",
-    "q17_map_funcs",
-    "q21_event_transitions",
-    "x02_dedup_clusters",
-    "x02_neardup_jaccard",
-    "x05_frame_sample",
-    # (c) round-9 registrations, graded the round they land
+    # (a) the six r05 rows — the last entries older than r06
+    "x04_length_histogram",
+    "x04_quality_filter",
+    "x04_stratified_sample",
+    "x04_term_frequency",
+    "x04_tfidf",
+    "x04_token_count",
+    # (b) landing-round grades: the sampled s09 re-grade + the two
+    # round-10 registrations
     "s09_session_gap_replay",
-    "x00_adversarial_audit",
-    "q21_adamic_adar_capped",
-    # (d) backfill: 22 oldest (r05) current-corpus re-grades
-    "pipeline_posts_clean_wire",
-    "q01_scan_explicit_schema",
-    "q07_hash_aggregate",
-    "q09_grouping_sets",
-    "q10_star_report",
-    "q13_rank_dense_rank",
-    "q13_topn_per_group",
-    "q13_window_share",
-    "q14_string_funcs",
-    "q14_string_funcs2",
-    "q15_datetime_funcs",
-    "q17_array_funcs",
-    "q17_explode_tokens",
-    "q17_json_corrupt_records",
-    "q20_arrow_udf_ttr",
-    "q20_udtf_chunks",
-    "x01_dedup_content_hash",
-    "x02_minhash_lsh_neardup",
-    "x03_cosine_topk_bruteforce",
-    "x04_fingerprint",
-    "x04_hash_sample",
-    "x04_language_id",
+    "s09_session_timeout_replay",
+    "x02_simhash16_neardup",
+    # (c) backfill: the alphabetically-first 41 r06 rows
+    "pipeline_clean_coerce",
+    "pipeline_curation_full",
+    "pipeline_daily_ingest",
+    "pipeline_topk_window",
+    "pipeline_training_prep",
+    "q01_orc_scan",
+    "q01_xml_scan",
+    "q07_weighted_median",
+    "q09_unpivot",
+    "q10_join_salted_skew",
+    "q11_asof_join",
+    "q12_except_all",
+    "q13_lag_lead",
+    "q14_string_funcs3",
+    "q15_datetime_funcs2",
+    "q16_math_conditional",
+    "q17_json_funcs",
+    "q18_export_training_shards",
+    "q18_sink_roundtrip",
+    "q18_zorder_key",
+    "q19_scd2_history",
+    "q19_upsert_keep_latest",
+    "q20_apply_in_pandas_zscore",
+    "q20_pandas_scalar_udf",
+    "q21_cohort_retention",
+    "q22_rolling_zscore",
+    "q22_timeseries_gapfill",
+    "s01_tumbling_window",
+    "s02_sliding_window",
+    "s03_session_window",
+    "s04_watermark_late_drop",
+    "s05_stateful_dedup",
+    "s06_interval_join",
+    "s07_windowed_topk",
+    "x01_dedup_canonicalized",
+    "x02_incremental_neardup",
+    "x02_simhash_neardup",
+    "x03_sq8_topk",
+    "x04_chunking",
+    "x04_corpus_profile",
+    "x04_dataset_split",
 )
 
 GRADED_WINDOW = 50

@@ -446,20 +446,23 @@ class _ReplayGroupState:
     """Minimal batch stand-in for :class:`pyspark.sql.streaming.state.
     GroupState` — the ``exists`` / ``get`` / ``update`` surface the
     z-score transition function touches, plus the timeout surface the
-    sessionizer touches (``hasTimedOut`` is always False in a replay:
-    a single batch never advances a watermark past itself, which is
-    exactly why the replay grades only the gap-closed subset). Lets
-    the LITERAL streaming state-transition code run under batch
-    ``applyInPandas``."""
+    sessionizer touches. ``hasTimedOut`` starts False (a single batch
+    never advances a watermark past itself, which is why the gap
+    replay grades only the gap-closed subset); the timeout replay
+    flips it explicitly AFTER the history fold to model the watermark
+    passing ``last_event + gap`` — the live engine's data-free
+    re-invocation — and then calls the transition function again with
+    no data. Lets the LITERAL streaming state-transition code run
+    under batch ``applyInPandas``."""
 
-    __slots__ = ("_v", "timeout_ts")
-
-    #: replays never re-invoke on watermark passage
-    hasTimedOut = False
+    __slots__ = ("_v", "timeout_ts", "hasTimedOut")
 
     def __init__(self) -> None:
         self._v = None
         self.timeout_ts = None
+        #: replays re-invoke on watermark passage only when the replay
+        #: harness advances the watermark explicitly
+        self.hasTimedOut = False
 
     @property
     def exists(self) -> bool:
@@ -614,6 +617,32 @@ def _replay_sessions_user(pdf):
     return pd.concat(out, ignore_index=True)
 
 
+#: Engine-portable deterministic 1-in-8 user sample for the S9 replay
+#: harnesses (md5 is bit-identical on both engines; NULL user_ids stay
+#: in — they are the grouping edge case worth replaying). The replay
+#: contract is CODE-PATH verification of the literal transition
+#: function, not corpus coverage, so bounding the fold to a reproducible
+#: user subset cuts the harness cost ~8x (r09 verdict: the unsampled
+#: replay was the single most expensive bench entry) without weakening
+#: what the entry proves.
+_S09_SAMPLE_SQL = (
+    "(user_id IS NULL OR ('0x' || substr(md5(CAST(user_id AS VARCHAR))"
+    ", 1, 8))::BIGINT % 8 = 0)"
+)
+
+
+def _s09_sample(ev: DataFrame) -> DataFrame:
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 8
+    )
+    return ev.filter(F.col("user_id").isNull() | (bucket == 0))
+
+
 @register(
     "s09_session_gap_replay",
     oracle="""
@@ -631,7 +660,7 @@ def _replay_sessions_user(pdf):
                       > INTERVAL 30 MINUTE
                  THEN 1 ELSE 0 END AS new_session
         FROM events
-        WHERE ts IS NOT NULL
+        WHERE ts IS NOT NULL AND {S09_SAMPLE}
         WINDOW w AS (
             PARTITION BY user_id
             ORDER BY CAST(ts AS TIMESTAMP), event_id
@@ -661,9 +690,10 @@ def _replay_sessions_user(pdf):
            'gap' AS closed_by
     FROM sess
     -- the per-user LAST session is still open (only a watermark
-    -- timeout can close it); the gap-closed subset excludes it
+    -- timeout can close it); the gap-closed subset excludes it —
+    -- s09_session_timeout_replay grades exactly that complement
     QUALIFY session_seq < max(session_seq) OVER (PARTITION BY user_id)
-    """,
+    """.replace("{S09_SAMPLE}", _S09_SAMPLE_SQL),
     tags=("streaming", "S9", "stateful", "sessionize"),
 )
 def s09_session_gap_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -685,6 +715,14 @@ def s09_session_gap_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     each user's last session. Session bounds are raw µs timestamps, so
     no float discipline is needed anywhere.
 
+    The fold is bounded to a deterministic md5 1-in-8 user sample
+    (:data:`_S09_SAMPLE_SQL`, mirrored verbatim in the oracle): the
+    contract is code-path verification of the literal transition
+    function, and the unsampled replay was the single most expensive
+    bench entry (8.9 s at sf0.1 for zero extra proof — r09 verdict
+    item 2). The sample is a pure pushdown-friendly filter over the
+    scan, so 7/8 of events are pruned before the exchange.
+
     Scale shape: one hash exchange on user_id into Arrow-batched
     ``applyInPandas``; per-group memory is O(user history) in the
     replay harness (the deployment path, ``run_session_stream``, holds
@@ -692,11 +730,130 @@ def s09_session_gap_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from .stateful import SESSION_OUT_SCHEMA
 
-    ev = (
+    ev = _s09_sample(
         table(spark, sf_dir, "events")
         .filter(F.col("ts").isNotNull())
         .select("user_id", "event_id", "ts")
     )
     return ev.groupBy("user_id").applyInPandas(
         _replay_sessions_user, schema=SESSION_OUT_SCHEMA
+    )
+
+
+def _replay_sessions_user_timeout(pdf):
+    """Fold ONE user's history through ``close_idle_sessions``, then
+    ADVANCE THE WATERMARK past ``last_event + gap`` and re-invoke the
+    transition function with no data — the live engine's timeout
+    re-invocation, verbatim: ``state.hasTimedOut`` is set and the
+    batch iterator is empty. Emits exactly the sessions only a timeout
+    can close (each user's final open session, ``closed_by='timeout'``);
+    the gap-closed emissions of the history fold are discarded — they
+    are ``s09_session_gap_replay``'s subject.
+    """
+    import pandas as pd
+
+    from .stateful import SESSION_OUT_SCHEMA, close_idle_sessions
+
+    pdf = pdf.assign(ts=pdf["ts"].astype("datetime64[ns]"))
+    uid = pdf["user_id"].iloc[0]
+    key = (None if pd.isna(uid) else int(uid),)
+    state = _ReplayGroupState()
+    for _ in close_idle_sessions(key, iter([pdf]), state):
+        pass  # gap-closed sessions: graded by s09_session_gap_replay
+    if not state.exists:
+        # all-NaT history: nothing in state, nothing to time out
+        return pd.DataFrame(
+            {f.name: pd.Series(dtype=object) for f in SESSION_OUT_SCHEMA}
+        )
+    # The watermark passes the registered timeout instant; the engine
+    # re-invokes the SAME function for the key with hasTimedOut set and
+    # NO data rows.
+    state.hasTimedOut = True
+    out = list(close_idle_sessions(key, iter([]), state))
+    assert len(out) == 1 and not state.exists
+    return out[0]
+
+
+@register(
+    "s09_session_timeout_replay",
+    oracle="""
+    WITH ordered AS (
+        SELECT
+            user_id,
+            CAST(ts AS TIMESTAMP) AS ts,
+            event_id,
+            CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+                   OR CAST(ts AS TIMESTAMP)
+                      - lag(CAST(ts AS TIMESTAMP)) OVER w
+                      > INTERVAL 30 MINUTE
+                 THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WHERE ts IS NOT NULL AND {S09_SAMPLE}
+        WINDOW w AS (
+            PARTITION BY user_id
+            ORDER BY CAST(ts AS TIMESTAMP), event_id
+        )
+    ),
+    tagged AS (
+        SELECT
+            user_id, ts,
+            sum(new_session) OVER (
+                PARTITION BY user_id
+                ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            ) AS session_seq
+        FROM ordered
+    ),
+    sess AS (
+        SELECT
+            user_id,
+            session_seq,
+            min(ts) AS session_start,
+            max(ts) AS session_end,
+            CAST(count(*) AS BIGINT) AS n_events
+        FROM tagged
+        GROUP BY user_id, session_seq
+    )
+    SELECT user_id, session_start, session_end, n_events,
+           'timeout' AS closed_by
+    FROM sess
+    -- exactly the complement of s09_session_gap_replay's QUALIFY:
+    -- each user's LAST session, which only a watermark timeout closes
+    QUALIFY session_seq = max(session_seq) OVER (PARTITION BY user_id)
+    """.replace("{S09_SAMPLE}", _S09_SAMPLE_SQL),
+    tags=("streaming", "S9", "stateful", "sessionize", "timeout"),
+)
+def s09_session_timeout_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9's TIMEOUT-closure path, driver-gradable (r09 verdict item 3):
+    the emission no gap-split can ever produce — an idle user's final
+    session, closed when the watermark passes ``last_event + gap``.
+    The replay folds each sampled user's history through the LITERAL
+    streaming transition function
+    (:func:`..streaming.stateful.close_idle_sessions`), then advances
+    the watermark explicitly (``state.hasTimedOut = True``) and
+    re-invokes the SAME function with no data — byte-for-byte the
+    live engine's ``EventTimeTimeout`` re-invocation contract (set
+    flag, empty batch iterator, state still loaded). The function's
+    ``hasTimedOut`` branch — read state, remove, emit with
+    ``closed_by='timeout'`` — therefore earns a driver hash row every
+    round, closing the last pytest-only streaming semantics; the live
+    3-batch ``availableNow`` schedule keeps its coverage in
+    ``tests/test_stateful_stream.py``.
+
+    Oracle: the same gaps-and-islands sessionization as the gap twin,
+    QUALIFYing each user's LAST session — the exact complement of
+    ``s09_session_gap_replay``. Together the two entries hash-grade
+    the deployed sessionizer's complete output. Same deterministic
+    md5 1-in-8 user sample, same scale shape (one pruned scan, one
+    user_id exchange into Arrow batches).
+    """
+    from .stateful import SESSION_OUT_SCHEMA
+
+    ev = _s09_sample(
+        table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select("user_id", "event_id", "ts")
+    )
+    return ev.groupBy("user_id").applyInPandas(
+        _replay_sessions_user_timeout, schema=SESSION_OUT_SCHEMA
     )

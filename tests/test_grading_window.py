@@ -109,12 +109,11 @@ def test_every_family_has_driver_evidence():
 # Queries registered after a window was pinned: consciously queued for
 # the next window rotation (they hold check_oracle + pytest coverage
 # meanwhile). Adding a name here is the explicit act the guard demands —
-# silent additions fail the test below. The round-9 rotation moved ALL
-# 13 round-8 registrations into the graded window, so this set holds
-# only round-9 NEW registrations awaiting the round-10 rotation — and
-# round 9 grades its new registrations IN the landing window (s08
-# precedent), so the set stays empty unless a registration genuinely
-# cannot take a slot.
+# silent additions fail the test below. Round 10 grades its two new
+# registrations (s09_session_timeout_replay, x02_simhash16_neardup) IN
+# the landing window — each took a slot from the backfill tail in its
+# own commit, per the committed velocity rule — so the set stays empty
+# unless a registration genuinely cannot take a slot.
 QUEUED_FOR_NEXT_WINDOW: set[str] = set()
 
 

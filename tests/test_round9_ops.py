@@ -36,23 +36,29 @@ def _duck_events(sf: str):
 
 
 def test_s09_gap_replay_matches_oracle_on_crafted_corpus(spark, tmp_path):
-    """Two users: one with two gap-closed sessions plus an open tail,
-    one with a single (never-emitted) open session; a NULL-ts row is
-    dropped on both engines."""
+    """Two sampled users: one with two gap-closed sessions plus an open
+    tail, one with a single (never-emitted) open session; a NULL-ts row
+    is dropped on both engines, and a user OUTSIDE the deterministic
+    md5 1-in-8 sample (user 2: md5 bucket != 0) is excluded on both
+    engines. Sampled user ids 10/13 have md5('10')/md5('13') bucket 0."""
     rows = [
-        # user 7: session A (2 events), 40-min gap, session B (1 event),
-        # 31-min gap, open tail (2 events) -> emit A and B only.
-        (1, "2024-01-01 00:00:00", 7),
-        (2, "2024-01-01 00:10:00", 7),
-        (3, "2024-01-01 00:50:00", 7),
-        (4, "2024-01-01 01:21:00", 7),
-        (5, "2024-01-01 01:22:00", 7),
+        # user 10: session A (2 events), 40-min gap, session B (1
+        # event), 31-min gap, open tail (2 events) -> emit A and B only.
+        (1, "2024-01-01 00:00:00", 10),
+        (2, "2024-01-01 00:10:00", 10),
+        (3, "2024-01-01 00:50:00", 10),
+        (4, "2024-01-01 01:21:00", 10),
+        (5, "2024-01-01 01:22:00", 10),
         # exactly-30-min gap is NOT a split (strict >)
-        (6, "2024-01-01 01:52:00", 7),
-        # user 8: one open session, nothing emitted
-        (7, "2024-01-01 00:00:00", 8),
+        (6, "2024-01-01 01:52:00", 10),
+        # user 13: one open session, nothing emitted
+        (7, "2024-01-01 00:00:00", 13),
         # NULL event time: carries no event-time position, dropped
-        (8, None, 7),
+        (8, None, 10),
+        # user 2: NOT in the 1-in-8 sample -> no sessions on either
+        # engine, even though this would gap-close if folded
+        (9, "2024-01-01 00:00:00", 2),
+        (10, "2024-01-01 03:00:00", 2),
     ]
     df = spark.createDataFrame(
         [
@@ -77,8 +83,8 @@ def test_s09_gap_replay_matches_oracle_on_crafted_corpus(spark, tmp_path):
         key=lambda r: (r.user_id, r.session_start),
     )
     assert [(r.user_id, r.n_events, r.closed_by) for r in got] == [
-        (7, 2, "gap"),
-        (7, 1, "gap"),
+        (10, 2, "gap"),
+        (10, 1, "gap"),
     ]
     assert got[0].session_end.minute == 10
     assert got[1].session_start.minute == 50
@@ -86,8 +92,8 @@ def test_s09_gap_replay_matches_oracle_on_crafted_corpus(spark, tmp_path):
     con = _duck_events(sf)
     oracle = sorted(con.execute(ORACLES["s09_session_gap_replay"]).fetchall())
     assert [(o[0], o[3], o[4]) for o in oracle] == [
-        (7, 2, "gap"),
-        (7, 1, "gap"),
+        (10, 2, "gap"),
+        (10, 1, "gap"),
     ]
     assert [o[1] for o in oracle] == [r.session_start for r in got]
     assert [o[2] for o in oracle] == [r.session_end for r in got]
