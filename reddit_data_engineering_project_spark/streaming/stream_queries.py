@@ -231,16 +231,53 @@ def s04_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     A row is late iff its event time trails the max event time already
     seen (arrival order = event_id) by more than the 1-hour watermark
     delay — precisely the row ``withWatermark('ts', '1 hour')`` would
-    drop. The single global running-max window is the batch rendering of
-    the stream's monotone watermark clock; in the live engine this state
-    is per-source-partition with a global min, not a sort.
+    drop.
+
+    The watermark clock (running max over the whole arrival order) is
+    computed as a TWO-PHASE distributed prefix scan, never a global
+    sort: rows block by ``event_id // 65536``; phase 1 takes each
+    block's running max PARTITIONED by block (parallel, partitioned
+    window); phase 2 takes the running max of per-block maxima over
+    the tiny block-aggregate relation (one row per 64 Ki events — the
+    only unpartitioned window, provably n/65536-sized) and joins it
+    back broadcast-style as each block's exclusive prefix. Per row,
+    clock = greatest(prefix of earlier blocks, running max within my
+    block) — identical values to the single global window, but the
+    plan scales like a scan instead of sorting the world into one
+    partition (r09 verdict item 5 enforcement: ``tools/audit_plans.py``
+    now flags the naive form). In the live engine this state is
+    per-source-partition with a global min, exactly this shape.
     """
-    w = (
-        Window.orderBy("event_id")
+    # shiftright = exact floor-div by 65536 (monotone incl. negatives);
+    # NULL event_ids map to the minimum block, mirroring the global
+    # window's NULLS FIRST arrival position.
+    blk = F.coalesce(
+        F.shiftright(F.col("event_id"), 16), F.lit(-(1 << 62))
+    )
+    ev = _events(spark, sf_dir).withColumn("blk", blk)
+    in_blk = (
+        Window.partitionBy("blk")
+        .orderBy("event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    arrival = _events(spark, sf_dir).withColumn(
-        "max_event_time_seen", F.max("ts").over(w)
+    with_local = ev.withColumn("blk_run_max", F.max("ts").over(in_blk))
+    # one row per block: exclusive prefix max over earlier blocks
+    blk_prefix = (
+        ev.groupBy("blk")
+        .agg(F.max("ts").alias("blk_max"))
+        .withColumn(
+            "prev_max",
+            F.max("blk_max").over(
+                Window.orderBy("blk").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+        )
+        .select("blk", "prev_max")
+    )
+    arrival = with_local.join(F.broadcast(blk_prefix), "blk").withColumn(
+        "max_event_time_seen",
+        F.greatest("blk_run_max", "prev_max"),
     )
     kept = arrival.filter(
         F.col("ts")

@@ -779,3 +779,86 @@ def test_x00_audit_slice_filters_push_to_scans(spark):
     assert "LessThanOrEqual(event_id,256)" in plan
     assert "LessThan(vec_id,32)" in plan
     assert "BroadcastNestedLoopJoin Inner BuildRight" in plan
+
+
+# ---- bounded-window discipline (r09 verdict item 5) ----------------
+# ORDER BY without PARTITION BY is only legitimate over provably
+# bounded relations (calendar spines, <=256-bin histograms, degree
+# histograms, block-prefix aggregates). tools/audit_plans.py enforces
+# this across EVERY entry per round; these tests pin the checker's
+# verdicts so a future entry that global-sorts a data-sized scan goes
+# red in pytest too.
+
+def _window_checker():
+    import importlib.util
+    import pathlib
+
+    spec = importlib.util.spec_from_file_location(
+        "audit_plans",
+        pathlib.Path(__file__).resolve().parent.parent
+        / "tools"
+        / "audit_plans.py",
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod.unbounded_global_windows
+
+
+def test_unbounded_window_checker_flags_global_sort_of_events(spark):
+    from pyspark.sql import Window, functions as F
+
+    check = _window_checker()
+    ev = spark.read.parquet(SF_DIR + "/events.parquet")
+    bad = ev.select(
+        "event_id", F.row_number().over(Window.orderBy("ts")).alias("rn")
+    )
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        bad._jdf.queryExecution(), "formatted"
+    )
+    assert check(plan), "checker must flag ORDER BY w/o PARTITION BY"
+
+    # partitioned, unordered-frame, and aggregate-bounded windows pass
+    for good in (
+        ev.select(
+            "event_id",
+            F.row_number()
+            .over(Window.partitionBy("user_id").orderBy("ts"))
+            .alias("rn"),
+        ),
+        ev.select(
+            "event_id",
+            F.sum("value")
+            .over(Window.partitionBy("event_type"))
+            .alias("s"),
+        ),
+        ev.groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "event_type",
+            F.rank().over(Window.orderBy("n")).alias("r"),
+        ),
+    ):
+        plan = spark._jvm.PythonSQLUtils.explainString(
+            good._jdf.queryExecution(), "formatted"
+        )
+        assert check(plan) == [], plan[:500]
+
+
+def test_window_heavy_entries_have_no_unbounded_global_window(spark):
+    """Representative sweep of the entries the round-9/10 audits found
+    interesting: the rewritten s04 two-phase watermark scan, the
+    partitioned-but-unordered q07 forms the checker must NOT flag, and
+    the window batteries. The full 207-entry sweep runs in
+    tools/audit_plans.py each round."""
+    check = _window_checker()
+    for name in (
+        "s04_watermark_late_drop",
+        "q07_weighted_median",
+        "q07_winsorized_stats",
+        "q13_window_share",
+        "q19_cdc_apply",
+        "q13_rank_dense_rank",
+        "q22_rolling_zscore",
+        "q21_sessionize_gap",
+    ):
+        assert check(_plan(spark, name)) == [], name

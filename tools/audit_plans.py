@@ -8,6 +8,12 @@ Dumps each query's formatted physical plan and flags anti-patterns:
   (``ArrowEvalPython`` / ``MapInPandas`` / ``FlatMapGroupsInPandas``)
   are sanctioned.
 - Parquet scans that read every column of a wide table (pruning miss).
+- Unpartitioned Window operators whose input subtree reaches a
+  data-sized parquet scan with no intervening aggregate — a global
+  sort-the-world that cannot scale (``ORDER BY`` without
+  ``PARTITION BY`` is only legitimate over provably bounded relations:
+  calendar spines, ≤256-bin histograms, degree histograms — all of
+  which sit ABOVE an aggregate or a generator in the plan).
 - Exchange (shuffle) counts per query, for eyeballing regressions.
 
 Usage: python tools/audit_plans.py [--sf DIR] [--dump plans.txt]
@@ -23,6 +29,143 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 WIDE_TABLES = {"lineitem": 11, "orders": 6, "events": 6}
+
+#: Tables whose row count grows with SF — a raw scan of one of these
+#: under an unpartitioned Window is a scale bug. region/nation are
+#: O(25)-row dims and exempt.
+DATA_TABLES = (
+    "events",
+    "lineitem",
+    "orders",
+    "customer",
+    "supplier",
+    "part",
+    "documents",
+    "embeddings",
+)
+
+#: Nodes that bound the cardinality of everything above them.
+_BOUNDING = re.compile(
+    r"^(HashAggregate|SortAggregate|ObjectHashAggregate|"
+    # a ReusedExchange duplicates a subtree that is audited at its
+    # original site (where it feeds its own Window/aggregate context)
+    r"ReusedExchange|"
+    # global-limit heads (TakeOrderedAndProject / CollectLimit) cap rows
+    r"TakeOrderedAndProject|CollectLimit|GlobalLimit|LocalLimit)"
+)
+
+_TREE_LINE = re.compile(
+    r"^(?P<pre>[ :]*)(?:[+:]- )?(?:\* )?(?P<name>[A-Za-z][\w .]*?)\s*"
+    r"\((?P<id>\d+)\)\s*$"
+)
+
+
+def unbounded_global_windows(plan: str) -> list[str]:
+    """Return descriptions of unpartitioned Window nodes whose subtree
+    reaches a data-sized parquet scan with no bounding aggregate/limit
+    on the path. Parses the MAIN tree of a "formatted" explain string
+    (subquery trees are independent plans with their own audits).
+    """
+    lines = plan.splitlines()
+    # ---- main tree block: after "== Physical Plan ==" until blank ----
+    try:
+        start = next(
+            i for i, l in enumerate(lines) if l.startswith("== Physical Plan")
+        )
+    except StopIteration:
+        return []
+    nodes: list[tuple[int, str, int]] = []  # (depth, name, id)
+    for line in lines[start + 1 :]:
+        if not line.strip():
+            break
+        m = _TREE_LINE.match(line)
+        if not m:
+            continue
+        depth = len(m.group("pre")) // 3 + (
+            1 if ("+- " in line or ":- " in line) else 0
+        )
+        nodes.append((depth, m.group("name").strip(), int(m.group("id"))))
+    # ---- details: node id -> Arguments / Location lines ----
+    details: dict[int, dict[str, str]] = {}
+    cur = None
+    for line in lines:
+        m = re.match(r"^\((\d+)\)\s+\S", line)
+        if m:
+            cur = int(m.group(1))
+            details.setdefault(cur, {})
+        elif cur is not None and ":" in line:
+            key = line.split(":", 1)[0].strip()
+            details[cur][key] = line.split(":", 1)[1].strip()
+
+    def top_level_groups(args: str) -> list[str]:
+        depth = 0
+        groups: list[str] = []
+        buf: list[str] = []
+        for ch in args:
+            if ch == "[":
+                if depth == 0:
+                    buf = []
+                else:
+                    buf.append(ch)
+                depth += 1
+            elif ch == "]":
+                depth -= 1
+                if depth == 0:
+                    groups.append("".join(buf))
+                else:
+                    buf.append(ch)
+            elif depth > 0:
+                buf.append(ch)
+        return groups
+
+    def subtree(idx: int) -> list[int]:
+        d0 = nodes[idx][0]
+        out = []
+        for j in range(idx + 1, len(nodes)):
+            if nodes[j][0] <= d0:
+                break
+            out.append(j)
+        return out
+
+    flags = []
+    for i, (depth, name, nid) in enumerate(nodes):
+        if name != "Window":
+            continue
+        args = details.get(nid, {}).get("Arguments", "")
+        groups = top_level_groups(args)
+        # Window Arguments: [exprs], [partitionSpec?], [orderSpec?] —
+        # empty specs are OMITTED, so 3 groups = partitioned+ordered,
+        # and a 2-group window is unpartitioned ONLY when the second
+        # group is an ORDER spec (ASC/DESC markers); [exprs],[partition]
+        # (the unordered whole-partition frame) is fine.
+        if len(groups) != 2 or not re.search(
+            r" (ASC|DESC)\b", groups[1]
+        ):
+            continue
+        # Pre-order walk of the window's subtree; a bounding node
+        # prunes everything beneath it (deeper until depth returns).
+        seen_scan = None
+        prune_below: int | None = None
+        for j in subtree(i):
+            dj, namej, idj = nodes[j]
+            if prune_below is not None:
+                if dj > prune_below:
+                    continue
+                prune_below = None
+            if _BOUNDING.match(namej):
+                prune_below = dj
+                continue
+            if namej.startswith("Scan parquet"):
+                loc = details.get(idj, {}).get("Location", "")
+                hit = next((t for t in DATA_TABLES if t in loc), None)
+                if hit:
+                    seen_scan = hit
+                    break
+        if seen_scan:
+            flags.append(
+                f"Window({nid}) unpartitioned over raw {seen_scan} scan"
+            )
+    return flags
 
 
 def main() -> int:
@@ -66,6 +209,8 @@ def main() -> int:
             ncols = len(scan.group(1).split(",")) if scan.group(1) else 0
             if ncols >= 10:
                 flags.append(f"WIDE_SCAN({ncols}cols)")
+        for w in unbounded_global_windows(plan):
+            flags.append(f"UNBOUNDED_GLOBAL_WINDOW[{w}]")
         status = ",".join(flags) if flags else "ok"
         print(f"{name:38s} exchanges={n_exchange:2d}  {status}")
         if flags:
