@@ -21,6 +21,17 @@ repeats of a query are separated by the whole suite, so a transient host
 stall cannot bias one query's every sample — and reports per-query MIN
 (the least-noise estimate of plan cost) plus per-query spread and
 per-family subtotals so regressions localize to an operator family.
+
+Adaptive de-noising (r09 verdict item 6): queries whose max−min spread
+after the full passes exceeds ``$SPARK_GRAFT_BENCH_NOISY_SPREAD``
+(default 0.5 s) or 50% of their min get up to
+``$SPARK_GRAFT_BENCH_EXTRA`` (default 2) additional interleaved
+samples, so their min estimate is a min-of-3/4 instead of min-of-2.
+Because max−min can only GROW with more samples, the printed noise
+figure for gate-reliability is ``noise_min_stability_total`` — the sum
+of (2nd-smallest − smallest) per query — which measures how settled
+the min estimates actually are; the legacy max−min spread stays in the
+detail file for cross-round comparability.
 """
 
 from __future__ import annotations
@@ -100,6 +111,34 @@ def main() -> int:
                 # each timing an isolated cold-cache measurement.
                 spark.catalog.clearCache()
 
+    # Adaptive extra passes over the noisy subset only: re-time queries
+    # whose spread says the 2-pass min is not settled. Interleaved like
+    # the main passes (whole noisy set per round) and budget-checked.
+    noisy_spread = float(
+        os.environ.get("SPARK_GRAFT_BENCH_NOISY_SPREAD", "0.5")
+    )
+    extra_passes = max(0, int(os.environ.get("SPARK_GRAFT_BENCH_EXTRA", "2")))
+    noisy = sorted(
+        n
+        for n, s in samples.items()
+        if len(s) > 1
+        and (max(s) - min(s)) > max(noisy_spread, 0.5 * min(s))
+    )
+    for _ in range(extra_passes):
+        for name in noisy:
+            if time.time() - bench_start > time_budget:
+                budget_hit = True
+                break
+            t0 = time.time()
+            try:
+                df = queries[name](spark, sf_dir)
+                df.write.mode("overwrite").format("noop").save()
+                samples[name].append(time.time() - t0)
+            except Exception as exc:
+                failures[name] = f"{type(exc).__name__}: {exc}"[:200]
+            finally:
+                spark.catalog.clearCache()
+
     timings = {
         n: round(min(s), 3) for n, s in samples.items() if s
     }
@@ -107,6 +146,14 @@ def main() -> int:
     # across passes (0.0 when repeats == 1).
     spread = {
         n: round(max(s) - min(s), 3)
+        for n, s in samples.items()
+        if len(s) > 1
+    }
+    # min stability: distance from the best to the second-best sample —
+    # the honest noise bound on a MIN estimator (max-min only grows
+    # with extra samples; this shrinks as the min settles).
+    stability = {
+        n: round(sorted(s)[1] - sorted(s)[0], 3)
         for n, s in samples.items()
         if len(s) > 1
     }
@@ -140,6 +187,8 @@ def main() -> int:
         detail["noise"] = {
             "per_query_spread_max_minus_min": dict(worst),
             "spread_total": round(sum(spread.values()), 3),
+            "min_stability_total": round(sum(stability.values()), 3),
+            "extra_sampled": noisy,
         }
     if budget_hit:
         detail["time_budget_hit"] = True
@@ -177,6 +226,9 @@ def main() -> int:
     }
     if spread:
         result["noise_spread_total"] = round(sum(spread.values()), 3)
+        result["noise_min_stability_total"] = round(
+            sum(stability.values()), 3
+        )
     if budget_hit:
         result["time_budget_hit"] = True
     if failures:
@@ -186,7 +238,12 @@ def main() -> int:
         }
     line = json.dumps(result)
     if len(line) > 1900:  # belt-and-braces: drop optional sections
-        for key in ("slowest", "failures", "noise_spread_total"):
+        for key in (
+            "slowest",
+            "failures",
+            "noise_spread_total",
+            "noise_min_stability_total",
+        ):
             result.pop(key, None)
         line = json.dumps(result)
     print(line)

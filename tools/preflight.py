@@ -6,11 +6,20 @@ Runs, in order:
   2. entry smoke          — ``entry(spark)`` returns rows;
   3. graded-window oracle — the first ``GRADED_WINDOW`` registry entries
                             vs DuckDB at sf0.01 (the driver's exact gate);
-  4. bench parse          — ``bench.py`` at sf0.001 emits one JSON line.
+  4. bench parse          — ``bench.py`` at sf0.001 emits one JSON line;
+  5. plan audit           — ``tools/audit_plans.py`` anti-pattern sweep +
+                            per-entry plan-shape diff vs the blessed
+                            ``PLANS_SNAPSHOT.json`` (out-of-window entries
+                            are otherwise re-proven only by pytest; a
+                            shape drift — lost broadcast, new Exchange —
+                            fails here until re-blessed via
+                            ``tools/audit_plans.py --snapshot`` and the
+                            diff is committed).
 
 Exit code 0 only if every stage passes. Use before ending a round:
 
-    python tools/preflight.py [--full]     # --full: all entries, not 50
+    python tools/preflight.py [--full]       # --full: all entries, not 50
+    python tools/preflight.py --skip-plans   # skip stage 5 (fast loop)
 """
 
 from __future__ import annotations
@@ -101,6 +110,11 @@ def main() -> int:
             "BENCH_BASELINE_DETAIL.json as the new blessed regression "
             "reference (the ONLY way that file moves)"
         ),
+    )
+    ap.add_argument(
+        "--skip-plans",
+        action="store_true",
+        help="skip the plan audit + shape-snapshot diff stage",
     )
     args = ap.parse_args()
 
@@ -242,6 +256,38 @@ def main() -> int:
         return f"{d['value']}s, {len(d['queries'])} queries; {note}"
 
     results.append(stage("bench-parse", bench_parse))
+
+    def plan_audit():
+        out = subprocess.run(
+            [
+                sys.executable,
+                "tools/audit_plans.py",
+                "--check-snapshot",
+                "PLANS_SNAPSHOT.json",
+            ],
+            cwd=REPO,
+            capture_output=True,
+            text=True,
+            timeout=1800,
+        )
+        lines = out.stdout.strip().splitlines()
+        summary = next(
+            (l for l in reversed(lines) if l.startswith("snapshot check")),
+            "",
+        )
+        flagged = next(
+            (l for l in reversed(lines) if l.endswith("flagged") or " flagged" in l),
+            "",
+        )
+        if out.returncode != 0:
+            drift_lines = [l for l in lines if l.startswith("DRIFT")][:8]
+            raise RuntimeError(
+                f"{flagged}; {summary}\n" + "\n".join(drift_lines)
+            )
+        return f"{summary}; {flagged}"
+
+    if not args.skip_plans:
+        results.append(stage("plan-audit", plan_audit))
 
     ok = all(good for _, good, _ in results)
     for name, good, detail in results:
