@@ -60,31 +60,44 @@ _TREE_LINE = re.compile(
 )
 
 
+def _tree_blocks(plan: str) -> list[list[tuple[int, str, int]]]:
+    """All plan-tree blocks of a "formatted" explain string — the main
+    tree plus every subquery tree (scalar subqueries, DPP filters) —
+    as lists of (depth, node_name, node_id). A block is a maximal run
+    of consecutive tree-shaped lines; node ids are globally unique
+    across blocks in formatted mode, so a flat detail lookup works."""
+    blocks: list[list[tuple[int, str, int]]] = []
+    cur: list[tuple[int, str, int]] = []
+    for line in plan.splitlines():
+        m = _TREE_LINE.match(line)
+        if m:
+            depth = len(m.group("pre")) // 3 + (
+                1 if ("+- " in line or ":- " in line) else 0
+            )
+            cur.append((depth, m.group("name").strip(), int(m.group("id"))))
+        elif cur:
+            blocks.append(cur)
+            cur = []
+    if cur:
+        blocks.append(cur)
+    return blocks
+
+
 def unbounded_global_windows(plan: str) -> list[str]:
     """Return descriptions of unpartitioned Window nodes whose subtree
     reaches a data-sized parquet scan with no bounding aggregate/limit
-    on the path. Parses the MAIN tree of a "formatted" explain string
-    (subquery trees are independent plans with their own audits).
+    on the path. Parses EVERY tree block of a "formatted" explain
+    string — the main plan AND all subquery trees (round-10 extension:
+    the first version read only the main tree, so a global sort inside
+    a scalar-subquery branch was invisible).
     """
     lines = plan.splitlines()
-    # ---- main tree block: after "== Physical Plan ==" until blank ----
-    try:
-        start = next(
-            i for i, l in enumerate(lines) if l.startswith("== Physical Plan")
-        )
-    except StopIteration:
-        return []
     nodes: list[tuple[int, str, int]] = []  # (depth, name, id)
-    for line in lines[start + 1 :]:
-        if not line.strip():
-            break
-        m = _TREE_LINE.match(line)
-        if not m:
-            continue
-        depth = len(m.group("pre")) // 3 + (
-            1 if ("+- " in line or ":- " in line) else 0
-        )
-        nodes.append((depth, m.group("name").strip(), int(m.group("id"))))
+    # Flatten blocks back-to-back: every block root is depth 0, and
+    # subtree() stops at depth <= its root, so windows never see nodes
+    # from a different block as descendants.
+    for block in _tree_blocks(plan):
+        nodes.extend(block)
     # ---- details: node id -> Arguments / Location lines ----
     details: dict[int, dict[str, str]] = {}
     cur = None
@@ -169,25 +182,20 @@ def unbounded_global_windows(plan: str) -> list[str]:
 
 
 def plan_shape(plan: str) -> list[str]:
-    """Normalized MAIN-tree shape of a formatted explain string: node
+    """Normalized plan shape of a formatted explain string: node
     structure with expression ids, codegen stars, and node numbers
     stripped — stable across harmless recompiles, changed by any
     plan-shape regression (lost broadcast, new Exchange, join-strategy
-    flip)."""
-    lines = plan.splitlines()
-    try:
-        start = next(
-            i for i, l in enumerate(lines) if l.startswith("== Physical Plan")
+    flip). Covers the MAIN tree and every SUBQUERY tree (blocks
+    separated by ``--`` markers), so a shape change inside a scalar
+    subquery or DPP filter branch is caught too."""
+    out: list[str] = []
+    for block in _tree_blocks(plan):
+        if out:
+            out.append("--")
+        out.extend(
+            " " * (3 * depth) + name for depth, name, _ in block
         )
-    except StopIteration:
-        return []
-    out = []
-    for line in lines[start + 1 :]:
-        if not line.strip():
-            break
-        s = re.sub(r"\s*\(\d+\)\s*$", "", line.rstrip())
-        s = s.replace("* ", "")  # codegen marker churns with trivia
-        out.append(s)
     return out
 
 
