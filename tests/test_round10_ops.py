@@ -118,3 +118,87 @@ def test_s09_gap_and_timeout_partition_full_sessionization(spark):
 )
 def test_round10_entries_registered_with_oracle(name):
     assert name in registry.QUERIES and name in registry.ORACLES
+
+
+def test_s09_timeout_twin_and_null_user_on_crafted_corpus(spark, tmp_path):
+    """Cross-engine pin for the two cases no driver corpus exhibits:
+    a NULL user_id group (one grouping key on both engines; kept by
+    the sample predicate's IS NULL arm) and the timeout twin's
+    complement semantics. NULL user: two sessions (the first
+    gap-closes, the last only timeout-closes); sampled user 10: a
+    single open session (timeout-only); unsampled user 2: excluded on
+    BOTH engines despite a would-be gap split."""
+    import duckdb
+    import pandas as pd
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "2024-01-01 00:00:00", None),
+        (2, "2024-01-01 02:00:00", None),
+        (3, "2024-01-01 00:30:00", 10),
+        (4, "2024-01-01 00:00:00", 2),
+        (5, "2024-01-01 03:00:00", 2),
+    ]
+    df = spark.createDataFrame(
+        [
+            Row(
+                event_id=r[0],
+                ts=r[1],
+                user_id=r[2],
+                event_type="view",
+                value=1.0,
+                props="{}",
+            )
+            for r in rows
+        ],
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    sf = str(tmp_path)
+
+    def key(u, s):
+        return (u is not None, u if u is not None else -1, s)
+
+    gap = registry.QUERIES["s09_session_gap_replay"](spark, sf).collect()
+    to = registry.QUERIES["s09_session_timeout_replay"](spark, sf).collect()
+    got_gap = sorted(
+        ((r.user_id, r.n_events, r.closed_by) for r in gap),
+        key=lambda t: key(t[0], 0),
+    )
+    got_to = sorted(
+        ((r.user_id, r.n_events, r.closed_by) for r in to),
+        key=lambda t: key(t[0], 0),
+    )
+    # NULL user's first session gap-closes; nothing else gap-closes
+    assert got_gap == [(None, 1, "gap")]
+    # timeout twin: exactly the last session of each SAMPLED user
+    assert got_to == [(None, 1, "timeout"), (10, 1, "timeout")]
+    to_by_user = {r.user_id: r for r in to}
+    assert to_by_user[None].session_start == pd.Timestamp(
+        "2024-01-01 02:00:00"
+    )
+    assert to_by_user[10].session_start == pd.Timestamp(
+        "2024-01-01 00:30:00"
+    )
+
+    con = duckdb.connect()
+    glob = (sf + "/events.parquet/*.parquet").replace("'", "''")
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{glob}')"
+    )
+    for name, spark_rows in (
+        ("s09_session_gap_replay", got_gap),
+        ("s09_session_timeout_replay", got_to),
+    ):
+        oracle = sorted(
+            (
+                (o[0], o[3], o[4])
+                for o in con.execute(registry.ORACLES[name]).fetchall()
+            ),
+            key=lambda t: key(t[0], 0),
+        )
+        assert oracle == spark_rows, name
