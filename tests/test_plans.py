@@ -862,3 +862,38 @@ def test_window_heavy_entries_have_no_unbounded_global_window(spark):
         "q21_sessionize_gap",
     ):
         assert check(_plan(spark, name)) == [], name
+
+
+def test_plan_parsers_keep_annotated_and_cached_nodes(spark):
+    """The shape snapshot and the window checker must not silently drop
+    tree nodes. Two classes regressed in the first version and are
+    pinned here: InMemoryTableScan lines carry a trailing
+    "(columnarIn=..., columnarOut=...)" annotation after the node id,
+    and persisted branches inline an InMemoryRelation subtree —
+    x02_minhash_lsh_neardup exhibits both (it persists its candidate
+    intermediates at build time)."""
+    import importlib.util
+    import pathlib
+
+    spec = importlib.util.spec_from_file_location(
+        "audit_plans",
+        pathlib.Path(__file__).resolve().parent.parent
+        / "tools"
+        / "audit_plans.py",
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    plan = _plan(spark, "x02_minhash_lsh_neardup")
+    n_ims_plan = plan.count("+- InMemoryTableScan")
+    assert n_ims_plan > 0, "expected persisted branches in this plan"
+    shape = mod.plan_shape(plan)
+    n_ims_shape = sum("InMemoryTableScan" in l for l in shape)
+    assert n_ims_shape == n_ims_plan, (
+        "plan_shape dropped annotated InMemoryTableScan nodes"
+    )
+    assert any("InMemoryRelation" in l for l in shape)
+    # the inlined cached subtrees keep their Scan parquet leaves visible
+    assert sum("Scan parquet" in l for l in shape) >= 2
+    assert mod.unbounded_global_windows(plan) == []
+    spark.catalog.clearCache()

@@ -56,7 +56,9 @@ _BOUNDING = re.compile(
 
 _TREE_LINE = re.compile(
     r"^(?P<pre>[ :]*)(?:[+:]- )?(?:\* )?(?P<name>[A-Za-z][\w .]*?)\s*"
-    r"\((?P<id>\d+)\)\s*$"
+    # node id, optionally followed by an annotation like
+    # "(columnarIn=false, columnarOut=true)" on InMemoryTableScan nodes
+    r"\((?P<id>\d+)\)(?:\s*\([^)]*\))?\s*$"
 )
 
 
