@@ -226,7 +226,29 @@ def register(
 #       x04_repetition_metrics, x04_sequence_packing,
 #       x04_tokenize_to_ids, x05_corpus_slice, x05_payload_resize);
 #   (b) 41 of the 49 entries whose latest green will then be r07,
-#       alphabetical; the alphabetically-last eight roll to round 12.
+#       alphabetical (computed from the committed CORRECTNESS files at
+#       end of round 10): pipeline_dedup_report,
+#       pipeline_events_monitor, pipeline_feature_store,
+#       pipeline_split_leakage_audit, q07_winsorized_stats,
+#       q10_join_null_safe, q11_asof_tolerance, q12_table_diff,
+#       q13_percent_rank_cume, q16_null_semantics,
+#       q17_higher_order_funcs, q18_snapshot_publish_read,
+#       q19_cdc_apply, q19_incremental_agg_maintain, q20_map_in_arrow,
+#       q21_ab_lift_ztest, q21_activity_streaks,
+#       q21_attribution_last_touch, q21_copurchase_lift,
+#       q21_copurchase_reach2, q21_dau_wau_stickiness,
+#       q21_part_pagerank, q21_rfm_segments, q21_sessionize_gap,
+#       q21_spend_trend_ols, q22_cusum_drift, q22_ewma_window,
+#       q22_locf_fill, q22_seasonal_naive, x02_containment_pairs,
+#       x02_dedup_keep_best, x02_fuzzy_levenshtein_neardup,
+#       x03_ann_lsh_bucketed, x03_ivf_topk, x04_bm25_scores,
+#       x04_boilerplate_removal, x04_bpe_merge_apply,
+#       x04_bpe_pair_stats, x04_char_entropy, x04_data_quality_report,
+#       x04_feature_hashing; the alphabetically-last eight
+#       (x04_global_shuffle, x04_lm_quality_score,
+#       x04_quality_percentile_gate, x04_readability, x04_source_caps,
+#       x05_byte_histogram, x05_frame_dedup, x05_size_binned_shards)
+#       roll to round 12.
 # 9 + 41 = 50. Every round-11 registration must either take a slot
 # from the (b) tail in its own commit or add itself to
 # QUEUED_FOR_NEXT_WINDOW — keep velocity ≤ the handful the window can
