@@ -8,7 +8,15 @@ tumbling agg → idempotent per-batch parquet sink with checkpointing,
 ``maxFilesPerTrigger=1`` so every file is its own micro-batch) and
 reports end-to-end rows/sec including checkpoint commits.
 
-Usage: python tools/stream_throughput.py [--sf /root/testdata/sf0.1] [--files 8]
+``--runner session`` drives ``run_session_stream`` instead — the S9
+``applyInPandasWithState`` event-time-timeout sessionizer, the
+stateful-heavy end of the streaming surface. Its 0-second watermark
+requires the source files to arrive in event-time order (exactly the
+production file-drop contract), so the session staging writes N
+time-range slices sequentially instead of hash-repartitioning.
+
+Usage: python tools/stream_throughput.py [--sf /root/testdata/sf0.1]
+           [--files 8] [--runner tumbling|session]
 """
 
 from __future__ import annotations
@@ -34,6 +42,9 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     ap.add_argument("--files", type=int, default=8)
+    ap.add_argument(
+        "--runner", choices=("tumbling", "session"), default="tumbling"
+    )
     args = ap.parse_args()
 
     spark = get_spark(app_name="stream_throughput")
@@ -45,15 +56,45 @@ def main() -> int:
     sink = os.path.join(tmp, "sink")
     ckpt = os.path.join(tmp, "ckpt")
     try:
-        events.repartition(args.files).write.mode("overwrite").parquet(src)
-        t0 = time.time()
-        run_tumbling_stream(spark, src, sink, ckpt)
-        wall = time.time() - t0
+        if args.runner == "session":
+            from pyspark.sql import Window, functions as F
+
+            from reddit_data_engineering_project_spark.streaming.stateful import (  # noqa: E501
+                run_session_stream,
+            )
+
+            # Event-time-ordered staging: the sessionizer's 0 s
+            # watermark treats any event older than the max seen as
+            # late, so files must arrive in time order (the production
+            # file-drop contract). Sequential writes keep mtime order
+            # for the file stream's listing.
+            slice_col = F.ntile(args.files).over(
+                Window.orderBy(F.col("ts").asc_nulls_first(), "event_id")
+            )
+            staged = events.withColumn("slice", slice_col).persist()
+            staged.count()
+            for i in range(1, args.files + 1):
+                staged.filter(F.col("slice") == i).drop(
+                    "slice"
+                ).coalesce(1).write.mode("append").parquet(src)
+            staged.unpersist()
+            t0 = time.time()
+            run_session_stream(spark, src, sink, ckpt)
+            wall = time.time() - t0
+            metric = "stream_session_rows_per_sec"
+        else:
+            events.repartition(args.files).write.mode("overwrite").parquet(
+                src
+            )
+            t0 = time.time()
+            run_tumbling_stream(spark, src, sink, ckpt)
+            wall = time.time() - t0
+            metric = "stream_tumbling_rows_per_sec"
         out_rows = spark.read.parquet(os.path.join(sink, "batch=*")).count()
         print(
             json.dumps(
                 {
-                    "metric": "stream_tumbling_rows_per_sec",
+                    "metric": metric,
                     "value": round(n_rows / wall, 1),
                     "unit": "rows/sec",
                     "input_rows": n_rows,
