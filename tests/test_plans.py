@@ -897,3 +897,34 @@ def test_plan_parsers_keep_annotated_and_cached_nodes(spark):
     assert sum("Scan parquet" in l for l in shape) >= 2
     assert mod.unbounded_global_windows(plan) == []
     spark.catalog.clearCache()
+
+
+def test_s09_replay_pair_plan_contracts(spark):
+    """Both S9 replays: the NULL-ts filter reaches the parquet reader
+    as a pushed filter, the md5 sample evaluates pre-exchange (7/8 of
+    rows never shuffle), and the whole fold is ONE user_id hash
+    exchange into Arrow-batched groups (FlatMapGroupsInPandas)."""
+    for name in ("s09_session_gap_replay", "s09_session_timeout_replay"):
+        plan = _plan(spark, name)
+        assert "PushedFilters: [IsNotNull(ts)]" in plan, name
+        assert "FlatMapGroupsInPandas" in plan, name
+        assert plan.count("hashpartitioning(user_id") >= 1, name
+        # exactly one data Exchange node in the tree header
+        import re
+
+        tree = plan.split("\n\n")[0]
+        assert len(re.findall(r"Exchange \(\d+\)", tree)) == 1, name
+        # the sample predicate (md5 conv) sits in a Filter, not Python
+        assert "md5" in plan and "conv" in plan, name
+
+
+def test_simhash16_plan_contracts(spark):
+    """16-bit SimHash: no cartesian anywhere, the popcount Hamming
+    pre-filter guards the band join's output, and probe masks ride as
+    exploded literal arrays (Generate), never |masks| separate
+    expressions."""
+    plan = _plan(spark, "x02_simhash16_neardup")
+    assert "CartesianProduct" not in plan
+    assert "bit_count" in plan
+    assert "Generate" in plan and "explode" in plan
+    spark.catalog.clearCache()
