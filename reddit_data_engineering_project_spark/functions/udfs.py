@@ -74,8 +74,12 @@ def q20_pandas_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ZSCORE_SCHEMA = StructType(
     [
-        StructField("user_id", LongType(), False),
-        StructField("event_id", LongType(), False),
+        # nullable: the NULL-user group is a legitimate grouping key
+        # (anonymous events) — declaring user_id non-nullable here made
+        # the downstream codegen read an Arrow null as a long and crash
+        # (found by the round-10 NULL-user hostile-corpus class)
+        StructField("user_id", LongType(), True),
+        StructField("event_id", LongType(), True),
         StructField("event_type", StringType(), True),
         StructField("zscore", DoubleType(), True),
     ]

@@ -156,8 +156,13 @@ def q08_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         pairs.groupBy("event_type")
+        # count(user_id), not count(*): the pre-distinct keeps one
+        # (type, NULL) pair per type with anonymous events, and
+        # COUNT(DISTINCT user_id) semantics ignore NULLs — count(*)
+        # over-counted by one on such types (found by the round-10
+        # NULL-user hostile-corpus class).
         .agg(
-            F.count("*").alias("exact_users"),
+            F.count("user_id").alias("exact_users"),
             F.approx_count_distinct("user_id", rsd).alias("approx_users"),
         )
         .select(

@@ -406,7 +406,18 @@ def q11_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.coalesce(F.col("value"), F.lit(0.0)).alias("value"),
         F.when(is_click, F.col("ts")).alias("click_ts"),
-    ).withColumn("last_click_ts", F.last("click_ts", ignorenulls=True).over(w))
+    ).withColumn(
+        # NULL-key guard: equi-join semantics (the oracle's LEFT JOIN ON
+        # c.user_id = p.user_id) never match NULL keys, but the window
+        # partition groups NULL users together — an anonymous purchase
+        # must NOT inherit an anonymous click (round-10 NULL-user
+        # hostile-corpus class).
+        "last_click_ts",
+        F.when(
+            F.col("user_id").isNotNull(),
+            F.last("click_ts", ignorenulls=True).over(w),
+        ),
+    )
     return (
         enriched.filter(F.col("event_type") == "purchase")
         .select(
@@ -641,7 +652,15 @@ def q11_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         "event_type",
         F.when(is_click, F.col("ts")).alias("click_ts"),
-    ).withColumn("last_click_ts", F.last("click_ts", ignorenulls=True).over(w))
+    ).withColumn(
+        # same NULL-key guard as q11_asof_join: the oracle's equi-join
+        # never matches NULL user_ids
+        "last_click_ts",
+        F.when(
+            F.col("user_id").isNotNull(),
+            F.last("click_ts", ignorenulls=True).over(w),
+        ),
+    )
     staleness_us = F.unix_micros("ts") - F.unix_micros("last_click_ts")
     fresh = staleness_us <= 3600 * 1_000_000
     return (

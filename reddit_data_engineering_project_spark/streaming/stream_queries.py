@@ -420,9 +420,14 @@ def s05_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(rk AS BIGINT) AS rank
     FROM (
         SELECT *,
+               -- NULLS LAST explicitly: the anonymous (NULL-user) row
+               -- ranks after identified users on a cents tie; Spark's
+               -- ASC default is NULLS FIRST, DuckDB's is NULLS LAST,
+               -- so the tiebreak must be pinned on BOTH engines
+               -- (round-10 NULL-user hostile-corpus class)
                row_number() OVER (
                    PARTITION BY window_start
-                   ORDER BY cents DESC, user_id ASC
+                   ORDER BY cents DESC, user_id ASC NULLS LAST
                ) AS rk
         FROM agg
     )
@@ -471,7 +476,7 @@ def s07_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w = Window.partitionBy("window_start").orderBy(
-        F.col("cents").desc(), F.col("user_id").asc()
+        F.col("cents").desc(), F.col("user_id").asc_nulls_last()
     )
     return (
         agg.withColumn("rank", F.row_number().over(w).cast("bigint"))
@@ -531,12 +536,18 @@ def _replay_zscore_user(pdf):
     function's own e4 output scaling therefore lands on v*1e4*1e4; the
     exact integer division below restores the e4 value.
     """
+    import pandas as pd
+
     from .stateful import score_rolling_zscore
 
+    # NULL user_id = the anonymous-events group: a real grouping key on
+    # the live path too (int(NaN) raised here before the round-10
+    # NULL-user hostile-corpus class exposed it).
+    uid = pdf["user_id"].iloc[0]
     state = _ReplayGroupState()
     (out,) = list(
         score_rolling_zscore(
-            (int(pdf["user_id"].iloc[0]),), iter([pdf]), state
+            (None if pd.isna(uid) else int(uid),), iter([pdf]), state
         )
     )
     out["value_e4"] = (out["value_e4"] // 10000).astype("Int64")

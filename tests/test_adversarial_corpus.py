@@ -32,7 +32,12 @@ sys.path.insert(
 
 registry.load_all_operators()
 
-#: The thirteen entries the round-8 adversarial sweep caught.
+#: The thirteen entries the round-8 adversarial sweep caught, plus the
+#: five the round-10 NULL-user class caught (anonymous events form ONE
+#: grouping key on both engines; equi-joins never match them; NULLS
+#: FIRST/LAST tiebreak defaults differ; non-nullable applyInPandas
+#: output schemas crash on the group's Arrow nulls; int(NaN) raises in
+#: replay key extraction).
 SWEEP_FINDINGS = [
     "pipeline_clean_coerce",
     "q10_join_left_outer",
@@ -47,6 +52,13 @@ SWEEP_FINDINGS = [
     "x04_tokenize_to_ids",
     "x05_byte_histogram",
     "x05_payload_resize",
+    # round-10 NULL-user class
+    "q08_approx_distinct",
+    "q11_asof_join",
+    "q11_asof_tolerance",
+    "q20_apply_in_pandas_zscore",
+    "s07_windowed_topk",
+    "s08_stateful_zscore_replay",
 ]
 
 TABLES = (

@@ -287,6 +287,12 @@ def gen_events(rng: random.Random) -> dict:
             uid.append(1)  # whale user: 25% of all events
         elif i == 1001:
             uid.append(999999)  # single-event user
+        elif i % 149 == 0:
+            uid.append(None)  # NULL user: anonymous events form ONE
+            # grouping key on both engines (Spark groupBy null == DuckDB
+            # GROUP BY null; window PARTITION BY null partition) —
+            # probes every per-user operator's null-group path
+            # (round 10: previously zero null user_ids in ANY corpus)
         else:
             uid.append(rng.randrange(2, 300))
         if i % 397 == 0:
