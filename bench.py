@@ -24,14 +24,24 @@ per-family subtotals so regressions localize to an operator family.
 
 Adaptive de-noising (r09 verdict item 6): queries whose max−min spread
 after the full passes exceeds ``$SPARK_GRAFT_BENCH_NOISY_SPREAD``
-(default 0.5 s) or 50% of their min get up to
-``$SPARK_GRAFT_BENCH_EXTRA`` (default 2) additional interleaved
-samples, so their min estimate is a min-of-3/4 instead of min-of-2.
-Because max−min can only GROW with more samples, the printed noise
-figure for gate-reliability is ``noise_min_stability_total`` — the sum
-of (2nd-smallest − smallest) per query — which measures how settled
-the min estimates actually are; the legacy max−min spread stays in the
-detail file for cross-round comparability.
+(default 0.5 s) or 50% of their min — either threshold alone suffices,
+so a fast query with a huge relative spread is re-sampled too (r10
+advice) — get up to ``$SPARK_GRAFT_BENCH_EXTRA`` (default 2)
+additional interleaved samples, so their min estimate is a min-of-3/4
+instead of min-of-2. Because max−min can only GROW with more samples,
+the printed noise figure for gate-reliability is
+``noise_min_stability_total`` — the sum of (2nd-smallest − smallest)
+per query — which measures how settled the min estimates actually are;
+the legacy max−min spread stays in the detail file for cross-round
+comparability.
+
+Composed-pipeline warm-up (r10 verdict item 2): every round's
+adaptively re-sampled set was the SAME seven ``pipeline_*`` chains —
+their first-execution cost is codegen/JIT of a long composed plan, not
+data, so their 2-pass spread ran up to 3.4 s and kept
+``noise_min_stability_total`` noise-limited. The bench therefore runs
+one UNTIMED execution of each ``pipeline_*`` query before the timed
+passes; the timed samples then measure the warmed plan.
 """
 
 from __future__ import annotations
@@ -85,6 +95,20 @@ def main() -> int:
         spark.read.parquet(os.path.join(sf_dir, "nation.parquet")).count()
     except Exception:
         pass
+    # Untimed warm-up of the composed pipeline_* chains (r10 verdict
+    # item 2): their first execution is JIT/codegen-dominated and was
+    # the whole adaptively-re-sampled set every round.
+    for name in sorted(queries):
+        if not name.startswith("pipeline_"):
+            continue
+        try:
+            queries[name](spark, sf_dir).write.mode("overwrite").format(
+                "noop"
+            ).save()
+        except Exception:
+            pass  # the timed pass will record the failure
+        finally:
+            spark.catalog.clearCache()
 
     budget_hit = False
     for pass_no in range(repeats):
@@ -118,11 +142,14 @@ def main() -> int:
         os.environ.get("SPARK_GRAFT_BENCH_NOISY_SPREAD", "0.5")
     )
     extra_passes = max(0, int(os.environ.get("SPARK_GRAFT_BENCH_EXTRA", "2")))
+    # "noisy" = spread exceeds the absolute floor OR 50% of min —
+    # min() implements the documented 'or' (r10 advice: max() silently
+    # exempted fast queries with huge relative spread).
     noisy = sorted(
         n
         for n, s in samples.items()
         if len(s) > 1
-        and (max(s) - min(s)) > max(noisy_spread, 0.5 * min(s))
+        and (max(s) - min(s)) > min(noisy_spread, 0.5 * min(s))
     )
     for _ in range(extra_passes):
         for name in noisy:

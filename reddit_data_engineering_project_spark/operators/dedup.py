@@ -268,7 +268,10 @@ def _simhash_buckets(sig: DataFrame, band_bits: int) -> DataFrame:
     ``sig64`` (the full signature for the Hamming pre-filter),
     ``band_id``, ``band_val`` — ``64 / band_bits`` bands of
     ``band_bits`` majority bits each."""
-    assert 64 % band_bits == 0
+    if 64 % band_bits != 0:
+        # argument validation, not an internal invariant: must survive
+        # ``python -O`` (r10 advice)
+        raise ValueError(f"band_bits must divide 64, got {band_bits}")
 
     def bit(j: int):
         # Majority vote for bit j: ones*2 >= n (ties round to 1, same
@@ -340,12 +343,16 @@ def _simhash_candidates(
     # max_hamming=None skips the popcount pre-filter and exposes the raw
     # banding collision stream (tests measure it; production always
     # filters).
-    assert max_hamming is None or (
-        (radius + 1) * n_bands - 1 >= max_hamming
-    ), (
-        "banding guarantee weaker than the Hamming pre-filter: pairs "
-        "inside max_hamming could be missed"
-    )
+    if max_hamming is not None and (radius + 1) * n_bands - 1 < max_hamming:
+        # argument validation, not an internal invariant: must survive
+        # ``python -O`` (r10 advice) — a silently weaker banding
+        # guarantee would MISS pairs inside max_hamming
+        raise ValueError(
+            "banding guarantee weaker than the Hamming pre-filter: "
+            f"(radius={radius}+1)*{n_bands} bands - 1 < "
+            f"max_hamming={max_hamming}; pairs inside max_hamming could "
+            "be missed"
+        )
     buckets = _simhash_buckets(_simhash_signatures(docs), band_bits)
     r_l = (radius + 1) // 2
     r_r = radius - r_l

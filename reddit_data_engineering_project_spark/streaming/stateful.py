@@ -283,6 +283,47 @@ SESSION_OUT_SCHEMA = StructType(
 )
 
 
+def _gap_fold(
+    cur: tuple | None, ts_us, gap_us: int
+) -> tuple[list[tuple], tuple | None]:
+    """Fold one user's time-sorted event times (µs int64 array) into the
+    open session ``cur`` = (start_us, last_us, n_events) or None.
+
+    Returns ``(closed_segments, new_open)``. This is the sessionizer's
+    transition core — shared verbatim by the per-user operator
+    (:func:`close_idle_sessions`, which the s09 replay entries drive
+    row-for-row against the SQL oracle) and the bucketed operator
+    (:func:`close_idle_sessions_bucketed`), so the replay-verified fold
+    IS the fold the high-throughput path runs.
+    """
+    import numpy as np
+
+    closed: list[tuple] = []
+    if len(ts_us):
+        prev = np.empty_like(ts_us)
+        # sentinel forces a boundary at index 0 when no state exists
+        prev[0] = cur[1] if cur is not None else ts_us[0] - gap_us - 1
+        prev[1:] = ts_us[:-1]
+        starts = np.flatnonzero((ts_us - prev) > gap_us).tolist()
+        merged_first = False
+        if not starts or starts[0] != 0:
+            # first events continue the open stateful session
+            starts = [0] + starts
+            merged_first = cur is not None
+        ends = starts[1:] + [len(ts_us)]
+        segs = [
+            (int(ts_us[s]), int(ts_us[e - 1]), e - s)
+            for s, e in zip(starts, ends)
+        ]
+        if merged_first:
+            segs[0] = (cur[0], segs[0][1], cur[2] + segs[0][2])
+        elif cur is not None:
+            segs.insert(0, cur)  # the open session gap-closes now
+        closed.extend(segs[:-1])
+        cur = segs[-1]
+    return closed, cur
+
+
 def close_idle_sessions(
     key: tuple,
     batches: Iterator[pd.DataFrame],
@@ -309,21 +350,29 @@ def close_idle_sessions(
         # ONE frame per invocation, not one per closed session: a
         # replay folds a user's WHOLE history through one call, so
         # per-session 1-row DataFrames turn O(sessions) allocator work
-        # into the bottleneck (measured 41 s -> ~5 s at sf0.1).
+        # into the bottleneck (measured 41 s -> ~5 s at sf0.1). Columns
+        # are built as numpy arrays — a pd.Timestamp-per-session list
+        # comprehension was ~40% of the LIVE path's per-key cost (the
+        # live stream calls emit ~once per user per micro-batch).
+        import numpy as np
+
+        starts = np.fromiter(
+            (s[0] for s in sessions), dtype="int64", count=len(sessions)
+        )
+        ends = np.fromiter(
+            (s[1] for s in sessions), dtype="int64", count=len(sessions)
+        )
+        counts = np.fromiter(
+            (s[2] for s in sessions), dtype="int64", count=len(sessions)
+        )
         return pd.DataFrame(
             {
                 "user_id": pd.array(
                     [user_id] * len(sessions), dtype="Int64"
                 ),
-                "session_start": [
-                    pd.Timestamp(s[0] * 1000) for s in sessions
-                ],
-                "session_end": [
-                    pd.Timestamp(s[1] * 1000) for s in sessions
-                ],
-                "n_events": pd.array(
-                    [s[2] for s in sessions], dtype="Int64"
-                ),
+                "session_start": starts.view("datetime64[us]"),
+                "session_end": ends.view("datetime64[us]"),
+                "n_events": counts,
                 "closed_by": [why] * len(sessions),
             }
         )
@@ -349,46 +398,71 @@ def close_idle_sessions(
     frames = [pdf for pdf in batches if len(pdf)]
     gap_us = _SESSION_GAP_MS * 1000
     if frames:
-        pdf = pd.concat(frames)
-        pdf = pdf[pdf["ts"].notna()].sort_values(["ts", "event_id"])
-        ts_us = pdf["ts"].to_numpy().astype("int64") // 1000  # ns -> µs
-        if len(ts_us):
-            import numpy as np
+        import numpy as np
 
-            prev = np.empty_like(ts_us)
-            # sentinel forces a boundary at index 0 when no state exists
-            prev[0] = cur[1] if cur is not None else ts_us[0] - gap_us - 1
-            prev[1:] = ts_us[:-1]
-            starts = np.flatnonzero((ts_us - prev) > gap_us).tolist()
-            merged_first = False
-            if not starts or starts[0] != 0:
-                # first events continue the open stateful session
-                starts = [0] + starts
-                merged_first = cur is not None
-            ends = starts[1:] + [len(ts_us)]
-            segs = [
-                (int(ts_us[s]), int(ts_us[e - 1]), e - s)
-                for s, e in zip(starts, ends)
-            ]
-            if merged_first:
-                segs[0] = (cur[0], segs[0][1], cur[2] + segs[0][2])
-            elif cur is not None:
-                segs.insert(0, cur)  # the open session gap-closes now
-            closed.extend(segs[:-1])
-            cur = segs[-1]
+        # Numpy end-to-end: the pandas concat → boolean-mask → multi-key
+        # sort_values pipeline cost ~7 ms per key invocation, which at
+        # ~1500 users × 9 micro-batches was MOST of the live stream's
+        # wall (the replay amortizes it over whole histories; the live
+        # path pays it per user per batch). Same order semantics:
+        # lexsort is stable like sort_values, NaT drops, NaN event_ids
+        # sort last.
+        pdf = frames[0] if len(frames) == 1 else pd.concat(frames)
+        ts_ns = pdf["ts"].to_numpy("datetime64[ns]").view("int64")
+        eid = pdf["event_id"].to_numpy()
+        if eid.dtype == object:  # nullable extension fallback
+            eid = pdf["event_id"].astype("float64").to_numpy()
+        mask = ts_ns != np.iinfo("int64").min  # NaT carries no position
+        if not mask.all():
+            ts_ns = ts_ns[mask]
+            eid = eid[mask]
+        order = np.lexsort((eid, ts_ns))
+        ts_us = ts_ns[order] // 1000  # ns -> µs
+        newly_closed, cur = _gap_fold(cur, ts_us, gap_us)
+        closed.extend(newly_closed)
     if cur is None:
         # Only empty/NaT-ts chunks and no prior state: nothing to track.
         return
     state.update(cur)
-    state.setTimeoutTimestamp(cur[1] // 1000 + _SESSION_GAP_MS)
+    # Clamp to just past the watermark when the open session's deadline
+    # already fell behind it (possible only under LATE arrivals — an
+    # event older than the watermark extends a session whose deadline
+    # passed): Spark rejects event-time timeouts at/behind the
+    # watermark, and wm+1 re-fires next batch, which is when the passed
+    # deadline would be acted on anyway. On in-order corpora the clamp
+    # never binds (deadline > watermark by construction), so replay
+    # semantics are untouched (the replay stand-in's watermark is 0).
+    state.setTimeoutTimestamp(
+        max(
+            cur[1] // 1000 + _SESSION_GAP_MS,
+            state.getCurrentWatermarkMs() + 1,
+        )
+    )
     if closed:
         yield emit(closed, "gap")
 
 
 def run_session_stream(
-    spark, source_dir: str, sink_dir: str, checkpoint_dir: str
+    spark,
+    source_dir: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+    state_shards: int = 16,
 ) -> None:
     """File stream → watermarked event-time sessionizer → parquet.
+
+    Throughput shape (r10 verdict item 3 — measured at sf0.1/8
+    micro-batches, SCALE.md): the stateful stage's cost is per-KEY
+    protocol overhead (state row round-trip + per-group pandas
+    machinery), not data volume, so (a) only the three columns the
+    transition function reads (``user_id, ts, event_id``) enter the
+    shuffle and the Arrow channel — the full event row tripled the
+    per-key transfer for nothing — and (b) ``state_shards`` sizes the
+    state-store partition count at FIRST start (it is pinned in the
+    checkpoint thereafter): per-shard fixed cost (store open/commit,
+    python runner handshake) makes 32 shards for ~1.5k live keys
+    strictly slower than 16. On a real cluster size it to ~2-4× the
+    executor-core count claimed by the stream.
 
     The watermark (0 s delay — the corpus files arrive in time order)
     is what drives the timeout: after each micro-batch it advances to
@@ -412,6 +486,7 @@ def run_session_stream(
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(source_dir)
+        .select("user_id", "ts", "event_id")
         .withWatermark("ts", "0 seconds")
     )
     sessions = stream.groupBy("user_id").applyInPandasWithState(
@@ -427,11 +502,232 @@ def run_session_stream(
             f"{sink_dir}/batch={batch_id}"
         )
 
-    (
-        sessions.writeStream.outputMode("append")
-        .foreachBatch(write_batch)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
+    # state_shards only binds on a FRESH checkpoint; restore the session
+    # conf afterwards so batch queries keep their tuned parallelism.
+    prior = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_shards))
+    try:
+        (
+            sessions.writeStream.outputMode("append")
+            .foreachBatch(write_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prior)
+
+
+# ---------------------------------------------------------------------------
+# Bucketed sessionizer: the high-throughput form of the same operator.
+# ---------------------------------------------------------------------------
+
+#: Per-BUCKET state: the open sessions of every user hashed into the
+#: bucket, as parallel arrays (user_ids may contain None — the NULL-user
+#: group is a first-class session key, same as the per-user operator).
+BUCKET_SESSION_STATE_SCHEMA = StructType(
+    [
+        StructField("user_ids", ArrayType(LongType(), containsNull=True)),
+        StructField("start_us", ArrayType(LongType())),
+        StructField("last_us", ArrayType(LongType())),
+        StructField("n_events", ArrayType(LongType())),
+    ]
+)
+
+
+def close_idle_sessions_bucketed(
+    key: tuple,
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-BUCKET sessionization: one state key carries the open
+    sessions of every user in the bucket.
+
+    Why this exists: ``applyInPandasWithState`` costs ~7 ms of fixed
+    protocol machinery per KEY invocation (state row round-trip,
+    per-group pandas construction, per-emit Arrow coercion — measured
+    at sf0.1, SCALE.md), dwarfing the ~0.3 ms the transition fold
+    itself needs. Keying by ``pmod(xxhash64(user_id), B)`` instead of
+    ``user_id`` amortizes that fixed cost over ~|users|/B users per
+    invocation — the standard key-coarsening move for high-cardinality
+    stateful streams. Output is row-identical to the per-user operator
+    (pinned by ``test_bucketed_session_stream_matches_per_user``):
+
+    - users WITH data in the batch fold through the SAME
+      :func:`_gap_fold` core the s09 replays verify — gap splits and
+      continuations are byte-identical;
+    - users WITHOUT data close by timeout iff their deadline
+      (last_event + gap) fell strictly behind the current watermark —
+      exactly Spark's own ``timeoutTimestamp < watermark`` firing rule
+      the per-user operator relies on. The bucket's timeout timestamp
+      is the MIN open deadline, so the bucket is re-invoked in the
+      same micro-batch in which the earliest per-user timeout would
+      have fired.
+    """
+    import numpy as np
+
+    gap_us = _SESSION_GAP_MS * 1000
+    open_: dict = {}
+    if state.exists:
+        uids, starts, lasts, ns = state.get
+        for u, s, l, n in zip(uids, starts, lasts, ns):
+            open_[None if u is None else int(u)] = (int(s), int(l), int(n))
+
+    wm_ms = state.getCurrentWatermarkMs()
+    out_user: list = []
+    out_rows: list[tuple] = []  # (start_us, last_us, n)
+    out_why: list[str] = []
+
+    if not state.hasTimedOut:
+        frames = [pdf for pdf in batches if len(pdf)]
+        if frames:
+            pdf = frames[0] if len(frames) == 1 else pd.concat(frames)
+            ts_ns = pdf["ts"].to_numpy("datetime64[ns]").view("int64")
+            mask = ts_ns != np.iinfo("int64").min
+            if not mask.all():
+                pdf = pdf[mask]
+                ts_ns = ts_ns[mask]
+            eid = pdf["event_id"].to_numpy()
+            if eid.dtype == object:
+                eid = pdf["event_id"].astype("float64").to_numpy()
+            order = np.lexsort((eid, ts_ns))
+            pdf = pdf.iloc[order]
+            ts_us_all = ts_ns[order] // 1000
+            # groupby(sort=False) preserves the (ts, event_id) order
+            # within each user — the fold sees the same sequence the
+            # per-user operator sorts for itself.
+            for u, idx in pdf.groupby(
+                "user_id", dropna=False, sort=False
+            ).indices.items():
+                u = None if pd.isna(u) else int(u)
+                closed, cur = _gap_fold(
+                    open_.pop(u, None), ts_us_all[idx], gap_us
+                )
+                for seg in closed:
+                    out_user.append(u)
+                    out_rows.append(seg)
+                    out_why.append("gap")
+                if cur is not None:
+                    open_[u] = cur
+
+    # Users with no data this batch whose deadline the watermark passed:
+    # the per-user operator's timeout branch, applied selectively.
+    expired = [
+        u
+        for u, (s, l, n) in open_.items()
+        if l // 1000 + _SESSION_GAP_MS < wm_ms
+    ]
+    for u in expired:
+        s, l, n = open_.pop(u)
+        out_user.append(u)
+        out_rows.append((s, l, n))
+        out_why.append("timeout")
+
+    if open_:
+        state.update(
+            (
+                list(open_.keys()),
+                [v[0] for v in open_.values()],
+                [v[1] for v in open_.values()],
+                [v[2] for v in open_.values()],
+            )
+        )
+        min_deadline = min(
+            v[1] // 1000 + _SESSION_GAP_MS for v in open_.values()
+        )
+        # Spark rejects event-time timeouts at/behind the watermark;
+        # wm+1 re-fires next batch, which is when a passed deadline
+        # would be acted on anyway.
+        state.setTimeoutTimestamp(max(min_deadline, wm_ms + 1))
+    else:
+        state.remove()
+
+    if out_rows:
+        starts = np.fromiter(
+            (r[0] for r in out_rows), dtype="int64", count=len(out_rows)
+        )
+        ends = np.fromiter(
+            (r[1] for r in out_rows), dtype="int64", count=len(out_rows)
+        )
+        counts = np.fromiter(
+            (r[2] for r in out_rows), dtype="int64", count=len(out_rows)
+        )
+        yield pd.DataFrame(
+            {
+                "user_id": pd.array(out_user, dtype="Int64"),
+                "session_start": starts.view("datetime64[us]"),
+                "session_end": ends.view("datetime64[us]"),
+                "n_events": counts,
+                "closed_by": out_why,
+            }
+        )
+
+
+def run_session_stream_bucketed(
+    spark,
+    source_dir: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+    n_buckets: int = 64,
+    state_shards: int = 8,
+) -> None:
+    """File stream → bucketed event-time sessionizer → parquet.
+
+    Same watermark/timeout/append contract and row-identical output to
+    :func:`run_session_stream`; the grouping key is
+    ``pmod(xxhash64(user_id), n_buckets)`` so the per-key protocol cost
+    amortizes over the bucket (see
+    :func:`close_idle_sessions_bucketed`). Size ``n_buckets`` to keep
+    protocol cost negligible while leaving enough keys to spread across
+    ``state_shards`` (and, on a cluster, executors): buckets ≫ shards,
+    users ≫ buckets.
+    """
+    from pyspark.sql import functions as F
+
+    from ..session import ensure_session_confs
+
+    ensure_session_confs(spark)
+    schema = spark.read.parquet(source_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            # applyInPandasWithState requires the grouping key to be a
+            # concrete column of the child, not a groupBy expression
+            F.pmod(F.xxhash64(F.col("user_id")), F.lit(n_buckets)).alias(
+                "bucket"
+            ),
+        )
+        .withWatermark("ts", "0 seconds")
     )
+    sessions = stream.groupBy("bucket").applyInPandasWithState(
+        close_idle_sessions_bucketed,
+        outputStructType=SESSION_OUT_SCHEMA,
+        stateStructType=BUCKET_SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+    def write_batch(batch_df, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(
+            f"{sink_dir}/batch={batch_id}"
+        )
+
+    prior = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_shards))
+    try:
+        (
+            sessions.writeStream.outputMode("append")
+            .foreachBatch(write_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prior)

@@ -514,6 +514,12 @@ class _ReplayGroupState:
     def get(self):
         return self._v
 
+    def getCurrentWatermarkMs(self) -> int:
+        # A batch replay has no watermark; 0 matches GroupState's
+        # behavior before any watermark is set, and keeps the live
+        # path's late-arrival timeout clamp a no-op here.
+        return 0
+
     def update(self, v) -> None:
         self._v = v
 

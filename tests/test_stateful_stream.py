@@ -297,3 +297,125 @@ def test_session_stream_ignores_nat_event_times():
     # an ALL-NaT batch with no prior state tracks nothing at all
     out_c, st_c = fold([None, None])
     assert out_c == [] and not st_c.exists and st_c.timeout_ts is None
+
+
+def test_bucketed_session_stream_matches_per_user(spark, tmp_path):
+    """The key-coarsened sessionizer (r10 verdict item 3: per-key
+    protocol cost amortized over user buckets) must be ROW-IDENTICAL to
+    the per-user operator the s09 replays verify — same sessions, same
+    closed_by labels — on a real multi-batch corpus including the NULL
+    user. n_buckets=4 forces many users per bucket."""
+    from reddit_data_engineering_project_spark.streaming.stateful import (
+        run_session_stream,
+        run_session_stream_bucketed,
+    )
+
+    ev = table(spark, SF_DIR, "events")
+    src = os.path.join(str(tmp_path), "src")
+    slice_col = F.ntile(3).over(
+        Window.orderBy(F.col("ts").asc_nulls_first(), "event_id")
+    )
+    staged = ev.withColumn("slice", slice_col).persist()
+    staged.count()
+    for i in range(1, 4):
+        staged.filter(F.col("slice") == i).drop("slice").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+    staged.unpersist()
+
+    outs = {}
+    for tag, runner, kwargs in (
+        ("per_user", run_session_stream, {}),
+        ("bucketed", run_session_stream_bucketed, {"n_buckets": 4}),
+    ):
+        sink = os.path.join(str(tmp_path), f"sink_{tag}")
+        ckpt = os.path.join(str(tmp_path), f"ckpt_{tag}")
+        runner(spark, src, sink, ckpt, **kwargs)
+        rows = (
+            spark.read.option("recursiveFileLookup", True)
+            .parquet(sink)
+            .collect()
+        )
+        outs[tag] = sorted(
+            (r.user_id, r.session_start, r.session_end, r.n_events,
+             r.closed_by)
+            for r in rows
+        )
+    assert outs["per_user"] == outs["bucketed"]
+    assert len(outs["per_user"]) > 0
+
+
+def test_bucketed_session_single_bucket_timeout_and_gap(spark, tmp_path):
+    """All users in ONE bucket: a user who goes idle must still close by
+    TIMEOUT in the same micro-batch as per-user keying would fire it —
+    including when the bucket HAS data for other users (the selective
+    no-data-user expiry inside a data invocation) — and gap splits stay
+    gap splits."""
+    import datetime
+
+    import pandas as pd
+
+    from reddit_data_engineering_project_spark.streaming.stateful import (
+        run_session_stream_bucketed,
+    )
+
+    src = os.path.join(str(tmp_path), "src")
+    sink = os.path.join(str(tmp_path), "sink")
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+
+    def drop(rows):
+        pdf = spark.createDataFrame(
+            [
+                (e, datetime.datetime.fromisoformat(t), u, "view", 1.0)
+                for e, t, u in rows
+            ],
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double",
+        )
+        pdf.coalesce(1).write.mode("append").parquet(src)
+
+    run = lambda: run_session_stream_bucketed(  # noqa: E731
+        spark, src, sink, ckpt, n_buckets=1
+    )
+    # File 1: user 1 burst; user 2 active.
+    drop(
+        [
+            (1, "2024-01-01 00:00:00", 1),
+            (2, "2024-01-01 00:10:00", 1),
+            (3, "2024-01-01 00:05:00", 2),
+        ]
+    )
+    run()
+    # File 2: user 1 returns after the gap (splits the burst); user 2
+    # continues a separate chain.
+    drop(
+        [
+            (4, "2024-01-01 02:00:00", 1),
+            (5, "2024-01-01 02:00:00", 2),
+        ]
+    )
+    run()
+    # File 3: ONLY user 2 — the shared bucket gets a DATA invocation,
+    # within which user 1's expired deadline must close by timeout.
+    drop([(6, "2024-01-01 06:00:00", 2)])
+    run()
+
+    out = (
+        spark.read.option("recursiveFileLookup", True)
+        .parquet(sink)
+        .collect()
+    )
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r.user_id, []).append(r)
+    u1 = sorted(by_user[1], key=lambda r: r.session_start)
+    assert [(r.n_events, r.closed_by) for r in u1] == [
+        (2, "gap"),
+        (1, "timeout"),
+    ]
+    assert u1[0].session_end == pd.Timestamp("2024-01-01 00:10:00")
+    assert u1[1].session_start == pd.Timestamp("2024-01-01 02:00:00")
+    # user 2's earlier singletons gap/timeout-closed; final session open
+    u2 = sorted(by_user[2], key=lambda r: r.session_start)
+    assert all(r.n_events == 1 for r in u2)
+    assert len(u2) == 2

@@ -45,13 +45,21 @@ DATA_TABLES = (
 )
 
 #: Nodes that bound the cardinality of everything above them.
+#: ReusedExchange is NOT here: it duplicates an arbitrary subtree, and
+#: the original site may feed a join/aggregate rather than a Window —
+#: the walk resolves it back to its referenced subtree instead (r10
+#: advice: treating it as bounding was a false negative in the exact
+#: anti-pattern this checker enforces).
 _BOUNDING = re.compile(
     r"^(HashAggregate|SortAggregate|ObjectHashAggregate|"
-    # a ReusedExchange duplicates a subtree that is audited at its
-    # original site (where it feeds its own Window/aggregate context)
-    r"ReusedExchange|"
     # global-limit heads (TakeOrderedAndProject / CollectLimit) cap rows
     r"TakeOrderedAndProject|CollectLimit|GlobalLimit|LocalLimit)"
+)
+
+#: Formatted-explain detail header of a reused exchange:
+#: ``(12) ReusedExchange [Reuses operator id: 5]``
+_REUSE_REF = re.compile(
+    r"^\((\d+)\) ReusedExchange \[Reuses operator id: (\d+)\]"
 )
 
 _TREE_LINE = re.compile(
@@ -142,6 +150,68 @@ def unbounded_global_windows(plan: str) -> list[str]:
             out.append(j)
         return out
 
+    # ReusedExchange resolution: node id -> referenced operator id
+    # (parsed from the detail headers), and operator id -> flat index.
+    reuse_ref: dict[int, int] = {}
+    for line in lines:
+        m = _REUSE_REF.match(line)
+        if m:
+            reuse_ref[int(m.group(1))] = int(m.group(2))
+    index_of_id = {nid: j for j, (_, _, nid) in enumerate(nodes)}
+
+    def reaches_data_scan(root_idx: int) -> str | None:
+        """First DATA_TABLES parquet scan reachable from ``root_idx``'s
+        subtree with no bounding aggregate/limit on the path.
+        ReusedExchange nodes are resolved back to their referenced
+        subtree and the walk continues there (visited-guarded); an
+        unresolvable reference is flagged conservatively."""
+        seen: set[int] = set()
+        stack = [j for j in subtree(root_idx)]
+        # prune_below semantics don't survive jumping between subtrees,
+        # so re-implement as an explicit DFS: push a node's subtree only
+        # when the node itself is not bounding.
+        stack = []
+
+        def push_children(idx: int) -> None:
+            d0 = nodes[idx][0]
+            direct = []
+            for j in range(idx + 1, len(nodes)):
+                dj = nodes[j][0]
+                if dj <= d0:
+                    break
+                if dj == d0 + 1:
+                    direct.append(j)
+            stack.extend(direct)
+
+        push_children(root_idx)
+        while stack:
+            j = stack.pop()
+            if j in seen:
+                continue
+            seen.add(j)
+            dj, namej, idj = nodes[j]
+            if _BOUNDING.match(namej):
+                continue
+            if namej.startswith("ReusedExchange"):
+                target = reuse_ref.get(idj)
+                if target is None or target not in index_of_id:
+                    return "UNRESOLVED_REUSED_EXCHANGE"
+                t = index_of_id[target]
+                if t not in seen:
+                    seen.add(t)
+                    tname = nodes[t][1]
+                    if not _BOUNDING.match(tname):
+                        push_children(t)
+                continue
+            if namej.startswith("Scan parquet"):
+                loc = details.get(idj, {}).get("Location", "")
+                hit = next((tb for tb in DATA_TABLES if tb in loc), None)
+                if hit:
+                    return hit
+                continue
+            push_children(j)
+        return None
+
     flags = []
     for i, (depth, name, nid) in enumerate(nodes):
         if name != "Window":
@@ -157,25 +227,7 @@ def unbounded_global_windows(plan: str) -> list[str]:
             r" (ASC|DESC)\b", groups[1]
         ):
             continue
-        # Pre-order walk of the window's subtree; a bounding node
-        # prunes everything beneath it (deeper until depth returns).
-        seen_scan = None
-        prune_below: int | None = None
-        for j in subtree(i):
-            dj, namej, idj = nodes[j]
-            if prune_below is not None:
-                if dj > prune_below:
-                    continue
-                prune_below = None
-            if _BOUNDING.match(namej):
-                prune_below = dj
-                continue
-            if namej.startswith("Scan parquet"):
-                loc = details.get(idj, {}).get("Location", "")
-                hit = next((t for t in DATA_TABLES if t in loc), None)
-                if hit:
-                    seen_scan = hit
-                    break
+        seen_scan = reaches_data_scan(i)
         if seen_scan:
             flags.append(
                 f"Window({nid}) unpartitioned over raw {seen_scan} scan"

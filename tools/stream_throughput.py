@@ -14,9 +14,22 @@ stateful-heavy end of the streaming surface. Its 0-second watermark
 requires the source files to arrive in event-time order (exactly the
 production file-drop contract), so the session staging writes N
 time-range slices sequentially instead of hash-repartitioning.
+``--runner session_bucketed`` drives the key-coarsened form
+(``run_session_stream_bucketed``) — identical output, per-key protocol
+cost amortized over user buckets.
+
+The session runners take an UNTIMED warm-up pass first (a ~200-row
+2-file stream into a throwaway sink/checkpoint): a fresh session's
+first stateful micro-batch pays ~3.5 s of python-worker imports and
+JVM codegen that a long-running production stream amortizes to zero,
+so the timed pass measures steady-state throughput — the same
+exclude-first-touch discipline as ``bench.py``'s warm-up query.
+``--cold`` skips it (the pre-r11 protocol; figures for both are in
+SCALE.md).
 
 Usage: python tools/stream_throughput.py [--sf /root/testdata/sf0.1]
-           [--files 8] [--runner tumbling|session]
+           [--files 8] [--runner tumbling|session|session_bucketed]
+           [--cold]
 """
 
 from __future__ import annotations
@@ -43,7 +56,14 @@ def main() -> int:
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     ap.add_argument("--files", type=int, default=8)
     ap.add_argument(
-        "--runner", choices=("tumbling", "session"), default="tumbling"
+        "--runner",
+        choices=("tumbling", "session", "session_bucketed"),
+        default="tumbling",
+    )
+    ap.add_argument(
+        "--cold",
+        action="store_true",
+        help="skip the untimed warm-up pass (measure first-touch cost too)",
     )
     args = ap.parse_args()
 
@@ -56,11 +76,12 @@ def main() -> int:
     sink = os.path.join(tmp, "sink")
     ckpt = os.path.join(tmp, "ckpt")
     try:
-        if args.runner == "session":
+        if args.runner in ("session", "session_bucketed"):
             from pyspark.sql import Window, functions as F
 
             from reddit_data_engineering_project_spark.streaming.stateful import (  # noqa: E501
                 run_session_stream,
+                run_session_stream_bucketed,
             )
 
             # Event-time-ordered staging: the sessionizer's 0 s
@@ -78,10 +99,33 @@ def main() -> int:
                     "slice"
                 ).coalesce(1).write.mode("append").parquet(src)
             staged.unpersist()
+            runner_fn = (
+                run_session_stream_bucketed
+                if args.runner == "session_bucketed"
+                else run_session_stream
+            )
+            metric = f"stream_{args.runner}_rows_per_sec"
+            if not args.cold:
+                # Untimed warm-up on a tiny 2-file prefix: imports +
+                # codegen, throwaway state/sink. Files must land in
+                # event-time order (the 0 s-watermark contract), so the
+                # 200-row head is written as two sequential time slices.
+                warm = os.path.join(tmp, "warm")
+                head = events.orderBy(
+                    F.col("ts").asc_nulls_first(), "event_id"
+                ).limit(200).collect()
+                for rows in (head[:100], head[100:]):
+                    spark.createDataFrame(
+                        rows, schema=events.schema
+                    ).coalesce(1).write.mode("append").parquet(
+                        warm + "/src"
+                    )
+                runner_fn(
+                    spark, warm + "/src", warm + "/sink", warm + "/ckpt"
+                )
             t0 = time.time()
-            run_session_stream(spark, src, sink, ckpt)
+            runner_fn(spark, src, sink, ckpt)
             wall = time.time() - t0
-            metric = "stream_session_rows_per_sec"
         else:
             events.repartition(args.files).write.mode("overwrite").parquet(
                 src
