@@ -38,6 +38,31 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # this set to decide broadcast hints.
 BROADCASTABLE: frozenset[str] = frozenset({"region", "nation", "supplier", "part"})
 
+# Ingest contract: every fact/entity table's primary key is engine-
+# assigned at ingest and therefore NOT NULL (and unique). This is a
+# DECLARED contract, not a per-read runtime check — twelve event-order
+# operators tie-break on ``(ts, event_id)`` and their oracles assume a
+# non-null key (Spark sorts NULLS FIRST by default, DuckDB NULLS LAST,
+# so a null arrival-sequence key would silently diverge the engines).
+# ``check_ingest_contracts`` is the runnable guard: point it at any
+# corpus/lake directory to verify the contract before trusting query
+# results over it.
+PRIMARY_KEYS: dict[str, tuple[str, ...]] = {
+    "region": ("r_regionkey",),
+    "nation": ("n_nationkey",),
+    "customer": ("c_custkey",),
+    "supplier": ("s_suppkey",),
+    "part": ("p_partkey",),
+    "orders": ("o_orderkey",),
+    # lineitem deliberately absent: the corpus assigns non-unique
+    # (l_orderkey, l_linenumber) pairs and no operator relies on a
+    # lineitem row identity — it is a pure fact table (full-row
+    # duplicates are data, handled by the dedup/diff operators).
+    "events": ("event_id",),
+    "documents": ("doc_id",),
+    "embeddings": ("vec_id",),
+}
+
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Lazy scan of one corpus table.
@@ -100,6 +125,60 @@ def ensure_min_parallelism(df: DataFrame) -> DataFrame:
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def check_ingest_contracts(
+    spark: SparkSession,
+    sf_dir: str,
+    tables: tuple[str, ...] = TABLE_NAMES,
+    raise_on_violation: bool = True,
+) -> DataFrame:
+    """Verify the :data:`PRIMARY_KEYS` ingest contract over a corpus dir.
+
+    One aggregate pass per table: total rows, rows with a complete
+    (fully non-null) primary key, and distinct complete keys. A
+    violation is any null-key or duplicate-key row. Returns the audit
+    as a DataFrame (``table_name, n_rows, n_complete_pk,
+    n_distinct_pk``); with ``raise_on_violation`` (the default) a
+    non-conforming table raises ``ValueError`` naming it — run this
+    before trusting event-order results over an UNVETTED lake
+    directory. The driver corpus and the hostile corpus both conform
+    by construction (``tests/test_round11_ops.py`` pins both the pass
+    and the catch)."""
+    rows = []
+    for name in tables:
+        pk = PRIMARY_KEYS.get(name)
+        if pk is None:  # table with no declared row identity
+            continue
+        df = table(spark, sf_dir, name)
+        complete = F.expr(
+            " AND ".join(f"{c} IS NOT NULL" for c in pk)
+        )
+        # .first() on a global aggregate: a 1-row audit summary, never
+        # data-sized driver materialization.
+        agg = df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(F.when(complete, 1)).alias("n_complete_pk"),
+            F.count_distinct(
+                *[F.col(c) for c in pk]
+            ).alias("n_distinct_pk"),
+        ).first()
+        rows.append((name, agg.n_rows, agg.n_complete_pk, agg.n_distinct_pk))
+    out = spark.createDataFrame(
+        rows,
+        "table_name string, n_rows long, n_complete_pk long, "
+        "n_distinct_pk long",
+    )
+    if raise_on_violation:
+        bad = [
+            r for r in rows if not (r[1] == r[2] == r[3])
+        ]
+        if bad:
+            raise ValueError(
+                "ingest-contract violation (null or duplicate primary "
+                f"key): {['%s rows=%d complete=%d distinct=%d' % r for r in bad]}"
+            )
+    return out
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -144,6 +144,58 @@ def test_unbounded_window_checker_resolves_reused_exchange():
     ]
 
 
+def test_ingest_contract_guard(spark, tmp_path):
+    """events.event_id is a DECLARED NOT-NULL unique arrival-sequence
+    key (r10 recon decision: twelve event-order operators tie-break on
+    (ts, event_id) and their oracles assume Spark/DuckDB never see a
+    null there). The contract is enforced by a runnable guard, not a
+    per-read scan: the committed corpus passes, a planted null key or
+    duplicate key raises naming the table."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from reddit_data_engineering_project_spark import tables
+
+    sf = "/root/testdata/sf0.001"
+    audit = tables.check_ingest_contracts(spark, sf)
+    rows = {r.table_name: r for r in audit.collect()}
+    # lineitem has no declared row identity (corpus line numbers are
+    # non-unique and nothing keys on them) -> 9 audited tables
+    assert len(rows) == 9 and "lineitem" not in rows
+    assert all(
+        r.n_rows == r.n_complete_pk == r.n_distinct_pk
+        for r in rows.values()
+    )
+
+    # plant a NULL event_id in a tmp copy -> guard raises
+    bad = str(tmp_path / "bad")
+    import os as _os
+
+    _os.makedirs(bad)
+    for t in tables.TABLE_NAMES:
+        if t != "events":
+            shutil.copy(f"{sf}/{t}.parquet", f"{bad}/{t}.parquet")
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    ev.withColumn(
+        "event_id",
+        F.when(F.col("event_id") == 1, F.lit(None)).otherwise(
+            F.col("event_id")
+        ),
+    ).coalesce(1).write.mode("overwrite").parquet(f"{bad}/events.parquet")
+    with pytest.raises(ValueError, match="events"):
+        tables.check_ingest_contracts(spark, bad, tables=("events",))
+    # duplicate key (two rows with event_id=2) -> also a violation
+    dup = str(tmp_path / "dup")
+    _os.makedirs(dup)
+    two = ev.filter(F.col("event_id") == 2)
+    ev.union(two).coalesce(1).write.mode("overwrite").parquet(
+        f"{dup}/events.parquet"
+    )
+    with pytest.raises(ValueError, match="events"):
+        tables.check_ingest_contracts(spark, dup, tables=("events",))
+
+
 def test_s09_sample_spark_matches_reference(spark):
     ids = list(range(500)) + [None]
     df = spark.createDataFrame([(u,) for u in ids], "user_id long")

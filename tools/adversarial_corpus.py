@@ -10,6 +10,9 @@ with the SAME ten schemas and the same broad shape, but saturated with
 the hostile classes:
 
 - timestamp TIES within a user (window tie-break determinism),
+- duplicate-(user_id, ts) event pairs with equal AND distinct values
+  (same-key same-instant rows: only the (ts, event_id) tiebreak orders
+  them deterministically across engines' sort stability),
 - exact half-cent / half-e4 price boundaries (rounding discipline),
 - NULLs in every plausibly-nullable column (value, props, lang, text),
 - empty / 1-char / whitespace / unicode / regex-metachar / newline /
@@ -270,6 +273,11 @@ _PROPS_POOL = [
 
 def gen_events(rng: random.Random) -> dict:
     n = 4000
+    # event_id stays NON-NULL and unique by design: it is the declared
+    # engine-assigned arrival-sequence key (tables.PRIMARY_KEYS ingest
+    # contract, enforced by tables.check_ingest_contracts) — a null
+    # there is an ingest bug, not a data condition, so the hostile
+    # corpus conforms like every real corpus must.
     eid, ts, uid, etype, val, props = [], [], [], [], [], []
     tie_ts = T0 + dt.timedelta(days=5, hours=9, minutes=30)
     for i in range(1, n + 1):
@@ -315,6 +323,19 @@ def gen_events(rng: random.Random) -> dict:
         else:
             val.append(round(rng.uniform(0.01, 330), 2))
         props.append(_PROPS_POOL[i % len(_PROPS_POOL)])
+        # duplicate-(user_id, ts) tie-stress class (r10 verdict item 6):
+        # clone the PREVIOUS event's user and timestamp so event-order
+        # windows face same-key same-instant rows that only the
+        # (ts, event_id) tiebreak can order deterministically —
+        # alternating between EQUAL values (rank/dense_rank tie blocks;
+        # any engine-specific sort instability is invisible unless the
+        # tiebreak is wrong) and DISTINCT values (lag/lead/first/last
+        # diverge immediately if either engine drops the tiebreak).
+        if i % 41 == 0 and i > 1001:
+            ts[-1] = ts[-2]
+            uid[-1] = uid[-2]
+            if (i // 41) % 2 == 0:
+                val[-1] = val[-2]
     return {
         "event_id": pa.array(eid, pa.int64()),
         "ts": pa.array(ts, pa.timestamp("us")),
