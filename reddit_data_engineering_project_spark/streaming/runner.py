@@ -133,14 +133,24 @@ def run_tumbling_stream(
     checkpoint_dir: str,
     window: str = "1 hour",
     watermark: str = "1 hour",
+    state_shards: int = 8,
 ) -> None:
     """File-source stream → watermarked tumbling agg → parquet sink.
 
     The aggregation expression is byte-identical to
     ``s01_tumbling_window``'s batch plan — the engine guarantee under
     test is batch/stream semantic equivalence.
+
+    ``state_shards`` sizes the streaming-agg state-store partition
+    count at FIRST start (pinned in the checkpoint thereafter). The
+    windowed-agg state is (window, event_type)-keyed — dozens of live
+    keys — so per-shard fixed cost (store open/commit per micro-batch)
+    dominates: 8 shards measured 2.2× the 32-shard wall at sf0.1/8
+    files (SCALE.md). Size to ~2-4× executor cores on a real cluster.
     """
     ensure_session_confs(spark)
+    prior = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_shards))
     schema = spark.read.parquet(source_dir).schema
     stream = (
         spark.readStream.schema(schema)
@@ -170,14 +180,17 @@ def run_tumbling_stream(
             os.path.join(sink_dir, f"batch={batch_id}")
         )
 
-    (
-        agg.writeStream.outputMode("append")
-        .foreachBatch(write_batch)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
+    try:
+        (
+            agg.writeStream.outputMode("append")
+            .foreachBatch(write_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prior)
 
 
 def run_session_stream(

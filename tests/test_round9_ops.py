@@ -120,6 +120,9 @@ def test_close_idle_sessions_multichunk_and_degenerate_input():
         def setTimeoutTimestamp(self, ms):
             self.timeout = ms
 
+        def getCurrentWatermarkMs(self):
+            return 0  # batch stand-in, same as _ReplayGroupState
+
     def chunk(eids, tss):
         return pd.DataFrame(
             {"event_id": eids, "ts": pd.to_datetime(pd.Series(tss)),
@@ -249,6 +252,9 @@ def test_close_idle_sessions_state_continuation_branches():
 
         def setTimeoutTimestamp(self, ms):
             pass
+
+        def getCurrentWatermarkMs(self):
+            return 0  # batch stand-in, same as _ReplayGroupState
 
     def chunk(eids, tss):
         return pd.DataFrame(
