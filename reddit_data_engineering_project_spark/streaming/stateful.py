@@ -147,41 +147,30 @@ ZSCORE_OUT_SCHEMA = StructType(
 _FRAME = 8  # matches q22_rolling_zscore's ROWS BETWEEN 7 PRECEDING
 
 
-def score_rolling_zscore(
-    key: tuple,
-    batches: Iterator[pd.DataFrame],
-    state: GroupState,
-) -> Iterator[pd.DataFrame]:
-    """Score each arriving event against its trailing 8-value frame.
+def _half_up_e4(x: float) -> int:
+    # Spark's round() is HALF_UP (away from zero); Python's round()
+    # is banker's — match Spark so ties agree with the batch op.
+    scaled = x * 10000.0
+    return int(scaled + 0.5) if scaled >= 0 else -int(-scaled + 0.5)
 
-    Assumes per-key event-time-ordered arrival across micro-batches (the
-    file-stream contract in the runner: files land in time order);
-    within a batch, rows are re-sorted by (ts, event_id) to make the
-    frame deterministic. The variance formula is the batch operator's
-    sum/sum-of-squares identity with the identical 1e-12 floor, so the
-    streaming score converges to the batch score on ordered input.
+
+def _zscore_fold(
+    tail: list, event_ids, values
+) -> tuple[list, list, list, list]:
+    """Fold one user's (ts, event_id)-ordered events through the
+    trailing-8 z-score frame.
+
+    Returns ``(event_ids_e, values_e4, z_e4, new_tail)``. This is the
+    anomaly gate's transition core — shared verbatim by the per-user
+    operator (:func:`score_rolling_zscore`, which the s08 replay entry
+    drives row-for-row against the SQL window oracle) and the bucketed
+    operator (:func:`score_rolling_zscore_bucketed`). NULL-value rows
+    OCCUPY a frame slot (aging out older values) but contribute nothing
+    to the stats — exactly how count(value)/sum(value) over a ROWS
+    frame treat NULLs; encoded as NaN in the array<double> state.
     """
-    (user_id,) = key
-    # Tail mirrors the batch ROWS frame: NULL-value rows OCCUPY a frame
-    # slot (aging out older values) but contribute nothing to the stats
-    # — exactly how count(value)/sum(value) over a ROWS frame treat
-    # NULLs. Encoded as NaN in the array<double> state.
-    tail: list[float] = list(state.get[0]) if state.exists else []
-
-    def _half_up_e4(x: float) -> int:
-        # Spark's round() is HALF_UP (away from zero); Python's round()
-        # is banker's — match Spark so ties agree with the batch op.
-        scaled = x * 10000.0
-        return int(scaled + 0.5) if scaled >= 0 else -int(-scaled + 0.5)
-
-    frames = [pdf for pdf in batches if len(pdf)]
-    if not frames:
-        state.update((tail,))
-        return
-    pdf = pd.concat(frames).sort_values(["ts", "event_id"])
-
     out_event, out_val, out_z = [], [], []
-    for ev_id, v in zip(pdf["event_id"], pdf["value"]):
+    for ev_id, v in zip(event_ids, values):
         v = float(v) if v == v else None  # NaN -> missing
         frame = tail + [v if v is not None else float("nan")]
         z_e4 = None
@@ -204,6 +193,35 @@ def score_rolling_zscore(
         out_val.append(_half_up_e4(v) if v is not None else None)
         out_z.append(z_e4)
         tail = frame[-(_FRAME - 1):]
+    return out_event, out_val, out_z, tail
+
+
+def score_rolling_zscore(
+    key: tuple,
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Score each arriving event against its trailing 8-value frame.
+
+    Assumes per-key event-time-ordered arrival across micro-batches (the
+    file-stream contract in the runner: files land in time order);
+    within a batch, rows are re-sorted by (ts, event_id) to make the
+    frame deterministic. The variance formula is the batch operator's
+    sum/sum-of-squares identity with the identical 1e-12 floor, so the
+    streaming score converges to the batch score on ordered input.
+    """
+    (user_id,) = key
+    tail: list[float] = list(state.get[0]) if state.exists else []
+
+    frames = [pdf for pdf in batches if len(pdf)]
+    if not frames:
+        state.update((tail,))
+        return
+    pdf = pd.concat(frames).sort_values(["ts", "event_id"])
+
+    out_event, out_val, out_z, tail = _zscore_fold(
+        tail, pdf["event_id"], pdf["value"]
+    )
 
     state.update((tail,))
     yield pd.DataFrame(
@@ -217,7 +235,11 @@ def score_rolling_zscore(
 
 
 def run_zscore_stream(
-    spark, source_dir: str, sink_dir: str, checkpoint_dir: str
+    spark,
+    source_dir: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+    state_shards: int = 16,
 ) -> None:
     """File stream → per-user stateful rolling z-score → parquet.
 
@@ -226,6 +248,9 @@ def run_zscore_stream(
     resumed stream scores new events against history it never re-reads
     — the anomaly-gate shape for a 100 TB/day event firehose (state is
     8 doubles per user, RocksDB-sharded by user across executors).
+    Same throughput shape as the sessionizer (SCALE.md): only the four
+    columns the fold reads enter the shuffle/Arrow channel, and
+    ``state_shards`` bounds the per-shard fixed cost.
     """
     from ..session import ensure_session_confs
 
@@ -235,6 +260,7 @@ def run_zscore_stream(
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(source_dir)
+        .select("user_id", "ts", "event_id", "value")
     )
     scored = stream.groupBy("user_id").applyInPandasWithState(
         score_rolling_zscore,
@@ -250,14 +276,152 @@ def run_zscore_stream(
     def write_batch(batch_df, batch_id: int) -> None:
         batch_df.write.mode("overwrite").parquet(f"{sink_dir}/batch={batch_id}")
 
-    (
-        scored.writeStream.outputMode("update")
-        .foreachBatch(write_batch)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
+    prior = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_shards))
+    try:
+        (
+            scored.writeStream.outputMode("update")
+            .foreachBatch(write_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prior)
+
+
+#: Per-BUCKET z-score state: each bucketed user's trailing ≤7-value
+#: frame, as parallel arrays (tails carry NaN for null-value slots,
+#: same encoding as the per-user state).
+BUCKET_ZSCORE_STATE_SCHEMA = StructType(
+    [
+        StructField("user_ids", ArrayType(LongType(), containsNull=True)),
+        StructField("tails", ArrayType(ArrayType(DoubleType()))),
+    ]
+)
+
+
+def score_rolling_zscore_bucketed(
+    key: tuple,
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-BUCKET rolling z-score: one state key carries the trailing
+    frames of every user in the bucket.
+
+    Key-coarsening twin of :func:`close_idle_sessions_bucketed` — the
+    anomaly gate is the stateful stream with the MOST keys at 100 TB
+    (every active entity), so the ~7 ms/key `applyInPandasWithState`
+    protocol cost is the dominant term long before the fold is. Each
+    user's events fold through the SAME :func:`_zscore_fold` core the
+    s08 replay hash-verifies; output is row-identical to per-user
+    keying (pinned by ``test_bucketed_zscore_stream_matches_per_user``).
+    """
+    import numpy as np
+
+    open_: dict = {}
+    if state.exists:
+        uids, tails = state.get
+        for u, t in zip(uids, tails):
+            open_[None if u is None else int(u)] = list(t)
+
+    frames = [pdf for pdf in batches if len(pdf)]
+    out_frames = []
+    if frames:
+        pdf = frames[0] if len(frames) == 1 else pd.concat(frames)
+        ts_ns = pdf["ts"].to_numpy("datetime64[ns]").view("int64")
+        eid = pdf["event_id"].to_numpy()
+        if eid.dtype == object:
+            eid = pdf["event_id"].astype("float64").to_numpy()
+        order = np.lexsort((eid, ts_ns))
+        pdf = pdf.iloc[order]
+        for u, idx in pdf.groupby(
+            "user_id", dropna=False, sort=False
+        ).indices.items():
+            u = None if pd.isna(u) else int(u)
+            sub = pdf.iloc[idx]
+            ev, val, z, tail = _zscore_fold(
+                open_.get(u, []), sub["event_id"], sub["value"]
+            )
+            open_[u] = tail
+            out_frames.append(
+                pd.DataFrame(
+                    {
+                        "user_id": pd.array([u] * len(ev), dtype="Int64"),
+                        "event_id": pd.array(ev, dtype="Int64"),
+                        "value_e4": pd.array(val, dtype="Int64"),
+                        "z_e4": pd.array(z, dtype="Int64"),
+                    }
+                )
+            )
+
+    state.update(
+        (list(open_.keys()), [list(t) for t in open_.values()])
     )
+    if out_frames:
+        yield pd.concat(out_frames, ignore_index=True)
+
+
+def run_zscore_stream_bucketed(
+    spark,
+    source_dir: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+    n_buckets: int = 64,
+    state_shards: int = 8,
+) -> None:
+    """File stream → bucketed rolling z-score → parquet.
+
+    Row-identical output to :func:`run_zscore_stream`; grouping by
+    ``pmod(xxhash64(user_id), n_buckets)`` amortizes the per-key
+    protocol cost over the bucket (see
+    :func:`score_rolling_zscore_bucketed`).
+    """
+    from pyspark.sql import functions as F
+
+    from ..session import ensure_session_confs
+
+    ensure_session_confs(spark)
+    schema = spark.read.parquet(source_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            "value",
+            F.pmod(F.xxhash64(F.col("user_id")), F.lit(n_buckets)).alias(
+                "bucket"
+            ),
+        )
+    )
+    scored = stream.groupBy("bucket").applyInPandasWithState(
+        score_rolling_zscore_bucketed,
+        outputStructType=ZSCORE_OUT_SCHEMA,
+        stateStructType=BUCKET_ZSCORE_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+    def write_batch(batch_df, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(f"{sink_dir}/batch={batch_id}")
+
+    prior = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_shards))
+    try:
+        (
+            scored.writeStream.outputMode("update")
+            .foreachBatch(write_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prior)
 
 
 #: Session-gap threshold shared with the batch sessionizer

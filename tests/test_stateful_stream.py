@@ -419,3 +419,45 @@ def test_bucketed_session_single_bucket_timeout_and_gap(spark, tmp_path):
     u2 = sorted(by_user[2], key=lambda r: r.session_start)
     assert all(r.n_events == 1 for r in u2)
     assert len(u2) == 2
+
+
+def test_bucketed_zscore_stream_matches_per_user(spark, tmp_path):
+    """Key-coarsened z-score gate: row-identical to the per-user
+    operator the s08 replay verifies — same scores, same NULL-value
+    rows, incl. the NULL user — on a 3-batch time-ordered corpus."""
+    from reddit_data_engineering_project_spark.streaming.stateful import (
+        run_zscore_stream,
+        run_zscore_stream_bucketed,
+    )
+
+    ev = table(spark, SF_DIR, "events")
+    src = os.path.join(str(tmp_path), "src")
+    slice_col = F.ntile(3).over(
+        Window.orderBy(F.col("ts").asc_nulls_first(), "event_id")
+    )
+    staged = ev.withColumn("slice", slice_col).persist()
+    staged.count()
+    for i in range(1, 4):
+        staged.filter(F.col("slice") == i).drop("slice").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+    staged.unpersist()
+
+    outs = {}
+    for tag, runner, kwargs in (
+        ("per_user", run_zscore_stream, {}),
+        ("bucketed", run_zscore_stream_bucketed, {"n_buckets": 4}),
+    ):
+        sink = os.path.join(str(tmp_path), f"sink_{tag}")
+        ckpt = os.path.join(str(tmp_path), f"ckpt_{tag}")
+        runner(spark, src, sink, ckpt, **kwargs)
+        rows = (
+            spark.read.option("recursiveFileLookup", True)
+            .parquet(sink)
+            .collect()
+        )
+        outs[tag] = sorted(
+            (r.user_id, r.event_id, r.value_e4, r.z_e4) for r in rows
+        )
+    assert outs["per_user"] == outs["bucketed"]
+    assert len(outs["per_user"]) > 0

@@ -57,7 +57,13 @@ def main() -> int:
     ap.add_argument("--files", type=int, default=8)
     ap.add_argument(
         "--runner",
-        choices=("tumbling", "session", "session_bucketed"),
+        choices=(
+            "tumbling",
+            "session",
+            "session_bucketed",
+            "zscore",
+            "zscore_bucketed",
+        ),
         default="tumbling",
     )
     ap.add_argument(
@@ -76,12 +82,14 @@ def main() -> int:
     sink = os.path.join(tmp, "sink")
     ckpt = os.path.join(tmp, "ckpt")
     try:
-        if args.runner in ("session", "session_bucketed"):
+        if args.runner != "tumbling":
             from pyspark.sql import Window, functions as F
 
             from reddit_data_engineering_project_spark.streaming.stateful import (  # noqa: E501
                 run_session_stream,
                 run_session_stream_bucketed,
+                run_zscore_stream,
+                run_zscore_stream_bucketed,
             )
 
             # Event-time-ordered staging: the sessionizer's 0 s
@@ -99,11 +107,12 @@ def main() -> int:
                     "slice"
                 ).coalesce(1).write.mode("append").parquet(src)
             staged.unpersist()
-            runner_fn = (
-                run_session_stream_bucketed
-                if args.runner == "session_bucketed"
-                else run_session_stream
-            )
+            runner_fn = {
+                "session": run_session_stream,
+                "session_bucketed": run_session_stream_bucketed,
+                "zscore": run_zscore_stream,
+                "zscore_bucketed": run_zscore_stream_bucketed,
+            }[args.runner]
             metric = f"stream_{args.runner}_rows_per_sec"
             if not args.cold:
                 # Untimed warm-up on a tiny 2-file prefix: imports +
