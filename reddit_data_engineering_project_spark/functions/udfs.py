@@ -47,7 +47,7 @@ def _sigmoid_score(v: pd.Series) -> pd.Series:
     oracle="""
     SELECT
         event_id,
-        round(coalesce(value, 0.0) * 100.0) / 100.0 AS value,
+        round(coalesce(value, 0.0) * 100.0) / 100.0 + 0.0 AS value,
         round(
             (1.0 / (1.0 + exp(-coalesce(value, 0.0) / 100.0))) * 1000000.0
         ) / 1000000.0 AS score

@@ -368,7 +368,7 @@ def q11_range_join_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         p.event_id,
         p.user_id,
         p.ts,
-        round(p.value * 100.0) / 100.0 AS purchase_value,
+        round(p.value * 100.0) / 100.0 + 0.0 AS purchase_value,
         c.ts AS last_click_ts
     FROM purchases p
     LEFT JOIN clicks c

@@ -106,7 +106,7 @@ def upsert_parquet(
         SELECT * FROM base UNION ALL SELECT * FROM rerun
     )
     SELECT event_id, ts, user_id, event_type,
-           round(value * 100.0) / 100.0 AS value,
+           round(value * 100.0) / 100.0 + 0.0 AS value,
            ingest_version
     FROM unioned
     QUALIFY row_number() OVER (

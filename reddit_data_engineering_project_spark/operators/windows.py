@@ -152,26 +152,40 @@ def q13_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q13_running_frames",
     oracle="""
+    WITH q AS (
+        SELECT
+            user_id,
+            event_id,
+            CAST(ts AS TIMESTAMP) AS ts,
+            event_type,
+            CAST(round(coalesce(value, 0.0) * 10000.0) AS BIGINT)
+                AS value_e4
+        FROM events
+    )
     SELECT
         user_id,
         event_id,
-        CAST(ts AS TIMESTAMP) AS ts,
-        round(sum(coalesce(value, 0.0)) OVER (
+        ts,
+        round(sum(value_e4) OVER (
             PARTITION BY user_id
-            ORDER BY CAST(ts AS TIMESTAMP) NULLS FIRST, event_id
+            ORDER BY ts NULLS FIRST, event_id
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-        ) * 100.0) / 100.0 AS running_value,
-        round(avg(coalesce(value, 0.0)) OVER (
+        ) / 100.0) / 100.0 + 0.0 AS running_value,
+        round(sum(value_e4) OVER (
             PARTITION BY user_id
-            ORDER BY CAST(ts AS TIMESTAMP) NULLS FIRST, event_id
+            ORDER BY ts NULLS FIRST, event_id
             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
-        ) * 10000.0) / 10000.0 AS moving_avg_3,
+        ) / count(*) OVER (
+            PARTITION BY user_id
+            ORDER BY ts NULLS FIRST, event_id
+            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+        )) / 10000.0 + 0.0 AS moving_avg_3,
         first_value(event_type) OVER (
             PARTITION BY user_id
-            ORDER BY CAST(ts AS TIMESTAMP) NULLS FIRST, event_id
+            ORDER BY ts NULLS FIRST, event_id
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
         ) AS first_type
-    FROM events
+    FROM q
     """,
     tags=("windows", "Q13"),
 )
@@ -181,6 +195,15 @@ def q13_running_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     Explicit ROWS frames (not the default RANGE frame) so peer rows with
     equal timestamps don't collapse — deterministic via the event_id
     tie-break in the ordering.
+
+    Running sums fold e4-quantized BIGINTs, not doubles: windowed float
+    sums are association-order-dependent (DuckDB aggregates window
+    frames through a segment tree, Spark sequentially), so a running
+    double sum can flip the rounded cent on either engine — the r11
+    extreme-value sweep produced exactly that once a domain-edge value
+    dominated the prefix. Integer folds are associative, hence
+    engine-order-free; the quantized sum renders back through the
+    identical round spelling on both sides.
     """
     order = [F.col("ts").asc(), F.col("event_id").asc()]
     w_run = (
@@ -189,13 +212,25 @@ def q13_running_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     w_mov = Window.partitionBy("user_id").orderBy(*order).rowsBetween(-2, 0)
-    val = F.coalesce(F.col("value"), F.lit(0.0))
+    val_e4 = (
+        F.round(F.coalesce(F.col("value"), F.lit(0.0)) * 10000.0)
+        .cast("long")
+    )
     return table(spark, sf_dir, "events").select(
         "user_id",
         "event_id",
         "ts",
-        dround(F.sum(val).over(w_run)).alias("running_value"),
-        dround(F.avg(val).over(w_mov), 4).alias("moving_avg_3"),
+        (
+            F.round(F.sum(val_e4).over(w_run) / 100.0) / 100.0 + 0.0
+        ).alias("running_value"),
+        (
+            F.round(
+                F.sum(val_e4).over(w_mov)
+                / F.count(F.lit(1)).over(w_mov)
+            )
+            / 10000.0
+            + 0.0
+        ).alias("moving_avg_3"),
         F.first("event_type").over(w_run).alias("first_type"),
     )
 

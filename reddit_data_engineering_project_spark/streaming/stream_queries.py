@@ -308,7 +308,7 @@ def s04_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         p.event_id AS purchase_id,
         p.user_id,
         p.ts AS purchase_ts,
-        round(p.value * 100.0) / 100.0 AS purchase_value,
+        round(p.value * 100.0) / 100.0 + 0.0 AS purchase_value,
         count(c.event_id) AS clicks_before,
         min(c.event_id) AS first_click_id
     FROM purchases p

@@ -47,6 +47,19 @@ BROADCASTABLE: frozenset[str] = frozenset({"region", "nation", "supplier", "part
 # ``check_ingest_contracts`` is the runnable guard: point it at any
 # corpus/lake directory to verify the contract before trusting query
 # results over it.
+# Quantized-compare value domains: every operator that compares a
+# metric cross-engine through the scaled-BIGINT discipline documents an
+# exactness headroom; the TIGHTEST is the rolling z-score's e4
+# sum-of-squares, which stays exact in doubles only while
+# (|v|·1e4)² ≤ 2^53 → |v| ≤ ~9.4e2. The declared ingest domain for
+# events.value is therefore ±1e3: inside it every quantized operator is
+# bit-exact on both engines; outside it they would silently diverge
+# (or overflow a BIGINT cast), so the guard treats it like a null
+# primary key — an ingest bug, not a data condition.
+VALUE_DOMAINS: dict[str, dict[str, tuple[float, float]]] = {
+    "events": {"value": (-1000.0, 1000.0)},
+}
+
 PRIMARY_KEYS: dict[str, tuple[str, ...]] = {
     "region": ("r_regionkey",),
     "nation": ("n_nationkey",),
@@ -154,6 +167,15 @@ def check_ingest_contracts(
         complete = F.expr(
             " AND ".join(f"{c} IS NOT NULL" for c in pk)
         )
+        domains = VALUE_DOMAINS.get(name, {})
+        in_domain = F.lit(True)
+        for col, (lo, hi) in domains.items():
+            # NULLs are allowed (nullable metric); only present values
+            # must sit inside the declared quantization headroom
+            in_domain = in_domain & (
+                F.col(col).isNull()
+                | ((F.col(col) >= lo) & (F.col(col) <= hi))
+            )
         # .first() on a global aggregate: a 1-row audit summary, never
         # data-sized driver materialization.
         agg = df.agg(
@@ -162,21 +184,33 @@ def check_ingest_contracts(
             F.count_distinct(
                 *[F.col(c) for c in pk]
             ).alias("n_distinct_pk"),
+            F.count(F.when(in_domain, 1)).alias("n_in_domain"),
         ).first()
-        rows.append((name, agg.n_rows, agg.n_complete_pk, agg.n_distinct_pk))
+        rows.append(
+            (
+                name,
+                agg.n_rows,
+                agg.n_complete_pk,
+                agg.n_distinct_pk,
+                agg.n_in_domain,
+            )
+        )
     out = spark.createDataFrame(
         rows,
         "table_name string, n_rows long, n_complete_pk long, "
-        "n_distinct_pk long",
+        "n_distinct_pk long, n_in_domain long",
     )
     if raise_on_violation:
         bad = [
-            r for r in rows if not (r[1] == r[2] == r[3])
+            r
+            for r in rows
+            if not (r[1] == r[2] == r[3] and r[4] == r[1])
         ]
         if bad:
             raise ValueError(
-                "ingest-contract violation (null or duplicate primary "
-                f"key): {['%s rows=%d complete=%d distinct=%d' % r for r in bad]}"
+                "ingest-contract violation (null/duplicate primary key "
+                "or out-of-domain value): "
+                f"{['%s rows=%d complete=%d distinct=%d in_domain=%d' % r for r in bad]}"
             )
     return out
 

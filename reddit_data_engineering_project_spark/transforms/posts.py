@@ -266,7 +266,7 @@ def pipeline_posts_clean_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
         date_trunc('second', CAST(ts AS TIMESTAMP)) AS ts_second,
         user_id,
         coalesce(nullif(trim(event_type), ''), 'unknown') AS event_type,
-        round(coalesce(value, 0.0) * 100.0) / 100.0 AS value_clean,
+        round(coalesce(value, 0.0) * 100.0) / 100.0 + 0.0 AS value_clean,
         coalesce(CASE WHEN json_valid(props) THEN
                      CAST(trunc(TRY_CAST(
                          json_extract_string(props, '$.k') AS DOUBLE))

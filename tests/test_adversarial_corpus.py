@@ -59,6 +59,21 @@ SWEEP_FINDINGS = [
     "q20_apply_in_pandas_zscore",
     "s07_windowed_topk",
     "s08_stateful_zscore_replay",
+    # round-11 extreme-value class (-0.0 / denormal / domain-edge
+    # magnitude): Spark's BigDecimal round can never emit -0.0 while
+    # DuckDB's double round preserves the sign bit — five oracles that
+    # inlined the round spelling without dround_sql's "+ 0.0"
+    # canonicalizer diverged (q11/s06/q19/q20/pipeline_clean_coerce);
+    # q13_running_frames' windowed double sums flipped a rounded cent
+    # under magnitude dominance (DuckDB segment-tree vs Spark
+    # sequential association) and now folds e4-quantized BIGINTs. The
+    # 1e9 probe additionally proved out-of-domain values overflow the
+    # quantized-compare casts — now an ingest contract
+    # (tables.VALUE_DOMAINS), so the corpus stresses the ±1e3 edge.
+    "q13_running_frames",
+    "q19_upsert_keep_latest",
+    "q20_pandas_scalar_udf",
+    "s06_interval_join",
 ]
 
 TABLES = (

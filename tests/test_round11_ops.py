@@ -163,6 +163,7 @@ def test_ingest_contract_guard(spark, tmp_path):
     # lineitem has no declared row identity (corpus line numbers are
     # non-unique and nothing keys on them) -> 9 audited tables
     assert len(rows) == 9 and "lineitem" not in rows
+    assert all(r.n_in_domain == r.n_rows for r in rows.values())
     assert all(
         r.n_rows == r.n_complete_pk == r.n_distinct_pk
         for r in rows.values()
@@ -194,6 +195,18 @@ def test_ingest_contract_guard(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="events"):
         tables.check_ingest_contracts(spark, dup, tables=("events",))
+    # out-of-domain value (1e9 busts the quantized-compare headroom,
+    # tables.VALUE_DOMAINS) -> also a violation; NULL values stay legal
+    dom = str(tmp_path / "dom")
+    _os.makedirs(dom)
+    ev.withColumn(
+        "value",
+        F.when(F.col("event_id") == 1, F.lit(1e9)).otherwise(
+            F.col("value")
+        ),
+    ).coalesce(1).write.mode("overwrite").parquet(f"{dom}/events.parquet")
+    with pytest.raises(ValueError, match="in_domain"):
+        tables.check_ingest_contracts(spark, dom, tables=("events",))
 
 
 def test_s09_sample_spark_matches_reference(spark):

@@ -13,6 +13,9 @@ the hostile classes:
 - duplicate-(user_id, ts) event pairs with equal AND distinct values
   (same-key same-instant rows: only the (ts, event_id) tiebreak orders
   them deterministically across engines' sort stability),
+- extreme float values (-0.0 sign-bit survival through agg/round paths,
+  the 5e-324 denormal, a domain-edge dominance magnitude — see
+  tables.VALUE_DOMAINS for why the corpus stops at ±1e3),
 - exact half-cent / half-e4 price boundaries (rounding discipline),
 - NULLs in every plausibly-nullable column (value, props, lang, text),
 - empty / 1-char / whitespace / unicode / regex-metachar / newline /
@@ -317,7 +320,27 @@ def gen_events(rng: random.Random) -> dict:
         elif r == 2:
             val.append(-rng.uniform(0, 100))
         elif r == 3:
-            val.append(0.0)
+            # extreme-value class (round 11): negative zero (IEEE sign
+            # bit survives SUM/MIN/round on some paths and not others —
+            # a render/hash divergence probe), denormal, and a
+            # large-but-finite magnitude (aggregation overflow probe;
+            # kept below inf so SUMs stay finite and comparable)
+            if i % 21 == 3:
+                val.append(-0.0)
+            elif i % 21 == 10:
+                val.append(5e-324)  # smallest denormal double
+            elif i % 21 == 17:
+                # dominance magnitude AT the declared domain edge
+                # (tables.VALUE_DOMAINS: events.value in ±1e3 — the
+                # z-score e4 sum-of-squares exactness headroom). A 1e9
+                # probe proved out-of-domain values diverge the engines
+                # (BIGINT cast overflow in oracles, double-sum ulp
+                # flips) — that's an ingest bug by contract, enforced
+                # by tables.check_ingest_contracts, so the corpus
+                # stresses the edge, not the far side
+                val.append(999.75)
+            else:
+                val.append(0.0)
         elif r == 4:
             val.append(250.5)  # tie block
         else:
