@@ -142,14 +142,20 @@ def _sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         SELECT
             d.doc_id,
             gs.i AS frame_idx,
-            lower(hex(encode(substr(d.text, gs.i * 16 + 1, 16))))
+            -- BYTE-true slicing: DuckDB has no BLOB substr, so slice
+            -- the hex rendering at 2 chars/byte. substr on the text
+            -- itself would slice CODE POINTS and drift from the
+            -- payload bytes on any multibyte document (the r11
+            -- unicode-edge sweep caught exactly that).
+            lower(substr(hex(encode(d.text)), gs.i * 32 + 1, 32))
                 AS frame_hex,
-            CAST(octet_length(encode(substr(d.text, gs.i * 16 + 1, 16)))
-                 AS INT) AS frame_bytes
+            CAST(length(substr(hex(encode(d.text)), gs.i * 32 + 1, 32))
+                 / 2 AS INT) AS frame_bytes
         FROM documents d
         CROSS JOIN LATERAL (
             SELECT unnest(range(0,
-                CAST(ceil(length(d.text) / 16.0) AS BIGINT), 4)) AS i
+                CAST(ceil(octet_length(encode(d.text)) / 16.0)
+                     AS BIGINT), 4)) AS i
         ) gs
         WHERE d.lang = 'en'
     )
@@ -165,8 +171,9 @@ def x05_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     Every 4th 16-byte block of each payload survives — the decimation
     step of a video ingest (sample 1-in-k frames before expensive
     feature extraction). Output fan-out is rows-per-payload ∝ payload
-    size / (frame·stride); the oracle reproduces the same byte slicing
-    relationally over the ASCII-only slice so char = byte holds.
+    size / (frame·stride); the oracle reproduces the same BYTE slicing
+    relationally in the hex domain (2 hex chars per byte), so
+    multibyte text payloads frame identically on both engines.
     """
     docs = (
         table(spark, sf_dir, "documents")

@@ -74,6 +74,15 @@ SWEEP_FINDINGS = [
     "q19_upsert_keep_latest",
     "q20_pandas_scalar_udf",
     "s06_interval_join",
+    # round-11 unicode-edge class (astral-plane surrogate pairs,
+    # combining marks, RTL runs in documents.text): the frame
+    # sampler's oracle sliced the TEXT (code points) where the Spark
+    # operator slices the encoded PAYLOAD (bytes) — invisible while
+    # the lang='en' slice stayed ASCII; the oracle now slices byte-true
+    # in the hex domain (2 hex chars per byte), and the composed frame
+    # dedup heals with it.
+    "x05_frame_sample",
+    "x05_frame_dedup",
 ]
 
 TABLES = (

@@ -408,6 +408,18 @@ def gen_documents(rng: random.Random) -> dict:
         elif r == 13:
             texts.append(None)  # NULL text (failed extraction upstream;
             # probes every text op's NULL discipline vs empty-string)
+        elif r == 14:
+            # astral-plane codepoints (surrogate pairs in UTF-16 land):
+            # length/substring/n-gram strides must count code points
+            # identically on both engines
+            texts.append("music \U0001D11E clef emoji \U0001F600\U0001F3FD tone")
+        elif r == 15:
+            # combining marks: e + U+0301 (NOT precomposed é) — char
+            # counts differ from grapheme counts; both engines must
+            # pick the same convention end-to-end
+            texts.append("café combining màrks everywhere")
+        elif r == 16:
+            texts.append("العربية نص rtl mixed العربية text")  # RTL runs
         else:
             texts.append(
                 " ".join(rng.choice(WORDS) for _ in range(rng.randrange(8, 120)))
