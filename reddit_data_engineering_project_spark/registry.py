@@ -21,6 +21,17 @@ Conventions (oracle-parity rules, SURVEY §7 "hard parts"):
   returns HUGEINT — cast each to BIGINT in the oracle (and mirror the
   cast in Spark when its type differs). Value hashes distinguish
   ``23`` from ``23.0``.
+- Rounded DOUBLE outputs must canonicalize IEEE negative zero: Spark's
+  BigDecimal ``round()`` can never emit ``-0.0``, DuckDB's double
+  ``round()`` preserves the sign bit, and the value hash distinguishes
+  them. Use ``functions.numeric.dround``/``dround_sql`` (their
+  trailing ``+ 0.0`` is the canonicalizer) — never an inlined
+  ``round(x*100)/100`` without it (the r11 extreme-value sweep caught
+  five such oracles).
+- Windowed/running SUMs of doubles are association-order-dependent
+  (DuckDB aggregates frames via a segment tree, Spark sequentially):
+  fold e4/e6-quantized BIGINTs instead, inside the declared
+  ``tables.VALUE_DOMAINS`` headroom.
 """
 
 from __future__ import annotations

@@ -512,3 +512,46 @@ def _setop_queries():
 @given(sql=_setop_queries())
 def test_setop_queries_agree(engines, sql):
     _assert_agree(engines, sql)
+
+
+@st.composite
+def _signbit_queries(draw):
+    """IEEE sign-bit / rounded-double render fuzz (the r11 extreme-value
+    class made permanent). Every metric renders through the canonical
+    ``round(x * 100.0) / 100.0 + 0.0`` spelling — the ``+ 0.0`` is the
+    -0.0 canonicalizer ``dround``/``dround_sql`` carry, and this grammar
+    manufactures -0.0 from data (``-(v - v)``, ``min`` of negated
+    zeros) so a future helper or engine change that reintroduces the
+    sign-bit divergence fails here, not at the next hostile sweep.
+    min/max preserve -0.0 on both engines; sum normalizes it; equality
+    treats -0.0 = 0.0 — all three paths are drawn."""
+    v = "coalesce(value, 0.0)"
+    base = draw(
+        st.sampled_from(
+            [
+                v,
+                f"-{v}",
+                f"-({v} - {v})",          # -0.0 for every present value
+                f"least({v} * -1.0, 0.0)",
+                f"greatest(-{v}, -0.5)",
+                f"CASE WHEN {v} - {v} = 0.0 THEN -({v} - {v}) ELSE {v} END",
+            ]
+        )
+    )
+    agg = draw(st.sampled_from(["min", "max", "sum"]))
+    grp = draw(st.sampled_from(["event_type", "user_id % 7", "1"]))
+    return (
+        f"SELECT {grp} AS g, "
+        f"round({agg}({base}) * 100.0) / 100.0 + 0.0 AS m, "
+        f"count(*) AS n FROM events GROUP BY 1"
+    )
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(sql=_signbit_queries())
+def test_signbit_render_queries_agree(engines, sql):
+    _assert_agree(engines, sql)
