@@ -60,6 +60,17 @@ VALUE_DOMAINS: dict[str, dict[str, tuple[float, float]]] = {
     "events": {"value": (-1000.0, 1000.0)},
 }
 
+# Event-time domain: a window whose END crosses year 10000 cannot
+# materialize to a Python datetime (probed: an event at
+# 9999-12-31 23:50 CRASHES any collected F.window result with "year
+# 10000 is out of range"), and every calendar-spine operator's cost is
+# proportional to the event-time span. NULL event times remain a legal
+# data condition (pre-cleaning ingest rows); present values must sit
+# inside the declared range.
+TIME_DOMAINS: dict[str, dict[str, tuple[str, str]]] = {
+    "events": {"ts": ("1970-01-01", "2999-12-31 23:59:59")},
+}
+
 PRIMARY_KEYS: dict[str, tuple[str, ...]] = {
     "region": ("r_regionkey",),
     "nation": ("n_nationkey",),
@@ -175,6 +186,14 @@ def check_ingest_contracts(
             in_domain = in_domain & (
                 F.col(col).isNull()
                 | ((F.col(col) >= lo) & (F.col(col) <= hi))
+            )
+        for col, (lo_ts, hi_ts) in TIME_DOMAINS.get(name, {}).items():
+            in_domain = in_domain & (
+                F.col(col).isNull()
+                | (
+                    (F.col(col) >= F.lit(lo_ts).cast("timestamp"))
+                    & (F.col(col) <= F.lit(hi_ts).cast("timestamp"))
+                )
             )
         # .first() on a global aggregate: a 1-row audit summary, never
         # data-sized driver materialization.

@@ -207,6 +207,20 @@ def test_ingest_contract_guard(spark, tmp_path):
     ).coalesce(1).write.mode("overwrite").parquet(f"{dom}/events.parquet")
     with pytest.raises(ValueError, match="in_domain"):
         tables.check_ingest_contracts(spark, dom, tables=("events",))
+    # out-of-domain event TIME (tables.TIME_DOMAINS): a far-future ts
+    # crashes Python window materialization (year-10000 window end)
+    # and unbounds calendar-spine costs -> also a violation
+    tdom = str(tmp_path / "tdom")
+    _os.makedirs(tdom)
+    ev.withColumn(
+        "ts",
+        F.when(
+            F.col("event_id") == 1,
+            F.lit("9999-12-31 23:50:00").cast("timestamp"),
+        ).otherwise(F.col("ts")),
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tdom}/events.parquet")
+    with pytest.raises(ValueError, match="in_domain"):
+        tables.check_ingest_contracts(spark, tdom, tables=("events",))
 
 
 def test_s09_sample_spark_matches_reference(spark):
