@@ -88,85 +88,86 @@ def register(
 # history lives in WINDOWS.md; tests/test_grading_window.py enforces
 # window == priority and per-family evidence.
 #
-# ROUND-11 WINDOW (executes the committed round-11 plan verbatim;
-# precondition held: CORRECTNESS_r10 graded the round-10 window 50/50
+# ROUND-12 WINDOW (executes the committed round-12 plan verbatim;
+# precondition held: CORRECTNESS_r11 graded the round-11 window 50/50
 # green). Zero mandatory never-graded slots — pure backfill:
-#   (a) the nine remaining r06 rows;
-#   (b) the alphabetically-first 41 of the 49 entries whose latest
-#       green is r07. The alphabetically-last eight r07 rows
-#       (x04_global_shuffle, x04_lm_quality_score,
-#       x04_quality_percentile_gate, x04_readability, x04_source_caps,
-#       x05_byte_histogram, x05_frame_dedup, x05_size_binned_shards)
-#       roll to round 12.
-# 9 + 41 = 50. After round 11 nothing older than r07 remains.
-#
-# ROUND-12 ROTATION PLAN (committed now so no entry waits on an
-# undocumented promise; precondition: CORRECTNESS_r11 grades the
-# window below 50/50 green). Pure backfill again:
-#   (a) the eight remaining r07 rows above;
+#   (a) the eight remaining r07 rows;
 #   (b) the alphabetically-first 42 of the 50 entries whose latest
-#       green will then be r08 (q01_csv_scan .. x03_ann_recall_report
-#       — the verbatim list is in WINDOWS.md); the alphabetically-last
-#       eight (x03_ivfpq_topk, x03_kmeans_step, x03_knn_classify,
+#       green is r08. The alphabetically-last eight r08 rows
+#       (x03_ivfpq_topk, x03_kmeans_step, x03_knn_classify,
 #       x03_pairwise_label_centroids, x03_pq_topk, x04_doc_stats,
 #       x05_binary_features, x05_payload_energy) roll to round 13.
-# 8 + 42 = 50. Every round-11/12 registration must either take a slot
+# 8 + 42 = 50. This window also delivers the landing-round re-grade of
+# q13_running_frames (output discipline changed to e4-BIGINT folds in
+# round 11; WINDOWS.md round-12 note).
+#
+# ROUND-13 ROTATION PLAN (committed now so no entry waits on an
+# undocumented promise; precondition: CORRECTNESS_r12 grades the
+# window below 50/50 green). Pure backfill again:
+#   (a) the eight remaining r08 rows above;
+#   (b) the alphabetically-first 42 of the 49 entries whose latest
+#       green will then be r09 (pipeline_posts_clean_wire ..
+#       x03_hamming_rerank — the verbatim list is in WINDOWS.md); the
+#       alphabetically-last seven (x03_hamming_topk, x03_range_search,
+#       x04_fingerprint, x04_hash_sample, x04_language_id,
+#       x04_weighted_sample, x05_frame_sample) roll to round 14.
+# 8 + 42 = 50. Every round-12/13 registration must either take a slot
 # from the (b) tail in its own commit or add itself to
 # QUEUED_FOR_NEXT_WINDOW — keep velocity <= the handful the window can
 # absorb.
 GRADING_PRIORITY: tuple[str, ...] = (
-    # (a) the nine r06 rows — the last entries older than r07
-    "x04_decontamination",
-    "x04_mixing_rebalance",
-    "x04_ngram_vocab",
-    "x04_pii_scrub",
-    "x04_repetition_metrics",
-    "x04_sequence_packing",
-    "x04_tokenize_to_ids",
-    "x05_corpus_slice",
-    "x05_payload_resize",
-    # (b) backfill: the alphabetically-first 41 r07 rows
-    "pipeline_dedup_report",
-    "pipeline_events_monitor",
-    "pipeline_feature_store",
-    "pipeline_split_leakage_audit",
-    "q07_winsorized_stats",
-    "q10_join_null_safe",
-    "q11_asof_tolerance",
-    "q12_table_diff",
-    "q13_percent_rank_cume",
-    "q16_null_semantics",
-    "q17_higher_order_funcs",
-    "q18_snapshot_publish_read",
-    "q19_cdc_apply",
-    "q19_incremental_agg_maintain",
-    "q20_map_in_arrow",
-    "q21_ab_lift_ztest",
-    "q21_activity_streaks",
-    "q21_attribution_last_touch",
-    "q21_copurchase_lift",
-    "q21_copurchase_reach2",
-    "q21_dau_wau_stickiness",
-    "q21_part_pagerank",
-    "q21_rfm_segments",
-    "q21_sessionize_gap",
-    "q21_spend_trend_ols",
-    "q22_cusum_drift",
-    "q22_ewma_window",
-    "q22_locf_fill",
-    "q22_seasonal_naive",
-    "x02_containment_pairs",
-    "x02_dedup_keep_best",
-    "x02_fuzzy_levenshtein_neardup",
-    "x03_ann_lsh_bucketed",
-    "x03_ivf_topk",
-    "x04_bm25_scores",
-    "x04_boilerplate_removal",
-    "x04_bpe_merge_apply",
-    "x04_bpe_pair_stats",
-    "x04_char_entropy",
-    "x04_data_quality_report",
-    "x04_feature_hashing",
+    # (a) the eight remaining r07 rows
+    "x04_global_shuffle",
+    "x04_lm_quality_score",
+    "x04_quality_percentile_gate",
+    "x04_readability",
+    "x04_source_caps",
+    "x05_byte_histogram",
+    "x05_frame_dedup",
+    "x05_size_binned_shards",
+    # (b) backfill: the alphabetically-first 42 r08 rows
+    "q01_csv_scan",
+    "q01_json_scan",
+    "q02_projection_pruning",
+    "q03_filter_predicates",
+    "q04_topk",
+    "q05_multikey_sort",
+    "q06_limit_offset",
+    "q07_corr_exact_moments",
+    "q07_heavy_hitters",
+    "q07_mode_exact",
+    "q07_percentiles",
+    "q08_approx_distinct",
+    "q08_count_distinct",
+    "q08_distinct_pairs",
+    "q09_pivot",
+    "q10_join_anti",
+    "q10_join_broadcast_dims",
+    "q10_join_inner_star",
+    "q10_local_supplier_volume",
+    "q11_interval_overlap",
+    "q11_range_join_bands",
+    "q12_intersect_users",
+    "q13_range_interval_frames",
+    "q13_running_frames",
+    "q13_value_functions",
+    "q16_bitwise_funcs",
+    "q17_adhoc_sql_correlated",
+    "q17_variant_shred",
+    "q18_schema_evolution_read",
+    "q20_grouped_agg_pandas",
+    "q21_ab_power_analysis",
+    "q21_cohort_ltv",
+    "q21_degree_powerlaw",
+    "q21_funnel_conversion",
+    "q21_next_event_prediction",
+    "q21_survival_km",
+    "q21_triangle_count",
+    "s08_stateful_zscore_replay",
+    "x01_dedup_exact_key",
+    "x02_embedding_neardup",
+    "x02_semantic_dedup",
+    "x03_ann_recall_report",
 )
 
 GRADED_WINDOW = 50
