@@ -149,8 +149,6 @@ def run_tumbling_stream(
     files (SCALE.md). Size to ~2-4× executor cores on a real cluster.
     """
     ensure_session_confs(spark)
-    prior = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(state_shards))
     schema = spark.read.parquet(source_dir).schema
     stream = (
         spark.readStream.schema(schema)
@@ -180,6 +178,11 @@ def run_tumbling_stream(
             os.path.join(sink_dir, f"batch={batch_id}")
         )
 
+    # Set immediately before the try so an exception anywhere earlier
+    # cannot leak the shard count into the session (the stateful.py
+    # runners' discipline).
+    prior = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_shards))
     try:
         (
             agg.writeStream.outputMode("append")

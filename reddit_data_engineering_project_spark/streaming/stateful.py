@@ -331,10 +331,17 @@ def score_rolling_zscore_bucketed(
     if frames:
         pdf = frames[0] if len(frames) == 1 else pd.concat(frames)
         ts_ns = pdf["ts"].to_numpy("datetime64[ns]").view("int64")
+        # NaT (int64-min) must sort LAST to match the per-user path's
+        # sort_values(["ts", "event_id"]) — the z-score fold KEEPS
+        # null-ts rows (they occupy a frame slot), so their position in
+        # the fold order is load-bearing for row-identity (r11 advice).
+        ts_key = np.where(
+            ts_ns == np.iinfo("int64").min, np.iinfo("int64").max, ts_ns
+        )
         eid = pdf["event_id"].to_numpy()
         if eid.dtype == object:
             eid = pdf["event_id"].astype("float64").to_numpy()
-        order = np.lexsort((eid, ts_ns))
+        order = np.lexsort((eid, ts_key))
         pdf = pdf.iloc[order]
         for u, idx in pdf.groupby(
             "user_id", dropna=False, sort=False
@@ -690,12 +697,18 @@ def run_session_stream(
 #: Per-BUCKET state: the open sessions of every user hashed into the
 #: bucket, as parallel arrays (user_ids may contain None — the NULL-user
 #: group is a first-class session key, same as the per-user operator).
+#: ``timeout_ms`` is the user's CLAMPED close instant — what the
+#: per-user operator passed to ``setTimeoutTimestamp`` — not the raw
+#: last+gap deadline: under late arrivals the two differ (the per-user
+#: clamp defers a behind-watermark deadline to wm+1), and replicating
+#: Spark's ``timeout < watermark`` firing rule needs the clamped value.
 BUCKET_SESSION_STATE_SCHEMA = StructType(
     [
         StructField("user_ids", ArrayType(LongType(), containsNull=True)),
         StructField("start_us", ArrayType(LongType())),
         StructField("last_us", ArrayType(LongType())),
         StructField("n_events", ArrayType(LongType())),
+        StructField("timeout_ms", ArrayType(LongType())),
     ]
 )
 
@@ -721,22 +734,30 @@ def close_idle_sessions_bucketed(
     - users WITH data in the batch fold through the SAME
       :func:`_gap_fold` core the s09 replays verify — gap splits and
       continuations are byte-identical;
-    - users WITHOUT data close by timeout iff their deadline
-      (last_event + gap) fell strictly behind the current watermark —
+    - users WITHOUT data close by timeout iff their stored CLAMPED
+      timeout instant fell strictly behind the current watermark —
       exactly Spark's own ``timeoutTimestamp < watermark`` firing rule
-      the per-user operator relies on. The bucket's timeout timestamp
-      is the MIN open deadline, so the bucket is re-invoked in the
+      the per-user operator relies on. Storing the clamp (not the raw
+      last+gap deadline) matters under LATE arrivals: the per-user
+      operator defers a behind-watermark deadline to wm+1 and only
+      closes once the watermark moves past it, so a further within-gap
+      late event still merges — recomputing from the deadline would
+      timeout-close the just-extended session in the SAME batch and
+      break row-identity (r11 advice). The bucket's timeout timestamp
+      is the MIN per-user timeout, so the bucket is re-invoked in the
       same micro-batch in which the earliest per-user timeout would
       have fired.
     """
     import numpy as np
 
     gap_us = _SESSION_GAP_MS * 1000
-    open_: dict = {}
+    open_: dict = {}  # user -> (start_us, last_us, n_events, timeout_ms)
     if state.exists:
-        uids, starts, lasts, ns = state.get
-        for u, s, l, n in zip(uids, starts, lasts, ns):
-            open_[None if u is None else int(u)] = (int(s), int(l), int(n))
+        uids, starts, lasts, ns, touts = state.get
+        for u, s, l, n, t in zip(uids, starts, lasts, ns, touts):
+            open_[None if u is None else int(u)] = (
+                int(s), int(l), int(n), int(t),
+            )
 
     wm_ms = state.getCurrentWatermarkMs()
     out_user: list = []
@@ -765,25 +786,36 @@ def close_idle_sessions_bucketed(
                 "user_id", dropna=False, sort=False
             ).indices.items():
                 u = None if pd.isna(u) else int(u)
+                prior = open_.pop(u, None)
                 closed, cur = _gap_fold(
-                    open_.pop(u, None), ts_us_all[idx], gap_us
+                    prior[:3] if prior is not None else None,
+                    ts_us_all[idx],
+                    gap_us,
                 )
                 for seg in closed:
                     out_user.append(u)
                     out_rows.append(seg)
                     out_why.append("gap")
                 if cur is not None:
-                    open_[u] = cur
+                    # The per-user operator's setTimeoutTimestamp,
+                    # clamp included: a touched user's timeout is
+                    # always > wm, so the expiry scan below can never
+                    # close a session extended this batch.
+                    open_[u] = cur + (
+                        max(
+                            cur[1] // 1000 + _SESSION_GAP_MS,
+                            wm_ms + 1,
+                        ),
+                    )
 
-    # Users with no data this batch whose deadline the watermark passed:
-    # the per-user operator's timeout branch, applied selectively.
-    expired = [
-        u
-        for u, (s, l, n) in open_.items()
-        if l // 1000 + _SESSION_GAP_MS < wm_ms
-    ]
+    # Users with no data this batch whose CLAMPED timeout the watermark
+    # passed: the per-user operator's timeout branch, applied
+    # selectively (Spark fires a key's timeout iff it got no data and
+    # timeout < watermark — touched users' refreshed timeouts are > wm
+    # by construction, so the untouched set is exactly {t < wm}).
+    expired = [u for u, v in open_.items() if v[3] < wm_ms]
     for u in expired:
-        s, l, n = open_.pop(u)
+        s, l, n, _t = open_.pop(u)
         out_user.append(u)
         out_rows.append((s, l, n))
         out_why.append("timeout")
@@ -795,15 +827,14 @@ def close_idle_sessions_bucketed(
                 [v[0] for v in open_.values()],
                 [v[1] for v in open_.values()],
                 [v[2] for v in open_.values()],
+                [v[3] for v in open_.values()],
             )
         )
-        min_deadline = min(
-            v[1] // 1000 + _SESSION_GAP_MS for v in open_.values()
-        )
         # Spark rejects event-time timeouts at/behind the watermark;
-        # wm+1 re-fires next batch, which is when a passed deadline
-        # would be acted on anyway.
-        state.setTimeoutTimestamp(max(min_deadline, wm_ms + 1))
+        # wm+1 re-fires next batch, which is when a passed per-user
+        # timeout would be acted on anyway.
+        min_timeout = min(v[3] for v in open_.values())
+        state.setTimeoutTimestamp(max(min_timeout, wm_ms + 1))
     else:
         state.remove()
 

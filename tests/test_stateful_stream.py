@@ -424,13 +424,26 @@ def test_bucketed_session_single_bucket_timeout_and_gap(spark, tmp_path):
 def test_bucketed_zscore_stream_matches_per_user(spark, tmp_path):
     """Key-coarsened z-score gate: row-identical to the per-user
     operator the s08 replay verifies — same scores, same NULL-value
-    rows, incl. the NULL user — on a 3-batch time-ordered corpus."""
+    rows, incl. the NULL user — on a 3-batch time-ordered corpus.
+
+    The corpus is salted with NULL-ts rows (legal per TIME_DOMAINS):
+    the z-score fold KEEPS them — they occupy a frame slot — so their
+    position in the fold order is load-bearing, and the bucketed path
+    must place NaT LAST like the per-user sort_values does (r11
+    advice: the raw-int64 lexsort put NaT FIRST and diverged)."""
     from reddit_data_engineering_project_spark.streaming.stateful import (
         run_zscore_stream,
         run_zscore_stream_bucketed,
     )
 
     ev = table(spark, SF_DIR, "events")
+    null_ts = (
+        ev.orderBy("event_id")
+        .limit(5)
+        .withColumn("ts", F.lit(None).cast("timestamp"))
+        .withColumn("event_id", F.col("event_id") + F.lit(10**9))
+    )
+    ev = ev.unionByName(null_ts)
     src = os.path.join(str(tmp_path), "src")
     slice_col = F.ntile(3).over(
         Window.orderBy(F.col("ts").asc_nulls_first(), "event_id")
@@ -461,3 +474,190 @@ def test_bucketed_zscore_stream_matches_per_user(spark, tmp_path):
         )
     assert outs["per_user"] == outs["bucketed"]
     assert len(outs["per_user"]) > 0
+
+
+def test_session_streams_filter_late_rows_identically(spark, tmp_path):
+    """What late arrivals ACTUALLY do on the live path (r11 advice
+    follow-up): with EventTimeTimeout, Spark drops input rows older
+    than the watermark BEFORE the stateful function — in BOTH runners —
+    so a late event can never extend a behind-deadline session through
+    these streams at all. (And an accepted row is >= wm, hence out of
+    gap of any behind-deadline session: it would start a NEW session
+    anyway.) Pinned here so the deferral logic's reachability story
+    stays honest: the clamped-timeout emulation matters when the
+    functions are driven directly (replays / harnesses with a nonzero
+    watermark), which test_bucketed_late_fold_defers_like_per_user
+    covers at the unit level."""
+    import datetime
+
+    from reddit_data_engineering_project_spark.streaming.stateful import (
+        run_session_stream,
+        run_session_stream_bucketed,
+    )
+
+    def drop(src, rows):
+        pdf = spark.createDataFrame(
+            [
+                (e, datetime.datetime.fromisoformat(t), u, "view", 1.0)
+                for e, t, u in rows
+            ],
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double",
+        )
+        pdf.coalesce(1).write.mode("append").parquet(src)
+
+    # Batch 1 advances the watermark to 01:00, stranding user 1's
+    # deadline (00:30) behind it. Batches 2-3 are LATE user-1 events
+    # (each within gap of the previous) — the watermark filter drops
+    # them. Batches 4-5 advance the watermark so user 1's singleton
+    # closes by timeout.
+    files = [
+        [(1, "2024-01-01 00:00:00", 1), (2, "2024-01-01 01:00:00", 2)],
+        [(3, "2024-01-01 00:10:00", 1)],
+        [(4, "2024-01-01 00:20:00", 1)],
+        [(5, "2024-01-01 06:00:00", 2)],
+        [(6, "2024-01-01 07:00:00", 2)],
+    ]
+    outs = {}
+    for tag, runner, kwargs in (
+        ("per_user", run_session_stream, {}),
+        ("bucketed", run_session_stream_bucketed, {"n_buckets": 1}),
+    ):
+        src = os.path.join(str(tmp_path), f"src_{tag}")
+        sink = os.path.join(str(tmp_path), f"sink_{tag}")
+        ckpt = os.path.join(str(tmp_path), f"ckpt_{tag}")
+        for rows in files:
+            drop(src, rows)
+            runner(spark, src, sink, ckpt, **kwargs)
+        out = (
+            spark.read.option("recursiveFileLookup", True)
+            .parquet(sink)
+            .collect()
+        )
+        outs[tag] = sorted(
+            (r.user_id, r.session_start, r.session_end, r.n_events,
+             r.closed_by)
+            for r in out
+        )
+    assert outs["per_user"] == outs["bucketed"]
+    import pandas as pd
+
+    u1 = [o for o in outs["per_user"] if o[0] == 1]
+    # the late events were filtered, not folded: a 1-event session
+    assert [(o[3], o[4]) for o in u1] == [(1, "timeout")]
+    assert u1[0][1] == u1[0][2] == pd.Timestamp("2024-01-01 00:00:00")
+
+
+def test_bucketed_late_fold_defers_like_per_user():
+    """Unit-level late-arrival deferral (r11 advice): when the
+    transition functions are driven directly with a NONZERO watermark
+    (replay/harness territory — the live runners' watermark filter
+    makes this unreachable, see the test above), a late event that
+    extends a behind-deadline session must NOT timeout-close in the
+    same invocation on the bucketed path: the per-user operator clamps
+    its timeout to wm+1 and defers, and the bucketed state now carries
+    that CLAMPED instant per user. An untouched user whose clamped
+    timeout fell behind the watermark still closes."""
+    import pandas as pd
+
+    from reddit_data_engineering_project_spark.streaming.stateful import (
+        _SESSION_GAP_MS,
+        close_idle_sessions,
+        close_idle_sessions_bucketed,
+    )
+    from reddit_data_engineering_project_spark.streaming.stream_queries import (
+        _ReplayGroupState,
+    )
+
+    class _WmState(_ReplayGroupState):
+        __slots__ = ("wm_ms",)
+
+        def __init__(self, wm_ms):
+            super().__init__()
+            self.wm_ms = wm_ms
+
+        def getCurrentWatermarkMs(self):
+            return self.wm_ms
+
+    us = lambda iso: int(pd.Timestamp(iso).value // 1000)  # noqa: E731
+    ms = lambda iso: us(iso) // 1000  # noqa: E731
+    wm = ms("2024-01-01 01:00:00")  # deadline 00:30 is behind this
+
+    def batch(rows):  # rows: (event_id, iso_ts, user_id)
+        return pd.DataFrame(
+            {
+                "user_id": [u for _, _, u in rows],
+                "ts": pd.to_datetime([t for _, t, _ in rows]),
+                "event_id": [e for e, _, _ in rows],
+            }
+        )
+
+    # Per-user: open session (00:00, 00:00, 1); late 00:10 merges and
+    # the timeout clamps to wm+1 — no emission this invocation.
+    st = _WmState(wm)
+    st.update((us("2024-01-01 00:00:00"), us("2024-01-01 00:00:00"), 1))
+    out = list(
+        close_idle_sessions(
+            (1,), iter([batch([(3, "2024-01-01 00:10:00", 1)])]), st
+        )
+    )
+    assert out == []
+    assert st.get == (
+        us("2024-01-01 00:00:00"), us("2024-01-01 00:10:00"), 2,
+    )
+    assert st.timeout_ts == wm + 1
+
+    # Bucketed: same user 1 plus an UNTOUCHED user 2 whose clamped
+    # timeout fell behind the watermark. User 1 must merge-and-defer
+    # (not timeout-close this invocation); user 2 must close.
+    stb = _WmState(wm)
+    stb.update(
+        (
+            [1, 2],
+            [us("2024-01-01 00:00:00"), us("2024-01-01 00:05:00")],
+            [us("2024-01-01 00:00:00"), us("2024-01-01 00:05:00")],
+            [1, 1],
+            [ms("2024-01-01 00:30:00"), ms("2024-01-01 00:35:00")],
+        )
+    )
+    out = list(
+        close_idle_sessions_bucketed(
+            (0,), iter([batch([(3, "2024-01-01 00:10:00", 1)])]), stb
+        )
+    )
+    (frame,) = out
+    closed = sorted(
+        zip(frame["user_id"], frame["n_events"], frame["closed_by"])
+    )
+    assert closed == [(2, 1, "timeout")]
+    # user 1's merged session stays open, timeout clamped to wm+1
+    uids, starts, lasts, ns, touts = stb.get
+    assert list(uids) == [1]
+    assert (starts[0], lasts[0], ns[0]) == (
+        us("2024-01-01 00:00:00"), us("2024-01-01 00:10:00"), 2,
+    )
+    assert touts[0] == wm + 1
+    assert stb.timeout_ts == wm + 1
+
+    # Next invocation, watermark unchanged: user 1 must STILL not
+    # close (Spark fires only when timeout < watermark), and a further
+    # within-gap late event merges to n=3 — the divergence the old
+    # deadline-recomputing expiry scan produced.
+    out = list(
+        close_idle_sessions_bucketed(
+            (0,), iter([batch([(4, "2024-01-01 00:20:00", 1)])]), stb
+        )
+    )
+    assert out == []
+    uids, starts, lasts, ns, touts = stb.get
+    assert list(ns) == [3]
+    # Watermark finally moves past the clamp: pure-timeout invocation
+    # closes the merged 3-event session — matching what per-user's
+    # hasTimedOut branch would emit.
+    stb2 = _WmState(wm + 2)
+    stb2._v = stb.get
+    stb2.hasTimedOut = True
+    (frame,) = list(close_idle_sessions_bucketed((0,), iter([]), stb2))
+    assert list(frame["n_events"]) == [3]
+    assert list(frame["closed_by"]) == ["timeout"]
+    assert not stb2.exists

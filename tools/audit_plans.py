@@ -165,12 +165,11 @@ def unbounded_global_windows(plan: str) -> list[str]:
         ReusedExchange nodes are resolved back to their referenced
         subtree and the walk continues there (visited-guarded); an
         unresolvable reference is flagged conservatively."""
-        seen: set[int] = set()
-        stack = [j for j in subtree(root_idx)]
         # prune_below semantics don't survive jumping between subtrees,
-        # so re-implement as an explicit DFS: push a node's subtree only
-        # when the node itself is not bounding.
-        stack = []
+        # so this is an explicit DFS: push a node's subtree only when
+        # the node itself is not bounding.
+        seen: set[int] = set()
+        stack: list[int] = []
 
         def push_children(idx: int) -> None:
             d0 = nodes[idx][0]
@@ -196,12 +195,10 @@ def unbounded_global_windows(plan: str) -> list[str]:
                 target = reuse_ref.get(idj)
                 if target is None or target not in index_of_id:
                     return "UNRESOLVED_REUSED_EXCHANGE"
-                t = index_of_id[target]
-                if t not in seen:
-                    seen.add(t)
-                    tname = nodes[t][1]
-                    if not _BOUNDING.match(tname):
-                        push_children(t)
+                # the target goes through the same dispatch as any
+                # stack entry (bounding check, Scan check, children) —
+                # a target that is itself a Scan must still match.
+                stack.append(index_of_id[target])
                 continue
             if namej.startswith("Scan parquet"):
                 loc = details.get(idj, {}).get("Location", "")
