@@ -19,6 +19,50 @@ import os
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..session import ensure_session_confs
+from ..tables import contract_observe_metrics
+
+
+def observe_ingest_contract(stream: DataFrame, table_name: str | None):
+    """Attach ``table_name``'s declared ingest contract to a stream as
+    ``observe()`` metrics (``tables.PRIMARY_KEYS`` / ``VALUE_DOMAINS`` /
+    ``TIME_DOMAINS``).
+
+    The metrics ride the existing scan — zero extra pass, which is what
+    makes the guard affordable on a 100 TB/day ingest. Pair with
+    :func:`raise_on_contract_violations` after the run: an out-of-domain
+    value would otherwise silently wrap a BIGINT cast or crash a
+    collected ``F.window`` (the probed year-10000 failure) long after
+    the bad row landed. ``table_name=None`` disables the gate (sources
+    that are not a declared corpus table)."""
+    if table_name is None:
+        return stream
+    metrics = contract_observe_metrics(table_name, columns=stream.columns)
+    if not metrics:
+        return stream
+    return stream.observe("ingest_contract", *metrics)
+
+
+def raise_on_contract_violations(
+    query, table_name: str | None
+) -> None:
+    """Fail a finished streaming run whose batches saw contract
+    violations (row-local terms: null primary key, out-of-domain
+    value/time). Reads the query's progress history — no data pass."""
+    if table_name is None:
+        return
+    null_pk = bad_domain = 0
+    for p in query.recentProgress:
+        row = (p.observedMetrics or {}).get("ingest_contract")
+        if row is not None:
+            null_pk += row["n_null_pk"]
+            bad_domain += row["n_out_of_domain"]
+    if null_pk or bad_domain:
+        raise ValueError(
+            f"ingest-contract violation in stream over {table_name!r}: "
+            f"{null_pk} null-primary-key rows, {bad_domain} "
+            f"out-of-domain rows (see tables.VALUE_DOMAINS / "
+            f"TIME_DOMAINS); the sink may contain the offending batches"
+        )
 
 
 def run_enrich_stream(
@@ -28,6 +72,7 @@ def run_enrich_stream(
     sink_dir: str,
     checkpoint_dir: str,
     on: str,
+    contract_table: str | None = "events",
 ) -> None:
     """File-source stream ⋈ static dimension → parquet sink (stream-static join).
 
@@ -37,13 +82,20 @@ def run_enrich_stream(
     into every micro-batch — no state store, no watermark needed (only
     stream-STREAM joins buffer state). At 100 TB/day the fact side
     streams through unshuffled; the dim rides along as a broadcast.
+
+    ``contract_table`` enforces that table's declared ingest contract
+    per batch via observe() metrics (zero extra pass); the run raises
+    after completion if any batch carried a null-key or out-of-domain
+    row. Pass ``None`` for sources that are not a declared corpus
+    table.
     """
     ensure_session_confs(spark)
     schema = spark.read.parquet(source_dir).schema
-    stream = (
+    stream = observe_ingest_contract(
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
-        .parquet(source_dir)
+        .parquet(source_dir),
+        contract_table,
     )
     enriched = stream.join(F.broadcast(dim), on, "left")
 
@@ -57,14 +109,15 @@ def run_enrich_stream(
             os.path.join(sink_dir, f"batch={batch_id}")
         )
 
-    (
+    q = (
         enriched.writeStream.outputMode("append")
         .foreachBatch(write_batch)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
-        .awaitTermination()
     )
+    q.awaitTermination()
+    raise_on_contract_violations(q, contract_table)
 
 
 def run_upsert_stream(
@@ -134,6 +187,7 @@ def run_tumbling_stream(
     window: str = "1 hour",
     watermark: str = "1 hour",
     state_shards: int = 8,
+    contract_table: str | None = "events",
 ) -> None:
     """File-source stream → watermarked tumbling agg → parquet sink.
 
@@ -150,10 +204,11 @@ def run_tumbling_stream(
     """
     ensure_session_confs(spark)
     schema = spark.read.parquet(source_dir).schema
-    stream = (
+    stream = observe_ingest_contract(
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
-        .parquet(source_dir)
+        .parquet(source_dir),
+        contract_table,
     )
     agg = (
         stream.withWatermark("ts", watermark)
@@ -184,16 +239,17 @@ def run_tumbling_stream(
     prior = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(state_shards))
     try:
-        (
+        q = (
             agg.writeStream.outputMode("append")
             .foreachBatch(write_batch)
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True)
             .start()
-            .awaitTermination()
         )
+        q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prior)
+    raise_on_contract_violations(q, contract_table)
 
 
 def run_session_stream(
@@ -203,6 +259,7 @@ def run_session_stream(
     checkpoint_dir: str,
     gap: str = "30 minutes",
     watermark: str = "1 hour",
+    contract_table: str | None = "events",
 ) -> None:
     """File-source stream → watermarked session windows → parquet sink.
 
@@ -217,10 +274,11 @@ def run_session_stream(
     """
     ensure_session_confs(spark)
     schema = spark.read.parquet(source_dir).schema
-    stream = (
+    stream = observe_ingest_contract(
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
-        .parquet(source_dir)
+        .parquet(source_dir),
+        contract_table,
     )
     agg = (
         stream.withColumn("value", F.coalesce(F.col("value"), F.lit(0.0)))
@@ -246,14 +304,15 @@ def run_session_stream(
             os.path.join(sink_dir, f"batch={batch_id}")
         )
 
-    (
+    q = (
         agg.writeStream.outputMode("append")
         .foreachBatch(write_batch)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
-        .awaitTermination()
     )
+    q.awaitTermination()
+    raise_on_contract_violations(q, contract_table)
 
 
 def run_dedup_index_stream(

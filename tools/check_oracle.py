@@ -84,6 +84,18 @@ def main() -> int:
     only = set(args.only.split(",")) if args.only else None
 
     spark = get_spark(app_name="check_oracle")
+
+    # Vet the corpus being swept BEFORE grading against it: the declared
+    # ingest contracts (null/dup primary keys, value/time domains) are
+    # what the engine's exactness guarantees assume — an out-of-domain
+    # corpus (committed OR hostile) makes every quantized compare
+    # meaningless, so fail loudly here instead of chasing hash drift.
+    from reddit_data_engineering_project_spark.tables import (
+        check_ingest_contracts,
+    )
+
+    check_ingest_contracts(spark, args.sf)
+
     con = duckdb.connect()
     for t in (
         "region nation customer supplier part orders lineitem events documents embeddings"

@@ -4,10 +4,14 @@ Runs, in order:
   1. corpus canary        — loader dtypes at every SF present (catches a
                             driver fixture regeneration immediately);
   2. entry smoke          — ``entry(spark)`` returns rows;
-  3. graded-window oracle — the first ``GRADED_WINDOW`` registry entries
+  3. ingest contracts     — ``tables.check_ingest_contracts`` over the
+                            gate corpus (null/dup primary keys,
+                            out-of-domain values — the declared domains
+                            the engine's exactness guarantees require);
+  4. graded-window oracle — the first ``GRADED_WINDOW`` registry entries
                             vs DuckDB at sf0.01 (the driver's exact gate);
-  4. bench parse          — ``bench.py`` at sf0.001 emits one JSON line;
-  5. plan audit           — ``tools/audit_plans.py`` anti-pattern sweep +
+  5. bench parse          — ``bench.py`` at sf0.001 emits one JSON line;
+  6. plan audit           — ``tools/audit_plans.py`` anti-pattern sweep +
                             per-entry plan-shape diff vs the blessed
                             ``PLANS_SNAPSHOT.json`` (out-of-window entries
                             are otherwise re-proven only by pytest; a
@@ -90,6 +94,22 @@ def bench_regressions(
     }
 
 
+def ingest_contracts_check(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """Stage 3 body: the declared ingest contracts must hold over the
+    gate corpus — a null/duplicate primary key or out-of-domain value
+    raises (``tables.check_ingest_contracts``), failing preflight.
+    Module-level so the planted-corpus pytest can drive it directly."""
+    from reddit_data_engineering_project_spark.session import get_spark
+    from reddit_data_engineering_project_spark.tables import (
+        check_ingest_contracts,
+    )
+
+    spark = get_spark(app_name="preflight")
+    audit = check_ingest_contracts(spark, sf_dir)  # raises on violation
+    n = audit.count()
+    return f"{n} tables conform at {sf_dir}"
+
+
 def stage(name: str, fn) -> tuple[str, bool, str]:
     t0 = time.time()
     try:
@@ -148,6 +168,8 @@ def main() -> int:
         return f"{n} rows; {len(q)} queries, {len(o)} oracles"
 
     results.append(stage("entry-smoke", entry_smoke))
+
+    results.append(stage("ingest-contracts", ingest_contracts_check))
 
     def oracle_gate():
         from reddit_data_engineering_project_spark import registry
