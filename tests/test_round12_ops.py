@@ -167,3 +167,46 @@ def test_contract_observe_metrics_counts(spark):
     assert (row.n_rows, row.n_null_pk, row.n_out_of_domain) == (5, 1, 2)
     # a table with no declared contract yields no metrics
     assert contract_observe_metrics("lineitem") == []
+
+
+def test_zscore_fold_paths_identical(monkeypatch):
+    """The z-score fold's two arms (sequential small-call loop vs the
+    stride-tricks vectorized path, dispatched on _VECTOR_MIN) must be
+    ROW-IDENTICAL — outputs, masks, and state tail (None≡NaN) — since
+    which arm runs depends only on batch size, never on data. Covers
+    NaN values, a state tail carrying None (the array<double> round
+    trip can render missing as None), and both sides of the dispatch
+    threshold."""
+    import numpy as np
+
+    from reddit_data_engineering_project_spark.streaming import stateful
+
+    rng = np.random.default_rng(42)
+
+    def both(tail, ev, vals):
+        outs = []
+        for forced in (0, 10**9):  # 0 -> always vectorized, huge -> seq
+            monkeypatch.setattr(stateful, "_VECTOR_MIN", forced)
+            outs.append(stateful._zscore_fold(list(tail), ev, vals))
+        return outs
+
+    for m in (1, 7, 63, 64, 65, 500):
+        ev = rng.integers(1, 10**9, m).astype("int64")
+        vals = np.where(
+            rng.random(m) < 0.15, np.nan, rng.normal(0.0, 100.0, m)
+        )
+        for tail in ([], [1.0, None, float("nan"), -2.5]):
+            (e1, v1, vm1, z1, zm1, t1), (e2, v2, vm2, z2, zm2, t2) = both(
+                tail, ev, vals
+            )
+            assert list(e1) == list(e2)
+            assert list(vm1) == list(vm2) and list(zm1) == list(zm2)
+            assert list(v1[~vm1]) == list(v2[~vm2])
+            assert list(z1[~zm1]) == list(z2[~zm2])
+            assert len(t1) == len(t2) <= stateful._FRAME - 1
+            for a, b in zip(t1, t2):
+                a_missing = a is None or a != a
+                b_missing = b is None or b != b
+                assert a_missing == b_missing
+                if not a_missing:
+                    assert a == b
