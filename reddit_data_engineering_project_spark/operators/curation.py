@@ -829,7 +829,12 @@ def q18_export_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"reddit_data_engineering_project_spark_training_shards_{os.getpid()}",
     )
     write_partitioned_parquet(curated, out, "split")
-    back = spark.read.parquet(out)
+    # Explicit schema-on-read: a fully-filtered curation (empty corpus,
+    # or every doc failing the gates) writes no footers — inference
+    # would raise where the declared schema reads an empty frame (the
+    # r12 degenerate-cardinality finding, same class as
+    # q18_sink_roundtrip).
+    back = spark.read.schema(curated.schema).parquet(out)
     return back.groupBy("split").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),

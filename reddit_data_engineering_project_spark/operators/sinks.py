@@ -146,7 +146,14 @@ def q18_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"reddit_data_engineering_project_spark_sink_roundtrip_{os.getpid()}",
     )
     write_partitioned_parquet(ev, out, "ds")
-    back = spark.read.parquet(out)
+    # Read back with the WRITER's schema, not inference: a zero-row
+    # partitioned write leaves no parquet footers (only _SUCCESS), so
+    # inference raises UNABLE_TO_INFER_SCHEMA — the no-data-day crash
+    # the r12 degenerate-cardinality sweep caught. Pinning schema-on-
+    # read is also the 100 TB practice: the lake contract, not the
+    # files, defines the types (partition values still parse from the
+    # Hive-style dirs per the declared ds DATE).
+    back = spark.read.schema(ev.schema).parquet(out)
     return back.groupBy("ds").agg(
         F.count("*").alias("n_rows"),
         dround(F.sum("value")).alias("total_value"),
@@ -425,7 +432,12 @@ def q18_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"reddit_data_engineering_project_spark_part_prune_{os.getpid()}",
     )
     write_partitioned_parquet(ev, out, "ds")
-    back = spark.read.parquet(out).filter(
+    # Explicit schema-on-read (see q18_sink_roundtrip): a zero-row
+    # write has no footers to infer from, and the declared schema is
+    # the lake contract anyway. Partition pruning is unaffected — the
+    # ds equality still resolves at planning time against the
+    # directory index.
+    back = spark.read.schema(ev.schema).parquet(out).filter(
         F.col("ds") == F.lit(_PRUNE_DAY).cast("date")
     )
     return back.groupBy("event_type").agg(

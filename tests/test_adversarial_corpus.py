@@ -129,3 +129,109 @@ def test_sweep_finding_stays_green(spark, adv_sf, adv_duck, name):
     assert sorted(scols) == sorted(dcols), (scols, dcols)
     assert len(srows) == len(drows), (len(srows), len(drows))
     assert table_hash(srows, scols) == table_hash(drows, dcols)
+
+
+# ---------------------------------------------------------------------------
+# Degenerate cardinality (r11 verdict item 3): EMPTY and 1-ROW corpora.
+# ---------------------------------------------------------------------------
+#
+# Full sweeps are tool invocations (like the hostile sweep above):
+#
+#     python tools/degenerate_corpus.py
+#     python tools/check_oracle.py --sf /tmp/degcorpus_empty
+#     python tools/check_oracle.py --sf /tmp/degcorpus_one
+#
+# Round-12 results: EMPTY 202 ok / 5 fail, 1-ROW 206 ok / 1 fail.
+# Three fails were CRASHES, all one class — a zero-row partitioned
+# parquet write leaves no footers, so schema INFERENCE on read-back
+# raises UNABLE_TO_INFER_SCHEMA (q18_sink_roundtrip,
+# q18_partitioned_prune, q18_export_training_shards; the no-data-day
+# production bug). Fixed by explicit schema-on-read; pinned below.
+# The remaining fails are ONE documented engine-semantics divergence,
+# not a defect: Spark's GROUP BY ROLLUP/CUBE over EMPTY input emits
+# zero rows (DataFrame API and SQL alike), while ANSI/DuckDB emit the
+# grand-total grouping-set row (global aggregation over zero rows =
+# one row). It shows on the empty corpus (q09_cube, q09_rollup) and on
+# the 1-row corpus wherever a join empties the aggregate's input
+# (q09_rollup: the single customer's nationkey doesn't match the
+# single nation). Pinned below so the divergence stays EXACTLY this
+# shape.
+
+DEGENERATE_FIXED_CRASHES = [
+    "q18_sink_roundtrip",
+    "q18_partitioned_prune",
+    "q18_export_training_shards",
+]
+
+
+@pytest.fixture(scope="module")
+def degenerate_dirs(tmp_path_factory):
+    deg = importlib.import_module("degenerate_corpus")
+    base = tmp_path_factory.mktemp("degcorpus")
+    out_empty, out_one = str(base / "empty"), str(base / "one")
+    deg.write_slices("/root/testdata/sf0.001", out_empty, out_one)
+    return out_empty, out_one
+
+
+def _duck_for(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet").replace("'", "''")
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
+        )
+    return con
+
+
+@pytest.mark.parametrize("name", DEGENERATE_FIXED_CRASHES)
+def test_degenerate_empty_sink_roundtrips_run(spark, degenerate_dirs, name):
+    """The no-data-day class: partitioned write of ZERO rows, read back
+    with the declared schema, aggregate — runs and hash-matches the
+    oracle (both sides empty)."""
+    from check_oracle import table_hash
+
+    out_empty, _ = degenerate_dirs
+    sdf = registry.QUERIES[name](spark, out_empty)
+    srows = [tuple(r) for r in sdf.collect()]
+    con = _duck_for(out_empty)
+    try:
+        res = con.execute(registry.ORACLES[name])
+        drows = res.fetchall()
+        dcols = [d[0] for d in res.description]
+    finally:
+        con.close()
+    assert sorted(sdf.columns) == sorted(dcols)
+    assert len(srows) == len(drows) == 0
+    assert table_hash(srows, sdf.columns) == table_hash(drows, dcols)
+
+
+def test_degenerate_rollup_divergence_is_exactly_documented(
+    spark, degenerate_dirs
+):
+    """Spark rollup/cube over EMPTY input: zero rows; DuckDB: the ANSI
+    grand-total row. Any other shape (a crash, a different rowcount, a
+    Spark behavior change in an upgrade) must fail here loudly."""
+    out_empty, out_one = degenerate_dirs
+    for sf_dir, names in (
+        (out_empty, ("q09_cube", "q09_rollup")),
+        (out_one, ("q09_rollup",)),
+    ):
+        con = _duck_for(sf_dir)
+        try:
+            for name in names:
+                srows = registry.QUERIES[name](spark, sf_dir).collect()
+                drows = con.execute(registry.ORACLES[name]).fetchall()
+                assert len(srows) == 0, (name, sf_dir, srows)
+                assert len(drows) == 1, (name, sf_dir, drows)
+        finally:
+            con.close()
+    # and on the 1-row corpus the cube over the intact single-table
+    # input MATCHES (the divergence needs an EMPTY aggregate input)
+    _, out_one = degenerate_dirs
+    srows = registry.QUERIES["q09_cube"](spark, out_one).collect()
+    con = _duck_for(out_one)
+    try:
+        drows = con.execute(registry.ORACLES["q09_cube"]).fetchall()
+    finally:
+        con.close()
+    assert len(srows) == len(drows) > 0

@@ -1,0 +1,62 @@
+"""Degenerate-cardinality corpora: EMPTY and 1-ROW versions of every
+table (r11 verdict item 3).
+
+Every hostile class so far varied VALUES; none varied cardinality to
+zero. The package leans on 1-row broadcast anchors
+(``crossJoin(F.broadcast(max_ts))``) and ``.first()`` scalar reads that
+had never executed against an empty table — empty-anchor semantics
+(empty crossJoin vs a NULL-filled row vs ``.first() is None``) differ
+per pattern, which is exactly where a green engine can still crash.
+
+The tables are SLICES of a committed corpus dir, so physical schemas
+(including the events.ts dtype branch) are byte-faithful; a 1-row
+corpus keeps each table's FIRST row, so cross-table joins may
+legitimately be empty — the stress is cardinality, not semantics.
+
+Usage:
+    python tools/degenerate_corpus.py [--src /root/testdata/sf0.001] \
+        [--out-empty /tmp/degcorpus_empty] [--out-one /tmp/degcorpus_one]
+    python tools/check_oracle.py --sf /tmp/degcorpus_empty
+    python tools/check_oracle.py --sf /tmp/degcorpus_one
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import pyarrow.parquet as pq
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def write_slices(src: str, out_empty: str, out_one: str) -> None:
+    os.makedirs(out_empty, exist_ok=True)
+    os.makedirs(out_one, exist_ok=True)
+    for name in TABLES:
+        t = pq.read_table(os.path.join(src, f"{name}.parquet"))
+        pq.write_table(
+            t.slice(0, 0), os.path.join(out_empty, f"{name}.parquet")
+        )
+        pq.write_table(
+            t.slice(0, 1), os.path.join(out_one, f"{name}.parquet")
+        )
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--src", default="/root/testdata/sf0.001")
+    ap.add_argument("--out-empty", default="/tmp/degcorpus_empty")
+    ap.add_argument("--out-one", default="/tmp/degcorpus_one")
+    args = ap.parse_args()
+    write_slices(args.src, args.out_empty, args.out_one)
+    for out in (args.out_empty, args.out_one):
+        print(f"{out}: {len(TABLES)} tables")
+    return 0
+
+
+if __name__ == "__main__":
+    main()
