@@ -29,6 +29,14 @@ from check_oracle import table_hash  # noqa: E402
 
 SF_DIR = "/root/testdata/sf0.001"
 
+#: Deep-sweep multiplier (the per-round fresh-seed ritual): the
+#: per-grammar example counts below are sized for the committed suite;
+#: SPARK_GRAFT_FUZZ_SCALE=10 turns one pytest invocation into the
+#: ~150-examples-per-grammar deep sweep previous rounds ran by hand.
+#: Per-test @settings overrides any hypothesis profile, hence a
+#: multiplier constant rather than a profile.
+_FUZZ_SCALE = max(1, int(os.environ.get("SPARK_GRAFT_FUZZ_SCALE", "1")))
+
 # --- query grammar -------------------------------------------------------
 
 _NUM_COLS = ["l_quantity", "l_linenumber", "l_suppkey"]
@@ -317,7 +325,7 @@ def _assert_agree(engines, sql: str) -> None:
 
 
 @settings(
-    max_examples=25,
+    max_examples=25 * _FUZZ_SCALE,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -327,7 +335,7 @@ def test_spark_and_duckdb_agree(engines, sql):
 
 
 @settings(
-    max_examples=15,
+    max_examples=15 * _FUZZ_SCALE,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -337,7 +345,7 @@ def test_join_queries_agree(engines, sql):
 
 
 @settings(
-    max_examples=15,
+    max_examples=15 * _FUZZ_SCALE,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -347,7 +355,7 @@ def test_window_queries_agree(engines, sql):
 
 
 @settings(
-    max_examples=15,
+    max_examples=15 * _FUZZ_SCALE,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -357,7 +365,7 @@ def test_event_time_queries_agree(engines, sql):
 
 
 @settings(
-    max_examples=20,
+    max_examples=20 * _FUZZ_SCALE,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -416,7 +424,7 @@ def _session_queries():
 
 
 @settings(
-    max_examples=15,
+    max_examples=15 * _FUZZ_SCALE,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -470,7 +478,7 @@ def _range_frame_queries():
 
 
 @settings(
-    max_examples=15,
+    max_examples=15 * _FUZZ_SCALE,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -505,7 +513,7 @@ def _setop_queries():
 
 
 @settings(
-    max_examples=15,
+    max_examples=15 * _FUZZ_SCALE,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -548,7 +556,7 @@ def _signbit_queries(draw):
 
 
 @settings(
-    max_examples=15,
+    max_examples=15 * _FUZZ_SCALE,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
