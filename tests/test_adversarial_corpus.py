@@ -142,6 +142,10 @@ def test_sweep_finding_stays_green(spark, adv_sf, adv_duck, name):
 #     python tools/check_oracle.py --sf /tmp/degcorpus_one
 #
 # Round-12 results: EMPTY 202 ok / 5 fail, 1-ROW 206 ok / 1 fail.
+# MIXED (--mixed: one table empty, rest intact — the empty-side-of-a-
+# join shape the all-empty corpus can't exhibit): events-empty,
+# documents-empty, and embeddings-empty each swept 207 ok / 0 fail,
+# zero findings.
 # Three fails were CRASHES, all one class — a zero-row partitioned
 # parquet write leaves no footers, so schema INFERENCE on read-back
 # raises UNABLE_TO_INFER_SCHEMA (q18_sink_roundtrip,

@@ -72,6 +72,15 @@ def main() -> int:
     ap.add_argument("--sf", default=os.environ.get("CHECK_SF_DIR", "/root/testdata/sf0.01"))
     ap.add_argument("--only", default=None)
     ap.add_argument("--verbose", action="store_true")
+    ap.add_argument(
+        "--skip-contracts",
+        action="store_true",
+        help=(
+            "skip the pre-sweep ingest-contract vet — ONLY for a "
+            "hostile corpus that deliberately plants out-of-domain "
+            "values to probe behavior beyond the declared domains"
+        ),
+    )
     args = ap.parse_args()
 
     import duckdb
@@ -94,7 +103,8 @@ def main() -> int:
         check_ingest_contracts,
     )
 
-    check_ingest_contracts(spark, args.sf)
+    if not args.skip_contracts:
+        check_ingest_contracts(spark, args.sf)
 
     con = duckdb.connect()
     for t in (

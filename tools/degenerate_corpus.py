@@ -46,15 +46,42 @@ def write_slices(src: str, out_empty: str, out_one: str) -> None:
         )
 
 
+def write_mixed(src: str, out: str, empty_table: str) -> None:
+    """A corpus with ONE table empty and the rest intact — the
+    empty-side-of-a-join shape the all-empty corpus can't exhibit
+    (there every join input is empty together). ``empty_table`` is the
+    table to zero out."""
+    os.makedirs(out, exist_ok=True)
+    for name in TABLES:
+        t = pq.read_table(os.path.join(src, f"{name}.parquet"))
+        if name == empty_table:
+            t = t.slice(0, 0)
+        pq.write_table(t, os.path.join(out, f"{name}.parquet"))
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--src", default="/root/testdata/sf0.001")
     ap.add_argument("--out-empty", default="/tmp/degcorpus_empty")
     ap.add_argument("--out-one", default="/tmp/degcorpus_one")
+    ap.add_argument(
+        "--mixed",
+        metavar="TABLE",
+        action="append",
+        default=None,
+        help=(
+            "also write /tmp/degcorpus_no_<TABLE>: that table empty, "
+            "the rest intact (repeatable)"
+        ),
+    )
     args = ap.parse_args()
     write_slices(args.src, args.out_empty, args.out_one)
     for out in (args.out_empty, args.out_one):
         print(f"{out}: {len(TABLES)} tables")
+    for t in args.mixed or ():
+        out = f"/tmp/degcorpus_no_{t}"
+        write_mixed(args.src, out, t)
+        print(f"{out}: {t} empty, rest intact")
     return 0
 
 
