@@ -360,6 +360,7 @@ def run_zscore_stream(
     sink_dir: str,
     checkpoint_dir: str,
     state_shards: int = 16,
+    contract_table: str | None = "events",
 ) -> None:
     """File stream → per-user stateful rolling z-score → parquet.
 
@@ -373,14 +374,16 @@ def run_zscore_stream(
     ``state_shards`` bounds the per-shard fixed cost.
     """
     from ..session import ensure_session_confs
+    from .runner import observe_ingest_contract
 
     ensure_session_confs(spark)
     schema = spark.read.parquet(source_dir).schema
-    stream = (
+    stream = observe_ingest_contract(
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(source_dir)
-        .select("user_id", "ts", "event_id", "value")
+        .select("user_id", "ts", "event_id", "value"),
+        contract_table,
     )
     scored = stream.groupBy("user_id").applyInPandasWithState(
         score_rolling_zscore,
@@ -399,16 +402,19 @@ def run_zscore_stream(
     prior = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(state_shards))
     try:
-        (
+        q = (
             scored.writeStream.outputMode("update")
             .foreachBatch(write_batch)
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True)
             .start()
-            .awaitTermination()
         )
+        q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prior)
+    from .runner import raise_on_contract_violations
+
+    raise_on_contract_violations(q, contract_table)
 
 
 #: Per-BUCKET z-score state: each bucketed user's trailing ≤7-value
@@ -516,6 +522,7 @@ def run_zscore_stream_bucketed(
     checkpoint_dir: str,
     n_buckets: int = 16,
     state_shards: int = 4,
+    contract_table: str | None = "events",
 ) -> None:
     """File stream → bucketed rolling z-score → parquet.
 
@@ -536,10 +543,11 @@ def run_zscore_stream_bucketed(
     from pyspark.sql import functions as F
 
     from ..session import ensure_session_confs
+    from .runner import observe_ingest_contract
 
     ensure_session_confs(spark)
     schema = spark.read.parquet(source_dir).schema
-    stream = (
+    stream = observe_ingest_contract(
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(source_dir)
@@ -551,7 +559,8 @@ def run_zscore_stream_bucketed(
             F.pmod(F.xxhash64(F.col("user_id")), F.lit(n_buckets)).alias(
                 "bucket"
             ),
-        )
+        ),
+        contract_table,
     )
     scored = stream.groupBy("bucket").applyInPandasWithState(
         score_rolling_zscore_bucketed,
@@ -567,16 +576,19 @@ def run_zscore_stream_bucketed(
     prior = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(state_shards))
     try:
-        (
+        q = (
             scored.writeStream.outputMode("update")
             .foreachBatch(write_batch)
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True)
             .start()
-            .awaitTermination()
         )
+        q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prior)
+    from .runner import raise_on_contract_violations
+
+    raise_on_contract_violations(q, contract_table)
 
 
 #: Session-gap threshold shared with the batch sessionizer
@@ -767,6 +779,7 @@ def run_session_stream(
     sink_dir: str,
     checkpoint_dir: str,
     state_shards: int = 16,
+    contract_table: str | None = "events",
 ) -> None:
     """File stream → watermarked event-time sessionizer → parquet.
 
@@ -798,16 +811,17 @@ def run_session_stream(
     ``tests/test_stateful_stream.py``.
     """
     from ..session import ensure_session_confs
+    from .runner import observe_ingest_contract
 
     ensure_session_confs(spark)
     schema = spark.read.parquet(source_dir).schema
-    stream = (
+    stream = observe_ingest_contract(
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(source_dir)
-        .select("user_id", "ts", "event_id")
-        .withWatermark("ts", "0 seconds")
-    )
+        .select("user_id", "ts", "event_id"),
+        contract_table,
+    ).withWatermark("ts", "0 seconds")
     sessions = stream.groupBy("user_id").applyInPandasWithState(
         close_idle_sessions,
         outputStructType=SESSION_OUT_SCHEMA,
@@ -826,16 +840,19 @@ def run_session_stream(
     prior = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(state_shards))
     try:
-        (
+        q = (
             sessions.writeStream.outputMode("append")
             .foreachBatch(write_batch)
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True)
             .start()
-            .awaitTermination()
         )
+        q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prior)
+    from .runner import raise_on_contract_violations
+
+    raise_on_contract_violations(q, contract_table)
 
 
 # ---------------------------------------------------------------------------
@@ -1014,6 +1031,7 @@ def run_session_stream_bucketed(
     checkpoint_dir: str,
     n_buckets: int = 64,
     state_shards: int = 8,
+    contract_table: str | None = "events",
 ) -> None:
     """File stream → bucketed event-time sessionizer → parquet.
 
@@ -1029,10 +1047,11 @@ def run_session_stream_bucketed(
     from pyspark.sql import functions as F
 
     from ..session import ensure_session_confs
+    from .runner import observe_ingest_contract
 
     ensure_session_confs(spark)
     schema = spark.read.parquet(source_dir).schema
-    stream = (
+    stream = observe_ingest_contract(
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(source_dir)
@@ -1045,9 +1064,9 @@ def run_session_stream_bucketed(
             F.pmod(F.xxhash64(F.col("user_id")), F.lit(n_buckets)).alias(
                 "bucket"
             ),
-        )
-        .withWatermark("ts", "0 seconds")
-    )
+        ),
+        contract_table,
+    ).withWatermark("ts", "0 seconds")
     sessions = stream.groupBy("bucket").applyInPandasWithState(
         close_idle_sessions_bucketed,
         outputStructType=SESSION_OUT_SCHEMA,
@@ -1064,13 +1083,16 @@ def run_session_stream_bucketed(
     prior = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(state_shards))
     try:
-        (
+        q = (
             sessions.writeStream.outputMode("append")
             .foreachBatch(write_batch)
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True)
             .start()
-            .awaitTermination()
         )
+        q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prior)
+    from .runner import raise_on_contract_violations
+
+    raise_on_contract_violations(q, contract_table)

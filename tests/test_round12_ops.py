@@ -210,3 +210,29 @@ def test_zscore_fold_paths_identical(monkeypatch):
                 assert a_missing == b_missing
                 if not a_missing:
                     assert a == b
+
+
+def test_stateful_zscore_runner_rejects_out_of_domain(spark, tmp_path):
+    """The stateful runners (stateful.py) carry the same observe()-based
+    ingest gate as the runner.py ingest paths: an out-of-domain
+    events.value fails the run after completion."""
+    from reddit_data_engineering_project_spark.streaming.stateful import (
+        run_zscore_stream,
+    )
+    from reddit_data_engineering_project_spark.tables import table
+
+    src = os.path.join(str(tmp_path), "src")
+    ev = table(spark, SF_DIR, "events")
+    ev.withColumn(
+        "value",
+        F.when(F.col("event_id") == 5, F.lit(7e7)).otherwise(
+            F.col("value")
+        ),
+    ).coalesce(1).write.parquet(src)
+    with pytest.raises(ValueError, match="out-of-domain"):
+        run_zscore_stream(
+            spark,
+            src,
+            os.path.join(str(tmp_path), "sink"),
+            os.path.join(str(tmp_path), "ckpt"),
+        )
