@@ -60,6 +60,19 @@ VALUE_DOMAINS: dict[str, dict[str, tuple[float, float]]] = {
     "events": {"value": (-1000.0, 1000.0)},
 }
 
+# Finite-array domain: every distance computation in the x03 family
+# (cosine, dot, L2, PQ codes) assumes finite embedding components — a
+# NaN poisons the score on BOTH engines and then sorts by each
+# engine's own NaN-ordering rule, an Inf turns dot products into
+# NaN via inf·0. Like the events.value headroom, this is an ingest
+# bug (a broken upstream encoder), not a data condition: declared
+# here, enforced by check_ingest_contracts / the observe() gate.
+# NULL rows stay legal (a document not yet embedded); present arrays
+# must be entirely finite and element-non-null.
+FINITE_ARRAYS: dict[str, tuple[str, ...]] = {
+    "embeddings": ("embedding",),
+}
+
 # Event-time domain: a window whose END crosses year 10000 cannot
 # materialize to a Python datetime (probed: an event at
 # 9999-12-31 23:50 CRASHES any collected F.window result with "year
@@ -201,6 +214,18 @@ def contract_exprs(
             | (
                 (F.col(col) >= F.lit(lo_ts).cast("timestamp"))
                 & (F.col(col) <= F.lit(hi_ts).cast("timestamp"))
+            )
+        )
+    for col in FINITE_ARRAYS.get(name, ()):
+        if not present(col):
+            continue
+        in_domain = in_domain & (
+            F.col(col).isNull()
+            | ~F.exists(
+                F.col(col),
+                lambda x: x.isNull()
+                | F.isnan(x)
+                | (F.abs(x) == F.lit(float("inf"))),
             )
         )
     return complete, in_domain, pk

@@ -236,3 +236,54 @@ def test_stateful_zscore_runner_rejects_out_of_domain(spark, tmp_path):
             os.path.join(str(tmp_path), "sink"),
             os.path.join(str(tmp_path), "ckpt"),
         )
+
+
+def test_finite_embedding_contract(spark, tmp_path):
+    """tables.FINITE_ARRAYS: embedding components must be finite and
+    element-non-null (a NaN poisons every x03 distance on BOTH engines
+    and then sorts by each engine's own NaN rule — an ingest bug, not a
+    data condition). Committed corpus conforms; planted NaN / Inf /
+    null-element corpora raise; a NULL embedding ROW stays legal."""
+    from reddit_data_engineering_project_spark import tables
+
+    sf = SF_DIR
+    tables.check_ingest_contracts(spark, sf, tables=("embeddings",))
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    cases = {
+        "nan": F.expr(
+            "transform(embedding, (x, i) -> "
+            "CASE WHEN i = 0 THEN float('NaN') ELSE x END)"
+        ),
+        "inf": F.expr(
+            "transform(embedding, (x, i) -> "
+            "CASE WHEN i = 1 THEN float('Infinity') ELSE x END)"
+        ),
+        "null_elem": F.expr(
+            "transform(embedding, (x, i) -> "
+            "CASE WHEN i = 2 THEN CAST(NULL AS FLOAT) ELSE x END)"
+        ),
+    }
+    for tag, expr in cases.items():
+        bad = str(tmp_path / tag)
+        os.makedirs(bad)
+        emb.withColumn(
+            "embedding",
+            F.when(F.col("vec_id") == 0, expr).otherwise(
+                F.col("embedding")
+            ),
+        ).coalesce(1).write.parquet(f"{bad}/embeddings.parquet")
+        with pytest.raises(ValueError, match="in_domain"):
+            tables.check_ingest_contracts(
+                spark, bad, tables=("embeddings",)
+            )
+    # NULL row: legal (a document not yet embedded)
+    ok = str(tmp_path / "null_row")
+    os.makedirs(ok)
+    emb.withColumn(
+        "embedding",
+        F.when(F.col("vec_id") == 0, F.lit(None)).otherwise(
+            F.col("embedding")
+        ),
+    ).coalesce(1).write.parquet(f"{ok}/embeddings.parquet")
+    tables.check_ingest_contracts(spark, ok, tables=("embeddings",))
