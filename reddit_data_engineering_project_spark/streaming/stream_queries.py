@@ -141,14 +141,21 @@ def s02_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             CAST(ts AS TIMESTAMP) AS ts,
             coalesce(value, 0.0) AS value,
             event_id,
-            -- >=: Spark's session window is [start, last+gap) with an
-            -- EXCLUSIVE end, so an event at exactly last+gap opens a new
-            -- session.
+            -- STRICT >: an event at EXACTLY last+gap MERGES into the
+            -- session. Probed on Spark 4.1 (r12 boundary-tie class):
+            -- events at 00:00 and 00:30 with a 30-min gap land in ONE
+            -- session window [00:00, 01:00) — Spark merges windows
+            -- that touch, not only ones that overlap. (The pre-r12
+            -- spelling used >= under a documented exclusive-end
+            -- assumption; no corpus had an exactly-gap pair, so the
+            -- divergence was invisible until the hostile class planted
+            -- one.) This also matches the custom sessionizer's
+            -- _gap_fold (> gap splits) and the s09 oracles.
             CASE WHEN CAST(ts AS TIMESTAMP)
                       - lag(CAST(ts AS TIMESTAMP), 1,
                             CAST(ts AS TIMESTAMP) - INTERVAL 1 YEAR)
                         OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                      >= INTERVAL 30 MINUTE
+                      > INTERVAL 30 MINUTE
                  THEN 1 ELSE 0 END AS new_session
         FROM events
         WHERE ts IS NOT NULL

@@ -83,6 +83,16 @@ SWEEP_FINDINGS = [
     # dedup heals with it.
     "x05_frame_sample",
     "x05_frame_dedup",
+    # round-12 boundary-tie class (events EXACTLY the session gap
+    # apart, gap+1µs apart, and at exact hour edges ±1µs — the
+    # strict-vs-inclusive seams; synthetic users 777002/777007/777010,
+    # ids chosen to pass the s09 md5 sample): caught s03's oracle
+    # splitting at >= gap under a documented exclusive-end assumption,
+    # while Spark's F.session_window MERGES windows that touch (probed:
+    # 00:00 and 00:30 with a 30-min gap land in ONE [00:00, 01:00)
+    # session). Oracle now splits on strict >, matching Spark, the
+    # custom sessionizer's _gap_fold, and every other session oracle.
+    "s03_session_window",
 ]
 
 TABLES = (

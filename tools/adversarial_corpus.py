@@ -359,6 +359,36 @@ def gen_events(rng: random.Random) -> dict:
             uid[-1] = uid[-2]
             if (i // 41) % 2 == 0:
                 val[-1] = val[-2]
+    # boundary-tie class (round 12): the strict-vs-inclusive seams no
+    # other class can reach. Three synthetic users overwrite the tail
+    # index block (ids chosen to PASS the s09 md5 1-in-8 sample, so
+    # the replay entries fold them — not just the batch sessionizer):
+    #   777002: consecutive events EXACTLY the 30-min session gap
+    #           apart — one session under the engines' strict > split,
+    #           split under any >= drift on either side;
+    #   777007: gap + 1 µs apart — MUST split every time;
+    #   777010: events at exact hour boundaries hh:00:00.000000 and
+    #           1 µs before the next — tumbling/sliding [start, end)
+    #           edge assignment and interval-join end-exclusivity.
+    specs: list[tuple[int, dt.datetime]] = []
+    b1 = T0 + dt.timedelta(days=2, hours=3)
+    for k in range(6):
+        specs.append((777002, b1 + k * dt.timedelta(minutes=30)))
+    b2 = b1 + dt.timedelta(days=1)
+    t = b2
+    for _ in range(6):
+        specs.append((777007, t))
+        t += dt.timedelta(minutes=30, microseconds=1)
+    b3 = b1 + dt.timedelta(days=2)
+    for k in range(4):
+        specs.append((777010, b3 + dt.timedelta(hours=k)))
+        specs.append(
+            (777010, b3 + dt.timedelta(hours=k + 1, microseconds=-1))
+        )
+    for j, (u, t_) in enumerate(specs):
+        idx = n - len(specs) + j
+        uid[idx] = u
+        ts[idx] = t_
     return {
         "event_id": pa.array(eid, pa.int64()),
         "ts": pa.array(ts, pa.timestamp("us")),
