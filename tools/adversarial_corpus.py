@@ -389,6 +389,13 @@ def gen_events(rng: random.Random) -> dict:
         idx = n - len(specs) + j
         uid[idx] = u
         ts[idx] = t_
+        # alternate click/purchase so the boundary users also plant
+        # EXACT-tolerance as-of pairs: 777010's hour-apart pairs sit
+        # exactly at q11_asof_tolerance's 1 h staleness bound (both
+        # sides spell the identical inclusive <=; this pins the seam
+        # against either side drifting), 777002's 30-min pairs at the
+        # session-gap bound feed the funnel/attribution orderings too.
+        etype[idx] = "click" if j % 2 == 0 else "purchase"
     return {
         "event_id": pa.array(eid, pa.int64()),
         "ts": pa.array(ts, pa.timestamp("us")),
