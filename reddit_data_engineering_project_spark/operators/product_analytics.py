@@ -1053,7 +1053,15 @@ def q21_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q21_spend_trend_ols",
     oracle="""
     WITH anchor AS (
-        SELECT min(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS d0 FROM events
+        -- the anchor is the first PURCHASE date — the same relation the
+        -- regression runs over. (r12 boundary-class finding: an
+        -- all-events anchor diverges from the operator's purchase-only
+        -- anchor once a non-purchase event predates every purchase;
+        -- invisible while anchors coincided AND x-shift invariance
+        -- held — a NULL-ts purchase broke the latter, see below.)
+        SELECT min(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS d0
+        FROM events
+        WHERE event_type = 'purchase' AND ts IS NOT NULL
     ),
     daily AS (
         SELECT
@@ -1062,7 +1070,11 @@ def q21_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
                  - (SELECT d0 FROM anchor) AS BIGINT) AS x,
             CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT) AS y
         FROM events
-        WHERE event_type = 'purchase'
+        -- ts IS NOT NULL: an undated purchase carries no position in
+        -- time — keeping it made a PHANTOM regression point (counted
+        -- in n_days and sy, absent from sx/sxy/sxx), which both
+        -- biases the estimator and breaks the anchor-shift invariance
+        WHERE event_type = 'purchase' AND ts IS NOT NULL
         GROUP BY user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE)
     ),
     stats AS (
@@ -1113,7 +1125,7 @@ def q21_spend_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort, no join against the fact table.
     """
     ev = table(spark, sf_dir, "events").filter(
-        F.col("event_type") == "purchase"
+        (F.col("event_type") == "purchase") & F.col("ts").isNotNull()
     )
     anchor = ev.agg(F.min(F.col("ts").cast("date")).alias("d0"))
     daily = (

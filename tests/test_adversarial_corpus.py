@@ -93,6 +93,17 @@ SWEEP_FINDINGS = [
     # session). Oracle now splits on strict >, matching Spark, the
     # custom sessionizer's _gap_fold, and every other session oracle.
     "s03_session_window",
+    # round-12 calendar-edge subclass (leap day, last-µs-of-year,
+    # month-end anchors planted as typed click/purchase events): caught
+    # q21_spend_trend_ols carrying TWO interacting seams — the oracle
+    # anchored day indexes at min(date) over ALL events while the
+    # operator anchored at min over PURCHASES (latent while the two
+    # coincided), and a NULL-ts purchase formed a PHANTOM regression
+    # point (counted in n_days and sy, absent from sx/sxy/sxx), which
+    # is what broke the x-shift invariance that had been masking the
+    # anchor mismatch. Both sides now anchor on dated purchases and
+    # drop undated rows from the regression.
+    "q21_spend_trend_ols",
 ]
 
 TABLES = (

@@ -385,6 +385,19 @@ def gen_events(rng: random.Random) -> dict:
         specs.append(
             (777010, b3 + dt.timedelta(hours=k + 1, microseconds=-1))
         )
+    # calendar-edge subclass: leap day, the last µs of a year, epoch-ish
+    # new-year instants, and month-END anchors — month ARITHMETIC must
+    # clamp (Jan 31 + 1 month), ISO week-of-year flips at year edges
+    # (2024-12-30 is 2025-W01), leap-day trunc/extract must agree.
+    for t_ in (
+        dt.datetime(2024, 2, 29, 12, 0, 0),
+        dt.datetime(2024, 1, 31, 23, 59, 59, 999999),
+        dt.datetime(2023, 12, 31, 23, 59, 59, 999999),
+        dt.datetime(2024, 1, 1, 0, 0, 0),
+        dt.datetime(2024, 12, 30, 0, 0, 0),  # ISO 2025-W01 in 2024
+        dt.datetime(2024, 3, 31, 12, 0, 0),
+    ):
+        specs.append((777010, t_))
     for j, (u, t_) in enumerate(specs):
         idx = n - len(specs) + j
         uid[idx] = u
