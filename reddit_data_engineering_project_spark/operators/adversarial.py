@@ -24,7 +24,20 @@ it, so the guarantees earn a driver hash row every round:
 - zero-vector cosine (the normalization guard: zero norm → NULL, not
   a division blow-up);
 - rounding ties at exact half boundaries (HALF-away-from-zero parity,
-  including a binary-inexact 0.05 case).
+  including a binary-inexact 0.05 case);
+- (round 13) session-gap boundary: planted event pairs EXACTLY the
+  session gap apart, gap+1µs apart, gap-1µs apart, and coincident —
+  graded through ``F.session_window``, whose windows MERGE when they
+  touch (the round-12 boundary-tie sweep finding, commit 9d0ccc8); the
+  oracle splits sessions on strict ``>`` gap, so any drift back toward
+  an exclusive-end assumption flips the hash;
+- (round 13) spend-trend anchoring: planted purchases whose dates all
+  trail the group's earliest NON-purchase event by 3 days, plus
+  NULL-date purchases — the probe emits the dated-purchase count,
+  the day-index sum from the PURCHASE-anchored origin, and the amount
+  sum, so anchoring on all events or counting an undated (phantom)
+  point flips the hash (the round-12 calendar-edge sweep finding,
+  commit cda0e90).
 
 Every probe output is a BIGINT (scaled where fractional), emitted as
 ``(probe, id, out)`` rows so any single divergent value flips the
@@ -56,6 +69,16 @@ _WIRES = (
 
 #: Planted half-boundary doubles (incl. a binary-inexact 0.05 pair).
 _HALVES = (-2.5, -1.5, -0.5, 0.5, 1.5, 2.5, 0.05, -0.05)
+
+#: Session-gap boundary probe: the gap in µs (30 minutes) and the epoch
+#: base (2024-01-01T00:00:00Z). Per event: skey = event_id % 4 picks the
+#: boundary class, idx = event_id DIV 4 lays out isolated pairs 3×gap
+#: apart, and the second element of each pair sits `step` after the
+#: first — exactly gap (touch → Spark MERGES), gap+1µs (split),
+#: gap-1µs (merge), or 0µs (coincident).
+_GAP_US = 1_800_000_000
+_SESS_BASE_US = 1_704_067_200_000_000
+_SESS_STEPS = (_GAP_US, _GAP_US + 1, _GAP_US - 1, 0)
 
 
 def _case_over_bucket(bucket, values) -> F.Column:
@@ -191,12 +214,81 @@ def _sql_case(col: str, values, quote: bool) -> str:
                          * 1000000.0) AS BIGINT)
                END AS out
         FROM pv, q
+    ),
+    -- Session-gap boundary probe (round 13): Spark F.session_window
+    -- MERGES windows that touch (commit 9d0ccc8), so the oracle splits
+    -- sessions on STRICT > gap and sets end = last_ts + gap.
+    sess_src AS (
+        SELECT event_id, event_id % 4 AS skey,
+               (event_id // 8) * {GAP3} + ((event_id // 4) % 2) *
+               CASE event_id % 4 {STEP_ARMS} END AS off
+        FROM sl
+    ),
+    sess_lag AS (
+        SELECT skey, event_id, off,
+               CASE WHEN off - lag(off) OVER (
+                        PARTITION BY skey ORDER BY off, event_id)
+                         > {GAP} THEN 1 ELSE 0 END AS brk
+        FROM sess_src
+    ),
+    sess_ids AS (
+        SELECT skey, event_id, off,
+               sum(brk) OVER (PARTITION BY skey ORDER BY off, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+        FROM sess_lag
+    ),
+    sess_probe AS (
+        SELECT 'sess_touch' AS probe, min(event_id) AS id,
+               CAST(count(*) * 10000000000
+                    + (max(off) - min(off) + {GAP}) AS BIGINT) AS out
+        FROM sess_ids GROUP BY skey, sid
+    ),
+    -- Spend-trend anchoring probe (round 13): day indexes anchor on the
+    -- earliest DATED PURCHASE (never all events — purchases are planted
+    -- 3 days after their bucket's non-purchase dates), and NULL-date
+    -- purchases contribute to NOTHING (commit cda0e90's phantom point).
+    tp0 AS (
+        SELECT event_id, event_id % 2 AS g,
+               CASE WHEN b = 3 THEN NULL
+                    ELSE DATE '2024-01-01' + CAST((event_id % 16)
+                         + CASE WHEN event_id % 3 = 0 THEN 3 ELSE 0 END
+                         AS INTEGER)
+               END AS pd,
+               (event_id % 50) * 100 + 49 AS amt
+        FROM sl
+    ),
+    tp AS (
+        SELECT * FROM tp0 WHERE event_id % 3 = 0 AND pd IS NOT NULL
+    ),
+    ta AS (SELECT g, min(pd) AS anchor FROM tp GROUP BY g),
+    trend AS (
+        SELECT tp.g, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(tp.pd - ta.anchor) AS BIGINT) AS sx,
+               CAST(sum(tp.amt) AS BIGINT) AS sy
+        FROM tp JOIN ta ON tp.g = ta.g GROUP BY tp.g
+    ),
+    trend_probes AS (
+        SELECT 'trend_n' AS probe, g AS id, n AS out FROM trend
+        UNION ALL
+        SELECT 'trend_sx', g, sx FROM trend
+        UNION ALL
+        SELECT 'trend_sy', g, sy FROM trend
     )
     SELECT probe, id, out FROM ev_probes
     UNION ALL
     SELECT probe, id, out FROM vec_probe
+    UNION ALL
+    SELECT probe, id, out FROM sess_probe
+    UNION ALL
+    SELECT probe, id, out FROM trend_probes
     """.replace("{WIRE_CASE}", _sql_case("b", _WIRES, quote=True))
-    .replace("{HALF_CASE}", _sql_case("b", _HALVES, quote=False)),
+    .replace("{HALF_CASE}", _sql_case("b", _HALVES, quote=False))
+    .replace("{GAP3}", str(3 * _GAP_US))
+    .replace("{GAP}", str(_GAP_US))
+    .replace(
+        "{STEP_ARMS}",
+        " ".join(f"WHEN {i} THEN {s}" for i, s in enumerate(_SESS_STEPS)),
+    ),
     tags=("adversarial", "X0", "audit"),
 )
 def x00_adversarial_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -295,4 +387,78 @@ def x00_adversarial_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long"),
         ).alias("out"),
     )
-    return stacked.unionByName(vec_probe)
+
+    # Session-gap boundary probe: the planted pairs sit EXACTLY gap /
+    # gap±1µs / 0µs apart; F.session_window merges windows that touch
+    # (round-12 boundary-tie finding, commit 9d0ccc8), which the oracle
+    # mirrors with a strict-> split and end = last_ts + gap.
+    skey = (F.col("event_id") % 4).cast("long")
+    step = _case_over_bucket(skey, _SESS_STEPS).cast("long")
+    off = (
+        F.expr("event_id DIV 8") * F.lit(3 * _GAP_US)
+        + (F.expr("event_id DIV 4") % 2) * step
+    )
+    sess_src = ev.select(
+        "event_id",
+        skey.alias("skey"),
+        F.timestamp_micros(F.lit(_SESS_BASE_US) + off).alias("ts3"),
+    )
+    sess_probe = (
+        sess_src.groupBy(
+            "skey", F.session_window("ts3", "30 minutes").alias("sw")
+        )
+        .agg(
+            F.min("event_id").alias("id"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .select(
+            F.lit("sess_touch").alias("probe"),
+            F.col("id").cast("long").alias("id"),
+            (
+                F.col("cnt") * F.lit(10_000_000_000)
+                + F.unix_micros(F.col("sw.end"))
+                - F.unix_micros(F.col("sw.start"))
+            ).cast("long").alias("out"),
+        )
+    )
+
+    # Spend-trend anchoring probe: dated purchases only, day indexes
+    # from the PURCHASE-anchored origin (planted 3 days after the
+    # bucket's non-purchase dates), NULL-date purchases dropped — the
+    # q21_spend_trend_ols seam (commit cda0e90), driver-visible.
+    is_p = F.col("event_id") % 3 == 0
+    pd_col = F.when(b == 3, F.lit(None).cast("date")).otherwise(
+        F.date_add(
+            F.to_date(F.lit("2024-01-01")),
+            ((F.col("event_id") % 16) + F.when(is_p, 3).otherwise(0))
+            .cast("int"),
+        )
+    )
+    dated_purchases = ev.filter(is_p & pd_col.isNotNull()).select(
+        (F.col("event_id") % 2).cast("long").alias("g"),
+        pd_col.alias("pd"),
+        ((F.col("event_id") % 50) * 100 + 49).cast("long").alias("amt"),
+    )
+    anchor = F.min("pd").over(Window.partitionBy("g"))
+    trend = (
+        dated_purchases.withColumn("x", F.datediff("pd", anchor))
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("x").cast("long").alias("sx"),
+            F.sum("amt").cast("long").alias("sy"),
+        )
+    )
+    trend_probes = trend.select(
+        F.expr(
+            "stack(3, 'trend_n', n, 'trend_sx', sx, 'trend_sy', sy) "
+            "AS (probe, out)"
+        ),
+        F.col("g").alias("id"),
+    ).select("probe", "id", "out")
+
+    return (
+        stacked.unionByName(vec_probe)
+        .unionByName(sess_probe)
+        .unionByName(trend_probes)
+    )

@@ -88,86 +88,101 @@ def register(
 # history lives in WINDOWS.md; tests/test_grading_window.py enforces
 # window == priority and per-family evidence.
 #
-# ROUND-12 WINDOW (executes the committed round-12 plan verbatim;
-# precondition held: CORRECTNESS_r11 graded the round-11 window 50/50
-# green). Zero mandatory never-graded slots — pure backfill:
-#   (a) the eight remaining r07 rows;
-#   (b) the alphabetically-first 42 of the 50 entries whose latest
-#       green is r08. The alphabetically-last eight r08 rows
-#       (x03_ivfpq_topk, x03_kmeans_step, x03_knn_classify,
-#       x03_pairwise_label_centroids, x03_pq_topk, x04_doc_stats,
-#       x05_binary_features, x05_payload_energy) roll to round 13.
-# 8 + 42 = 50. This window also delivers the landing-round re-grade of
-# q13_running_frames (output discipline changed to e4-BIGINT folds in
-# round 11; WINDOWS.md round-12 note).
+# ROUND-13 WINDOW (executes the committed round-13 plan, amended per
+# the round-12 verdict item 2; precondition held: CORRECTNESS_r12
+# graded the round-12 window 50/50 green). Pure backfill plus two
+# verdict-mandated re-grades:
+#   (a) the eight remaining r08 rows;
+#   (b) 40 of the alphabetically-first 42 entries whose latest green
+#       is r09 (pipeline_posts_clean_wire .. x02_neardup_jaccard), PLUS
+#       the two entries whose semantics changed in round 12 without a
+#       landing-round grade (round-12 verdict "What's wrong" #1):
+#       s03_session_window (oracle now splits on strict > gap — Spark's
+#       F.session_window merges touching windows, commit 9d0ccc8) and
+#       q21_spend_trend_ols (regression re-anchored on dated purchases,
+#       commit cda0e90). They take the two alphabetically-last slots of
+#       the committed (b) list — x03_cosine_topk_bruteforce and
+#       x03_hamming_rerank roll to round 14 (the x03 family keeps five
+#       (a)-slots of round-13 evidence, so no family goes dark).
+# 8 + 40 + 2 = 50.
 #
-# ROUND-13 ROTATION PLAN (committed now so no entry waits on an
-# undocumented promise; precondition: CORRECTNESS_r12 grades the
-# window below 50/50 green). Pure backfill again:
-#   (a) the eight remaining r08 rows above;
-#   (b) the alphabetically-first 42 of the 49 entries whose latest
-#       green will then be r09 (pipeline_posts_clean_wire ..
-#       x03_hamming_rerank — the verbatim list is in WINDOWS.md); the
-#       alphabetically-last seven (x03_hamming_topk, x03_range_search,
+# ROUND-14 ROTATION PLAN (committed now so no entry waits on an
+# undocumented promise; precondition: CORRECTNESS_r13 grades the
+# window below 50/50 green). Pure backfill plus the one queued
+# registration:
+#   (a) the nine remaining r09 rows (x03_cosine_topk_bruteforce,
+#       x03_hamming_rerank, x03_hamming_topk, x03_range_search,
 #       x04_fingerprint, x04_hash_sample, x04_language_id,
-#       x04_weighted_sample, x05_frame_sample) roll to round 14.
-# 8 + 42 = 50. Every round-12/13 registration must either take a slot
-# from the (b) tail in its own commit or add itself to
+#       x04_weighted_sample, x05_frame_sample);
+#   (b) the round-13 registration x05_bmp_pixel_stats (landing-round
+#       grade, QUEUED_FOR_NEXT_WINDOW) + the alphabetically-first 40 of
+#       the 49 entries whose latest green will then be r10
+#       (pipeline_clean_coerce .. x03_sq8_topk — the r10 class minus
+#       s03_session_window, re-graded this round); the
+#       alphabetically-last nine (x04_chunking, x04_corpus_profile,
+#       x04_dataset_split, x04_length_histogram, x04_quality_filter,
+#       x04_stratified_sample, x04_term_frequency, x04_tfidf,
+#       x04_token_count — the x04 family keeps round-13 evidence via
+#       its (a)-slot x04_doc_stats) roll to round 15.
+# 9 + 1 + 40 = 50. Every round-13/14 registration must either take a
+# slot from the (b) tail in its own commit or add itself to
 # QUEUED_FOR_NEXT_WINDOW — keep velocity <= the handful the window can
 # absorb.
 GRADING_PRIORITY: tuple[str, ...] = (
-    # (a) the eight remaining r07 rows
-    "x04_global_shuffle",
-    "x04_lm_quality_score",
-    "x04_quality_percentile_gate",
-    "x04_readability",
-    "x04_source_caps",
-    "x05_byte_histogram",
-    "x05_frame_dedup",
-    "x05_size_binned_shards",
-    # (b) backfill: the alphabetically-first 42 r08 rows
-    "q01_csv_scan",
-    "q01_json_scan",
-    "q02_projection_pruning",
-    "q03_filter_predicates",
-    "q04_topk",
-    "q05_multikey_sort",
-    "q06_limit_offset",
-    "q07_corr_exact_moments",
-    "q07_heavy_hitters",
-    "q07_mode_exact",
-    "q07_percentiles",
-    "q08_approx_distinct",
-    "q08_count_distinct",
-    "q08_distinct_pairs",
-    "q09_pivot",
-    "q10_join_anti",
-    "q10_join_broadcast_dims",
-    "q10_join_inner_star",
-    "q10_local_supplier_volume",
-    "q11_interval_overlap",
-    "q11_range_join_bands",
-    "q12_intersect_users",
-    "q13_range_interval_frames",
-    "q13_running_frames",
-    "q13_value_functions",
-    "q16_bitwise_funcs",
-    "q17_adhoc_sql_correlated",
-    "q17_variant_shred",
-    "q18_schema_evolution_read",
-    "q20_grouped_agg_pandas",
-    "q21_ab_power_analysis",
-    "q21_cohort_ltv",
-    "q21_degree_powerlaw",
-    "q21_funnel_conversion",
-    "q21_next_event_prediction",
-    "q21_survival_km",
-    "q21_triangle_count",
-    "s08_stateful_zscore_replay",
-    "x01_dedup_exact_key",
-    "x02_embedding_neardup",
-    "x02_semantic_dedup",
-    "x03_ann_recall_report",
+    # (a) the eight remaining r08 rows
+    "x03_ivfpq_topk",
+    "x03_kmeans_step",
+    "x03_knn_classify",
+    "x03_pairwise_label_centroids",
+    "x03_pq_topk",
+    "x04_doc_stats",
+    "x05_binary_features",
+    "x05_payload_energy",
+    # (b) backfill: alphabetically-first r09 rows + the two round-12
+    # semantics-changed re-grades (s03_session_window,
+    # q21_spend_trend_ols) in their alphabetical positions
+    "pipeline_posts_clean_wire",
+    "q01_scan_explicit_schema",
+    "q07_cms_heavy_hitters",
+    "q07_hash_aggregate",
+    "q07_histogram_quantiles",
+    "q09_cube",
+    "q09_grouping_sets",
+    "q09_rollup",
+    "q10_bloom_prune",
+    "q10_join_full_outer",
+    "q10_join_left_outer",
+    "q10_join_semi",
+    "q10_star_report",
+    "q12_union_by_name",
+    "q12_union_daily_slices",
+    "q13_rank_dense_rank",
+    "q13_topn_per_group",
+    "q13_window_share",
+    "q14_string_funcs",
+    "q14_string_funcs2",
+    "q15_datetime_funcs",
+    "q17_array_funcs",
+    "q17_explode_tokens",
+    "q17_json_corrupt_records",
+    "q17_map_funcs",
+    "q18_partitioned_prune",
+    "q20_arrow_udf_ttr",
+    "q20_udtf_chunks",
+    "q21_adamic_adar",
+    "q21_adamic_adar_capped",
+    "q21_event_transitions",
+    "q21_kcore_peel",
+    "q21_spend_trend_ols",
+    "q22_acf_hourly",
+    "q22_hampel_mad",
+    "q22_seasonal_decompose",
+    "s03_session_window",
+    "x00_adversarial_audit",
+    "x01_dedup_content_hash",
+    "x02_dedup_clusters",
+    "x02_minhash_lsh_neardup",
+    "x02_neardup_jaccard",
 )
 
 GRADED_WINDOW = 50
