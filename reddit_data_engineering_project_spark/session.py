@@ -43,6 +43,15 @@ RUNTIME_CONFS: dict[str, str] = {
     # no-op); `tables.table()` branches on the observed dtype so both
     # corpus generations load identically.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # The streaming ingest-contract gate sums observe() metrics from
+    # query.recentProgress, which Spark caps at this conf (default
+    # 100) — with maxFilesPerTrigger=1 a >100-file source would evict
+    # early batches' entries and silently pass their violations. Keep
+    # the buffer far above any sane availableNow batch count;
+    # raise_on_contract_violations additionally REFUSES to vouch when
+    # the buffer is full (eviction can then not be ruled out). Each
+    # retained entry is a small JSON blob — ~10 MB driver ceiling.
+    "spark.sql.streaming.numRecentProgressUpdates": "10000",
 }
 
 

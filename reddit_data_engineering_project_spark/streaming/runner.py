@@ -43,15 +43,42 @@ def observe_ingest_contract(stream: DataFrame, table_name: str | None):
 
 
 def raise_on_contract_violations(
-    query, table_name: str | None
+    query, table_name: str | None, spark: SparkSession | None = None
 ) -> None:
     """Fail a finished streaming run whose batches saw contract
     violations (row-local terms: null primary key, out-of-domain
-    value/time). Reads the query's progress history — no data pass."""
+    value/time). Reads the query's progress history — no data pass.
+
+    Coverage guard (r12 advice): Spark retains at most
+    ``spark.sql.streaming.numRecentProgressUpdates`` progress entries
+    (session default raised to 10 000 in ``RUNTIME_CONFS``). A FULL
+    buffer means earlier batches' entries may have been evicted — their
+    violations would silently pass — so a full buffer REFUSES to vouch
+    instead of summing what survived. A buffer below the cap can never
+    have evicted (entries are only dropped when capacity is exceeded),
+    so the sums are then complete."""
     if table_name is None:
         return
+    progresses = list(query.recentProgress)
+    cap = 100  # Spark's built-in default, the conservative floor
+    if spark is not None:
+        try:
+            cap = int(
+                spark.conf.get("spark.sql.streaming.numRecentProgressUpdates")
+            )
+        except Exception:
+            pass
+    if len(progresses) >= cap:
+        raise RuntimeError(
+            f"ingest-contract gate cannot vouch for the stream over "
+            f"{table_name!r}: the progress buffer is full "
+            f"({len(progresses)} >= numRecentProgressUpdates={cap}), so "
+            f"earlier batches' observe() metrics may have been evicted; "
+            f"raise spark.sql.streaming.numRecentProgressUpdates or use "
+            f"larger micro-batches (maxFilesPerTrigger)"
+        )
     null_pk = bad_domain = 0
-    for p in query.recentProgress:
+    for p in progresses:
         row = (p.observedMetrics or {}).get("ingest_contract")
         if row is not None:
             null_pk += row["n_null_pk"]
@@ -117,7 +144,7 @@ def run_enrich_stream(
         .start()
     )
     q.awaitTermination()
-    raise_on_contract_violations(q, contract_table)
+    raise_on_contract_violations(q, contract_table, spark)
 
 
 def run_upsert_stream(
@@ -249,7 +276,7 @@ def run_tumbling_stream(
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prior)
-    raise_on_contract_violations(q, contract_table)
+    raise_on_contract_violations(q, contract_table, spark)
 
 
 def run_session_stream(
@@ -312,7 +339,7 @@ def run_session_stream(
         .start()
     )
     q.awaitTermination()
-    raise_on_contract_violations(q, contract_table)
+    raise_on_contract_violations(q, contract_table, spark)
 
 
 def run_dedup_index_stream(

@@ -195,13 +195,21 @@ def _zscore_fold(tail: list, event_ids, values) -> tuple:
     sequential loop stays: at the LIVE shape (~8 events per user per
     micro-batch) the vectorized path's array setup costs 3× more than
     the 8-iteration loop it replaces. Numerical identity between the
-    two paths: the s08 replay pre-quantizes values to e4
-    integers-in-doubles, where every frame sum / sum-of-squares
-    (≤ 8 · 1e14 < 2^53) is EXACT under ANY summation order — which is
-    also why the vectorized frame sums are computed per-window rather
-    than by prefix-sum cancellation (a cumulative sum across a long
+    two paths is a PRECONDITION the dispatch now checks, not assumes
+    (r12 advice): the vectorized arm runs only when every finite input
+    (tail and batch) is an integral double within
+    ``_VECTOR_EXACT_MAX`` — the e4 integers-in-doubles the s08 replay
+    plants, where every frame sum / sum-of-squares
+    (≤ 8 · _VECTOR_EXACT_MAX² < 2^53) is EXACT under ANY summation
+    order. Raw (unquantized) live doubles therefore always take the
+    sequential arm, whose accumulation order is the pinned reference —
+    a live micro-batch can never straddle a rounding boundary across
+    arms. Per-window frame sums rather than prefix-sum cancellation
+    for the same exactness reason (a cumulative sum across a long
     history leaves the exact range, a ≤8-element window sum never
-    does). Identity is pinned by ``test_zscore_fold_paths_identical``.
+    does). Identity is pinned by ``test_zscore_fold_paths_identical``;
+    the exactness-domain dispatch by
+    ``test_zscore_fold_unquantized_takes_sequential_arm``.
     """
     import numpy as np
 
@@ -223,9 +231,16 @@ def _zscore_fold(tail: list, event_ids, values) -> tuple:
             else event_ids.astype("int64")
         )
     elif hasattr(event_ids, "to_numpy"):
-        ev = event_ids.to_numpy(dtype="float64", na_value=np.nan).astype(
-            "int64"
-        )
+        # Exact conversion: a float64 round-trip would silently corrupt
+        # BIGINT ids above 2^53, and a null id must fail loudly — it is
+        # the declared primary key (r12 advice).
+        if hasattr(event_ids, "isna") and event_ids.isna().any():
+            raise ValueError(
+                "null event_id in z-score fold input — event_id is the "
+                "events primary key (tables.PRIMARY_KEYS); the ingest "
+                "contract gate rejects such batches before state updates"
+            )
+        ev = event_ids.to_numpy(dtype="int64")
     else:
         ev = np.asarray(event_ids).astype("int64")
 
@@ -234,13 +249,12 @@ def _zscore_fold(tail: list, event_ids, values) -> tuple:
         empty_b = np.empty(0, "bool")
         return ev[:0], empty_i, empty_b, empty_i, empty_b, list(tail)
 
-    if len(vals) < _VECTOR_MIN:
-        return _zscore_fold_seq(tail, ev, vals)
-
     tail_arr = np.asarray(
         [np.nan if t is None or t != t else float(t) for t in tail],
         dtype="float64",
     )
+    if len(vals) < _VECTOR_MIN or not _vector_exact_ok(tail_arr, vals):
+        return _zscore_fold_seq(tail, ev, vals)
     x = np.concatenate([tail_arr, vals])
     # Left NaN padding makes every frame exactly _FRAME wide; a NaN pad
     # slot is indistinguishable from an absent one (stats skip NaN).
@@ -271,6 +285,33 @@ def _zscore_fold(tail: list, event_ids, values) -> tuple:
 #: Per-call event count above which the vectorized fold wins (measured
 #: crossover ≈ 70; the live path sits at ~8, replays at whole-history).
 _VECTOR_MIN = 64
+
+#: Exactness bound for the vectorized arm: with |v| ≤ 3e7, an 8-slot
+#: frame's sum of squares is ≤ 8·(3e7)² = 7.2e15 < 2^53 ≈ 9.007e15, so
+#: integral doubles in this range sum EXACTLY under any association —
+#: the property that makes the two fold arms row-identical. The s08
+#: replay's e4-quantized corpus peaks near 5.6e6 (36× headroom).
+_VECTOR_EXACT_MAX = 3.0e7
+
+
+def _vector_exact_ok(tail_arr, vals) -> bool:
+    """True iff every finite input is an integral double within
+    ``_VECTOR_EXACT_MAX`` — the domain where the vectorized arm's
+    pairwise summation is bit-identical to the sequential arm's
+    left-to-right accumulation. Anything else (raw live doubles) must
+    take the sequential arm: dispatch on size alone could otherwise
+    flip a half-up e4 rounding at an association-order boundary
+    (r12 advice)."""
+    import numpy as np
+
+    x = np.concatenate([tail_arr, vals])
+    finite = x[~np.isnan(x)]
+    if not finite.size:
+        return True
+    return bool(
+        (np.abs(finite) <= _VECTOR_EXACT_MAX).all()
+        and (finite == np.floor(finite)).all()
+    )
 
 
 def _zscore_fold_seq(tail: list, ev, vals) -> tuple:
@@ -414,7 +455,7 @@ def run_zscore_stream(
         spark.conf.set("spark.sql.shuffle.partitions", prior)
     from .runner import raise_on_contract_violations
 
-    raise_on_contract_violations(q, contract_table)
+    raise_on_contract_violations(q, contract_table, spark)
 
 
 #: Per-BUCKET z-score state: each bucketed user's trailing ≤7-value
@@ -588,7 +629,7 @@ def run_zscore_stream_bucketed(
         spark.conf.set("spark.sql.shuffle.partitions", prior)
     from .runner import raise_on_contract_violations
 
-    raise_on_contract_violations(q, contract_table)
+    raise_on_contract_violations(q, contract_table, spark)
 
 
 #: Session-gap threshold shared with the batch sessionizer
@@ -852,7 +893,7 @@ def run_session_stream(
         spark.conf.set("spark.sql.shuffle.partitions", prior)
     from .runner import raise_on_contract_violations
 
-    raise_on_contract_violations(q, contract_table)
+    raise_on_contract_violations(q, contract_table, spark)
 
 
 # ---------------------------------------------------------------------------
@@ -1095,4 +1136,4 @@ def run_session_stream_bucketed(
         spark.conf.set("spark.sql.shuffle.partitions", prior)
     from .runner import raise_on_contract_violations
 
-    raise_on_contract_violations(q, contract_table)
+    raise_on_contract_violations(q, contract_table, spark)

@@ -192,10 +192,16 @@ def test_zscore_fold_paths_identical(monkeypatch):
 
     for m in (1, 7, 63, 64, 65, 500):
         ev = rng.integers(1, 10**9, m).astype("int64")
+        # Integral e4-style doubles: the vectorized arm's exactness
+        # domain (round 13 it DISPATCHES on that domain — non-integral
+        # inputs take the sequential arm on both sides, which would
+        # make this identity check vacuous).
         vals = np.where(
-            rng.random(m) < 0.15, np.nan, rng.normal(0.0, 100.0, m)
+            rng.random(m) < 0.15,
+            np.nan,
+            np.round(rng.normal(0.0, 100.0, m) * 10000.0),
         )
-        for tail in ([], [1.0, None, float("nan"), -2.5]):
+        for tail in ([], [10000.0, None, float("nan"), -25000.0]):
             (e1, v1, vm1, z1, zm1, t1), (e2, v2, vm2, z2, zm2, t2) = both(
                 tail, ev, vals
             )

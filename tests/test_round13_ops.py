@@ -70,3 +70,105 @@ def test_x00_spend_trend_anchor_probe(spark):
     # The NULL-date purchases are all odd ids (3 + 24k), so the g=1
     # count must sit strictly below g=0's — the phantom-point guard.
     assert trend[("trend_n", 1)] < trend[("trend_n", 0)]
+
+
+# ------------------------------------------- r12 advice: fold inputs
+
+
+def test_zscore_fold_unquantized_takes_sequential_arm(monkeypatch):
+    """Dispatch to the vectorized arm requires the exactness domain
+    (integral doubles ≤ _VECTOR_EXACT_MAX), not just batch size: raw
+    live doubles could otherwise flip a half-up e4 rounding at an
+    association-order boundary between the two arms (r12 advice)."""
+    import numpy as np
+
+    from reddit_data_engineering_project_spark.streaming import stateful
+
+    calls = []
+    real_seq = stateful._zscore_fold_seq
+
+    def spy(tail, ev, vals):
+        calls.append(len(vals))
+        return real_seq(tail, ev, vals)
+
+    monkeypatch.setattr(stateful, "_VECTOR_MIN", 0)
+    monkeypatch.setattr(stateful, "_zscore_fold_seq", spy)
+
+    ev = np.arange(100, dtype="int64")
+    # non-integral raw doubles -> sequential even above the threshold
+    stateful._zscore_fold([], ev, np.full(100, 1.25))
+    assert calls == [100]
+    # integral but out of the exact-sum range -> sequential
+    stateful._zscore_fold([], ev, np.full(100, 4.0e7))
+    assert calls == [100, 100]
+    # a single non-integral TAIL value poisons the batch too
+    stateful._zscore_fold([0.5], ev, np.full(100, 3.0))
+    assert calls == [100, 100, 100]
+    # integral in-range values -> vectorized (spy NOT called)
+    stateful._zscore_fold([], ev, np.full(100, 12340000.0))
+    assert calls == [100, 100, 100]
+
+
+def test_zscore_fold_event_ids_exact_and_null_loud():
+    """event_id conversion from pandas must be EXACT above 2^53 (no
+    float64 round-trip) and a null event_id — the declared primary
+    key — must raise, not NaN-cast (r12 advice)."""
+    import pandas as pd
+    import pytest
+
+    from reddit_data_engineering_project_spark.streaming.stateful import (
+        _zscore_fold,
+    )
+
+    big = 2**53 + 1  # not representable in float64
+    ev, *_ = _zscore_fold(
+        [], pd.Series([big, big + 2]), pd.Series([1.0, 2.0])
+    )
+    assert list(ev) == [big, big + 2]
+
+    with pytest.raises(ValueError, match="primary key"):
+        _zscore_fold(
+            [],
+            pd.Series([1, None], dtype="Int64"),
+            pd.Series([1.0, 2.0]),
+        )
+
+
+# ------------------------------------- r12 advice: progress coverage
+
+
+def test_contract_gate_refuses_full_progress_buffer(spark):
+    """raise_on_contract_violations must REFUSE to vouch when the
+    progress buffer is at capacity — eviction of early batches'
+    observe() metrics (a silent false-pass) can then not be ruled out
+    (r12 advice). Below capacity, clean sums pass as before."""
+    import pytest
+
+    from reddit_data_engineering_project_spark.session import (
+        ensure_session_confs,
+    )
+    from reddit_data_engineering_project_spark.streaming.runner import (
+        raise_on_contract_violations,
+    )
+
+    ensure_session_confs(spark)
+    cap = int(
+        spark.conf.get("spark.sql.streaming.numRecentProgressUpdates")
+    )
+    assert cap >= 10_000  # session default raised from Spark's 100
+
+    class _Progress:
+        observedMetrics = {}
+
+    class _Query:
+        def __init__(self, n):
+            self.recentProgress = [_Progress()] * n
+
+    # full buffer -> refuse, even with zero observed violations
+    with pytest.raises(RuntimeError, match="cannot vouch"):
+        raise_on_contract_violations(_Query(cap), "events", spark)
+    # below the cap -> clean pass
+    raise_on_contract_violations(_Query(cap - 1), "events", spark)
+    # no spark handle -> the conservative built-in floor of 100 governs
+    with pytest.raises(RuntimeError, match="cannot vouch"):
+        raise_on_contract_violations(_Query(100), "events")
