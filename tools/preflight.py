@@ -18,12 +18,24 @@ Runs, in order:
                             shape drift — lost broadcast, new Exchange —
                             fails here until re-blessed via
                             ``tools/audit_plans.py --snapshot`` and the
-                            diff is committed).
+                            diff is committed);
+  7. (``--degenerate`` only) degenerate gate —
+                            ``tools/degenerate_gate.py`` regenerates the
+                            five degenerate-cardinality corpora (empty /
+                            one-row / three mixed) and sweeps the FULL
+                            registry against each, asserting each sweep's
+                            fail set is exactly the documented one (r12
+                            verdict item 3: the sweeps were manual, so a
+                            regression in a not-yet-pinned entry's
+                            empty-input path went unchecked between
+                            rounds). ~25-40 min — round-end protocol, not
+                            the fast loop.
 
 Exit code 0 only if every stage passes. Use before ending a round:
 
     python tools/preflight.py [--full]       # --full: all entries, not 50
     python tools/preflight.py --skip-plans   # skip stage 5 (fast loop)
+    python tools/preflight.py --degenerate   # round-end: adds stage 7
 """
 
 from __future__ import annotations
@@ -135,6 +147,17 @@ def main() -> int:
         "--skip-plans",
         action="store_true",
         help="skip the plan audit + shape-snapshot diff stage",
+    )
+    ap.add_argument(
+        "--degenerate",
+        action="store_true",
+        help=(
+            "add stage 7: the full degenerate-cardinality gate "
+            "(tools/degenerate_gate.py — five regenerated corpora x "
+            "full-registry sweep, fail sets asserted against the "
+            "documented state). ~25-40 min; part of the round-end "
+            "protocol, not the fast loop"
+        ),
     )
     args = ap.parse_args()
 
@@ -310,6 +333,26 @@ def main() -> int:
 
     if not args.skip_plans:
         results.append(stage("plan-audit", plan_audit))
+
+    def degenerate_gate():
+        out = subprocess.run(
+            [sys.executable, "tools/degenerate_gate.py"],
+            cwd=REPO,
+            capture_output=True,
+            text=True,
+            timeout=3600 * 2,
+        )
+        lines = out.stdout.strip().splitlines()
+        per_corpus = [l for l in lines if l.startswith(("PASS", "FAIL"))]
+        if out.returncode != 0:
+            raise RuntimeError(
+                "; ".join(per_corpus[-6:])
+                or "\n".join(out.stderr.strip().splitlines()[-3:])
+            )
+        return "; ".join(per_corpus)
+
+    if args.degenerate:
+        results.append(stage("degenerate-gate", degenerate_gate))
 
     ok = all(good for _, good, _ in results)
     for name, good, detail in results:
