@@ -47,16 +47,100 @@ def decode_media(payload: bytes, media_type: str) -> object:
     """Decode a media payload — the codec seam.
 
     In production this dispatches to an image/audio/video decoder
-    (PIL / torchaudio / pyav). Those libraries are not in this
-    environment, so any real media type raises; the pipeline's plumbing
-    is exercised with the deterministic ``text/plain`` fake.
+    (PIL / torchaudio / pyav). Exactly ONE real image format is
+    decodable without any codec library — uncompressed 24-bit BMP
+    (:func:`decode_bmp`, pure numpy: fixed header parse + raw pixel
+    reshape; r12 verdict item 4) — so the seam has a tested, executable
+    sibling next to the ``text/plain`` fake; every other media type
+    still raises until a codec is plugged in here at deployment.
     """
     if media_type == "text/plain":
         return payload.decode("utf-8")
+    if media_type == "image/bmp":
+        return decode_bmp(payload)
     raise NotImplementedError(
         f"media decode for {media_type!r} requires a codec library; "
         "plug PIL/pyav in here at deployment"
     )
+
+
+def decode_bmp(payload: bytes):
+    """Pure-numpy decoder for uncompressed 24-bit BI_RGB BMP.
+
+    Returns an ``(height, width, 3)`` uint8 array in RGB, top row
+    first, regardless of how the file stores its rows. Handles the two
+    header layouts a writer can emit (bottom-up positive height — the
+    overwhelmingly common form — and top-down negative height), the
+    4-byte row-stride padding, the BGR byte order, and an arbitrary
+    ``pixel_offset`` (palettes/ICC profiles between header and pixels).
+    Anything outside the 24-bit BI_RGB envelope raises rather than
+    guessing: this is a codec SEAM, not a codec library.
+    """
+    import numpy as np
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload (missing 'BM' magic)")
+    pixel_offset = int.from_bytes(payload[10:14], "little")
+    header_size = int.from_bytes(payload[14:18], "little")
+    if header_size < 40:
+        raise NotImplementedError(
+            f"BMP core-header size {header_size} < 40 (BITMAPINFOHEADER)"
+        )
+    width = int.from_bytes(payload[18:22], "little", signed=True)
+    height = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    compression = int.from_bytes(payload[30:34], "little")
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"only uncompressed 24-bit BI_RGB is decodable here "
+            f"(got bpp={bpp}, compression={compression})"
+        )
+    if width <= 0 or height == 0:
+        raise ValueError(f"degenerate BMP dimensions {width}x{height}")
+    top_down = height < 0
+    h = abs(height)
+    stride = ((3 * width + 3) // 4) * 4
+    need = pixel_offset + stride * h
+    if len(payload) < need:
+        raise ValueError(
+            f"truncated BMP: {len(payload)} bytes < {need} required"
+        )
+    raw = np.frombuffer(
+        payload, dtype=np.uint8, offset=pixel_offset, count=stride * h
+    )
+    rows = raw.reshape(h, stride)[:, : 3 * width].reshape(h, width, 3)
+    if not top_down:
+        rows = rows[::-1]  # stored bottom-up -> top row first
+    return rows[..., ::-1].copy()  # stored BGR -> RGB
+
+
+def encode_bmp(pixels) -> bytes:
+    """Encode an ``(h, w, 3)`` uint8 RGB array as a bottom-up 24-bit
+    BI_RGB BMP — the planted-payload writer for the decoder above (and
+    its round-trip test harness)."""
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = px.shape
+    stride = ((3 * w + 3) // 4) * 4
+    body = np.zeros((h, stride), dtype=np.uint8)
+    body[:, : 3 * w] = px[::-1, :, ::-1].reshape(h, 3 * w)  # bottom-up BGR
+    size = 54 + stride * h
+    header = (
+        b"BM"
+        + size.to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + (54).to_bytes(4, "little")  # pixel offset
+        + (40).to_bytes(4, "little")  # BITMAPINFOHEADER
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")  # planes
+        + (24).to_bytes(2, "little")  # bpp
+        + (0).to_bytes(4, "little")  # BI_RGB
+        + (stride * h).to_bytes(4, "little")
+        + b"\x00" * 16  # ppm resolutions + palette counts
+    )
+    return header + body.tobytes()
 
 
 _FEATURE_SCHEMA = StructType(
@@ -709,4 +793,162 @@ def x05_payload_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("bigint")
         .alias("rms_e3"),
+    )
+
+
+# --- x05_bmp_pixel_stats: the executable codec seam (r12 verdict item 4)
+
+#: Planted-BMP geometry/pixel definition, shared verbatim by the Spark
+#: encoder below and the SQL oracle: for document ``doc_id`` the image
+#: is ``w = 4 + doc_id % 5`` wide, ``h = 3 + doc_id % 4`` tall, and the
+#: RGB pixel at (row r from top, col c, channel ch in {0=R,1=G,2=B}) is
+#: ``(doc_id*31 + r*7 + c*3 + ch*11) % 256``. Every output stat is an
+#: exact integer over these values, so the oracle recomputes them
+#: relationally while Spark must round-trip REAL BMP BYTES (encode ->
+#: decode_media -> numpy stats) to agree.
+_BMP_W_MOD, _BMP_H_MOD = 5, 4
+
+
+def _planted_pixels(doc_id: int):
+    import numpy as np
+
+    w = 4 + doc_id % _BMP_W_MOD
+    h = 3 + doc_id % _BMP_H_MOD
+    r = np.arange(h, dtype=np.int64)[:, None, None]
+    c = np.arange(w, dtype=np.int64)[None, :, None]
+    ch = np.arange(3, dtype=np.int64)[None, None, :]
+    return ((doc_id * 31 + r * 7 + c * 3 + ch * 11) % 256).astype("uint8")
+
+
+_BMP_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("width", IntegerType(), False),
+        StructField("height", IntegerType(), False),
+        StructField("n_bytes", IntegerType(), False),
+        StructField("header_hex", StringType(), False),
+        StructField("topleft_r", IntegerType(), False),
+        StructField("topleft_g", IntegerType(), False),
+        StructField("topleft_b", IntegerType(), False),
+        StructField("sum_r", LongType(), False),
+        StructField("sum_g", LongType(), False),
+        StructField("sum_b", LongType(), False),
+        StructField("rowsum_weighted", LongType(), False),
+        StructField("resized_sum", LongType(), False),
+    ]
+)
+
+
+def _bmp_roundtrip_stats(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Encode each doc's planted pixels as REAL BMP bytes, decode them
+    back through the codec seam (:func:`decode_media` with
+    ``image/bmp``), and emit exact-integer pixel stats of the DECODED
+    array. A decoder that mishandles the bottom-up row flip, the
+    BGR->RGB swap, or the row-stride padding changes ``topleft_*`` /
+    ``rowsum_weighted`` and hash-fails against the oracle — the stats
+    are chosen to be order- and channel-sensitive, not just sums."""
+    import numpy as np
+
+    for pdf in batches:
+        rows = []
+        for doc_id in pdf["doc_id"]:
+            doc_id = int(doc_id)
+            payload = encode_bmp(_planted_pixels(doc_id))
+            img = decode_media(payload, "image/bmp").astype(np.int64)
+            h, w = img.shape[0], img.shape[1]
+            resized = img[::2, ::2]  # the stride-2 thumbnail feed
+            weights = np.arange(1, h + 1, dtype=np.int64)[:, None, None]
+            rows.append(
+                (
+                    doc_id,
+                    w,
+                    h,
+                    len(payload),
+                    payload[:2].hex(),
+                    int(img[0, 0, 0]),
+                    int(img[0, 0, 1]),
+                    int(img[0, 0, 2]),
+                    int(img[..., 0].sum()),
+                    int(img[..., 1].sum()),
+                    int(img[..., 2].sum()),
+                    int((img * weights).sum()),
+                    int(resized.sum()),
+                )
+            )
+        yield pd.DataFrame(rows, columns=[f.name for f in _BMP_STATS_SCHEMA])
+
+
+@register(
+    "x05_bmp_pixel_stats",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id,
+               4 + doc_id % {_BMP_W_MOD} AS w,
+               3 + doc_id % {_BMP_H_MOD} AS h
+        FROM documents
+    ),
+    px AS (
+        SELECT d.doc_id, d.w, d.h, r.r, c.c, ch.ch,
+               (d.doc_id * 31 + r.r * 7 + c.c * 3 + ch.ch * 11) % 256 AS v
+        FROM d
+        CROSS JOIN LATERAL (SELECT unnest(range(0, d.h)) AS r) r
+        CROSS JOIN LATERAL (SELECT unnest(range(0, d.w)) AS c) c
+        CROSS JOIN LATERAL (SELECT unnest([0, 1, 2]) AS ch) ch
+    )
+    SELECT
+        doc_id,
+        CAST(any_value(w) AS INT) AS width,
+        CAST(any_value(h) AS INT) AS height,
+        -- file size: 54-byte headers + 4-byte-aligned BGR rows
+        CAST(54 + ((3 * any_value(w) + 3) // 4) * 4 * any_value(h)
+             AS INT) AS n_bytes,
+        '424d' AS header_hex,
+        CAST(max(CASE WHEN r = 0 AND c = 0 AND ch = 0 THEN v END)
+             AS INT) AS topleft_r,
+        CAST(max(CASE WHEN r = 0 AND c = 0 AND ch = 1 THEN v END)
+             AS INT) AS topleft_g,
+        CAST(max(CASE WHEN r = 0 AND c = 0 AND ch = 2 THEN v END)
+             AS INT) AS topleft_b,
+        CAST(sum(CASE WHEN ch = 0 THEN v ELSE 0 END) AS BIGINT) AS sum_r,
+        CAST(sum(CASE WHEN ch = 1 THEN v ELSE 0 END) AS BIGINT) AS sum_g,
+        CAST(sum(CASE WHEN ch = 2 THEN v ELSE 0 END) AS BIGINT) AS sum_b,
+        CAST(sum(v * (r + 1)) AS BIGINT) AS rowsum_weighted,
+        CAST(sum(CASE WHEN r % 2 = 0 AND c % 2 = 0 THEN v ELSE 0 END)
+             AS BIGINT) AS resized_sum
+    FROM px
+    GROUP BY doc_id
+    """,
+    tags=("multimodal", "X5", "bmp", "codec", "pandas-udf"),
+)
+def x05_bmp_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5g: REAL image decode through the codec seam (r12 verdict #4).
+
+    The one declared-not-executable path in the package was
+    :func:`decode_media` for any non-text media type. This entry makes
+    the seam executable for a real format with zero new dependencies:
+    per document, deterministic planted pixels are encoded as genuine
+    uncompressed 24-bit BMP bytes (:func:`encode_bmp`), decoded back
+    through ``decode_media(payload, "image/bmp")`` (pure-numpy header
+    parse + stride reshape), fed to the stride-2 resize step, and
+    reduced to exact-integer pixel stats. The oracle recomputes every
+    stat from the same closed-form pixel definition relationally — it
+    never sees the bytes, so agreement proves the byte round-trip:
+    ``topleft_*`` pins the bottom-up row flip and the BGR->RGB swap
+    (a decoder that forgets either reads a different corner or
+    channel), ``rowsum_weighted`` pins global row order, ``n_bytes``
+    pins the 4-byte row-stride padding, and ``resized_sum`` pins the
+    decoded geometry the thumbnail feed sees.
+
+    Scale shape: one embarrassingly-parallel ``mapInPandas`` pass —
+    encode/decode/reduce per Arrow batch, no shuffle anywhere, W
+    payload bytes never leave the task that made them. At deployment
+    the planted encoder disappears and the same pass decodes stored
+    payload columns; per-image stats stay O(rows), not O(bytes), on
+    the wire.
+    """
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    return ensure_min_parallelism(docs).mapInPandas(
+        _bmp_roundtrip_stats, schema=_BMP_STATS_SCHEMA
     )
