@@ -1678,15 +1678,30 @@ def x02_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeded one — plan shape unchanged). Survivor selection is one
     groupBy on the removed id riding the pair stream's partitioning.
     """
-    base = ensure_min_parallelism(table(spark, sf_dir, "embeddings")).select(
-        "vec_id", _vec_double("embedding").alias("e")
+    return semantic_dedup_over(
+        ensure_min_parallelism(table(spark, sf_dir, "embeddings"))
     )
+
+
+def semantic_dedup_over(
+    emb: DataFrame,
+    k: int = _SEMDEDUP_K,
+    cos_threshold: float = _SEMDEDUP_COS,
+    copy_key_offset: int = 100_000,
+) -> DataFrame:
+    """The ``x02_semantic_dedup`` body over an arbitrary embeddings
+    frame — factored out (r12 verdict item 5) so ``tools/
+    scale_curve.py`` can measure the registered plan at synthesized 10x
+    corpus size AND under the ``K ~ corpus`` scaling rule the docstring
+    prescribes. The registered entry calls this with its pinned
+    defaults, so its plan and output are unchanged."""
+    base = emb.select("vec_id", _vec_double("embedding").alias("e"))
     copies = base.select(
-        (F.col("vec_id") + 100_000).alias("vec_id"),
+        (F.col("vec_id") + copy_key_offset).alias("vec_id"),
         F.transform(F.col("e"), lambda x: x * 1.01).alias("e"),
     )
     corpus = base.unionByName(copies)
-    cents = base.filter(F.col("vec_id") < _SEMDEDUP_K).agg(
+    cents = base.filter(F.col("vec_id") < k).agg(
         F.transform(
             F.sort_array(F.collect_list(F.struct("vec_id", "e"))),
             lambda st: st.e,
@@ -1716,7 +1731,7 @@ def x02_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l.vec_id") < F.col("r.vec_id")),
         )
         .filter(
-            cosine(F.col("l.e"), F.col("r.e")) >= F.lit(_SEMDEDUP_COS)
+            cosine(F.col("l.e"), F.col("r.e")) >= F.lit(cos_threshold)
         )
         .select(
             F.col("l.cid").alias("cluster_id"),

@@ -159,13 +159,118 @@ def similarity_curve(spark: SparkSession, sf_dir: str, multiplier: int) -> None:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def simhash16_curve(spark: SparkSession, sf_dir: str, multiplier: int) -> None:
+    """SimHash-16 near-dup at 1x and Nx (r12 verdict item 5).
+
+    Same constant-near-dup-density replication as the LSH curve (each
+    replica's rotation substitution preserves ITS planted pairs while
+    destroying cross-replica shingle overlap), measured through the
+    registered entry's exact composition: 16-bit band candidates at
+    probe radius 3, then candidate-only exact-Jaccard verification.
+    The claim under test is the band-fanout one — candidate volume
+    (and so wall) stays ~linear in docs because 65 536-value buckets
+    keep random collisions at ~4.3% per pair-band, never quadratic."""
+    from reddit_data_engineering_project_spark.operators.dedup import (
+        _simhash_candidates,
+        _verify_jaccard,
+    )
+
+    for label, mult in ((os.path.basename(sf_dir.rstrip("/")), 1),
+                        (f"x{multiplier}", multiplier)):
+        docs = replicated_corpus(spark, sf_dir, mult)
+        spark.catalog.clearCache()
+        n_docs = docs.count()
+        t0 = time.time()
+        cands = _simhash_candidates(docs, band_bits=16, radius=3)
+        n_pairs = _verify_jaccard(docs, cands).count()
+        print(
+            json.dumps(
+                {
+                    "family": "simhash16",
+                    "corpus": label,
+                    "docs": n_docs,
+                    "verified_pairs": n_pairs,
+                    "wall_sec": round(time.time() - t0, 2),
+                }
+            ),
+            flush=True,
+        )
+
+
+def semantic_curve(spark: SparkSession, sf_dir: str, multiplier: int) -> None:
+    """Semantic dedup (SemDeDup shape) at 1x and Nx (r12 verdict item 5).
+
+    Replicas are DIMENSION-ROTATED copies of the embeddings table:
+    rotating the component order is an orthogonal transform, so every
+    intra-replica dot product (and the operator's own x1.01 planted
+    copies) is preserved EXACTLY, while cross-replica cosines are
+    scrambled far below the 0.999 threshold — near-dup density stays
+    constant as the corpus grows, the honest workload shape.
+
+    Two Nx datapoints, because K is the documented scale knob:
+    fixed K = 64 exhibits the sum-of-cluster-sizes-squared growth the
+    docstring warns about; K scaled with the corpus (K = 64·N, the
+    prescribed ``K ~ corpus`` rule) is the production configuration
+    that keeps per-cluster pair work flat."""
+    from reddit_data_engineering_project_spark.operators.similarity import (
+        _SEMDEDUP_K,
+        semantic_dedup_over,
+    )
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dim = len(emb.first()["embedding"])
+    reps = []
+    for r in range(multiplier):
+        rot = (
+            F.col("embedding")
+            if r == 0
+            else F.concat(
+                F.slice(F.col("embedding"), r + 1, dim - r),
+                F.slice(F.col("embedding"), 1, r),
+            )
+        )
+        reps.append(
+            emb.select(
+                (F.col("vec_id") + F.lit(r * 100_000_000)).alias("vec_id"),
+                rot.alias("embedding"),
+            )
+        )
+    big = reps[0]
+    for df in reps[1:]:
+        big = big.unionAll(df)
+
+    runs = (
+        (os.path.basename(sf_dir.rstrip("/")), emb, _SEMDEDUP_K),
+        (f"x{multiplier} fixed-K", big, _SEMDEDUP_K),
+        (f"x{multiplier} scaled-K", big, _SEMDEDUP_K * multiplier),
+    )
+    for label, corpus, k in runs:
+        spark.catalog.clearCache()
+        n_vecs = corpus.count()
+        t0 = time.time()
+        removed = semantic_dedup_over(corpus, k=k).count()
+        print(
+            json.dumps(
+                {
+                    "family": "semantic",
+                    "corpus": label,
+                    "k": k,
+                    "vectors": n_vecs,
+                    "removed": removed,
+                    "wall_sec": round(time.time() - t0, 2),
+                }
+            ),
+            flush=True,
+        )
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     ap.add_argument("--multiplier", type=int, default=10)
     ap.add_argument(
         "--family",
-        choices=("dedup", "similarity", "all"),
+        choices=("dedup", "similarity", "simhash16", "semantic", "all"),
         default="dedup",
     )
     args = ap.parse_args()
@@ -179,6 +284,16 @@ def main() -> int:
         load_all_operators()
         similarity_curve(spark, args.sf, args.multiplier)
         if args.family == "similarity":
+            spark.stop()
+            return 0
+    if args.family in ("simhash16", "all"):
+        simhash16_curve(spark, args.sf, args.multiplier)
+        if args.family == "simhash16":
+            spark.stop()
+            return 0
+    if args.family in ("semantic", "all"):
+        semantic_curve(spark, args.sf, args.multiplier)
+        if args.family == "semantic":
             spark.stop()
             return 0
     results = []
