@@ -805,7 +805,12 @@ def x05_payload_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: ``(doc_id*31 + r*7 + c*3 + ch*11) % 256``. Every output stat is an
 #: exact integer over these values, so the oracle recomputes them
 #: relationally while Spark must round-trip REAL BMP BYTES (encode ->
-#: decode_media -> numpy stats) to agree.
+#: decode_media -> numpy stats) to agree. Modulo is FLOORED on both
+#: sides (Python's native semantics; the oracle spells the
+#: ((x % m) + m) % m equivalent since DuckDB's % truncates), and the
+#: formula assumes |doc_id| < 2^58 so ``doc_id * 31`` stays inside
+#: int64 — the committed corpora's ids are small positives; numpy
+#: would wrap where DuckDB throws beyond that.
 _BMP_W_MOD, _BMP_H_MOD = 5, 4
 
 
@@ -885,13 +890,20 @@ def _bmp_roundtrip_stats(
     oracle=f"""
     WITH d AS (
         SELECT doc_id,
-               4 + doc_id % {_BMP_W_MOD} AS w,
-               3 + doc_id % {_BMP_H_MOD} AS h
+               -- floored modulo (Python/numpy semantics), not
+               -- DuckDB's truncated %: identical for the committed
+               -- corpora's positive ids, divergence-proof if a future
+               -- hostile class plants negative ones
+               4 + ((doc_id % {_BMP_W_MOD}) + {_BMP_W_MOD})
+                   % {_BMP_W_MOD} AS w,
+               3 + ((doc_id % {_BMP_H_MOD}) + {_BMP_H_MOD})
+                   % {_BMP_H_MOD} AS h
         FROM documents
     ),
     px AS (
         SELECT d.doc_id, d.w, d.h, r.r, c.c, ch.ch,
-               (d.doc_id * 31 + r.r * 7 + c.c * 3 + ch.ch * 11) % 256 AS v
+               (((d.doc_id * 31 + r.r * 7 + c.c * 3 + ch.ch * 11)
+                 % 256) + 256) % 256 AS v
         FROM d
         CROSS JOIN LATERAL (SELECT unnest(range(0, d.h)) AS r) r
         CROSS JOIN LATERAL (SELECT unnest(range(0, d.w)) AS c) c
