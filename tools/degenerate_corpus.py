@@ -59,11 +59,73 @@ def write_mixed(src: str, out: str, empty_table: str) -> None:
         pq.write_table(t, os.path.join(out, f"{name}.parquet"))
 
 
+#: The monoculture document text — long enough to shingle (>= 4 tokens)
+#: and multi-line-free; n_chars is kept CONSISTENT with it.
+MONO_TEXT = (
+    "the same training document repeated verbatim across the entire "
+    "corpus is the classic crawl pathology deduplication exists for"
+)
+MONO_VALUE = 7.25  # in-domain (|v| <= 1e3), exactly representable
+MONO_COMPONENT = 0.125  # constant non-zero embedding component
+
+
+def write_monoculture(src: str, out: str) -> None:
+    """ZERO-VARIANCE corpus (round 13): cardinality intact, variance
+    zero on every analyzed axis — all documents carry the SAME text
+    (n_chars kept consistent), all events the SAME value, all
+    embeddings the SAME non-zero vector. Every degenerate class so far
+    varied cardinality; none varied DISPERSION to zero, which is where
+    the other family of latent edges lives: sigma = 0 z-scores, MAD =
+    0 gates, zero-IDF TF-IDF, all-equal rank/percentile ties,
+    distance ties in every ANN/kNN ranking, single-bucket LSH, one
+    giant dedup cluster. Spark and DuckDB are swept on the SAME
+    corpus, so any failure is a real cross-engine divergence or crash,
+    not a planted expectation."""
+    import pyarrow as pa
+
+    os.makedirs(out, exist_ok=True)
+    for name in TABLES:
+        t = pq.read_table(os.path.join(src, f"{name}.parquet"))
+        n = t.num_rows
+        if name == "documents":
+            t = t.set_column(
+                t.schema.get_field_index("text"),
+                "text",
+                pa.array([MONO_TEXT] * n, pa.string()),
+            )
+            t = t.set_column(
+                t.schema.get_field_index("n_chars"),
+                "n_chars",
+                pa.array([len(MONO_TEXT)] * n, t.schema.field("n_chars").type),
+            )
+        elif name == "events":
+            t = t.set_column(
+                t.schema.get_field_index("value"),
+                "value",
+                pa.array([MONO_VALUE] * n, t.schema.field("value").type),
+            )
+        elif name == "embeddings":
+            dim = len(t["embedding"][0])
+            vec = [MONO_COMPONENT] * dim
+            t = t.set_column(
+                t.schema.get_field_index("embedding"),
+                "embedding",
+                pa.array([vec] * n, t.schema.field("embedding").type),
+            )
+        pq.write_table(t, os.path.join(out, f"{name}.parquet"))
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--src", default="/root/testdata/sf0.001")
     ap.add_argument("--out-empty", default="/tmp/degcorpus_empty")
     ap.add_argument("--out-one", default="/tmp/degcorpus_one")
+    ap.add_argument(
+        "--monoculture",
+        metavar="DIR",
+        default=None,
+        help="also write the zero-variance corpus to DIR",
+    )
     ap.add_argument(
         "--mixed",
         metavar="TABLE",
@@ -82,6 +144,9 @@ def main() -> int:
         out = f"/tmp/degcorpus_no_{t}"
         write_mixed(args.src, out, t)
         print(f"{out}: {t} empty, rest intact")
+    if args.monoculture:
+        write_monoculture(args.src, args.monoculture)
+        print(f"{args.monoculture}: zero-variance corpus")
     return 0
 
 
