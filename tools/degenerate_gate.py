@@ -24,7 +24,8 @@ the gate's contract is "nothing NEW breaks on a degenerate corpus and
 nothing documented silently heals", not a frozen total.
 
 Wired into the round-end protocol as ``python tools/preflight.py
---degenerate`` (SURVEY §"round-end protocol"); also runnable directly:
+--degenerate`` (round-end protocol; first full run measured ~11 min:
+empty 91 s, one-row 124 s, mixed ~145 s each); also runnable directly:
 
     python tools/degenerate_gate.py [--src /root/testdata/sf0.001]
 

@@ -28,8 +28,8 @@ Runs, in order:
                             verdict item 3: the sweeps were manual, so a
                             regression in a not-yet-pinned entry's
                             empty-input path went unchecked between
-                            rounds). ~25-40 min — round-end protocol, not
-                            the fast loop.
+                            rounds). ~11 min measured — round-end
+                            protocol, not the fast loop.
 
 Exit code 0 only if every stage passes. Use before ending a round:
 
@@ -155,7 +155,7 @@ def main() -> int:
             "add stage 7: the full degenerate-cardinality gate "
             "(tools/degenerate_gate.py — five regenerated corpora x "
             "full-registry sweep, fail sets asserted against the "
-            "documented state). ~25-40 min; part of the round-end "
+            "documented state). ~11 min measured; part of the round-end "
             "protocol, not the fast loop"
         ),
     )
