@@ -196,6 +196,51 @@ def test_degenerate_gate_summary_parse_and_contract():
     assert dg.EXPECTED_FAILS["one_row"] == {"q09_rollup"}
     for t in ("events", "documents", "embeddings"):
         assert dg.EXPECTED_FAILS[f"mixed_{t}_empty"] == frozenset()
+    # the round-13 zero-variance corpora: first full sweeps were
+    # 208 ok / 0 fail each, and the gate holds them there
+    assert dg.EXPECTED_FAILS["monoculture"] == frozenset()
+    assert dg.EXPECTED_FAILS["flat_time"] == frozenset()
+
+
+def test_zero_variance_writers_produce_what_they_claim(tmp_path):
+    """The monoculture writer zeroes dispersion on every analyzed axis
+    (text / n_chars consistency, event value, embedding) and the
+    flat-time writer collapses every non-NULL ts to ONE instant while
+    leaving other tables untouched."""
+    import sys
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    sys.path.insert(0, "tools")
+    import degenerate_corpus as deg
+
+    src = "/root/testdata/sf0.001"
+    mono, flat = str(tmp_path / "mono"), str(tmp_path / "flat")
+    deg.write_monoculture(src, mono)
+    deg.write_flat_time(src, flat)
+
+    docs = pq.read_table(f"{mono}/documents.parquet")
+    assert set(docs["text"].to_pylist()) == {deg.MONO_TEXT}
+    assert set(docs["n_chars"].to_pylist()) == {len(deg.MONO_TEXT)}
+    ev = pq.read_table(f"{mono}/events.parquet")
+    assert set(ev["value"].to_pylist()) <= {deg.MONO_VALUE, None}
+    emb = pq.read_table(f"{mono}/embeddings.parquet")
+    first = emb["embedding"][0].as_py()
+    assert set(first) == {deg.MONO_COMPONENT}
+    assert all(v.as_py() == first for v in emb["embedding"])
+
+    fev = pq.read_table(f"{flat}/events.parquet")
+    src_ev = pq.read_table(f"{src}/events.parquet")
+    nonnull = [t.as_py() for t in fev["ts"] if t.is_valid]
+    assert len(set(nonnull)) == 1
+    assert pc.sum(pc.is_null(fev["ts"]).cast("int64")).as_py() == pc.sum(
+        pc.is_null(src_ev["ts"]).cast("int64")
+    ).as_py()
+    # non-events tables pass through byte-identical row values
+    assert pq.read_table(f"{flat}/documents.parquet").equals(
+        pq.read_table(f"{src}/documents.parquet")
+    )
 
 
 # --- BMP codec seam (r12 verdict item 4) -----------------------------

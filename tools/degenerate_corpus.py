@@ -115,6 +115,43 @@ def write_monoculture(src: str, out: str) -> None:
         pq.write_table(t, os.path.join(out, f"{name}.parquet"))
 
 
+#: One in-domain instant (tables.TIME_DOMAINS: [1970, 2999]); NULL ts
+#: rows keep their NULLs — a legal data condition in its own right.
+FLAT_INSTANT_US = 1_700_000_000_000_000  # 2023-11-14T22:13:20Z
+
+
+def write_flat_time(src: str, out: str) -> None:
+    """FLAT-TIME corpus (round 13, the temporal axis of the
+    zero-variance class): every non-NULL ``events.ts`` becomes the SAME
+    instant. All windows collapse to one bucket, every session to one
+    per user, and — the real target — any window/sort ordered by ``ts``
+    WITHOUT a deterministic tiebreak goes nondeterministic on BOTH
+    engines at once, which is exactly the divergence the value hash
+    catches. Other tables pass through untouched."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    os.makedirs(out, exist_ok=True)
+    for name in TABLES:
+        t = pq.read_table(os.path.join(src, f"{name}.parquet"))
+        if name == "events":
+            ts = t["ts"]
+            flat = pa.array(
+                [FLAT_INSTANT_US] * t.num_rows, pa.int64()
+            ).cast(pa.timestamp("us" if ts.type == pa.timestamp("us") else "ns"))
+            if ts.type == pa.timestamp("ns"):
+                flat = pa.array(
+                    [FLAT_INSTANT_US * 1000] * t.num_rows, pa.int64()
+                ).cast(pa.timestamp("ns"))
+            keep_null = pc.is_null(ts)
+            t = t.set_column(
+                t.schema.get_field_index("ts"),
+                "ts",
+                pc.if_else(keep_null, pa.nulls(t.num_rows, flat.type), flat),
+            )
+        pq.write_table(t, os.path.join(out, f"{name}.parquet"))
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--src", default="/root/testdata/sf0.001")
@@ -125,6 +162,12 @@ def main() -> int:
         metavar="DIR",
         default=None,
         help="also write the zero-variance corpus to DIR",
+    )
+    ap.add_argument(
+        "--flat-time",
+        metavar="DIR",
+        default=None,
+        help="also write the flat-time corpus (all non-NULL ts equal) to DIR",
     )
     ap.add_argument(
         "--mixed",
@@ -147,6 +190,9 @@ def main() -> int:
     if args.monoculture:
         write_monoculture(args.src, args.monoculture)
         print(f"{args.monoculture}: zero-variance corpus")
+    if args.flat_time:
+        write_flat_time(args.src, args.flat_time)
+        print(f"{args.flat_time}: flat-time corpus")
     return 0
 
 

@@ -6,10 +6,11 @@ but only for the entries the sweep had already caught. A regression in
 any OTHER entry's empty-input path would stay invisible until the next
 manual sweep. This tool makes the full sweep a one-command gate:
 
-1. regenerates the five degenerate corpora from the committed sf0.001
-   fixtures via :mod:`degenerate_corpus` (empty, one-row, and the three
-   mixed corpora with exactly one of events / documents / embeddings
-   zeroed);
+1. regenerates the SEVEN degenerate corpora from the committed
+   sf0.001 fixtures via :mod:`degenerate_corpus` (empty, one-row, the
+   three mixed corpora with exactly one of events / documents /
+   embeddings zeroed, and — round 13 — the two zero-VARIANCE corpora:
+   monoculture and flat-time);
 2. runs the full-registry ``tools/check_oracle.py`` sweep against each;
 3. asserts the FAIL SET of each sweep is EXACTLY the documented one —
    empty = {q09_cube, q09_rollup} (Spark emits zero rows for ROLLUP /
@@ -24,12 +25,14 @@ the gate's contract is "nothing NEW breaks on a degenerate corpus and
 nothing documented silently heals", not a frozen total.
 
 Wired into the round-end protocol as ``python tools/preflight.py
---degenerate`` (round-end protocol; first full run measured ~11 min:
-empty 91 s, one-row 124 s, mixed ~145 s each); also runnable directly:
+--degenerate`` (first full five-corpus run measured ~11 min: empty
+91 s, one-row 124 s, mixed ~145 s each; the two zero-variance corpora
+add ~7 min — each swept 208 ok / 0 fail standalone before joining);
+also runnable directly:
 
     python tools/degenerate_gate.py [--src /root/testdata/sf0.001]
 
-Exit 0 only when all five sweeps match their documented fail set.
+Exit 0 only when every sweep matches its documented fail set.
 """
 
 from __future__ import annotations
@@ -46,13 +49,19 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.join(REPO, "tools"))
 
-# corpus label -> (builder kwargs resolved in main, expected fail set)
+# corpus label -> expected fail set (built in main; labels map to
+# degenerate_corpus writers). monoculture (zero dispersion on text /
+# value / embedding) and flat_time (all non-NULL ts one instant — every
+# ts-ordered window ties at once) joined in round 13: their first full
+# sweeps were 208 ok / 0 fail each, and the gate keeps them that way.
 EXPECTED_FAILS: dict[str, frozenset[str]] = {
     "empty": frozenset({"q09_cube", "q09_rollup"}),
     "one_row": frozenset({"q09_rollup"}),
     "mixed_events_empty": frozenset(),
     "mixed_documents_empty": frozenset(),
     "mixed_embeddings_empty": frozenset(),
+    "monoculture": frozenset(),
+    "flat_time": frozenset(),
 }
 
 _SUMMARY = re.compile(
@@ -101,6 +110,8 @@ def main() -> int:
     deg.write_slices(args.src, dirs["empty"], dirs["one_row"])
     for table in ("events", "documents", "embeddings"):
         deg.write_mixed(args.src, dirs[f"mixed_{table}_empty"], table)
+    deg.write_monoculture(args.src, dirs["monoculture"])
+    deg.write_flat_time(args.src, dirs["flat_time"])
 
     failures: list[str] = []
     try:
@@ -136,7 +147,7 @@ def main() -> int:
     if failures:
         print(f"\nDEGENERATE GATE FAIL: {failures}")
         return 1
-    print("\nDEGENERATE GATE PASS: all five sweeps match the documented state")
+    print("\nDEGENERATE GATE PASS: all sweeps match the documented state")
     return 0
 
 
