@@ -350,3 +350,46 @@ def test_bmp_stats_pin_row_and_channel_order():
     good_rowsum = int((px.astype(np.int64) * weights).sum())
     assert int((no_flip.astype(np.int64) * weights).sum()) != good_rowsum
     assert tuple(no_swap[0, 0]) != tuple(px[0, 0])
+
+
+def test_ppm_roundtrip_header_grammar_and_cross_codec_identity():
+    """The second real codec rung: P6 PPM round-trip, comment/whitespace
+    header grammar, error envelope — and cross-codec identity (the same
+    pixels through BMP and PPM decode to the same array, pinning that
+    neither codec's layout handling leaks into pixel values)."""
+    import numpy as np
+    import pytest
+
+    from reddit_data_engineering_project_spark.operators.multimodal import (
+        _planted_pixels,
+        decode_media,
+        decode_ppm,
+        encode_bmp,
+        encode_ppm,
+    )
+
+    for doc_id in (0, 5, 42):
+        px = _planted_pixels(doc_id)
+        assert np.array_equal(
+            decode_media(encode_ppm(px), "image/x-portable-pixmap"), px
+        )
+        assert np.array_equal(
+            decode_media(encode_bmp(px), "image/bmp"),
+            decode_media(encode_ppm(px), "image/x-portable-pixmap"),
+        )
+
+    px = _planted_pixels(3)
+    h, w = px.shape[:2]
+    commented = (
+        b"P6 # a comment after the magic\n# full-line comment\n"
+        + f"{w} # width\n{h}\n# before maxval\n255\n".encode()
+        + px.tobytes()
+    )
+    assert np.array_equal(decode_ppm(commented), px)
+
+    with pytest.raises(ValueError, match="magic"):
+        decode_ppm(b"P3\n1 1\n255\n abc")
+    with pytest.raises(ValueError, match="truncated"):
+        decode_ppm(encode_ppm(px)[:-2])
+    with pytest.raises(NotImplementedError, match="8-bit"):
+        decode_ppm(b"P6\n1 1\n65535\n" + b"\x00" * 6)
