@@ -136,13 +136,15 @@ def write_flat_time(src: str, out: str) -> None:
         t = pq.read_table(os.path.join(src, f"{name}.parquet"))
         if name == "events":
             ts = t["ts"]
+            # both physical vintages the canary has seen (us and ns);
+            # anything else is a new regeneration to look at, not guess
+            unit = ts.type.unit
+            if unit not in ("us", "ns"):
+                raise ValueError(f"unexpected events.ts unit {unit!r}")
+            scale = 1 if unit == "us" else 1000
             flat = pa.array(
-                [FLAT_INSTANT_US] * t.num_rows, pa.int64()
-            ).cast(pa.timestamp("us" if ts.type == pa.timestamp("us") else "ns"))
-            if ts.type == pa.timestamp("ns"):
-                flat = pa.array(
-                    [FLAT_INSTANT_US * 1000] * t.num_rows, pa.int64()
-                ).cast(pa.timestamp("ns"))
+                [FLAT_INSTANT_US * scale] * t.num_rows, pa.int64()
+            ).cast(pa.timestamp(unit))
             keep_null = pc.is_null(ts)
             t = t.set_column(
                 t.schema.get_field_index("ts"),
