@@ -170,3 +170,80 @@ def test_replay_with_checkpoint_but_missing_sink_batch(spark, tmp_path):
     shutil.rmtree(sink)
     run_tumbling_stream(spark, src, sink, ckpt2)  # fresh-checkpoint rebuild
     assert _sorted_rows(spark, sink) == clean
+
+
+def test_upsert_merge_replay_after_lost_commit(spark, tmp_path):
+    """The upsert runner's replay idempotency comes from a DIFFERENT
+    mechanism than the batch={id} sinks: re-merging a replayed batch
+    through keep-latest-per-key must be a value-level no-op. Inject the
+    lost-commit crash and require the merged target identical."""
+    from reddit_data_engineering_project_spark.streaming.runner import (
+        run_upsert_stream,
+    )
+
+    src = os.path.join(str(tmp_path), "src")
+    target = os.path.join(str(tmp_path), "target")
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+
+    events = table(spark, SF_DIR, "events").select(
+        "event_id",
+        "ts",
+        "event_type",
+        F.coalesce(F.col("value"), F.lit(0.0)).alias("value"),
+        F.to_date("ts").alias("ds"),
+        F.lit(1).alias("ingest_version"),
+    )
+    events.repartition(3).write.parquet(src)
+
+    run_upsert_stream(
+        spark, src, target, ckpt,
+        keys=["event_id"], recency_col="ingest_version",
+        partition_col="ds",
+    )
+    clean = _sorted_rows(spark, target)
+    assert clean
+
+    last = _last_committed(ckpt)
+    _rm_with_crc(os.path.join(ckpt, "commits", str(last)))
+
+    run_upsert_stream(
+        spark, src, target, ckpt,
+        keys=["event_id"], recency_col="ingest_version",
+        partition_col="ds",
+    )
+    assert _sorted_rows(spark, target) == clean
+
+
+def test_session_bucketed_replay_after_lost_commit(spark, tmp_path):
+    """Stateful replay for the SESSIONIZER: re-executing the last batch
+    reloads state version N-1 AND re-arms event-time timeouts — the
+    timer path no clean run replays. Output must match row-for-row."""
+    from reddit_data_engineering_project_spark.streaming.stateful import (
+        run_session_stream_bucketed,
+    )
+
+    src = os.path.join(str(tmp_path), "src")
+    sink = os.path.join(str(tmp_path), "sink")
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+
+    events = table(spark, SF_DIR, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    # the sessionizer's 0 s watermark needs event-time-ordered file
+    # arrival (the production file-drop contract the throughput tool
+    # documents): write 3 sequential time slices
+    ordered = events.orderBy(F.col("ts").asc_nulls_first()).collect()
+    third = (len(ordered) + 2) // 3
+    for i in range(3):
+        spark.createDataFrame(
+            ordered[i * third : (i + 1) * third], schema=events.schema
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    run_session_stream_bucketed(spark, src, sink, ckpt, n_buckets=4)
+    clean = _sorted_rows(spark, sink)
+    assert clean, "sessionizer emitted nothing"
+
+    _inject_crash(ckpt, sink, torn_sink=True)
+
+    run_session_stream_bucketed(spark, src, sink, ckpt, n_buckets=4)
+    assert _sorted_rows(spark, sink) == clean
