@@ -99,6 +99,11 @@ def decode_bmp(payload: bytes):
         )
     if width <= 0 or height == 0:
         raise ValueError(f"degenerate BMP dimensions {width}x{height}")
+    if pixel_offset < 14 + header_size:
+        raise ValueError(
+            f"BMP pixel offset {pixel_offset} points inside the "
+            f"{14 + header_size}-byte header region"
+        )
     top_down = height < 0
     h = abs(height)
     stride = ((3 * width + 3) // 4) * 4
@@ -126,7 +131,11 @@ def decode_ppm(payload: bytes):
     PPM stores top-down RGB, so no flip or channel swap applies."""
     import numpy as np
 
-    if payload[:2] != b"P6":
+    # the magic must be the WHOLE first token: "P69 ..." would otherwise
+    # silently misparse as width=9 instead of raising
+    if payload[:2] != b"P6" or not (
+        payload[2:3].isspace() or payload[2:3] == b"#"
+    ):
         raise ValueError("not a binary PPM payload (missing 'P6' magic)")
     pos = 2
     tokens: list[int] = []

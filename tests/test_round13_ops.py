@@ -180,9 +180,12 @@ def test_degenerate_gate_summary_parse_and_contract():
     documented expectations — the cheap plumbing pin; the full
     five-corpus sweep runs via ``preflight.py --degenerate`` at round
     end."""
+    import os
     import sys
 
-    sys.path.insert(0, "tools")
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "tools")
+    )
     import degenerate_gate as dg
 
     m = dg._SUMMARY.match("205 ok, 2 fail, 0 rows-only; failing: q09_cube,q09_rollup")
@@ -207,12 +210,15 @@ def test_zero_variance_writers_produce_what_they_claim(tmp_path):
     (text / n_chars consistency, event value, embedding) and the
     flat-time writer collapses every non-NULL ts to ONE instant while
     leaving other tables untouched."""
+    import os
     import sys
 
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
-    sys.path.insert(0, "tools")
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "tools")
+    )
     import degenerate_corpus as deg
 
     src = "/root/testdata/sf0.001"

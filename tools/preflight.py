@@ -347,7 +347,7 @@ def main() -> int:
         per_corpus = [l for l in lines if l.startswith(("PASS", "FAIL"))]
         if out.returncode != 0:
             raise RuntimeError(
-                "; ".join(per_corpus[-6:])
+                "; ".join(per_corpus)  # one line per corpus, keep them all
                 or "\n".join(out.stderr.strip().splitlines()[-3:])
             )
         return "; ".join(per_corpus)

@@ -219,6 +219,9 @@ def semantic_curve(spark: SparkSession, sf_dir: str, multiplier: int) -> None:
 
     emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     dim = len(emb.first()["embedding"])
+    # one DISTINCT rotation per replica (r = 0..multiplier-1 must all be
+    # valid, non-wrapping permutations) — the replicated_corpus guard
+    assert multiplier <= dim, "one distinct dimension-rotation per replica"
     reps = []
     for r in range(multiplier):
         rot = (
