@@ -326,6 +326,10 @@ def test_bmp_decoder_rejects_out_of_envelope():
     rle[30:34] = (1).to_bytes(4, "little")  # BI_RLE8
     with pytest.raises(NotImplementedError, match="compression"):
         decode_bmp(bytes(rle))
+    bad_off = bytearray(good)
+    bad_off[10:14] = (0).to_bytes(4, "little")  # points into the header
+    with pytest.raises(ValueError, match="header region"):
+        decode_bmp(bytes(bad_off) + b"\x00" * 64)
     # the seam still raises for undecodable media types
     with pytest.raises(NotImplementedError, match="codec"):
         decode_media(b"\x89PNG", "image/png")
@@ -395,6 +399,8 @@ def test_ppm_roundtrip_header_grammar_and_cross_codec_identity():
 
     with pytest.raises(ValueError, match="magic"):
         decode_ppm(b"P3\n1 1\n255\n abc")
+    with pytest.raises(ValueError, match="magic"):
+        decode_ppm(b"P69 2 255\n" + b"\x00" * 54)  # magic != whole token
     with pytest.raises(ValueError, match="truncated"):
         decode_ppm(encode_ppm(px)[:-2])
     with pytest.raises(NotImplementedError, match="8-bit"):
