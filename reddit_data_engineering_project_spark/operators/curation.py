@@ -981,13 +981,24 @@ def x04_data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("user_id").isNull().cast("bigint")).alias(
             "null_user_id"
         ),
-        F.sum((F.col("value") < 0).cast("bigint")).alias("negative_value"),
+        # when/otherwise(0), NOT predicate.cast("bigint"): a NULL input
+        # makes the predicate NULL, and Spark's sum SKIPS NULLs — right
+        # count while any row yields 0/1, but an ALL-NULL column sums to
+        # NULL where the oracle's CASE..ELSE 0 sums zeros. A data-quality
+        # report must say 0, not NULL (round-13 nullity-corpus finding).
+        F.sum(F.when(F.col("value") < 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("negative_value"),
         F.sum(
-            ((F.col("ts") < lo) | (F.col("ts") >= hi)).cast("bigint")
-        ).alias("ts_out_of_range"),
-        F.sum((~F.col("event_type").isin(*known)).cast("bigint")).alias(
-            "unknown_event_type"
-        ),
+            F.when((F.col("ts") < lo) | (F.col("ts") >= hi), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("ts_out_of_range"),
+        F.sum(
+            F.when(~F.col("event_type").isin(*known), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("unknown_event_type"),
         (F.count("*") - F.countDistinct("event_id")).alias(
             "duplicate_event_ids"
         ),

@@ -115,17 +115,24 @@ def register(
 #       x04_fingerprint, x04_hash_sample, x04_language_id,
 #       x04_weighted_sample, x05_frame_sample);
 #   (b) the round-13 registration x05_bmp_pixel_stats (landing-round
-#       grade, QUEUED_FOR_NEXT_WINDOW) + the alphabetically-first 40 of
-#       the 49 entries whose latest green will then be r10
-#       (pipeline_clean_coerce .. x03_sq8_topk — the r10 class minus
-#       s03_session_window, re-graded this round); the
-#       alphabetically-last nine (x04_chunking, x04_corpus_profile,
+#       grade, QUEUED_FOR_NEXT_WINDOW) + x04_data_quality_report
+#       (round-13 amendment, same mechanism as the r12 seam re-grades:
+#       the nullity hostile corpus proved its predicate-cast sums emit
+#       NULL instead of 0 on an all-NULL column; the when/otherwise fix
+#       leaves graded-corpus hashes unchanged — verified at sf0.01 —
+#       but its latest green row, r11, describes superseded code) +
+#       the alphabetically-first 39 of the 49 entries whose latest
+#       green will then be r10 (pipeline_clean_coerce .. the r10 class
+#       minus s03_session_window, re-graded this round); the
+#       alphabetically-last TEN (x03_sq8_topk — ceding its slot to the
+#       quality-report re-grade; the x03 family keeps round-14 evidence
+#       via its five (a)-slots — plus x04_chunking, x04_corpus_profile,
 #       x04_dataset_split, x04_length_histogram, x04_quality_filter,
 #       x04_stratified_sample, x04_term_frequency, x04_tfidf,
 #       x04_token_count — the x04 family keeps round-13 evidence via
 #       its (a)-slot x04_doc_stats) roll to round 15.
-# 9 + 1 + 40 = 50. Every round-13/14 registration must either take a
-# slot from the (b) tail in its own commit or add itself to
+# 9 + 1 + 1 + 39 = 50. Every round-13/14 registration must either take
+# a slot from the (b) tail in its own commit or add itself to
 # QUEUED_FOR_NEXT_WINDOW — keep velocity <= the handful the window can
 # absorb.
 GRADING_PRIORITY: tuple[str, ...] = (

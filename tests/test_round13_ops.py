@@ -405,3 +405,36 @@ def test_ppm_roundtrip_header_grammar_and_cross_codec_identity():
         decode_ppm(encode_ppm(px)[:-2])
     with pytest.raises(NotImplementedError, match="8-bit"):
         decode_ppm(b"P6\n1 1\n65535\n" + b"\x00" * 6)
+
+
+def test_null_value_corpus_quality_report_says_zero_not_null(
+    spark, tmp_path
+):
+    """The nullity-corpus finding, pinned at the value level: with every
+    events.value NULL, the quality report's predicate counters must say
+    0, not NULL — F.sum(pred.cast(...)) skips NULL predicates and
+    collapses an all-NULL column to a NULL report cell, which the
+    when/otherwise(0) form (matching the oracle's CASE..ELSE 0) fixes.
+    Same shape pinned for all-NULL ts via ts_out_of_range."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "tools")
+    )
+    import degenerate_corpus as deg
+
+    src = "/root/testdata/sf0.001"
+    for col, cell in (("value", "negative_value"), ("ts", "ts_out_of_range")):
+        out = str(tmp_path / f"null_{col}")
+        deg.write_null_column(src, out, col)
+        row = registry.QUERIES["x04_data_quality_report"](
+            spark, out
+        ).collect()[0]
+        assert row[cell] == 0, f"{cell} must be 0 on all-NULL {col}, got {row[cell]!r}"
+        assert row[f"null_{col}"] == row["n_rows"]
+        # unknown_event_type shares the fixed form; event_type is intact
+        # here, so it keeps the corpus's real out-of-enum count (> 0 and
+        # crucially NOT NULL)
+        assert row["unknown_event_type"] is not None
+        assert row["unknown_event_type"] > 0

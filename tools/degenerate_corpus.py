@@ -154,6 +154,28 @@ def write_flat_time(src: str, out: str) -> None:
         pq.write_table(t, os.path.join(out, f"{name}.parquet"))
 
 
+def write_null_column(src: str, out: str, column: str) -> None:
+    """ALL-NULL-column corpus (round 13, the NULLITY axis of the
+    zero-variance family): every ``events.<column>`` becomes NULL —
+    legal under the declared contracts (NULL value/ts are data
+    conditions, not violations), yet a shape no committed corpus
+    exhibits. Its first sweep (column='value') caught a real product
+    bug: ``x04_data_quality_report`` summed predicate-casts, and
+    Spark's NULL-skipping sum turns an all-NULL predicate column into
+    a NULL report cell where the oracle's CASE..ELSE 0 says 0."""
+    import pyarrow as pa
+
+    os.makedirs(out, exist_ok=True)
+    for name in TABLES:
+        t = pq.read_table(os.path.join(src, f"{name}.parquet"))
+        if name == "events":
+            idx = t.schema.get_field_index(column)
+            t = t.set_column(
+                idx, column, pa.nulls(t.num_rows, t.schema.field(column).type)
+            )
+        pq.write_table(t, os.path.join(out, f"{name}.parquet"))
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--src", default="/root/testdata/sf0.001")
@@ -170,6 +192,13 @@ def main() -> int:
         metavar="DIR",
         default=None,
         help="also write the flat-time corpus (all non-NULL ts equal) to DIR",
+    )
+    ap.add_argument(
+        "--null-column",
+        metavar="COL:DIR",
+        action="append",
+        default=None,
+        help="also write an all-NULL events.<COL> corpus to DIR (repeatable)",
     )
     ap.add_argument(
         "--mixed",
@@ -195,6 +224,10 @@ def main() -> int:
     if args.flat_time:
         write_flat_time(args.src, args.flat_time)
         print(f"{args.flat_time}: flat-time corpus")
+    for spec in args.null_column or ():
+        col, _, out = spec.partition(":")
+        write_null_column(args.src, out, col)
+        print(f"{out}: all-NULL events.{col} corpus")
     return 0
 
 

@@ -6,11 +6,13 @@ but only for the entries the sweep had already caught. A regression in
 any OTHER entry's empty-input path would stay invisible until the next
 manual sweep. This tool makes the full sweep a one-command gate:
 
-1. regenerates the SEVEN degenerate corpora from the committed
+1. regenerates the NINE degenerate corpora from the committed
    sf0.001 fixtures via :mod:`degenerate_corpus` (empty, one-row, the
    three mixed corpora with exactly one of events / documents /
-   embeddings zeroed, and — round 13 — the two zero-VARIANCE corpora:
-   monoculture and flat-time);
+   embeddings zeroed, and — round 13 — the two zero-VARIANCE corpora
+   (monoculture, flat-time) plus the two NULLITY corpora (all-NULL
+   events.value / events.ts; the value one caught the quality-report
+   NULL-skipping-sum bug on its first sweep));
 2. runs the full-registry ``tools/check_oracle.py`` sweep against each;
 3. asserts the FAIL SET of each sweep is EXACTLY the documented one —
    empty = {q09_cube, q09_rollup} (Spark emits zero rows for ROLLUP /
@@ -26,8 +28,8 @@ nothing documented silently heals", not a frozen total.
 
 Wired into the round-end protocol as ``python tools/preflight.py
 --degenerate`` (first full five-corpus run measured ~11 min: empty
-91 s, one-row 124 s, mixed ~145 s each; the two zero-variance corpora
-add ~7 min — each swept 208 ok / 0 fail standalone before joining);
+91 s, one-row 124 s, mixed ~145 s each; the zero-variance and nullity
+corpora add ~3 min each — every one swept standalone before joining);
 also runnable directly:
 
     python tools/degenerate_gate.py [--src /root/testdata/sf0.001]
@@ -50,10 +52,12 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.join(REPO, "tools"))
 
 # corpus label -> expected fail set (built in main; labels map to
-# degenerate_corpus writers). monoculture (zero dispersion on text /
-# value / embedding) and flat_time (all non-NULL ts one instant — every
-# ts-ordered window ties at once) joined in round 13: their first full
-# sweeps were 208 ok / 0 fail each, and the gate keeps them that way.
+# degenerate_corpus writers). Round 13 added monoculture (zero
+# dispersion on text / value / embedding), flat_time (all non-NULL ts
+# one instant — every ts-ordered window ties at once), and the two
+# nullity corpora (all-NULL events.value / events.ts — the value one
+# caught the quality-report NULL-skipping-sum bug before joining);
+# all four swept clean post-fix, and the gate keeps them that way.
 EXPECTED_FAILS: dict[str, frozenset[str]] = {
     "empty": frozenset({"q09_cube", "q09_rollup"}),
     "one_row": frozenset({"q09_rollup"}),
@@ -62,6 +66,8 @@ EXPECTED_FAILS: dict[str, frozenset[str]] = {
     "mixed_embeddings_empty": frozenset(),
     "monoculture": frozenset(),
     "flat_time": frozenset(),
+    "null_value": frozenset(),
+    "null_ts": frozenset(),
 }
 
 _SUMMARY = re.compile(
@@ -112,6 +118,8 @@ def main() -> int:
         deg.write_mixed(args.src, dirs[f"mixed_{table}_empty"], table)
     deg.write_monoculture(args.src, dirs["monoculture"])
     deg.write_flat_time(args.src, dirs["flat_time"])
+    deg.write_null_column(args.src, dirs["null_value"], "value")
+    deg.write_null_column(args.src, dirs["null_ts"], "ts")
 
     failures: list[str] = []
     try:
