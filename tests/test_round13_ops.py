@@ -203,6 +203,9 @@ def test_degenerate_gate_summary_parse_and_contract():
     # 208 ok / 0 fail each, and the gate holds them there
     assert dg.EXPECTED_FAILS["monoculture"] == frozenset()
     assert dg.EXPECTED_FAILS["flat_time"] == frozenset()
+    # the nullity axis (all swept clean after the quality-report fix)
+    for col in ("value", "ts", "user_id"):
+        assert dg.EXPECTED_FAILS[f"null_{col}"] == frozenset()
 
 
 def test_zero_variance_writers_produce_what_they_claim(tmp_path):

@@ -6,13 +6,13 @@ but only for the entries the sweep had already caught. A regression in
 any OTHER entry's empty-input path would stay invisible until the next
 manual sweep. This tool makes the full sweep a one-command gate:
 
-1. regenerates the NINE degenerate corpora from the committed
+1. regenerates the TEN degenerate corpora from the committed
    sf0.001 fixtures via :mod:`degenerate_corpus` (empty, one-row, the
    three mixed corpora with exactly one of events / documents /
    embeddings zeroed, and — round 13 — the two zero-VARIANCE corpora
-   (monoculture, flat-time) plus the two NULLITY corpora (all-NULL
-   events.value / events.ts; the value one caught the quality-report
-   NULL-skipping-sum bug on its first sweep));
+   (monoculture, flat-time) plus the three NULLITY corpora (all-NULL
+   events.value / events.ts / events.user_id; the value one caught the
+   quality-report NULL-skipping-sum bug on its first sweep));
 2. runs the full-registry ``tools/check_oracle.py`` sweep against each;
 3. asserts the FAIL SET of each sweep is EXACTLY the documented one —
    empty = {q09_cube, q09_rollup} (Spark emits zero rows for ROLLUP /
@@ -55,9 +55,9 @@ sys.path.insert(0, os.path.join(REPO, "tools"))
 # degenerate_corpus writers). Round 13 added monoculture (zero
 # dispersion on text / value / embedding), flat_time (all non-NULL ts
 # one instant — every ts-ordered window ties at once), and the two
-# nullity corpora (all-NULL events.value / events.ts — the value one
-# caught the quality-report NULL-skipping-sum bug before joining);
-# all four swept clean post-fix, and the gate keeps them that way.
+# nullity corpora (all-NULL events.value / events.ts / events.user_id
+# — the value one caught the quality-report NULL-skipping-sum bug
+# before joining); all swept clean post-fix, and the gate keeps them so.
 EXPECTED_FAILS: dict[str, frozenset[str]] = {
     "empty": frozenset({"q09_cube", "q09_rollup"}),
     "one_row": frozenset({"q09_rollup"}),
@@ -68,6 +68,7 @@ EXPECTED_FAILS: dict[str, frozenset[str]] = {
     "flat_time": frozenset(),
     "null_value": frozenset(),
     "null_ts": frozenset(),
+    "null_user_id": frozenset(),
 }
 
 _SUMMARY = re.compile(
@@ -120,6 +121,7 @@ def main() -> int:
     deg.write_flat_time(args.src, dirs["flat_time"])
     deg.write_null_column(args.src, dirs["null_value"], "value")
     deg.write_null_column(args.src, dirs["null_ts"], "ts")
+    deg.write_null_column(args.src, dirs["null_user_id"], "user_id")
 
     failures: list[str] = []
     try:
