@@ -231,7 +231,12 @@ def q20_arrow_udf_ttr(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.types import DoubleType
 
     @F.udf(returnType=DoubleType(), useArrow=True)
-    def ttr(text: str) -> float | None:
+    def ttr(text: str | None) -> float | None:
+        # NULL propagates (the oracle's list ops all yield NULL) — a
+        # scalar UDF receives None for SQL NULL, it is not auto-skipped
+        # (round-13 nullity sweep: .split on None crashed the task)
+        if text is None:
+            return None
         w = [t for t in text.split(" ") if t]
         if not w:
             return None

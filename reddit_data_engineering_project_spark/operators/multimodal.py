@@ -305,7 +305,7 @@ def _sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 CAST(ceil(octet_length(encode(d.text)) / 16.0)
                      AS BIGINT), 4)) AS i
         ) gs
-        WHERE d.lang = 'en'
+        WHERE d.lang = 'en' AND d.text IS NOT NULL
     )
     SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
            frame_hex, frame_bytes
@@ -325,7 +325,13 @@ def x05_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = (
         table(spark, sf_dir, "documents")
+        # payload-less rows (NULL text) are pruned BEFORE the Python
+        # boundary: a row with no payload has nothing to featurize, and
+        # the filter rides the parquet scan instead of shipping NULLs
+        # through Arrow (round-13 nullity sweep: len(None) crashed the
+        # task). The oracle mirrors with IS NOT NULL.
         .filter(F.col("lang") == "en")
+        .filter(F.col("text").isNotNull())
         .select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
     )
     return ensure_min_parallelism(docs).mapInPandas(
@@ -394,7 +400,7 @@ def x05_corpus_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
         lower(hex(encode(substr(text, 1, 4)))) AS header_hex,
         'text/plain' AS media_type
     FROM documents
-    WHERE lang = 'en'
+    WHERE lang = 'en' AND text IS NOT NULL
     """,
     tags=("multimodal", "X5", "pandas-udf"),
 )
@@ -411,6 +417,8 @@ def x05_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (
         table(spark, sf_dir, "documents")
         .filter(F.col("lang") == "en")
+        # NULL-text prune before the Python boundary (see x05_frame_sample)
+        .filter(F.col("text").isNotNull())
         .select(
             "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
         )
@@ -462,7 +470,7 @@ def _resize_payloads(
     WITH hx AS (
         SELECT doc_id, hex(encode(text)) AS h
         FROM documents
-        WHERE lang = 'en'
+        WHERE lang = 'en' AND text IS NOT NULL
     ),
     m AS (
         SELECT doc_id,
@@ -505,6 +513,8 @@ def x05_payload_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (
         table(spark, sf_dir, "documents")
         .filter(F.col("lang") == "en")
+        # NULL-text prune before the Python boundary (see x05_frame_sample)
+        .filter(F.col("text").isNotNull())
         .select(
             "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
         )

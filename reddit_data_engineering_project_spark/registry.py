@@ -115,23 +115,32 @@ def register(
 #       x04_fingerprint, x04_hash_sample, x04_language_id,
 #       x04_weighted_sample, x05_frame_sample);
 #   (b) the round-13 registration x05_bmp_pixel_stats (landing-round
-#       grade, QUEUED_FOR_NEXT_WINDOW) + x04_data_quality_report
-#       (round-13 amendment, same mechanism as the r12 seam re-grades:
-#       the nullity hostile corpus proved its predicate-cast sums emit
-#       NULL instead of 0 on an all-NULL column; the when/otherwise fix
-#       leaves graded-corpus hashes unchanged — verified at sf0.01 —
-#       but its latest green row, r11, describes superseded code) +
-#       the alphabetically-first 39 of the 49 entries whose latest
-#       green will then be r10 (pipeline_clean_coerce .. the r10 class
-#       minus s03_session_window, re-graded this round); the
-#       alphabetically-last TEN (x03_sq8_topk — ceding its slot to the
-#       quality-report re-grade; the x03 family keeps round-14 evidence
-#       via its five (a)-slots — plus x04_chunking, x04_corpus_profile,
-#       x04_dataset_split, x04_length_histogram, x04_quality_filter,
-#       x04_stratified_sample, x04_term_frequency, x04_tfidf,
-#       x04_token_count — the x04 family keeps round-13 evidence via
-#       its (a)-slot x04_doc_stats) roll to round 15.
-# 9 + 1 + 1 + 39 = 50. Every round-13/14 registration must either take
+#       grade, QUEUED_FOR_NEXT_WINDOW) + THREE round-13 amendment
+#       re-grades, same mechanism as the r12 seam re-grades (code
+#       changed, graded-corpus hashes verified unchanged by a full
+#       post-fix sf0.01 sweep, but each latest green row describes
+#       superseded code): x04_data_quality_report (nullity sweep:
+#       predicate-cast sums emitted NULL instead of 0 on an all-NULL
+#       column; now when/otherwise(0)), x05_frame_dedup and
+#       x05_payload_resize (null-text sweep: NULL payloads crashed the
+#       mapInPandas feature passes; payload-less rows now prune BEFORE
+#       the Python boundary, oracles mirror IS NOT NULL — the three
+#       null-text-touched entries already in the r13 window
+#       [q17_array_funcs, q20_arrow_udf_ttr, x05_binary_features] grade
+#       this round, and x05_frame_sample holds a round-14 (a) slot) +
+#       the alphabetically-first 37 of the 49 entries whose latest
+#       green will then be r10 (pipeline_clean_coerce .. — the r10
+#       class minus s03_session_window, re-graded this round); the
+#       alphabetically-last TWELVE (x02_simhash_neardup,
+#       x02_simhash16_neardup, x03_sq8_topk — ceding slots to the three
+#       re-grades; the x02/x03 families keep fresh evidence via three
+#       r13-window rows and five round-14 (a)-slots respectively — plus
+#       x04_chunking, x04_corpus_profile, x04_dataset_split,
+#       x04_length_histogram, x04_quality_filter, x04_stratified_sample,
+#       x04_term_frequency, x04_tfidf, x04_token_count — the x04 family
+#       keeps round-13 evidence via its (a)-slot x04_doc_stats) roll to
+#       round 15.
+# 9 + 1 + 3 + 37 = 50. Every round-13/14 registration must either take
 # a slot from the (b) tail in its own commit or add itself to
 # QUEUED_FOR_NEXT_WINDOW — keep velocity <= the handful the window can
 # absorb.

@@ -36,6 +36,12 @@ RUNTIME_CONFS: dict[str, str] = {
     # semantics via explicit coalesce/nullif, never via error-on-cast
     # (reference `etls/reddit_etl.py:74-76` treats falsy as missing).
     "spark.sql.ansi.enabled": "false",
+    # size(NULL) must be NULL, not the legacy -1 sentinel: with ANSI
+    # off Spark keeps legacy.sizeOfNull=true, and the -1 leaked into a
+    # result column the first time a corpus carried a NULL document
+    # text (round-13 nullity sweep, q17_array_funcs) — DuckDB/ANSI say
+    # NULL. Nothing in the package relies on the sentinel (grepped).
+    "spark.sql.legacy.sizeOfNull": "false",
     # Legacy-corpus compatibility: earlier driver fixtures stored
     # events.ts as ns-precision parquet, which the reader rejects
     # ([PARQUET_TYPE_ILLEGAL]) unless mapped to ns-since-epoch longs.
@@ -65,6 +71,7 @@ CORRECTNESS_CONFS: frozenset[str] = frozenset(
         "spark.sql.session.timeZone",
         "spark.sql.ansi.enabled",
         "spark.sql.legacy.parquet.nanosAsLong",
+        "spark.sql.legacy.sizeOfNull",
     }
 )
 

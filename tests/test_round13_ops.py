@@ -204,7 +204,7 @@ def test_degenerate_gate_summary_parse_and_contract():
     assert dg.EXPECTED_FAILS["monoculture"] == frozenset()
     assert dg.EXPECTED_FAILS["flat_time"] == frozenset()
     # the nullity axis (all swept clean after the quality-report fix)
-    for col in ("value", "ts", "user_id"):
+    for col in ("value", "ts", "user_id", "text"):
         assert dg.EXPECTED_FAILS[f"null_{col}"] == frozenset()
 
 
@@ -441,3 +441,58 @@ def test_null_value_corpus_quality_report_says_zero_not_null(
         # crucially NOT NULL)
         assert row["unknown_event_type"] is not None
         assert row["unknown_event_type"] > 0
+
+
+def test_null_text_corpus_runs_payload_and_udf_paths(spark, tmp_path):
+    """The null-text nullity finding, pinned: all-NULL documents.text
+    must not crash the mapInPandas payload passes (len(None)) or the
+    Arrow TTR UDF (None.split), and size(NULL) must be NULL, not the
+    legacy -1 sentinel. Each fixed entry runs AND hash-matches its
+    oracle on the degenerate corpus."""
+    import os
+    import sys
+
+    import duckdb
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "tools")
+    )
+    import degenerate_corpus as deg
+    from check_oracle import table_hash
+
+    out = str(tmp_path / "null_text")
+    deg.write_null_column("/root/testdata/sf0.001", out, "text", "documents")
+
+    con = duckdb.connect()
+    for t in deg.TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{out}/{t}.parquet')"
+        )
+    try:
+        for name in (
+            "q17_array_funcs",
+            "q20_arrow_udf_ttr",
+            "x05_binary_features",
+            "x05_frame_dedup",
+            "x05_frame_sample",
+            "x05_payload_resize",
+        ):
+            sdf = registry.QUERIES[name](spark, out)
+            srows = [tuple(r) for r in sdf.collect()]
+            res = con.execute(registry.ORACLES[name])
+            drows = res.fetchall()
+            dcols = [d[0] for d in res.description]
+            assert sorted(sdf.columns) == sorted(dcols), name
+            assert table_hash(srows, list(sdf.columns)) == table_hash(
+                drows, dcols
+            ), name
+        # the size(NULL) law itself, directly
+        from pyspark.sql import functions as F
+
+        row = spark.range(1).select(
+            F.size(F.lit(None).cast("array<int>")).alias("s")
+        ).collect()[0]
+        assert row.s is None, f"size(NULL) must be NULL, got {row.s!r}"
+    finally:
+        con.close()

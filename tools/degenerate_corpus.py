@@ -154,21 +154,26 @@ def write_flat_time(src: str, out: str) -> None:
         pq.write_table(t, os.path.join(out, f"{name}.parquet"))
 
 
-def write_null_column(src: str, out: str, column: str) -> None:
+def write_null_column(
+    src: str, out: str, column: str, table: str = "events"
+) -> None:
     """ALL-NULL-column corpus (round 13, the NULLITY axis of the
-    zero-variance family): every ``events.<column>`` becomes NULL —
-    legal under the declared contracts (NULL value/ts are data
-    conditions, not violations), yet a shape no committed corpus
-    exhibits. Its first sweep (column='value') caught a real product
-    bug: ``x04_data_quality_report`` summed predicate-casts, and
-    Spark's NULL-skipping sum turns an all-NULL predicate column into
-    a NULL report cell where the oracle's CASE..ELSE 0 says 0."""
+    zero-variance family): every ``<table>.<column>`` becomes NULL —
+    legal under the declared contracts (NULL value/ts/user_id/text are
+    data conditions, not violations), yet a shape no committed corpus
+    exhibits. Its first sweeps caught TWO real bug classes:
+    ``x04_data_quality_report`` summed predicate-casts (Spark's
+    NULL-skipping sum turns an all-NULL predicate column into a NULL
+    report cell where the oracle's CASE..ELSE 0 says 0), and all-NULL
+    ``documents.text`` crashed every mapInPandas payload pass
+    (len(None)) plus the Arrow TTR UDF (None.split) and exposed
+    Spark's legacy ``size(NULL) = -1`` sentinel vs ANSI NULL."""
     import pyarrow as pa
 
     os.makedirs(out, exist_ok=True)
     for name in TABLES:
         t = pq.read_table(os.path.join(src, f"{name}.parquet"))
-        if name == "events":
+        if name == table:
             idx = t.schema.get_field_index(column)
             t = t.set_column(
                 idx, column, pa.nulls(t.num_rows, t.schema.field(column).type)

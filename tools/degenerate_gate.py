@@ -6,13 +6,15 @@ but only for the entries the sweep had already caught. A regression in
 any OTHER entry's empty-input path would stay invisible until the next
 manual sweep. This tool makes the full sweep a one-command gate:
 
-1. regenerates the TEN degenerate corpora from the committed
+1. regenerates the ELEVEN degenerate corpora from the committed
    sf0.001 fixtures via :mod:`degenerate_corpus` (empty, one-row, the
    three mixed corpora with exactly one of events / documents /
    embeddings zeroed, and — round 13 — the two zero-VARIANCE corpora
-   (monoculture, flat-time) plus the three NULLITY corpora (all-NULL
-   events.value / events.ts / events.user_id; the value one caught the
-   quality-report NULL-skipping-sum bug on its first sweep));
+   (monoculture, flat-time) plus the four NULLITY corpora (all-NULL
+   events.value / events.ts / events.user_id / documents.text; the
+   value one caught the quality-report NULL-skipping-sum bug and the
+   text one caught the payload-pass crashes + the legacy size(NULL)
+   sentinel on their first sweeps));
 2. runs the full-registry ``tools/check_oracle.py`` sweep against each;
 3. asserts the FAIL SET of each sweep is EXACTLY the documented one —
    empty = {q09_cube, q09_rollup} (Spark emits zero rows for ROLLUP /
@@ -55,9 +57,10 @@ sys.path.insert(0, os.path.join(REPO, "tools"))
 # degenerate_corpus writers). Round 13 added monoculture (zero
 # dispersion on text / value / embedding), flat_time (all non-NULL ts
 # one instant — every ts-ordered window ties at once), and the two
-# nullity corpora (all-NULL events.value / events.ts / events.user_id
-# — the value one caught the quality-report NULL-skipping-sum bug
-# before joining); all swept clean post-fix, and the gate keeps them so.
+# nullity corpora (all-NULL events.value / ts / user_id and
+# documents.text — the value one caught the quality-report
+# NULL-skipping-sum bug and the text one a 6-entry crash/divergence
+# batch before joining); all swept clean post-fix, kept so by the gate.
 EXPECTED_FAILS: dict[str, frozenset[str]] = {
     "empty": frozenset({"q09_cube", "q09_rollup"}),
     "one_row": frozenset({"q09_rollup"}),
@@ -69,6 +72,7 @@ EXPECTED_FAILS: dict[str, frozenset[str]] = {
     "null_value": frozenset(),
     "null_ts": frozenset(),
     "null_user_id": frozenset(),
+    "null_text": frozenset(),
 }
 
 _SUMMARY = re.compile(
@@ -122,6 +126,7 @@ def main() -> int:
     deg.write_null_column(args.src, dirs["null_value"], "value")
     deg.write_null_column(args.src, dirs["null_ts"], "ts")
     deg.write_null_column(args.src, dirs["null_user_id"], "user_id")
+    deg.write_null_column(args.src, dirs["null_text"], "text", "documents")
 
     failures: list[str] = []
     try:

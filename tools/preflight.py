@@ -21,15 +21,16 @@ Runs, in order:
                             diff is committed);
   7. (``--degenerate`` only) degenerate gate —
                             ``tools/degenerate_gate.py`` regenerates the
-                            ten degenerate corpora (empty / one-row /
-                            three mixed / monoculture / flat-time /
-                            all-NULL value / ts / user_id) and sweeps the
+                            eleven degenerate corpora (empty / one-row
+                            / three mixed / monoculture / flat-time /
+                            all-NULL value / ts / user_id / text) and
+                            sweeps the
                             FULL registry against each, asserting each
                             sweep's fail set is exactly the documented
                             one (r12 verdict item 3: the sweeps were
                             manual, so a regression in a not-yet-pinned
                             entry's degenerate-input path went unchecked
-                            between rounds). ~26 min — round-end
+                            between rounds). ~29 min — round-end
                             protocol, not the fast loop.
 
 Exit code 0 only if every stage passes. Use before ending a round:
@@ -154,9 +155,9 @@ def main() -> int:
         action="store_true",
         help=(
             "add stage 7: the full degenerate-cardinality gate "
-            "(tools/degenerate_gate.py — ten regenerated corpora x "
+            "(tools/degenerate_gate.py — eleven regenerated corpora x "
             "full-registry sweep, fail sets asserted against the "
-            "documented state). ~26 min; part of the round-end "
+            "documented state). ~29 min; part of the round-end "
             "protocol, not the fast loop"
         ),
     )
