@@ -88,117 +88,108 @@ def register(
 # history lives in WINDOWS.md; tests/test_grading_window.py enforces
 # window == priority and per-family evidence.
 #
-# ROUND-13 WINDOW (executes the committed round-13 plan, amended per
-# the round-12 verdict item 2; precondition held: CORRECTNESS_r12
-# graded the round-12 window 50/50 green). Pure backfill plus two
-# verdict-mandated re-grades:
-#   (a) the eight remaining r08 rows;
-#   (b) 40 of the alphabetically-first 42 entries whose latest green
-#       is r09 (pipeline_posts_clean_wire .. x02_neardup_jaccard), PLUS
-#       the two entries whose semantics changed in round 12 without a
-#       landing-round grade (round-12 verdict "What's wrong" #1):
-#       s03_session_window (oracle now splits on strict > gap — Spark's
-#       F.session_window merges touching windows, commit 9d0ccc8) and
-#       q21_spend_trend_ols (regression re-anchored on dated purchases,
-#       commit cda0e90). They take the two alphabetically-last slots of
-#       the committed (b) list — x03_cosine_topk_bruteforce and
-#       x03_hamming_rerank roll to round 14 (the x03 family keeps five
-#       (a)-slots of round-13 evidence, so no family goes dark).
-# 8 + 40 + 2 = 50.
-#
-# ROUND-14 ROTATION PLAN (committed now so no entry waits on an
-# undocumented promise; precondition: CORRECTNESS_r13 grades the
-# window below 50/50 green). Pure backfill plus the one queued
-# registration:
+# ROUND-14 WINDOW (executes the committed round-14 rotation plan
+# verbatim — r13 verdict "Next round" item 1; precondition held:
+# CORRECTNESS_r13 graded the round-13 window 50/50 green). Pure
+# backfill plus the one queued registration:
 #   (a) the nine remaining r09 rows (x03_cosine_topk_bruteforce,
 #       x03_hamming_rerank, x03_hamming_topk, x03_range_search,
 #       x04_fingerprint, x04_hash_sample, x04_language_id,
 #       x04_weighted_sample, x05_frame_sample);
 #   (b) the round-13 registration x05_bmp_pixel_stats (landing-round
-#       grade, QUEUED_FOR_NEXT_WINDOW) + THREE round-13 amendment
-#       re-grades, same mechanism as the r12 seam re-grades (code
-#       changed, graded-corpus hashes verified unchanged by a full
-#       post-fix sf0.01 sweep, but each latest green row describes
-#       superseded code): x04_data_quality_report (nullity sweep:
-#       predicate-cast sums emitted NULL instead of 0 on an all-NULL
-#       column; now when/otherwise(0)), x05_frame_dedup and
-#       x05_payload_resize (null-text sweep: NULL payloads crashed the
-#       mapInPandas feature passes; payload-less rows now prune BEFORE
-#       the Python boundary, oracles mirror IS NOT NULL — the three
-#       null-text-touched entries already in the r13 window
-#       [q17_array_funcs, q20_arrow_udf_ttr, x05_binary_features] grade
-#       this round, and x05_frame_sample holds a round-14 (a) slot) +
-#       the alphabetically-first 37 of the 49 entries whose latest
-#       green will then be r10 (pipeline_clean_coerce .. — the r10
-#       class minus s03_session_window, re-graded this round); the
+#       grade, drained from QUEUED_FOR_NEXT_WINDOW; round 14 extends it
+#       with planted-PPM sibling rows per r13 verdict item 3, so the
+#       landing grade covers BOTH real codecs) + the three round-13
+#       nullity-amendment re-grades (x04_data_quality_report,
+#       x05_frame_dedup, x05_payload_resize) + the alphabetically-first
+#       37 of the 49 entries whose latest green is r10
+#       (pipeline_clean_coerce .. x02_incremental_neardup); the
 #       alphabetically-last TWELVE (x02_simhash_neardup,
-#       x02_simhash16_neardup, x03_sq8_topk — ceding slots to the three
-#       re-grades; the x02/x03 families keep fresh evidence via three
-#       r13-window rows and five round-14 (a)-slots respectively — plus
+#       x02_simhash16_neardup, x03_sq8_topk, x04_chunking,
+#       x04_corpus_profile, x04_dataset_split, x04_length_histogram,
+#       x04_quality_filter, x04_stratified_sample, x04_term_frequency,
+#       x04_tfidf, x04_token_count) roll to round 15 per the committed
+#       plan (the x02/x03/x04 families keep fresh evidence via r13
+#       rows and round-14 (a)-slots).
+# 9 + 1 + 3 + 37 = 50.
+#
+# ROUND-15 ROTATION PLAN (committed now so no entry waits on an
+# undocumented promise; precondition: CORRECTNESS_r14 grades the
+# window below 50/50 green). Pure backfill:
+#   (a) the twelve r10 rows that rolled from the round-14 (b) tail
+#       (x02_simhash_neardup, x02_simhash16_neardup, x03_sq8_topk,
 #       x04_chunking, x04_corpus_profile, x04_dataset_split,
 #       x04_length_histogram, x04_quality_filter, x04_stratified_sample,
-#       x04_term_frequency, x04_tfidf, x04_token_count — the x04 family
-#       keeps round-13 evidence via its (a)-slot x04_doc_stats) roll to
-#       round 15.
-# 9 + 1 + 3 + 37 = 50. Every round-13/14 registration must either take
-# a slot from the (b) tail in its own commit or add itself to
+#       x04_term_frequency, x04_tfidf, x04_token_count);
+#   (b) the alphabetically-first 38 of the 47 entries whose latest
+#       green will then be r11 (pipeline_dedup_report ..
+#       x04_char_entropy — the r11 class minus x04_data_quality_report
+#       and x05_payload_resize, both re-graded this round); the
+#       alphabetically-last NINE (x04_decontamination,
+#       x04_feature_hashing,
+#       x04_mixing_rebalance, x04_ngram_vocab, x04_pii_scrub,
+#       x04_repetition_metrics, x04_sequence_packing,
+#       x04_tokenize_to_ids, x05_corpus_slice — the x04/x05 families
+#       keep round-14 evidence via this window's (a)/(b) rows) roll to
+#       round 16.
+# 12 + 38 = 50. Every round-14/15 registration must either take a slot
+# from the (b) tail in its own commit or add itself to
 # QUEUED_FOR_NEXT_WINDOW — keep velocity <= the handful the window can
 # absorb.
 GRADING_PRIORITY: tuple[str, ...] = (
-    # (a) the eight remaining r08 rows
-    "x03_ivfpq_topk",
-    "x03_kmeans_step",
-    "x03_knn_classify",
-    "x03_pairwise_label_centroids",
-    "x03_pq_topk",
-    "x04_doc_stats",
-    "x05_binary_features",
-    "x05_payload_energy",
-    # (b) backfill: alphabetically-first r09 rows + the two round-12
-    # semantics-changed re-grades (s03_session_window,
-    # q21_spend_trend_ols) in their alphabetical positions
-    "pipeline_posts_clean_wire",
-    "q01_scan_explicit_schema",
-    "q07_cms_heavy_hitters",
-    "q07_hash_aggregate",
-    "q07_histogram_quantiles",
-    "q09_cube",
-    "q09_grouping_sets",
-    "q09_rollup",
-    "q10_bloom_prune",
-    "q10_join_full_outer",
-    "q10_join_left_outer",
-    "q10_join_semi",
-    "q10_star_report",
-    "q12_union_by_name",
-    "q12_union_daily_slices",
-    "q13_rank_dense_rank",
-    "q13_topn_per_group",
-    "q13_window_share",
-    "q14_string_funcs",
-    "q14_string_funcs2",
-    "q15_datetime_funcs",
-    "q17_array_funcs",
-    "q17_explode_tokens",
-    "q17_json_corrupt_records",
-    "q17_map_funcs",
-    "q18_partitioned_prune",
-    "q20_arrow_udf_ttr",
-    "q20_udtf_chunks",
-    "q21_adamic_adar",
-    "q21_adamic_adar_capped",
-    "q21_event_transitions",
-    "q21_kcore_peel",
-    "q21_spend_trend_ols",
-    "q22_acf_hourly",
-    "q22_hampel_mad",
-    "q22_seasonal_decompose",
-    "s03_session_window",
-    "x00_adversarial_audit",
-    "x01_dedup_content_hash",
-    "x02_dedup_clusters",
-    "x02_minhash_lsh_neardup",
-    "x02_neardup_jaccard",
+    # (a) the nine remaining r09 rows
+    "x03_cosine_topk_bruteforce",
+    "x03_hamming_rerank",
+    "x03_hamming_topk",
+    "x03_range_search",
+    "x04_fingerprint",
+    "x04_hash_sample",
+    "x04_language_id",
+    "x04_weighted_sample",
+    "x05_frame_sample",
+    # (b) the BMP+PPM round-trip landing grade + the three nullity
+    # re-grades + the first-37 r10 backfill, alphabetical
+    "pipeline_clean_coerce",
+    "pipeline_curation_full",
+    "pipeline_daily_ingest",
+    "pipeline_topk_window",
+    "pipeline_training_prep",
+    "q01_orc_scan",
+    "q01_xml_scan",
+    "q07_weighted_median",
+    "q09_unpivot",
+    "q10_join_salted_skew",
+    "q11_asof_join",
+    "q12_except_all",
+    "q13_lag_lead",
+    "q14_string_funcs3",
+    "q15_datetime_funcs2",
+    "q16_math_conditional",
+    "q17_json_funcs",
+    "q18_export_training_shards",
+    "q18_sink_roundtrip",
+    "q18_zorder_key",
+    "q19_scd2_history",
+    "q19_upsert_keep_latest",
+    "q20_apply_in_pandas_zscore",
+    "q20_pandas_scalar_udf",
+    "q21_cohort_retention",
+    "q22_rolling_zscore",
+    "q22_timeseries_gapfill",
+    "s01_tumbling_window",
+    "s02_sliding_window",
+    "s04_watermark_late_drop",
+    "s05_stateful_dedup",
+    "s06_interval_join",
+    "s07_windowed_topk",
+    "s09_session_gap_replay",
+    "s09_session_timeout_replay",
+    "x01_dedup_canonicalized",
+    "x02_incremental_neardup",
+    "x04_data_quality_report",
+    "x05_bmp_pixel_stats",
+    "x05_frame_dedup",
+    "x05_payload_resize",
 )
 
 GRADED_WINDOW = 50

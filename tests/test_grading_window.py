@@ -113,12 +113,12 @@ def test_every_family_has_driver_evidence():
 # registrations (s09_session_timeout_replay, x02_simhash16_neardup) IN
 # the landing window — each took a slot from the backfill tail in its
 # own commit, per the committed velocity rule — so the set stays empty
-# unless a registration genuinely cannot take a slot. Round 13 queues
-# its one registration (x05_bmp_pixel_stats, the executable codec seam
-# of r12 verdict item 4): the round-13 window was pinned by the r12
-# verdict name-for-name before the entry existed, and the committed
-# round-14 plan (registry.py) already reserves its landing-round slot.
-QUEUED_FOR_NEXT_WINDOW: set[str] = {"x05_bmp_pixel_stats"}
+# unless a registration genuinely cannot take a slot. Round 13's one
+# registration (x05_bmp_pixel_stats) queued here until its committed
+# round-14 landing slot; round 14 drains it into the window (extended
+# with planted-PPM sibling rows, r13 verdict item 3), so the set is
+# empty again.
+QUEUED_FOR_NEXT_WINDOW: set[str] = set()
 
 
 def test_previously_ungraded_entries_are_all_in_window():
