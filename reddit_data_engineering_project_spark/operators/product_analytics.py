@@ -779,7 +779,15 @@ def q21_copurchase_reach2(spark: SparkSession, sf_dir: str) -> DataFrame:
     cap joins back via broadcast and the middle filter is a left-semi
     equi-join on the same node-id key the hop join shuffles on.
     """
-    edges = _copurchase_edges(spark, sf_dir)
+    return reach2_over(_copurchase_edges(spark, sf_dir))
+
+
+def reach2_over(edges: DataFrame) -> DataFrame:
+    """The ``q21_copurchase_reach2`` body over an arbitrary symmetric
+    edge list — factored out (r13 verdict item 7) so ``tools/
+    scale_curve.py`` can measure the registered plan at synthesized
+    10x edge count. The registered entry calls this with its own
+    co-purchase edges, so its plan and output are unchanged."""
     deg = edges.groupBy(F.col("src").alias("node")).agg(
         F.count("*").alias("deg")
     )
@@ -906,6 +914,16 @@ def q21_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("src") < F.col("dst"))
         .select(F.col("src").alias("u"), F.col("dst").alias("v"))
     )
+    return triangle_membership_over(und)
+
+
+def triangle_membership_over(und: DataFrame) -> DataFrame:
+    """The ``q21_triangle_count`` body over an arbitrary undirected
+    half-edge list (one ``(u, v)`` row per edge, ``u < v``) — factored
+    out (r13 verdict item 7) so ``tools/scale_curve.py`` can measure
+    the degree-ordering orientation at synthesized 10x edges. The
+    registered entry calls this with its own co-purchase half edges,
+    so its plan and output are unchanged."""
     deg = (
         und.select(F.col("u").alias("node"))
         .unionAll(und.select(F.col("v").alias("node")))

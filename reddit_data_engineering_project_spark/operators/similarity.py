@@ -1688,20 +1688,29 @@ def semantic_dedup_over(
     k: int = _SEMDEDUP_K,
     cos_threshold: float = _SEMDEDUP_COS,
     copy_key_offset: int = 100_000,
+    centroid_pred: Column | None = None,
 ) -> DataFrame:
     """The ``x02_semantic_dedup`` body over an arbitrary embeddings
     frame — factored out (r12 verdict item 5) so ``tools/
     scale_curve.py`` can measure the registered plan at synthesized 10x
     corpus size AND under the ``K ~ corpus`` scaling rule the docstring
     prescribes. The registered entry calls this with its pinned
-    defaults, so its plan and output are unchanged."""
+    defaults, so its plan and output are unchanged.
+
+    ``centroid_pred`` overrides the default seed-selection predicate
+    (``vec_id < k``) for replicated-corpus measurements where seed ids
+    must be drawn from every replica's id range, not just the first
+    (r13 ADVICE finding); the caller is responsible for the predicate
+    selecting exactly ``k`` base vectors."""
     base = emb.select("vec_id", _vec_double("embedding").alias("e"))
     copies = base.select(
         (F.col("vec_id") + copy_key_offset).alias("vec_id"),
         F.transform(F.col("e"), lambda x: x * 1.01).alias("e"),
     )
     corpus = base.unionByName(copies)
-    cents = base.filter(F.col("vec_id") < k).agg(
+    if centroid_pred is None:
+        centroid_pred = F.col("vec_id") < k
+    cents = base.filter(centroid_pred).agg(
         F.transform(
             F.sort_array(F.collect_list(F.struct("vec_id", "e"))),
             lambda st: st.e,

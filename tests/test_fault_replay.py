@@ -247,3 +247,55 @@ def test_session_bucketed_replay_after_lost_commit(spark, tmp_path):
 
     run_session_stream_bucketed(spark, src, sink, ckpt, n_buckets=4)
     assert _sorted_rows(spark, sink) == clean
+
+
+def test_dedup_index_stream_replay_after_lost_commit(spark, tmp_path):
+    """Crash-window replay for the dedup-index ingest gate — the one
+    idempotent-sink runner the five mechanisms above didn't cover (r13
+    verdict item 6). The replayed micro-batch must re-shingle, re-sign,
+    re-join the STORED band index, and overwrite its batch=<id> sink
+    directory to the uninterrupted pair set row-for-row — the stored
+    index is read-only state, so replay correctness here proves the
+    batch's flagged pairs derive only from (batch bytes, index), never
+    from lost in-flight session state."""
+    from reddit_data_engineering_project_spark.operators.dedup import (
+        build_band_index,
+    )
+    from reddit_data_engineering_project_spark.streaming.runner import (
+        run_dedup_index_stream,
+    )
+
+    wh = os.path.join(str(tmp_path), "wh")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS sdi_replay LOCATION '{wh}'")
+    try:
+        docs = table(spark, SF_DIR, "documents")
+        is_inc = F.col("doc_id") % 10 == 0
+        inc, corpus = docs.filter(is_inc), docs.filter(~is_inc)
+        build_band_index(corpus, "sdi_replay.corpus_bands")
+
+        src = os.path.join(str(tmp_path), "incoming")
+        sink = os.path.join(str(tmp_path), "flagged")
+        ckpt = os.path.join(str(tmp_path), "ckpt")
+        inc.repartition(3).write.parquet(src)  # 3 micro-batches
+
+        run_dedup_index_stream(
+            spark, src, "sdi_replay.corpus_bands", corpus, sink, ckpt
+        )
+        clean = _sorted_rows(spark, sink)
+        assert clean, "planted corpus guarantees cross-side near-dups"
+        batch_dirs = sorted(
+            d for d in os.listdir(sink) if d.startswith("batch=")
+        )
+
+        last = _inject_crash(ckpt, sink, torn_sink=True)
+
+        run_dedup_index_stream(
+            spark, src, "sdi_replay.corpus_bands", corpus, sink, ckpt
+        )
+        assert _sorted_rows(spark, sink) == clean
+        assert sorted(
+            d for d in os.listdir(sink) if d.startswith("batch=")
+        ) == batch_dirs
+        assert _last_committed(ckpt) == last  # re-laid, not skipped
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS sdi_replay CASCADE")

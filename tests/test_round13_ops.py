@@ -408,6 +408,12 @@ def test_ppm_roundtrip_header_grammar_and_cross_codec_identity():
         decode_ppm(encode_ppm(px)[:-2])
     with pytest.raises(NotImplementedError, match="8-bit"):
         decode_ppm(b"P6\n1 1\n65535\n" + b"\x00" * 6)
+    # maxval < 1 is invalid PPM, not wide PPM — loud ValueError, not a
+    # silent decode (r13 ADVICE finding)
+    with pytest.raises(ValueError, match="maxval"):
+        decode_ppm(b"P6\n1 1\n0\n" + b"\x00" * 3)
+    with pytest.raises(ValueError, match="maxval"):
+        decode_ppm(b"P6\n1 1\n-5\n" + b"\x00" * 3)
 
 
 def test_null_value_corpus_quality_report_says_zero_not_null(

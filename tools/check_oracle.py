@@ -9,6 +9,12 @@ DuckDB over the same parquet tables, then compares:
 
 Usage:
     python tools/check_oracle.py [--sf /root/testdata/sf0.01] [--only name1,name2]
+
+The sweep body is importable as :func:`run_checks` so callers that
+sweep MANY corpora (``tools/degenerate_gate.py``) can share one
+SparkSession across sweeps — the JVM/codegen warm-up dominates the
+per-corpus floor, so one shared session cuts an 11-corpus gate from
+~29 min to a fraction (r13 verdict item 4).
 """
 
 from __future__ import annotations
@@ -67,6 +73,139 @@ def table_hash(rows: list[tuple], colnames: list[str]) -> str:
     return h.hexdigest()
 
 
+def run_checks(
+    spark,
+    sf: str,
+    only: set[str] | None = None,
+    verbose: bool = False,
+    skip_contracts: bool = False,
+) -> tuple[int, int, int, list[str]]:
+    """One full sweep of ``queries()`` vs ``oracle_sql()`` over the
+    parquet corpus at ``sf``; returns ``(ok, fail, rows_only,
+    failing_names)``. The caller owns the SparkSession lifecycle; a
+    fresh DuckDB connection is opened (and closed) per sweep so oracle
+    state never leaks between corpora."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+
+    # Vet the corpus being swept BEFORE grading against it: the declared
+    # ingest contracts (null/dup primary keys, value/time domains) are
+    # what the engine's exactness guarantees assume — an out-of-domain
+    # corpus (committed OR hostile) makes every quantized compare
+    # meaningless, so fail loudly here instead of chasing hash drift.
+    from reddit_data_engineering_project_spark.tables import (
+        check_ingest_contracts,
+    )
+
+    if not skip_contracts:
+        check_ingest_contracts(spark, sf)
+
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+        )
+
+    n_pass = n_fail = n_rows_only = 0
+    failures: list[str] = []
+    try:
+        for name, fn in sorted(queries.items()):
+            if only and name not in only:
+                continue
+            t0 = time.time()
+            # Cold-cache isolation between queries: persisted
+            # intermediates from earlier entries (LSH dedup family)
+            # otherwise accumulate in the shared session and slow later
+            # queries.
+            spark.catalog.clearCache()
+            try:
+                sdf = fn(spark, sf)
+                scols = sdf.columns
+                srows = [tuple(r) for r in sdf.collect()]
+            except Exception:
+                print(f"FAIL  {name}: spark error")
+                traceback.print_exc()
+                n_fail += 1
+                failures.append(name)
+                continue
+            if name not in oracles:
+                print(
+                    f"ROWS  {name}: {len(srows)} rows (no oracle) "
+                    f"[{time.time()-t0:.1f}s]"
+                )
+                n_rows_only += 1
+                continue
+            try:
+                res = con.execute(oracles[name])
+                ocols = [d[0] for d in res.description]
+                orows = res.fetchall()
+            except Exception:
+                print(f"FAIL  {name}: duckdb error")
+                traceback.print_exc()
+                n_fail += 1
+                failures.append(name)
+                continue
+
+            problems = []
+            if len(srows) != len(orows):
+                problems.append(
+                    f"rowcount spark={len(srows)} duck={len(orows)}"
+                )
+            if sorted(scols) != sorted(ocols):
+                problems.append(
+                    f"cols spark={sorted(scols)} duck={sorted(ocols)}"
+                )
+            if not problems:
+                sh = table_hash(srows, list(scols))
+                oh = table_hash(orows, list(ocols))
+                if sh != oh:
+                    problems.append("value-hash mismatch")
+                    if verbose:
+                        order_s = sorted(
+                            range(len(scols)), key=lambda i: scols[i]
+                        )
+                        order_o = sorted(
+                            range(len(ocols)), key=lambda i: ocols[i]
+                        )
+                        s_lines = sorted(
+                            "\x1f".join(norm_value(r[i]) for i in order_s)
+                            for r in srows
+                        )
+                        o_lines = sorted(
+                            "\x1f".join(norm_value(r[i]) for i in order_o)
+                            for r in orows
+                        )
+                        shown = 0
+                        for a, b in zip(s_lines, o_lines):
+                            if a != b and shown < 5:
+                                print(f"  spark: {a}\n  duck : {b}")
+                                shown += 1
+            if problems:
+                print(
+                    f"FAIL  {name}: {'; '.join(problems)} "
+                    f"[{time.time()-t0:.1f}s]"
+                )
+                n_fail += 1
+                failures.append(name)
+            else:
+                print(f"OK    {name}: {len(srows)} rows [{time.time()-t0:.1f}s]")
+                n_pass += 1
+    finally:
+        con.close()
+
+    print(
+        f"\n{n_pass} ok, {n_fail} fail, {n_rows_only} rows-only"
+        + (f"; failing: {','.join(failures)}" if failures else "")
+    )
+    return n_pass, n_fail, n_rows_only, failures
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default=os.environ.get("CHECK_SF_DIR", "/root/testdata/sf0.01"))
@@ -83,107 +222,16 @@ def main() -> int:
     )
     args = ap.parse_args()
 
-    import duckdb
-
-    import __spark_entry__ as entrymod
     from reddit_data_engineering_project_spark.session import get_spark
 
-    queries = entrymod.queries()
-    oracles = entrymod.oracle_sql()
-    only = set(args.only.split(",")) if args.only else None
-
     spark = get_spark(app_name="check_oracle")
-
-    # Vet the corpus being swept BEFORE grading against it: the declared
-    # ingest contracts (null/dup primary keys, value/time domains) are
-    # what the engine's exactness guarantees assume — an out-of-domain
-    # corpus (committed OR hostile) makes every quantized compare
-    # meaningless, so fail loudly here instead of chasing hash drift.
-    from reddit_data_engineering_project_spark.tables import (
-        check_ingest_contracts,
-    )
-
-    if not args.skip_contracts:
-        check_ingest_contracts(spark, args.sf)
-
-    con = duckdb.connect()
-    for t in (
-        "region nation customer supplier part orders lineitem events documents embeddings"
-    ).split():
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{args.sf}/{t}.parquet')"
-        )
-
-    n_pass = n_fail = n_rows_only = 0
-    failures: list[str] = []
-    for name, fn in sorted(queries.items()):
-        if only and name not in only:
-            continue
-        t0 = time.time()
-        # Cold-cache isolation between queries: persisted intermediates
-        # from earlier entries (LSH dedup family) otherwise accumulate in
-        # the shared session and slow later queries.
-        spark.catalog.clearCache()
-        try:
-            sdf = fn(spark, args.sf)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
-        except Exception:
-            print(f"FAIL  {name}: spark error")
-            traceback.print_exc()
-            n_fail += 1
-            failures.append(name)
-            continue
-        if name not in oracles:
-            print(f"ROWS  {name}: {len(srows)} rows (no oracle) [{time.time()-t0:.1f}s]")
-            n_rows_only += 1
-            continue
-        try:
-            res = con.execute(oracles[name])
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
-        except Exception:
-            print(f"FAIL  {name}: duckdb error")
-            traceback.print_exc()
-            n_fail += 1
-            failures.append(name)
-            continue
-
-        problems = []
-        if len(srows) != len(orows):
-            problems.append(f"rowcount spark={len(srows)} duck={len(orows)}")
-        if sorted(scols) != sorted(ocols):
-            problems.append(f"cols spark={sorted(scols)} duck={sorted(ocols)}")
-        if not problems:
-            sh = table_hash(srows, list(scols))
-            oh = table_hash(orows, list(ocols))
-            if sh != oh:
-                problems.append("value-hash mismatch")
-                if args.verbose:
-                    order_s = sorted(range(len(scols)), key=lambda i: scols[i])
-                    order_o = sorted(range(len(ocols)), key=lambda i: ocols[i])
-                    s_lines = sorted(
-                        "\x1f".join(norm_value(r[i]) for i in order_s) for r in srows
-                    )
-                    o_lines = sorted(
-                        "\x1f".join(norm_value(r[i]) for i in order_o) for r in orows
-                    )
-                    shown = 0
-                    for a, b in zip(s_lines, o_lines):
-                        if a != b and shown < 5:
-                            print(f"  spark: {a}\n  duck : {b}")
-                            shown += 1
-        if problems:
-            print(f"FAIL  {name}: {'; '.join(problems)} [{time.time()-t0:.1f}s]")
-            n_fail += 1
-            failures.append(name)
-        else:
-            print(f"OK    {name}: {len(srows)} rows [{time.time()-t0:.1f}s]")
-            n_pass += 1
-
-    print(
-        f"\n{n_pass} ok, {n_fail} fail, {n_rows_only} rows-only"
-        + (f"; failing: {','.join(failures)}" if failures else "")
+    only = set(args.only.split(",")) if args.only else None
+    _, n_fail, _, _ = run_checks(
+        spark,
+        args.sf,
+        only=only,
+        verbose=args.verbose,
+        skip_contracts=args.skip_contracts,
     )
     spark.stop()
     return 1 if n_fail else 0

@@ -200,10 +200,15 @@ def main() -> int:
     )
     ap.add_argument(
         "--null-column",
-        metavar="COL:DIR",
+        metavar="[TABLE.]COL:DIR",
         action="append",
         default=None,
-        help="also write an all-NULL events.<COL> corpus to DIR (repeatable)",
+        help=(
+            "also write an all-NULL <TABLE>.<COL> corpus to DIR "
+            "(repeatable; TABLE defaults to events, so 'value:DIR' and "
+            "'documents.text:DIR' both work — r13 ADVICE: the CLI must "
+            "be able to regenerate every corpus the gate builds)"
+        ),
     )
     ap.add_argument(
         "--mixed",
@@ -230,9 +235,14 @@ def main() -> int:
         write_flat_time(args.src, args.flat_time)
         print(f"{args.flat_time}: flat-time corpus")
     for spec in args.null_column or ():
-        col, _, out = spec.partition(":")
-        write_null_column(args.src, out, col)
-        print(f"{out}: all-NULL events.{col} corpus")
+        colspec, _, out = spec.partition(":")
+        tbl, dot, col = colspec.rpartition(".")
+        if not dot:
+            tbl, col = "events", colspec
+        if tbl not in TABLES:
+            ap.error(f"--null-column table {tbl!r} not in {sorted(TABLES)}")
+        write_null_column(args.src, out, col, tbl)
+        print(f"{out}: all-NULL {tbl}.{col} corpus")
     return 0
 
 

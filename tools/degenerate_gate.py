@@ -29,14 +29,23 @@ the gate's contract is "nothing NEW breaks on a degenerate corpus and
 nothing documented silently heals", not a frozen total.
 
 Wired into the round-end protocol as ``python tools/preflight.py
---degenerate`` (first full five-corpus run measured ~11 min: empty
-91 s, one-row 124 s, mixed ~145 s each; the zero-variance and nullity
-corpora add ~3 min each — every one swept standalone before joining);
-also runnable directly:
+--degenerate``; also runnable directly:
 
     python tools/degenerate_gate.py [--src /root/testdata/sf0.001]
 
 Exit 0 only when every sweep matches its documented fail set.
+
+Cost (r13 verdict item 4): the original one-subprocess-per-corpus
+design paid the JVM/codegen warm-up eleven times (~29 min for eleven
+corpora; 91–145 s floor each). The default mode now runs every sweep
+IN-PROCESS through one shared SparkSession via
+``check_oracle.run_checks`` — same-schema corpora, per-query
+``clearCache`` isolation, and a fresh DuckDB connection per corpus —
+measured at ~8.3 min for all eleven (~45 s per corpus after the first;
+recorded round 14). ``--isolate`` restores the per-corpus subprocess
+mode for debugging a sweep that corrupts session state; that path
+cross-checks the child's exit code against its parsed fail count so a
+sweep that printed a summary and then died is never trusted.
 """
 
 from __future__ import annotations
@@ -97,11 +106,47 @@ def run_sweep(sf_dir: str) -> tuple[int, int, int, frozenset[str], str]:
             fails = frozenset(
                 f.strip() for f in (m.group(4) or "").split(",") if f.strip()
             )
-            return int(m.group(1)), int(m.group(2)), int(m.group(3)), fails, tail
+            n_fail = int(m.group(2))
+            # the summary line is necessary but not sufficient: a sweep
+            # that printed it and then died (spark.stop() failure, a
+            # fail-count/exit disagreement) must not be trusted —
+            # check_oracle's contract is exit 1 iff fail > 0 (r13
+            # ADVICE finding)
+            expected_rc = 1 if n_fail else 0
+            if out.returncode != expected_rc:
+                raise RuntimeError(
+                    f"check_oracle summary/exit disagreement for "
+                    f"{sf_dir}: summary says {n_fail} fail but exit "
+                    f"code is {out.returncode} (expected {expected_rc});"
+                    f" tail:\n{tail}\nstderr tail:\n"
+                    f"{chr(10).join(out.stderr.splitlines()[-5:])}"
+                )
+            return int(m.group(1)), n_fail, int(m.group(3)), fails, tail
     raise RuntimeError(
         f"check_oracle printed no summary for {sf_dir}; tail:\n{tail}\n"
         f"stderr tail:\n{chr(10).join(out.stderr.splitlines()[-5:])}"
     )
+
+
+def run_sweep_inproc(
+    spark, sf_dir: str
+) -> tuple[int, int, int, frozenset[str], str]:
+    """One full-registry sweep through the SHARED SparkSession — the
+    consolidated default (the JVM/codegen warm-up is paid once for the
+    whole gate instead of per corpus). Per-entry output is buffered;
+    the FAIL lines are kept in the returned tail so an unexpected
+    fail-set still comes with its diagnostics."""
+    import contextlib
+    import io
+
+    import check_oracle as co
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        ok, fail, rows_only, failing = co.run_checks(spark, sf_dir)
+    lines = buf.getvalue().strip().splitlines()
+    kept = [l for l in lines if l.startswith("FAIL")][-10:] + lines[-2:]
+    return ok, fail, rows_only, frozenset(failing), "\n".join(kept)
 
 
 def main() -> int:
@@ -111,6 +156,14 @@ def main() -> int:
         "--keep",
         action="store_true",
         help="keep the generated corpora dir (printed) for debugging",
+    )
+    ap.add_argument(
+        "--isolate",
+        action="store_true",
+        help=(
+            "run each sweep in its own subprocess (the pre-r14 mode) — "
+            "slower, but isolates a sweep that corrupts session state"
+        ),
     )
     args = ap.parse_args()
 
@@ -128,11 +181,22 @@ def main() -> int:
     deg.write_null_column(args.src, dirs["null_user_id"], "user_id")
     deg.write_null_column(args.src, dirs["null_text"], "text", "documents")
 
+    shared_spark = None
+    if not args.isolate:
+        from reddit_data_engineering_project_spark.session import get_spark
+
+        shared_spark = get_spark(app_name="degenerate_gate")
+
     failures: list[str] = []
     try:
         for label, sf_dir in dirs.items():
             t0 = time.time()
-            ok, fail, rows_only, fail_set, tail = run_sweep(sf_dir)
+            if shared_spark is not None:
+                ok, fail, rows_only, fail_set, tail = run_sweep_inproc(
+                    shared_spark, sf_dir
+                )
+            else:
+                ok, fail, rows_only, fail_set, tail = run_sweep(sf_dir)
             expected = EXPECTED_FAILS[label]
             verdict = "PASS" if fail_set == expected and rows_only == 0 else "FAIL"
             print(
@@ -144,6 +208,7 @@ def main() -> int:
                 healed = sorted(expected - fail_set)
                 if unexpected:
                     print(f"      unexpected failures: {unexpected}")
+                    print("      " + tail.replace("\n", "\n      "))
                 if healed:
                     print(
                         f"      documented divergence silently healed "
@@ -154,6 +219,8 @@ def main() -> int:
                 print("      rows-only entries appeared in a degenerate sweep")
                 failures.append(label)
     finally:
+        if shared_spark is not None:
+            shared_spark.stop()
         if args.keep:
             print(f"corpora kept at {base}")
         else:

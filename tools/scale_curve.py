@@ -242,16 +242,29 @@ def semantic_curve(spark: SparkSession, sf_dir: str, multiplier: int) -> None:
     for df in reps[1:]:
         big = big.unionAll(df)
 
+    # scaled-K centroids must come from EVERY replica's id range, not
+    # just replica 0 (r13 ADVICE finding: `vec_id < k` on offset ids
+    # draws all 64·N seeds from one replica's distribution) — sample
+    # k/multiplier seed ids per replica via the replica-local id. The
+    # predicate only ever sees base vectors (copies sit at +100_000
+    # inside each replica's range, far above the per-replica seed cut).
+    per_replica = _SEMDEDUP_K  # k/multiplier seeds per replica
+    scaled_pred = (F.col("vec_id") % 100_000_000) < per_replica
     runs = (
-        (os.path.basename(sf_dir.rstrip("/")), emb, _SEMDEDUP_K),
-        (f"x{multiplier} fixed-K", big, _SEMDEDUP_K),
-        (f"x{multiplier} scaled-K", big, _SEMDEDUP_K * multiplier),
+        (os.path.basename(sf_dir.rstrip("/")), emb, _SEMDEDUP_K, None),
+        (f"x{multiplier} fixed-K", big, _SEMDEDUP_K, None),
+        (
+            f"x{multiplier} scaled-K",
+            big,
+            _SEMDEDUP_K * multiplier,
+            scaled_pred,
+        ),
     )
-    for label, corpus, k in runs:
+    for label, corpus, k, pred in runs:
         spark.catalog.clearCache()
         n_vecs = corpus.count()
         t0 = time.time()
-        removed = semantic_dedup_over(corpus, k=k).count()
+        removed = semantic_dedup_over(corpus, k=k, centroid_pred=pred).count()
         print(
             json.dumps(
                 {
@@ -267,13 +280,91 @@ def semantic_curve(spark: SparkSession, sf_dir: str, multiplier: int) -> None:
         )
 
 
+def graph_curve(spark: SparkSession, sf_dir: str, multiplier: int) -> None:
+    """Triangle counting + 2-hop reach at 1x and Nx edges (r13 verdict
+    item 7 — the graph family had documented levers, degree-ordering
+    and p95 capping, but no measured curve).
+
+    Replicas are DISJOINT copies of the co-purchase graph with offset
+    node ids: the degree distribution (and so the skew law both levers
+    address) is preserved exactly per replica, edge count scales by N,
+    and the honest expectation under the levers' claims is ~linear
+    wall growth — wedge work is Σ C(outdeg, 2), which is replica-local.
+    Disjoint replication adds no CROSS-replica hubs; a datapoint that
+    grew one hub 10x would measure the un-capped/un-oriented failure
+    mode instead, which the levers exist to avoid. Reported per run:
+    edges, oriented-wedge count (the triangle join's actual input
+    size), output rows, wall."""
+    from reddit_data_engineering_project_spark.operators.product_analytics import (  # noqa: E501
+        _copurchase_edges,
+        reach2_over,
+        triangle_membership_over,
+    )
+
+    base_edges = _copurchase_edges(spark, sf_dir)
+
+    def replicated(df, cols, n):
+        if n <= 1:
+            return df
+        reps = []
+        for r in range(n):
+            off = F.lit(r * 100_000_000)
+            reps.append(
+                df.select(
+                    *[(F.col(c) + off).alias(c) for c in cols],
+                    *[c for c in df.columns if c not in cols],
+                )
+            )
+        out = reps[0]
+        for d in reps[1:]:
+            out = out.unionAll(d)
+        return out
+
+    for n in (1, multiplier):
+        edges = replicated(base_edges, ["src", "dst"], n)
+        und = edges.filter(F.col("src") < F.col("dst")).select(
+            F.col("src").alias("u"), F.col("dst").alias("v")
+        )
+        spark.catalog.clearCache()
+        n_edges = und.count()
+        t0 = time.time()
+        tri_rows = triangle_membership_over(und).count()
+        tri_wall = round(time.time() - t0, 2)
+        spark.catalog.clearCache()
+        t0 = time.time()
+        reach_rows = reach2_over(edges).count()
+        reach_wall = round(time.time() - t0, 2)
+        print(
+            json.dumps(
+                {
+                    "family": "graph",
+                    "corpus": os.path.basename(sf_dir.rstrip("/"))
+                    + (f" x{n}" if n > 1 else ""),
+                    "edges_undirected": n_edges,
+                    "triangle_rows": tri_rows,
+                    "triangle_wall_sec": tri_wall,
+                    "reach2_rows": reach_rows,
+                    "reach2_wall_sec": reach_wall,
+                }
+            ),
+            flush=True,
+        )
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     ap.add_argument("--multiplier", type=int, default=10)
     ap.add_argument(
         "--family",
-        choices=("dedup", "similarity", "simhash16", "semantic", "all"),
+        choices=(
+            "dedup",
+            "similarity",
+            "simhash16",
+            "semantic",
+            "graph",
+            "all",
+        ),
         default="dedup",
     )
     args = ap.parse_args()
@@ -297,6 +388,11 @@ def main() -> int:
     if args.family in ("semantic", "all"):
         semantic_curve(spark, args.sf, args.multiplier)
         if args.family == "semantic":
+            spark.stop()
+            return 0
+    if args.family in ("graph", "all"):
+        graph_curve(spark, args.sf, args.multiplier)
+        if args.family == "graph":
             spark.stop()
             return 0
     results = []
