@@ -15,6 +15,13 @@ Dumps each query's formatted physical plan and flags anti-patterns:
   calendar spines, ≤256-bin histograms, degree histograms — all of
   which sit ABOVE an aggregate or a generator in the plan).
 - Exchange (shuffle) counts per query, for eyeballing regressions.
+- UNDECLARED_TABLE_DEP: the plan scans a corpus table the entry's
+  oracle never names. The oracle's table set is the entry's declared
+  input surface — ``tools/degenerate_gate.py`` skips entries whose
+  declared surface misses a corpus's mutated tables, so an undeclared
+  Spark-side read would let a hostile corpus affect an entry the gate
+  believed untouchable (r13 verdict item 4's skip lever leans on this
+  flag staying empty).
 
 Usage: python tools/audit_plans.py [--sf DIR] [--dump plans.txt]
 """
@@ -27,6 +34,7 @@ import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 WIDE_TABLES = {"lineitem": 11, "orders": 6, "events": 6}
 
@@ -277,11 +285,13 @@ def main() -> int:
     args = ap.parse_args()
 
     import __spark_entry__ as entrymod
+    from check_oracle import TABLE_NAMES, oracle_tables
     from reddit_data_engineering_project_spark import registry
     from reddit_data_engineering_project_spark.session import get_spark
 
     spark = get_spark(app_name="audit_plans", master="local[4]")
     queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
 
     dump = open(args.dump, "w") if args.dump else None
     problems: list[str] = []
@@ -315,6 +325,15 @@ def main() -> int:
                 flags.append(f"WIDE_SCAN({ncols}cols)")
         for w in unbounded_global_windows(plan):
             flags.append(f"UNBOUNDED_GLOBAL_WINDOW[{w}]")
+        if name in oracles:
+            scanned = {
+                t for t in TABLE_NAMES if f"/{t}.parquet" in plan
+            }
+            undeclared = sorted(scanned - oracle_tables(oracles[name]))
+            if undeclared:
+                flags.append(
+                    "UNDECLARED_TABLE_DEP(" + ",".join(undeclared) + ")"
+                )
         status = ",".join(flags) if flags else "ok"
         print(f"{name:38s} exchanges={n_exchange:2d}  {status}")
         if flags:

@@ -73,18 +73,46 @@ def table_hash(rows: list[tuple], colnames: list[str]) -> str:
     return h.hexdigest()
 
 
+TABLE_NAMES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def oracle_tables(sql: str) -> set[str]:
+    """Tables an oracle references, by word-boundary name match. Over-
+    inclusive by construction (an output alias `AS part` counts as a
+    `part` dependency) — callers that SKIP on disjointness therefore
+    only ever skip too little, never too much."""
+    import re
+
+    return {t for t in TABLE_NAMES if re.search(rf"\b{t}\b", sql)}
+
+
 def run_checks(
     spark,
     sf: str,
     only: set[str] | None = None,
     verbose: bool = False,
     skip_contracts: bool = False,
+    mutated_tables: set[str] | None = None,
 ) -> tuple[int, int, int, list[str]]:
     """One full sweep of ``queries()`` vs ``oracle_sql()`` over the
     parquet corpus at ``sf``; returns ``(ok, fail, rows_only,
     failing_names)``. The caller owns the SparkSession lifecycle; a
     fresh DuckDB connection is opened (and closed) per sweep so oracle
-    state never leaks between corpora."""
+    state never leaks between corpora.
+
+    ``mutated_tables`` (degenerate-gate mode): the corpus at ``sf``
+    differs from the standing baseline corpus ONLY in these tables.
+    Entries whose oracle references none of them read byte-identical
+    inputs to a corpus they are already green on (the standing full
+    sf0.001/sf0.01 sweeps), so their result is deterministically
+    unchanged and they are SKIPPED — the sweep then costs ∝ the
+    entries the hostile axis can actually affect. Soundness rests on
+    oracle-declared tables ⊇ Spark-read tables, which
+    ``tools/audit_plans.py`` enforces per entry
+    (UNDECLARED_TABLE_DEP); entries without an oracle never skip."""
     import duckdb
 
     import __spark_entry__ as entrymod
@@ -112,11 +140,18 @@ def run_checks(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
         )
 
-    n_pass = n_fail = n_rows_only = 0
+    n_pass = n_fail = n_rows_only = n_skip = 0
     failures: list[str] = []
     try:
         for name, fn in sorted(queries.items()):
             if only and name not in only:
+                continue
+            if (
+                mutated_tables is not None
+                and name in oracles
+                and not (oracle_tables(oracles[name]) & mutated_tables)
+            ):
+                n_skip += 1
                 continue
             t0 = time.time()
             # Cold-cache isolation between queries: persisted
@@ -199,6 +234,11 @@ def run_checks(
     finally:
         con.close()
 
+    if n_skip:
+        print(
+            f"\n{n_skip} skipped (inputs identical to the baseline "
+            f"corpus: oracle touches none of {sorted(mutated_tables)})"
+        )
     print(
         f"\n{n_pass} ok, {n_fail} fail, {n_rows_only} rows-only"
         + (f"; failing: {','.join(failures)}" if failures else "")

@@ -35,17 +35,35 @@ Wired into the round-end protocol as ``python tools/preflight.py
 
 Exit 0 only when every sweep matches its documented fail set.
 
-Cost (r13 verdict item 4): the original one-subprocess-per-corpus
-design paid the JVM/codegen warm-up eleven times (~29 min for eleven
-corpora; 91–145 s floor each). The default mode now runs every sweep
-IN-PROCESS through one shared SparkSession via
-``check_oracle.run_checks`` — same-schema corpora, per-query
-``clearCache`` isolation, and a fresh DuckDB connection per corpus —
-measured at ~8.3 min for all eleven (~45 s per corpus after the first;
-recorded round 14). ``--isolate`` restores the per-corpus subprocess
-mode for debugging a sweep that corrupts session state; that path
-cross-checks the child's exit code against its parsed fail count so a
-sweep that printed a summary and then died is never trusted.
+Cost (r13 verdict item 4), two stacked levers, both measured round 14:
+
+1. SHARED SESSION — the original one-subprocess-per-corpus design
+   paid JVM startup + codegen warm-up eleven times (~29 min; 91–145 s
+   floor each). The default mode runs every sweep IN-PROCESS through
+   one SparkSession via ``check_oracle.run_checks`` (same-schema
+   corpora, per-query ``clearCache`` isolation, fresh DuckDB
+   connection per corpus): measured 22 m 43 s — an honest finding,
+   warm-up was only ~25% of the old floor; the remainder is genuine
+   208-entry execution per corpus.
+2. INPUT-IDENTICAL SKIP — nine of the eleven corpora mutate ONE to
+   THREE tables and leave the rest byte-identical to the committed
+   sf0.001 baseline, so an entry whose oracle references none of the
+   mutated tables provably computes the same result it is already
+   green on in the standing full sweeps. Those entries skip
+   (``mutated_tables`` in ``run_checks``); ``empty`` / ``one_row``
+   mutate everything and always sweep in full. Soundness is enforced
+   by ``tools/audit_plans.py``'s UNDECLARED_TABLE_DEP flag (an
+   entry's Spark plan may not scan a table its oracle doesn't name;
+   verified 0 flagged across all 208 plans before the skip shipped).
+   Measured: 8 m 38 s for all eleven corpora (single-table sweeps drop
+   to 10–34 s: 70 entries touch events, 63 documents, 16 embeddings),
+   fail-set contract unchanged — 3.4x under the subprocess design.
+   ``--no-skip`` restores exhaustive sweeps.
+
+``--isolate`` restores the per-corpus subprocess mode for debugging a
+sweep that corrupts session state; that path cross-checks the child's
+exit code against its parsed fail count so a sweep that printed a
+summary and then died is never trusted.
 """
 
 from __future__ import annotations
@@ -61,6 +79,7 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.join(REPO, "tools"))
+sys.path.insert(0, REPO)  # package + __spark_entry__ for in-process mode
 
 # corpus label -> expected fail set (built in main; labels map to
 # degenerate_corpus writers). Round 13 added monoculture (zero
@@ -82,6 +101,27 @@ EXPECTED_FAILS: dict[str, frozenset[str]] = {
     "null_ts": frozenset(),
     "null_user_id": frozenset(),
     "null_text": frozenset(),
+}
+
+# corpus label -> the tables its writer mutates relative to the
+# committed baseline; None = "everything differs" (no skip possible).
+# Drives the input-identical skip in check_oracle.run_checks — keep in
+# lockstep with the write_* calls in main() (a label here that under-
+# states its writer's mutations would skip entries the corpus CAN
+# affect, which is exactly the bug class the audit_plans
+# UNDECLARED_TABLE_DEP flag exists to prevent on the oracle side).
+MUTATED_TABLES: dict[str, frozenset[str] | None] = {
+    "empty": None,
+    "one_row": None,
+    "mixed_events_empty": frozenset({"events"}),
+    "mixed_documents_empty": frozenset({"documents"}),
+    "mixed_embeddings_empty": frozenset({"embeddings"}),
+    "monoculture": frozenset({"documents", "events", "embeddings"}),
+    "flat_time": frozenset({"events"}),
+    "null_value": frozenset({"events"}),
+    "null_ts": frozenset({"events"}),
+    "null_user_id": frozenset({"events"}),
+    "null_text": frozenset({"documents"}),
 }
 
 _SUMMARY = re.compile(
@@ -129,7 +169,7 @@ def run_sweep(sf_dir: str) -> tuple[int, int, int, frozenset[str], str]:
 
 
 def run_sweep_inproc(
-    spark, sf_dir: str
+    spark, sf_dir: str, mutated: frozenset[str] | None = None
 ) -> tuple[int, int, int, frozenset[str], str]:
     """One full-registry sweep through the SHARED SparkSession — the
     consolidated default (the JVM/codegen warm-up is paid once for the
@@ -143,7 +183,9 @@ def run_sweep_inproc(
 
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
-        ok, fail, rows_only, failing = co.run_checks(spark, sf_dir)
+        ok, fail, rows_only, failing = co.run_checks(
+            spark, sf_dir, mutated_tables=set(mutated) if mutated else None
+        )
     lines = buf.getvalue().strip().splitlines()
     kept = [l for l in lines if l.startswith("FAIL")][-10:] + lines[-2:]
     return ok, fail, rows_only, frozenset(failing), "\n".join(kept)
@@ -156,6 +198,14 @@ def main() -> int:
         "--keep",
         action="store_true",
         help="keep the generated corpora dir (printed) for debugging",
+    )
+    ap.add_argument(
+        "--no-skip",
+        action="store_true",
+        help=(
+            "sweep every entry on every corpus (disable the "
+            "input-identical skip) — the pre-r14 exhaustive mode"
+        ),
     )
     ap.add_argument(
         "--isolate",
@@ -192,8 +242,11 @@ def main() -> int:
         for label, sf_dir in dirs.items():
             t0 = time.time()
             if shared_spark is not None:
+                mutated = (
+                    None if args.no_skip else MUTATED_TABLES[label]
+                )
                 ok, fail, rows_only, fail_set, tail = run_sweep_inproc(
-                    shared_spark, sf_dir
+                    shared_spark, sf_dir, mutated
                 )
             else:
                 ok, fail, rows_only, fail_set, tail = run_sweep(sf_dir)
