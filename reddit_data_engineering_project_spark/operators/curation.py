@@ -544,11 +544,24 @@ def curate(docs: DataFrame) -> DataFrame:
         dround(F.col("rep_frac"), 4).alias("rep_frac"),
         n_toks.alias("n_tokens"),
         F.size(starts).alias("n_chunks"),
-        F.md5(
-            F.concat_ws(
-                " ",
-                F.slice(F.col("toks"), 1, F.least(F.lit(_CHUNK_SIZE), n_toks)),
-            )
+        # concat_ws flattens a NULL array to '' (md5('') =
+        # d41d8cd9...), while the oracle's array_to_string(NULL) is
+        # NULL — gate on the array so a row whose augmented text is
+        # NULL (e.g. the all-NULL documents.source corpus: Spark's
+        # concat propagates the NULL through full_text -> toks) hashes
+        # to NULL on both engines (r14 null-join-key sweep finding)
+        F.when(
+            F.col("toks").isNotNull(),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.slice(
+                        F.col("toks"),
+                        1,
+                        F.least(F.lit(_CHUNK_SIZE), n_toks),
+                    ),
+                )
+            ),
         ).alias("first_chunk_md5"),
     )
 

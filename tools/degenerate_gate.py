@@ -6,7 +6,7 @@ but only for the entries the sweep had already caught. A regression in
 any OTHER entry's empty-input path would stay invisible until the next
 manual sweep. This tool makes the full sweep a one-command gate:
 
-1. regenerates the ELEVEN degenerate corpora from the committed
+1. regenerates the FOURTEEN degenerate corpora from the committed
    sf0.001 fixtures via :mod:`degenerate_corpus` (empty, one-row, the
    three mixed corpora with exactly one of events / documents /
    embeddings zeroed, and — round 13 — the two zero-VARIANCE corpora
@@ -14,7 +14,10 @@ manual sweep. This tool makes the full sweep a one-command gate:
    events.value / events.ts / events.user_id / documents.text; the
    value one caught the quality-report NULL-skipping-sum bug and the
    text one caught the payload-pass crashes + the legacy size(NULL)
-   sentinel on their first sweeps));
+   sentinel on their first sweeps) and — round 14 — the three
+   NULL-JOIN-KEY corpora (all-NULL documents.lang / documents.source /
+   orders.o_custkey; the source one caught the curation pipeline's
+   concat_ws-on-NULL md5('') divergence on its first sweep));
 2. runs the full-registry ``tools/check_oracle.py`` sweep against each;
 3. asserts the FAIL SET of each sweep is EXACTLY the documented one —
    empty = {q09_cube, q09_rollup} (Spark emits zero rows for ROLLUP /
@@ -55,10 +58,13 @@ Cost (r13 verdict item 4), two stacked levers, both measured round 14:
    by ``tools/audit_plans.py``'s UNDECLARED_TABLE_DEP flag (an
    entry's Spark plan may not scan a table its oracle doesn't name;
    verified 0 flagged across all 208 plans before the skip shipped).
-   Measured: 8 m 38 s for all eleven corpora (single-table sweeps drop
-   to 10–34 s: 70 entries touch events, 63 documents, 16 embeddings),
-   fail-set contract unchanged — 3.4x under the subprocess design.
-   ``--no-skip`` restores exhaustive sweeps.
+   Measured: 8 m 38 s for the eleven pre-r14 corpora — 3.4x under the
+   subprocess design — and 11 m 29 s for all FOURTEEN including the
+   round-14 null-key corpora (single-table sweeps run 11–49 s: 70
+   entries touch events, 63 documents, 22 orders, 16 embeddings), so
+   adding a hostile class now costs tens of seconds, not minutes.
+   Fail-set contract unchanged. ``--no-skip`` restores exhaustive
+   sweeps.
 
 ``--isolate`` restores the per-corpus subprocess mode for debugging a
 sweep that corrupts session state; that path cross-checks the child's
@@ -101,6 +107,16 @@ EXPECTED_FAILS: dict[str, frozenset[str]] = {
     "null_ts": frozenset(),
     "null_user_id": frozenset(),
     "null_text": frozenset(),
+    # round 14: NULL JOIN/GROUPING KEYS on the dimension side (r13
+    # verdict item 5) — documents.lang and documents.source (the x04
+    # grouping/stratification keys) and orders.o_custkey (the star
+    # join's fact-side key). The source corpus caught
+    # pipeline_curation_full's concat_ws-on-NULL-array md5('') vs the
+    # oracle's NULL on its first sweep (fixed: first_chunk_md5 now
+    # NULL-propagates); all three sweep clean post-fix.
+    "null_lang": frozenset(),
+    "null_source": frozenset(),
+    "null_custkey": frozenset(),
 }
 
 # corpus label -> the tables its writer mutates relative to the
@@ -122,6 +138,9 @@ MUTATED_TABLES: dict[str, frozenset[str] | None] = {
     "null_ts": frozenset({"events"}),
     "null_user_id": frozenset({"events"}),
     "null_text": frozenset({"documents"}),
+    "null_lang": frozenset({"documents"}),
+    "null_source": frozenset({"documents"}),
+    "null_custkey": frozenset({"orders"}),
 }
 
 _SUMMARY = re.compile(
@@ -230,6 +249,13 @@ def main() -> int:
     deg.write_null_column(args.src, dirs["null_ts"], "ts")
     deg.write_null_column(args.src, dirs["null_user_id"], "user_id")
     deg.write_null_column(args.src, dirs["null_text"], "text", "documents")
+    deg.write_null_column(args.src, dirs["null_lang"], "lang", "documents")
+    deg.write_null_column(
+        args.src, dirs["null_source"], "source", "documents"
+    )
+    deg.write_null_column(
+        args.src, dirs["null_custkey"], "o_custkey", "orders"
+    )
 
     shared_spark = None
     if not args.isolate:
