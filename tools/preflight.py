@@ -21,7 +21,7 @@ Runs, in order:
                             diff is committed);
   7. (``--degenerate`` only) degenerate gate —
                             ``tools/degenerate_gate.py`` regenerates the
-                            eleven degenerate corpora (empty / one-row
+                            fourteen degenerate corpora (empty / one-row
                             / three mixed / monoculture / flat-time /
                             all-NULL value / ts / user_id / text) and
                             sweeps the
@@ -30,7 +30,8 @@ Runs, in order:
                             one (r12 verdict item 3: the sweeps were
                             manual, so a regression in a not-yet-pinned
                             entry's degenerate-input path went unchecked
-                            between rounds). ~29 min — round-end
+                            between rounds). ~11 min with the
+                            input-identical skip — round-end
                             protocol, not the fast loop.
 
 Exit code 0 only if every stage passes. Use before ending a round:
@@ -155,9 +156,10 @@ def main() -> int:
         action="store_true",
         help=(
             "add stage 7: the full degenerate-cardinality gate "
-            "(tools/degenerate_gate.py — eleven regenerated corpora x "
-            "full-registry sweep, fail sets asserted against the "
-            "documented state). ~29 min; part of the round-end "
+            "(tools/degenerate_gate.py — fourteen regenerated corpora x "
+            "full-registry sweep with the input-identical skip, fail "
+            "sets asserted against the documented state). ~11 min; "
+            "part of the round-end "
             "protocol, not the fast loop"
         ),
     )
