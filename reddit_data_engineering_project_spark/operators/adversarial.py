@@ -37,7 +37,16 @@ it, so the guarantees earn a driver hash row every round:
   the day-index sum from the PURCHASE-anchored origin, and the amount
   sum, so anchoring on all events or counting an undated (phantom)
   point flips the hash (the round-12 calendar-edge sweep finding,
-  commit cda0e90).
+  commit cda0e90);
+- (round 14) NULL-key digest propagation: half the planted rows carry
+  a NULL source-like key that Spark's NULL-propagating ``concat``
+  turns into a NULL token array — the probe emits the length of the
+  joined tokens GATED on the array's nullity, because ``concat_ws``
+  flattens a NULL array to ``''`` (length 0, md5 d41d8cd9...) while
+  the oracle's ``array_to_string(NULL)`` stays NULL (the
+  round-14 null-source sweep finding in ``pipeline_curation_full``);
+  any drift back to the ungated form emits 0 where NULL belongs and
+  flips the hash.
 
 Every probe output is a BIGINT (scaled where fractional), emitted as
 ``(probe, id, out)`` rows so any single divergent value flips the
@@ -116,7 +125,9 @@ def _sql_case(col: str, values, quote: bool) -> str:
                -- 0.05 pair genuinely probes float semantics (r09 advice).
                CAST({HALF_CASE} AS DOUBLE) AS x,
                CASE WHEN b <= 2 THEN 0 ELSE event_id % 4 END AS n,
-               CASE WHEN b = 3 THEN NULL ELSE ts END AS ts2
+               CASE WHEN b = 3 THEN NULL ELSE ts END AS ts2,
+               CASE WHEN b % 2 = 0 THEN NULL
+                    ELSE 's' || CAST(event_id % 5 AS VARCHAR) END AS src
         FROM sl
     ),
     wide AS (
@@ -169,7 +180,14 @@ def _sql_case(col: str, values, quote: bool) -> str:
                  + coalesce(list_aggregate(range(0, n), 'sum'), 0)
                  AS BIGINT) AS frame,
             CAST(round(x) AS BIGINT) * 1000
-                + CAST(round(x * 10) AS BIGINT) AS round_pair
+                + CAST(round(x * 10) AS BIGINT) AS round_pair,
+            -- NULL-key digest law: array_to_string(NULL) is NULL, so a
+            -- NULL src (propagated through ||) must emit NULL, never
+            -- the 0 that a concat_ws-over-NULL-array spelling produces
+            CAST(len(array_to_string(
+                list_filter(string_split('text body ' || src, ' '),
+                            t -> t <> ''), ' ')) AS BIGINT)
+                AS null_concat
         FROM planted
         WINDOW w AS (
             PARTITION BY user_id
@@ -191,6 +209,8 @@ def _sql_case(col: str, values, quote: bool) -> str:
         SELECT 'frame', event_id, frame FROM wide
         UNION ALL
         SELECT 'round_pair', event_id, round_pair FROM wide
+        UNION ALL
+        SELECT 'null_concat', event_id, null_concat FROM wide
     ),
     v AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
@@ -315,9 +335,12 @@ def x00_adversarial_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ts2 = F.when(b == 3, F.lit(None).cast("timestamp")).otherwise(
         F.col("ts")
     )
+    src = F.when(b % 2 == 0, F.lit(None).cast("string")).otherwise(
+        F.concat(F.lit("s"), (F.col("event_id") % 5).cast("string"))
+    )
     planted = ev.select(
         "event_id", "user_id", wire.alias("wire"), x.alias("x"),
-        n.alias("n"), ts2.alias("ts2"),
+        n.alias("n"), ts2.alias("ts2"), src.alias("src"),
     )
 
     # Spark Window.orderBy ascending = NULLS FIRST (oracle mirrors it
@@ -328,6 +351,10 @@ def x00_adversarial_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n") > 0,
         F.sequence(F.lit(0), F.col("n") - 1).cast("array<bigint>"),
     ).otherwise(F.array().cast("array<bigint>"))
+    _null_toks = F.filter(
+        F.split(F.concat(F.lit("text body "), F.col("src")), " "),
+        lambda t: t != "",
+    )
     wide = planted.select(
         "event_id",
         F.from_json("wire", vschema).v.cast("long").alias("json_int"),
@@ -347,13 +374,22 @@ def x00_adversarial_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("x").cast("long") * 1000
             + F.round(F.col("x") * 10).cast("long")
         ).alias("round_pair"),
+        # the round-14 curation-seam law: gate the joined-token length
+        # on the array's nullity — concat_ws flattens a NULL array to
+        # '' (length 0) where the oracle's array_to_string(NULL) stays
+        # NULL, so the ungated spelling flips this probe's hash
+        F.when(
+            _null_toks.isNotNull(),
+            F.length(F.concat_ws(" ", _null_toks)),
+        ).cast("long").alias("null_concat"),
     )
     stacked = wide.select(
         F.expr(
-            "stack(7, 'json_int', json_int, 'json_cast', json_cast, "
+            "stack(8, 'json_int', json_int, 'json_cast', json_cast, "
             "'json_var', json_var, 'win_rank', win_rank, "
             "'gap_us', gap_us, 'frame', frame, "
-            "'round_pair', round_pair) AS (probe, out)"
+            "'round_pair', round_pair, "
+            "'null_concat', null_concat) AS (probe, out)"
         ),
         F.col("event_id").alias("id"),
     ).select("probe", "id", "out")

@@ -122,3 +122,22 @@ def test_concat_ws_null_array_law():
         .collect()[0]
     )
     assert row.c == ""
+
+
+def test_x00_null_concat_probe(spark):
+    """The round-14 sentinel probe: rows whose planted source key is
+    NULL (even b = event_id % 8 % 2 == 0) must emit NULL — a drift back
+    to the ungated concat_ws spelling would emit 0 (length of '') —
+    and rows with a present key emit the exact joined-token length
+    ('text body s<k>' = 12 chars)."""
+    rows = registry.QUERIES["x00_adversarial_audit"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    nc = {r.id: r.out for r in rows if r.probe == "null_concat"}
+    assert len(nc) == 257  # event_id 0..256 planted slice
+    for i, out in nc.items():
+        if (i % 8) % 2 == 0:
+            assert out is None, f"id {i}: NULL key must propagate"
+        else:
+            assert out == len("text body s0"), f"id {i}"
+            assert out != 0
