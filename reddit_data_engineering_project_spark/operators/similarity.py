@@ -44,6 +44,28 @@ _N_QUERIES = 5
 _TOP_K = 10
 
 
+def embedded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embeddings table restricted to EMBEDDED rows.
+
+    The ingest contract declares NULL embedding rows LEGAL (a document
+    not yet embedded — ``FINITE_ARRAYS`` in ``tables.py``), but the
+    vector surfaces never defined their behavior until the round-14
+    all-NULL-embedding hostile corpus crashed ten oracles (DuckDB's
+    ``list_inner_product`` raises on a NULL list) and diverged an
+    eleventh (Spark emitted 0 centroid groups where the oracle emitted
+    NULL centroids). The defined semantics: un-embedded rows DO NOT
+    PARTICIPATE in vector operations — scoring, quantization, centroid
+    math, banding — the same prune-before-the-boundary discipline as
+    the null-text payload fixes. The filter rides the parquet scan
+    (IsNotNull pushdown); every oracle mirrors it with
+    ``WHERE embedding IS NOT NULL``."""
+    return ensure_min_parallelism(
+        table(spark, sf_dir, "embeddings").filter(
+            F.col("embedding").isNotNull()
+        )
+    )
+
+
 def _vec_double(col: str) -> Column:
     """float32 storage → float64 math (matches the oracle's CAST)."""
     return F.transform(F.col(col), lambda x: x.cast("double"))
@@ -68,6 +90,7 @@ def cosine(a: Column, b: Column) -> Column:
     oracle="""
     WITH v AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        WHERE embedding IS NOT NULL
     ),
     q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 5),
     scored AS (
@@ -99,7 +122,7 @@ def x03_cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     inside codegen, and the per-query window ranks |corpus| rows hashed
     by query_id. At 1000 executors this reads the corpus once, full stop.
     """
-    emb = ensure_min_parallelism(table(spark, sf_dir, "embeddings")).select(
+    emb = embedded(spark, sf_dir).select(
         "vec_id", _vec_double("embedding").alias("e")
     )
     q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
@@ -161,6 +184,7 @@ _PROBE_LIST_SQL = "[bucket, " + ", ".join(
     oracle=f"""
     WITH v AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        WHERE embedding IS NOT NULL
     ),
     b AS (SELECT vec_id, e, {_BUCKET_SQL} AS bucket FROM v),
     q AS (
@@ -208,7 +232,7 @@ def x03_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     planes against unit-scale data), and candidate scoring reuses the
     bit-identical dot-product form the brute-force twin already pins.
     """
-    emb = ensure_min_parallelism(table(spark, sf_dir, "embeddings")).select(
+    emb = embedded(spark, sf_dir).select(
         "vec_id", _vec_double("embedding").alias("e")
     )
     indexed = emb.select(
@@ -256,7 +280,7 @@ def x03_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH v AS (
         SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
-        FROM embeddings
+        FROM embeddings WHERE embedding IS NOT NULL
     ),
     dims AS (
         SELECT label, gs.i AS dim, e[gs.i + 1] AS val
@@ -354,7 +378,7 @@ def x03_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     its cost model, not a recall guarantee the data cannot support.
     """
     n_probe = 2
-    emb = ensure_min_parallelism(table(spark, sf_dir, "embeddings")).select(
+    emb = embedded(spark, sf_dir).select(
         "vec_id", "label", _vec_double("embedding").alias("e")
     )
     # Coarse quantizer: per-label element-wise median (k-medians).
@@ -443,6 +467,7 @@ def x03_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH v AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        WHERE embedding IS NOT NULL
     ),
     corpus AS (
         SELECT vec_id, e FROM v
@@ -489,7 +514,7 @@ def x02_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics differ across engines (Spark orders NaN above every
     double; IEEE says incomparable).
     """
-    base = ensure_min_parallelism(table(spark, sf_dir, "embeddings")).select(
+    base = embedded(spark, sf_dir).select(
         "vec_id", _vec_double("embedding").alias("e")
     )
     copies = base.select(
@@ -525,6 +550,7 @@ def x02_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH v AS (
         SELECT label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        WHERE embedding IS NOT NULL
     ),
     dims AS (
         SELECT label, gs.i AS dim,
@@ -579,7 +605,7 @@ def x03_pairwise_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     < ~9e12) and divides in integer space, where the engines cannot
     disagree.
     """
-    emb = ensure_min_parallelism(table(spark, sf_dir, "embeddings")).select(
+    emb = embedded(spark, sf_dir).select(
         "label", _vec_double("embedding").alias("e")
     )
     by_dim = (
@@ -633,6 +659,7 @@ def x03_pairwise_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH v AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        WHERE embedding IS NOT NULL
     ),
     enc AS (
         SELECT vec_id,
@@ -691,7 +718,7 @@ def x03_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks hashed by query_id. The win is constant-factor: 4× less
     memory traffic and integer multiply-adds in codegen.
     """
-    emb = ensure_min_parallelism(table(spark, sf_dir, "embeddings")).select(
+    emb = embedded(spark, sf_dir).select(
         "vec_id", _vec_double("embedding").alias("e")
     )
     s = F.greatest(
@@ -750,7 +777,7 @@ def x03_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                    max(list_max(list_transform(
                        CAST(embedding AS DOUBLE[]), x -> abs(x)))),
                    1e-12) AS g
-        FROM embeddings
+        FROM embeddings WHERE embedding IS NOT NULL
     ),
     enc AS (
         SELECT vec_id,
@@ -759,6 +786,7 @@ def x03_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                    x -> CAST(floor(x / g.g * 127.0 + 0.5)
                              AS BIGINT)) AS icode
         FROM embeddings CROSS JOIN g
+        WHERE embedding IS NOT NULL
     ),
     cb AS (
         SELECT list(icode ORDER BY vec_id) AS cents
@@ -846,7 +874,7 @@ def x03_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     64-dim L2 — measured 4.5× on a 10× corpus (11.5 s → 2.6 s,
     SCALE.md §7).
     """
-    emb = ensure_min_parallelism(table(spark, sf_dir, "embeddings")).select(
+    emb = embedded(spark, sf_dir).select(
         "vec_id", _vec_double("embedding").alias("e")
     )
     g_row = emb.agg(
@@ -972,6 +1000,7 @@ _KMEANS_K = 8
     oracle=f"""
     WITH v AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        WHERE embedding IS NOT NULL
     ),
     c AS (
         SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < {_KMEANS_K}
@@ -1041,7 +1070,7 @@ def x03_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side combine. At 100 TB: corpus scanned once per iteration,
     only (cluster, dim, partial-sum) state shuffles.
     """
-    emb = ensure_min_parallelism(table(spark, sf_dir, "embeddings")).select(
+    emb = embedded(spark, sf_dir).select(
         "vec_id", _vec_double("embedding").alias("e")
     )
     cents = emb.filter(F.col("vec_id") < _KMEANS_K).select(
@@ -1084,7 +1113,7 @@ def x03_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH v AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label
-        FROM embeddings
+        FROM embeddings WHERE embedding IS NOT NULL
     ),
     q AS (
         SELECT vec_id AS query_id, e AS qe, label AS true_label
@@ -1147,7 +1176,7 @@ def x03_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     (LSH/IVF/PQ) slot in as the top-k stage unchanged when |queries|
     grows past broadcast size.
     """
-    emb = ensure_min_parallelism(table(spark, sf_dir, "embeddings")).select(
+    emb = embedded(spark, sf_dir).select(
         "vec_id", _vec_double("embedding").alias("e"), "label"
     )
     q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
@@ -1269,7 +1298,7 @@ _IVFPQ_NPROBE = 2
                    max(list_max(list_transform(
                        CAST(embedding AS DOUBLE[]), x -> abs(x)))),
                    1e-12) AS g
-        FROM embeddings
+        FROM embeddings WHERE embedding IS NOT NULL
     ),
     enc AS (
         SELECT vec_id,
@@ -1278,6 +1307,7 @@ _IVFPQ_NPROBE = 2
                    x -> CAST(floor(x / g.g * 127.0 + 0.5)
                              AS BIGINT)) AS icode
         FROM embeddings CROSS JOIN g
+        WHERE embedding IS NOT NULL
     ),
     cc AS (
         SELECT list(icode ORDER BY vec_id) AS ccents
@@ -1429,7 +1459,7 @@ def x03_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     full distances. The per-query rank hashes by query_id at
     |queries| x |probed-lists| x list-size rows.
     """
-    emb = ensure_min_parallelism(table(spark, sf_dir, "embeddings")).select(
+    emb = embedded(spark, sf_dir).select(
         "vec_id", _vec_double("embedding").alias("e")
     )
     g_row = emb.agg(
@@ -1606,6 +1636,7 @@ _SEMDEDUP_COS = 0.999
     oracle=f"""
     WITH base AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        WHERE embedding IS NOT NULL
     ),
     v AS (
         SELECT vec_id, e FROM base
@@ -1679,7 +1710,7 @@ def x02_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy on the removed id riding the pair stream's partitioning.
     """
     return semantic_dedup_over(
-        ensure_min_parallelism(table(spark, sf_dir, "embeddings"))
+        embedded(spark, sf_dir)
     )
 
 
@@ -1790,6 +1821,7 @@ def _hamming_sql(k: int) -> str:
     return f"""
     WITH v AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        WHERE embedding IS NOT NULL
     ),
     packed AS (
         SELECT vec_id,
@@ -1859,7 +1891,7 @@ def _hamming_candidates(
 ) -> DataFrame:
     """Packed-sign-bit Hamming top-``k`` per query (shared by the
     registered top-k entry and the rerank audit's candidate stage)."""
-    emb = ensure_min_parallelism(table(spark, sf_dir, "embeddings")).select(
+    emb = embedded(spark, sf_dir).select(
         "vec_id", _vec_double("embedding").alias("e")
     )
     packed = emb.select(
@@ -1905,6 +1937,7 @@ _HAM_RERANK_R = 50
     WITH cand AS ({_hamming_sql(_HAM_RERANK_R)}),
     vv AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        WHERE embedding IS NOT NULL
     ),
     rerank AS (
         SELECT query_id, neighbor_id FROM (
@@ -1959,7 +1992,7 @@ def x03_hamming_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = _hamming_candidates(spark, sf_dir, _HAM_RERANK_R).select(
         "query_id", "neighbor_id"
     )
-    emb = ensure_min_parallelism(table(spark, sf_dir, "embeddings")).select(
+    emb = embedded(spark, sf_dir).select(
         "vec_id", _vec_double("embedding").alias("e")
     )
     qv = emb.filter(F.col("vec_id") < _N_QUERIES).select(
@@ -2010,6 +2043,7 @@ _RANGE_T_E6 = 300_000
     oracle=f"""
     WITH v AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        WHERE embedding IS NOT NULL
     ),
     q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 5),
     scored AS (
@@ -2050,7 +2084,7 @@ def x03_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     qualifying pairs; output size scales with true neighbor density,
     not corpus size.
     """
-    emb = ensure_min_parallelism(table(spark, sf_dir, "embeddings")).select(
+    emb = embedded(spark, sf_dir).select(
         "vec_id", _vec_double("embedding").alias("e")
     )
     q = emb.filter(F.col("vec_id") < _N_QUERIES).select(

@@ -115,30 +115,40 @@ def register(
 #
 # ROUND-15 ROTATION PLAN (committed now so no entry waits on an
 # undocumented promise; precondition: CORRECTNESS_r14 grades the
-# window below 50/50 green). Backfill plus ONE round-14 amendment
-# re-grade, same mechanism as the r13 nullity re-grades:
+# window below 50/50 green). Backfill plus ELEVEN round-14 amendment
+# re-grades, same mechanism as the r13 nullity re-grades (code
+# changed, graded-corpus hashes verified unchanged by full post-fix
+# sf0.01 sweeps — 208 ok / 0 fail — but each latest green row
+# describes superseded code):
 #   (a) the twelve r10 rows that rolled from the round-14 (b) tail
 #       (x02_simhash_neardup, x02_simhash16_neardup, x03_sq8_topk,
 #       x04_chunking, x04_corpus_profile, x04_dataset_split,
 #       x04_length_histogram, x04_quality_filter, x04_stratified_sample,
-#       x04_term_frequency, x04_tfidf, x04_token_count);
-#   (b) the x00_adversarial_audit re-grade (round 14 extended the
-#       sentinel with the null_concat probe — the concat_ws-on-NULL
-#       digest law the null-source sweep caught in
-#       pipeline_curation_full — so its r13 row describes superseded
-#       output; judge-verifiable green on the extended code via
-#       check_oracle meanwhile) + the alphabetically-first 37 of the
-#       47 entries whose latest green will then be r11
-#       (pipeline_dedup_report .. x04_bpe_pair_stats — the r11 class
-#       minus x04_data_quality_report and x05_payload_resize, both
-#       re-graded this round); the alphabetically-last TEN
-#       (x04_char_entropy — ceding its slot to the x00 re-grade —
-#       x04_decontamination, x04_feature_hashing, x04_mixing_rebalance,
-#       x04_ngram_vocab, x04_pii_scrub, x04_repetition_metrics,
-#       x04_sequence_packing, x04_tokenize_to_ids, x05_corpus_slice —
-#       the x04/x05 families keep round-14 evidence via this window's
-#       (a)/(b) rows) roll to round 16.
-# 12 + 1 + 37 = 50. Every round-14/15 registration must either take a
+#       x04_term_frequency, x04_tfidf, x04_token_count — x03_sq8_topk's
+#       row additionally lands the round-14 NULL-embedding exclusion,
+#       whose code it shares);
+#   (b) the ELEVEN amendment re-grades: x00_adversarial_audit (round 14
+#       extended the sentinel with the null_concat probe — the
+#       concat_ws-on-NULL digest law the null-source sweep caught) and
+#       the TEN vector entries the null-embedding hostile corpus
+#       reworked (un-embedded rows now prune before any vector op, the
+#       oracle mirroring WHERE embedding IS NOT NULL; the other four
+#       vector entries — x03_cosine_topk_bruteforce, x03_hamming_rerank,
+#       x03_hamming_topk, x03_range_search — hold round-14 (a) slots,
+#       so they land the same fix this round): x02_embedding_neardup,
+#       x02_semantic_dedup, x03_ann_lsh_bucketed, x03_ann_recall_report,
+#       x03_ivf_topk, x03_ivfpq_topk, x03_kmeans_step, x03_knn_classify,
+#       x03_pairwise_label_centroids, x03_pq_topk — PLUS the
+#       alphabetically-first 27 of the 45 remaining entries whose
+#       latest green will then be r11 (pipeline_dedup_report ..
+#       q22_locf_fill — the r11 class minus x04_data_quality_report and
+#       x05_payload_resize, re-graded in round 14, and minus the
+#       amendment members above); the remaining EIGHTEEN r11 rows
+#       (q22_seasonal_naive .. x05_corpus_slice, incl. x04_char_entropy
+#       which ceded earlier in the round) roll to round 16 — the
+#       x02/x04/x05 families keep round-14/15 evidence via this
+#       window's (a)/(b) rows.
+# 12 + 11 + 27 = 50. Every round-14/15 registration must either take a
 # slot from the (b) tail in its own commit or add itself to
 # QUEUED_FOR_NEXT_WINDOW — keep velocity <= the handful the window can
 # absorb.

@@ -141,3 +141,65 @@ def test_x00_null_concat_probe(spark):
         else:
             assert out == len("text body s0"), f"id {i}"
             assert out != 0
+
+
+def test_null_embedding_exclusion_semantics(spark, tmp_path):
+    """The round-14 null-embedding finding, pinned at the value level:
+    un-embedded rows (contract-legal per FINITE_ARRAYS) do not
+    participate in vector operations. On the half-NULL corpus every
+    representative vector entry must hash-match its IS-NOT-NULL oracle
+    — DuckDB's list_inner_product CRASHES on a NULL list, so a Spark
+    side that ships NULL arrays into scoring can't even be compared,
+    and x03_pairwise_label_centroids diverged outright (0 Spark groups
+    vs NULL oracle centroids) before the exclusion landed."""
+    import degenerate_corpus as deg
+    from check_oracle import table_hash
+
+    out = str(tmp_path / "emb_half")
+    deg.write_partial_null(
+        "/root/testdata/sf0.001", out, "embedding", "embeddings",
+        "vec_id", 2,
+    )
+    con = duckdb.connect()
+    try:
+        for t in deg.TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{out}/{t}.parquet')"
+            )
+        for entry in (
+            "x03_cosine_topk_bruteforce",
+            "x03_pairwise_label_centroids",
+            "x03_kmeans_step",
+            "x02_semantic_dedup",
+        ):
+            sdf = registry.QUERIES[entry](spark, out)
+            srows = [tuple(r) for r in sdf.collect()]
+            assert srows, f"{entry}: embedded rows must still score"
+            res = con.execute(registry.ORACLES[entry])
+            drows = res.fetchall()
+            dcols = [d[0] for d in res.description]
+            assert sorted(sdf.columns) == sorted(dcols), entry
+            assert table_hash(srows, list(sdf.columns)) == table_hash(
+                drows, dcols
+            ), f"{entry} diverged on half-NULL embeddings"
+    finally:
+        con.close()
+
+
+def test_all_null_embeddings_empty_everywhere(spark, tmp_path):
+    """On the all-NULL corpus every vector entry is EMPTY (no embedded
+    rows to score) and, critically, nothing crashes on either engine."""
+    import degenerate_corpus as deg
+
+    out = str(tmp_path / "emb_all")
+    deg.write_null_column(
+        "/root/testdata/sf0.001", out, "embedding", "embeddings"
+    )
+    for entry in (
+        "x03_cosine_topk_bruteforce",
+        "x03_pairwise_label_centroids",
+        "x03_sq8_topk",
+        "x02_embedding_neardup",
+    ):
+        assert registry.QUERIES[entry](spark, out).count() == 0, entry

@@ -181,6 +181,57 @@ def write_null_column(
         pq.write_table(t, os.path.join(out, f"{name}.parquet"))
 
 
+def write_partial_null(
+    src: str,
+    out: str,
+    column: str,
+    table: str,
+    pk: str,
+    mod: int = 2,
+) -> None:
+    """HALF-NULL-column corpus (round 14): ``<table>.<column>`` becomes
+    NULL on rows where ``pk % mod == 0``, stays intact elsewhere. The
+    all-NULL corpora prove crash-freedom but collapse most outputs to
+    empty/NULL; the partial corpus exercises the EXCLUSION semantics on
+    non-degenerate outputs — present rows must score/group/join exactly
+    as if the NULL rows never existed, on both engines (the
+    null-embedding finding: vector entries must prune un-embedded rows
+    before any dot product, and their oracles mirror with
+    ``WHERE embedding IS NOT NULL``)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    os.makedirs(out, exist_ok=True)
+    for name in TABLES:
+        t = pq.read_table(os.path.join(src, f"{name}.parquet"))
+        if name == table:
+            idx = t.schema.get_field_index(column)
+            col = t.column(column)
+            keys = pc.cast(t.column(pk), pa.int64())
+            make_null = pc.equal(
+                pc.bit_wise_and(keys, pa.scalar(mod - 1, pa.int64()))
+                if mod & (mod - 1) == 0
+                else pc.subtract(
+                    keys,
+                    pc.multiply(
+                        pc.divide(keys, pa.scalar(mod, pa.int64())),
+                        pa.scalar(mod, pa.int64()),
+                    ),
+                ),
+                pa.scalar(0, pa.int64()),
+            )
+            t = t.set_column(
+                idx,
+                column,
+                pc.if_else(
+                    make_null,
+                    pa.nulls(t.num_rows, t.schema.field(column).type),
+                    pc.cast(col, t.schema.field(column).type),
+                ),
+            )
+        pq.write_table(t, os.path.join(out, f"{name}.parquet"))
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--src", default="/root/testdata/sf0.001")

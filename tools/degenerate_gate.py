@@ -6,7 +6,7 @@ but only for the entries the sweep had already caught. A regression in
 any OTHER entry's empty-input path would stay invisible until the next
 manual sweep. This tool makes the full sweep a one-command gate:
 
-1. regenerates the FOURTEEN degenerate corpora from the committed
+1. regenerates the SIXTEEN degenerate corpora from the committed
    sf0.001 fixtures via :mod:`degenerate_corpus` (empty, one-row, the
    three mixed corpora with exactly one of events / documents /
    embeddings zeroed, and — round 13 — the two zero-VARIANCE corpora
@@ -17,7 +17,11 @@ manual sweep. This tool makes the full sweep a one-command gate:
    sentinel on their first sweeps) and — round 14 — the three
    NULL-JOIN-KEY corpora (all-NULL documents.lang / documents.source /
    orders.o_custkey; the source one caught the curation pipeline's
-   concat_ws-on-NULL md5('') divergence on its first sweep));
+   concat_ws-on-NULL md5('') divergence on its first sweep) and the
+   two NULL-EMBEDDING corpora (all-NULL and half-NULL
+   embeddings.embedding; the all-NULL one caught ten oracle crashes +
+   one divergence on its first sweep — see operators/similarity.py:
+   embedded for the exclusion semantics that fixed the class));
 2. runs the full-registry ``tools/check_oracle.py`` sweep against each;
 3. asserts the FAIL SET of each sweep is EXACTLY the documented one —
    empty = {q09_cube, q09_rollup} (Spark emits zero rows for ROLLUP /
@@ -59,12 +63,12 @@ Cost (r13 verdict item 4), two stacked levers, both measured round 14:
    entry's Spark plan may not scan a table its oracle doesn't name;
    verified 0 flagged across all 208 plans before the skip shipped).
    Measured: 8 m 38 s for the eleven pre-r14 corpora — 3.4x under the
-   subprocess design — and 11 m 29 s for all FOURTEEN including the
-   round-14 null-key corpora (single-table sweeps run 11–49 s: 70
-   entries touch events, 63 documents, 22 orders, 16 embeddings), so
-   adding a hostile class now costs tens of seconds, not minutes.
-   Fail-set contract unchanged. ``--no-skip`` restores exhaustive
-   sweeps.
+   subprocess design — 11 m 29 s with the three null-key corpora, and
+   13 m 21 s for all SIXTEEN including the two null-embedding corpora
+   (single-table sweeps run 10–67 s: 70 entries touch events, 63
+   documents, 22 orders, 16 embeddings), so adding a hostile class
+   now costs tens of seconds, not minutes. Fail-set contract
+   unchanged. ``--no-skip`` restores exhaustive sweeps.
 
 ``--isolate`` restores the per-corpus subprocess mode for debugging a
 sweep that corrupts session state; that path cross-checks the child's
@@ -117,6 +121,19 @@ EXPECTED_FAILS: dict[str, frozenset[str]] = {
     "null_lang": frozenset(),
     "null_source": frozenset(),
     "null_custkey": frozenset(),
+    # round 14 (second wave): NULL embeddings — contract-legal ("a
+    # document not yet embedded", FINITE_ARRAYS in tables.py) yet the
+    # vector surfaces had never defined behavior. The all-NULL corpus
+    # crashed TEN oracles (DuckDB list_inner_product raises on a NULL
+    # list) and diverged an eleventh (Spark 0 centroid groups vs the
+    # oracle's NULL centroids); fixed by the exclusion semantics —
+    # un-embedded rows prune before any vector op (operators/
+    # similarity.py:embedded), oracles mirror WHERE embedding IS NOT
+    # NULL. The half-NULL corpus exercises the exclusion on
+    # non-degenerate outputs (present rows must behave exactly as if
+    # the NULL rows never existed).
+    "null_embedding": frozenset(),
+    "null_embedding_half": frozenset(),
 }
 
 # corpus label -> the tables its writer mutates relative to the
@@ -141,6 +158,8 @@ MUTATED_TABLES: dict[str, frozenset[str] | None] = {
     "null_lang": frozenset({"documents"}),
     "null_source": frozenset({"documents"}),
     "null_custkey": frozenset({"orders"}),
+    "null_embedding": frozenset({"embeddings"}),
+    "null_embedding_half": frozenset({"embeddings"}),
 }
 
 _SUMMARY = re.compile(
@@ -255,6 +274,17 @@ def main() -> int:
     )
     deg.write_null_column(
         args.src, dirs["null_custkey"], "o_custkey", "orders"
+    )
+    deg.write_null_column(
+        args.src, dirs["null_embedding"], "embedding", "embeddings"
+    )
+    deg.write_partial_null(
+        args.src,
+        dirs["null_embedding_half"],
+        "embedding",
+        "embeddings",
+        "vec_id",
+        2,
     )
 
     shared_spark = None
