@@ -6,7 +6,7 @@ but only for the entries the sweep had already caught. A regression in
 any OTHER entry's empty-input path would stay invisible until the next
 manual sweep. This tool makes the full sweep a one-command gate:
 
-1. regenerates the SIXTEEN degenerate corpora from the committed
+1. regenerates the EIGHTEEN degenerate corpora from the committed
    sf0.001 fixtures via :mod:`degenerate_corpus` (empty, one-row, the
    three mixed corpora with exactly one of events / documents /
    embeddings zeroed, and — round 13 — the two zero-VARIANCE corpora
@@ -21,7 +21,9 @@ manual sweep. This tool makes the full sweep a one-command gate:
    two NULL-EMBEDDING corpora (all-NULL and half-NULL
    embeddings.embedding; the all-NULL one caught ten oracle crashes +
    one divergence on its first sweep — see operators/similarity.py:
-   embedded for the exclusion semantics that fixed the class));
+   embedded for the exclusion semantics that fixed the class) plus
+   the two swept-clean-on-first-contact NULL-GROUPING-KEY corpora
+   (all-NULL embeddings.label / events.event_type));
 2. runs the full-registry ``tools/check_oracle.py`` sweep against each;
 3. asserts the FAIL SET of each sweep is EXACTLY the documented one —
    empty = {q09_cube, q09_rollup} (Spark emits zero rows for ROLLUP /
@@ -64,7 +66,8 @@ Cost (r13 verdict item 4), two stacked levers, both measured round 14:
    verified 0 flagged across all 208 plans before the skip shipped).
    Measured: 8 m 38 s for the eleven pre-r14 corpora — 3.4x under the
    subprocess design — 11 m 29 s with the three null-key corpora, and
-   13 m 21 s for all SIXTEEN including the two null-embedding corpora
+   13 m 21 s for sixteen corpora (the two swept-clean grouping-key
+   corpora added after that run cost ~50 s more)
    (single-table sweeps run 10–67 s: 70 entries touch events, 63
    documents, 22 orders, 16 embeddings), so adding a hostile class
    now costs tens of seconds, not minutes. Fail-set contract
@@ -134,6 +137,15 @@ EXPECTED_FAILS: dict[str, frozenset[str]] = {
     # the NULL rows never existed).
     "null_embedding": frozenset(),
     "null_embedding_half": frozenset(),
+    # round 14 (third wave, swept clean on first contact — recorded as
+    # such): all-NULL embeddings.label (kNN vote / centroid grouping
+    # over a NULL class key) and all-NULL events.event_type (the
+    # funnel/transition/typed-filter grouping key). NULL grouping keys
+    # form one group on both engines and typed filters drop them
+    # identically — the disciplines the earlier nullity waves forced
+    # are already load-bearing here.
+    "null_label": frozenset(),
+    "null_event_type": frozenset(),
 }
 
 # corpus label -> the tables its writer mutates relative to the
@@ -160,6 +172,8 @@ MUTATED_TABLES: dict[str, frozenset[str] | None] = {
     "null_custkey": frozenset({"orders"}),
     "null_embedding": frozenset({"embeddings"}),
     "null_embedding_half": frozenset({"embeddings"}),
+    "null_label": frozenset({"embeddings"}),
+    "null_event_type": frozenset({"events"}),
 }
 
 _SUMMARY = re.compile(
@@ -285,6 +299,10 @@ def main() -> int:
         "embeddings",
         "vec_id",
         2,
+    )
+    deg.write_null_column(args.src, dirs["null_label"], "label", "embeddings")
+    deg.write_null_column(
+        args.src, dirs["null_event_type"], "event_type", "events"
     )
 
     shared_spark = None
