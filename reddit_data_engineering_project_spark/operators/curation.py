@@ -906,8 +906,16 @@ def x04_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(
             F.sum("n_chars").cast("double") / F.count("*"), 4
         ).alias("mean_chars"),
+        # when/otherwise(0), not a predicate cast: Spark's NULL-skipping
+        # sum collapses a source group whose n_chars are all NULL to a
+        # NULL counter where the oracle's CASE..ELSE 0 says 0 — the
+        # same class the r13 nullity sweep caught in
+        # x04_data_quality_report, caught HERE by the round-14
+        # all-NULL-n_chars corpus
         F.sum(
-            (F.col("n_chars") < 16).cast("bigint")
+            F.when(F.col("n_chars") < 16, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("bigint")
         ).alias("n_too_short"),
     )
 

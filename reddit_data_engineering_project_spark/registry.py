@@ -126,7 +126,9 @@ def register(
 #       x04_length_histogram, x04_quality_filter, x04_stratified_sample,
 #       x04_term_frequency, x04_tfidf, x04_token_count — x03_sq8_topk's
 #       row additionally lands the round-14 NULL-embedding exclusion,
-#       whose code it shares);
+#       whose code it shares, and x04_corpus_profile's row lands the
+#       round-14 n_too_short when/otherwise(0) fix the all-NULL-n_chars
+#       corpus caught);
 #   (b) the ELEVEN amendment re-grades: x00_adversarial_audit (round 14
 #       extended the sentinel with the null_concat probe — the
 #       concat_ws-on-NULL digest law the null-source sweep caught) and

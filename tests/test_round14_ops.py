@@ -203,3 +203,24 @@ def test_all_null_embeddings_empty_everywhere(spark, tmp_path):
         "x02_embedding_neardup",
     ):
         assert registry.QUERIES[entry](spark, out).count() == 0, entry
+
+
+def test_null_nchars_corpus_profile_says_zero_not_null(spark, tmp_path):
+    """The fourth-wave finding: with documents.n_chars all NULL,
+    x04_corpus_profile's n_too_short must say 0 per source group, not
+    NULL — F.sum of a predicate CAST skips NULL predicates and
+    collapses the all-NULL column to a NULL counter where the oracle's
+    CASE..ELSE 0 says 0 (the same class as the r13
+    x04_data_quality_report finding; an engine-wide scan found exactly
+    this one other instance)."""
+    import degenerate_corpus as deg
+
+    out = str(tmp_path / "null_nchars")
+    deg.write_null_column(
+        "/root/testdata/sf0.001", out, "n_chars", "documents"
+    )
+    rows = registry.QUERIES["x04_corpus_profile"](spark, out).collect()
+    assert rows
+    for r in rows:
+        assert r.n_too_short == 0, f"{r.source}: expected 0, got {r.n_too_short!r}"
+        assert r.total_chars is None  # plain sum over all-NULL stays NULL

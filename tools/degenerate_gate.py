@@ -6,7 +6,7 @@ but only for the entries the sweep had already caught. A regression in
 any OTHER entry's empty-input path would stay invisible until the next
 manual sweep. This tool makes the full sweep a one-command gate:
 
-1. regenerates the EIGHTEEN degenerate corpora from the committed
+1. regenerates the NINETEEN degenerate corpora from the committed
    sf0.001 fixtures via :mod:`degenerate_corpus` (empty, one-row, the
    three mixed corpora with exactly one of events / documents /
    embeddings zeroed, and — round 13 — the two zero-VARIANCE corpora
@@ -23,7 +23,9 @@ manual sweep. This tool makes the full sweep a one-command gate:
    one divergence on its first sweep — see operators/similarity.py:
    embedded for the exclusion semantics that fixed the class) plus
    the two swept-clean-on-first-contact NULL-GROUPING-KEY corpora
-   (all-NULL embeddings.label / events.event_type));
+   (all-NULL embeddings.label / events.event_type) and the all-NULL
+   documents.n_chars corpus (caught x04_corpus_profile's n_too_short
+   predicate-cast sum — NULL vs the oracle's 0 — on first contact));
 2. runs the full-registry ``tools/check_oracle.py`` sweep against each;
 3. asserts the FAIL SET of each sweep is EXACTLY the documented one —
    empty = {q09_cube, q09_rollup} (Spark emits zero rows for ROLLUP /
@@ -146,6 +148,14 @@ EXPECTED_FAILS: dict[str, frozenset[str]] = {
     # are already load-bearing here.
     "null_label": frozenset(),
     "null_event_type": frozenset(),
+    # round 14 (fourth wave): all-NULL documents.n_chars — the metadata
+    # stat column. Caught x04_corpus_profile's n_too_short predicate-
+    # cast sum on first contact (NULL counter vs the oracle's 0 — the
+    # same NULL-skipping-sum class the r13 value corpus caught in
+    # x04_data_quality_report, proving the class needed an engine-wide
+    # scan: a targeted grep found exactly this one other instance,
+    # fixed to when/otherwise(0)). Sweeps clean post-fix.
+    "null_nchars": frozenset(),
 }
 
 # corpus label -> the tables its writer mutates relative to the
@@ -174,6 +184,7 @@ MUTATED_TABLES: dict[str, frozenset[str] | None] = {
     "null_embedding_half": frozenset({"embeddings"}),
     "null_label": frozenset({"embeddings"}),
     "null_event_type": frozenset({"events"}),
+    "null_nchars": frozenset({"documents"}),
 }
 
 _SUMMARY = re.compile(
@@ -303,6 +314,9 @@ def main() -> int:
     deg.write_null_column(args.src, dirs["null_label"], "label", "embeddings")
     deg.write_null_column(
         args.src, dirs["null_event_type"], "event_type", "events"
+    )
+    deg.write_null_column(
+        args.src, dirs["null_nchars"], "n_chars", "documents"
     )
 
     shared_spark = None
