@@ -67,13 +67,12 @@ Cost (r13 verdict item 4), two stacked levers, both measured round 14:
    entry's Spark plan may not scan a table its oracle doesn't name;
    verified 0 flagged across all 208 plans before the skip shipped).
    Measured: 8 m 38 s for the eleven pre-r14 corpora — 3.4x under the
-   subprocess design — 11 m 29 s with the three null-key corpora, and
-   13 m 21 s for sixteen corpora (the two swept-clean grouping-key
-   corpora added after that run cost ~50 s more)
-   (single-table sweeps run 10–67 s: 70 entries touch events, 63
-   documents, 22 orders, 16 embeddings), so adding a hostile class
-   now costs tens of seconds, not minutes. Fail-set contract
-   unchanged. ``--no-skip`` restores exhaustive sweeps.
+   subprocess design — and 11 m 45 s for all NINETEEN round-14 corpora
+   (single-table sweeps run 7–47 s: 70 entries touch events, 63
+   documents, 22 orders, 16 embeddings), so the gate now sweeps EIGHT
+   more hostile classes than the r13 design in well under half its
+   wall time. Fail-set contract unchanged. ``--no-skip`` restores
+   exhaustive sweeps.
 
 ``--isolate`` restores the per-corpus subprocess mode for debugging a
 sweep that corrupts session state; that path cross-checks the child's
