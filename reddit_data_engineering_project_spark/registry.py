@@ -88,126 +88,118 @@ def register(
 # history lives in WINDOWS.md; tests/test_grading_window.py enforces
 # window == priority and per-family evidence.
 #
-# ROUND-14 WINDOW (executes the committed round-14 rotation plan
-# verbatim — r13 verdict "Next round" item 1; precondition held:
-# CORRECTNESS_r13 graded the round-13 window 50/50 green). Pure
-# backfill plus the one queued registration:
-#   (a) the nine remaining r09 rows (x03_cosine_topk_bruteforce,
-#       x03_hamming_rerank, x03_hamming_topk, x03_range_search,
-#       x04_fingerprint, x04_hash_sample, x04_language_id,
-#       x04_weighted_sample, x05_frame_sample);
-#   (b) the round-13 registration x05_bmp_pixel_stats (landing-round
-#       grade, drained from QUEUED_FOR_NEXT_WINDOW; round 14 extends it
-#       with planted-PPM sibling rows per r13 verdict item 3, so the
-#       landing grade covers BOTH real codecs) + the three round-13
-#       nullity-amendment re-grades (x04_data_quality_report,
-#       x05_frame_dedup, x05_payload_resize) + the alphabetically-first
-#       37 of the 49 entries whose latest green is r10
-#       (pipeline_clean_coerce .. x02_incremental_neardup); the
-#       alphabetically-last TWELVE (x02_simhash_neardup,
-#       x02_simhash16_neardup, x03_sq8_topk, x04_chunking,
-#       x04_corpus_profile, x04_dataset_split, x04_length_histogram,
-#       x04_quality_filter, x04_stratified_sample, x04_term_frequency,
-#       x04_tfidf, x04_token_count) roll to round 15 per the committed
-#       plan (the x02/x03/x04 families keep fresh evidence via r13
-#       rows and round-14 (a)-slots).
-# 9 + 1 + 3 + 37 = 50.
-#
-# ROUND-15 ROTATION PLAN (committed now so no entry waits on an
-# undocumented promise; precondition: CORRECTNESS_r14 grades the
-# window below 50/50 green). Backfill plus ELEVEN round-14 amendment
-# re-grades, same mechanism as the r13 nullity re-grades (code
-# changed, graded-corpus hashes verified unchanged by full post-fix
-# sf0.01 sweeps — 208 ok / 0 fail — but each latest green row
-# describes superseded code):
+# ROUND-15 WINDOW (executes the committed round-15 rotation plan
+# verbatim — r14 verdict "Next round" item 1; precondition held:
+# CORRECTNESS_r14 graded the round-14 window 50/50 green, matching
+# the committed plan name-for-name). Backfill plus the ELEVEN
+# round-14 amendment re-grades:
 #   (a) the twelve r10 rows that rolled from the round-14 (b) tail
-#       (x02_simhash_neardup, x02_simhash16_neardup, x03_sq8_topk,
-#       x04_chunking, x04_corpus_profile, x04_dataset_split,
-#       x04_length_histogram, x04_quality_filter, x04_stratified_sample,
-#       x04_term_frequency, x04_tfidf, x04_token_count — x03_sq8_topk's
+#       (x02_simhash16_neardup .. x04_token_count — x03_sq8_topk's
 #       row additionally lands the round-14 NULL-embedding exclusion,
 #       whose code it shares, and x04_corpus_profile's row lands the
-#       round-14 n_too_short when/otherwise(0) fix the all-NULL-n_chars
-#       corpus caught);
-#   (b) the ELEVEN amendment re-grades: x00_adversarial_audit (round 14
-#       extended the sentinel with the null_concat probe — the
-#       concat_ws-on-NULL digest law the null-source sweep caught) and
-#       the TEN vector entries the null-embedding hostile corpus
-#       reworked (un-embedded rows now prune before any vector op, the
-#       oracle mirroring WHERE embedding IS NOT NULL; the other four
-#       vector entries — x03_cosine_topk_bruteforce, x03_hamming_rerank,
-#       x03_hamming_topk, x03_range_search — hold round-14 (a) slots,
-#       so they land the same fix this round): x02_embedding_neardup,
-#       x02_semantic_dedup, x03_ann_lsh_bucketed, x03_ann_recall_report,
-#       x03_ivf_topk, x03_ivfpq_topk, x03_kmeans_step, x03_knn_classify,
-#       x03_pairwise_label_centroids, x03_pq_topk — PLUS the
-#       alphabetically-first 27 of the 45 remaining entries whose
-#       latest green will then be r11 (pipeline_dedup_report ..
-#       q22_locf_fill — the r11 class minus x04_data_quality_report and
-#       x05_payload_resize, re-graded in round 14, and minus the
-#       amendment members above); the remaining EIGHTEEN r11 rows
-#       (q22_seasonal_naive .. x05_corpus_slice, incl. x04_char_entropy
-#       which ceded earlier in the round) roll to round 16 — the
-#       x02/x04/x05 families keep round-14/15 evidence via this
-#       window's (a)/(b) rows.
-# 12 + 11 + 27 = 50. Every round-14/15 registration must either take a
+#       round-14 n_too_short when/otherwise(0) fix);
+#   (b) the ELEVEN round-14 amendment re-grades (code changed in
+#       round 14, graded-corpus hashes verified unchanged by full
+#       post-fix sf0.01 sweeps, but each latest green row described
+#       superseded code): x00_adversarial_audit (null_concat probe;
+#       round 15 further extends the sentinel with the empty-slice
+#       ROLLUP probe pinning Spark's zero-rows-on-empty semantics —
+#       r14 verdict item 6 — so this landing grade covers both) and
+#       the TEN vector entries of the NULL-embedding exclusion rework
+#       (x02_embedding_neardup, x02_semantic_dedup,
+#       x03_ann_lsh_bucketed, x03_ann_recall_report, x03_ivf_topk,
+#       x03_ivfpq_topk, x03_kmeans_step, x03_knn_classify,
+#       x03_pairwise_label_centroids, x03_pq_topk) — PLUS the
+#       alphabetically-first 27 of the 45 remaining r11 rows
+#       (pipeline_dedup_report .. q22_locf_fill); the remaining
+#       EIGHTEEN r11 rows (q22_seasonal_naive .. x05_corpus_slice)
+#       roll to round 16 per the committed plan below.
+# 12 + 11 + 27 = 50.
+#
+# ROUND-16 ROTATION PLAN (committed now so no entry waits on an
+# undocumented promise; precondition: CORRECTNESS_r15 grades the
+# window below 50/50 green). Pure backfill unless round-15 work
+# produces amendments (any such re-grade takes a slot from the (b)
+# tail in its own commit, same mechanism as rounds 13-15):
+#   (a) the EIGHTEEN r11 rows that rolled (q22_seasonal_naive,
+#       x02_containment_pairs, x02_dedup_keep_best,
+#       x02_fuzzy_levenshtein_neardup, x04_bm25_scores,
+#       x04_boilerplate_removal, x04_bpe_merge_apply,
+#       x04_bpe_pair_stats, x04_char_entropy, x04_decontamination,
+#       x04_feature_hashing, x04_mixing_rebalance, x04_ngram_vocab,
+#       x04_pii_scrub, x04_repetition_metrics, x04_sequence_packing,
+#       x04_tokenize_to_ids, x05_corpus_slice);
+#   (b) the alphabetically-first 32 of the 46 entries whose latest
+#       green will then be r12 (q01_csv_scan .. q21_cohort_ltv — the
+#       49-member r12 class minus x02_embedding_neardup,
+#       x02_semantic_dedup, x03_ann_recall_report, which re-grade in
+#       round 15 above); the alphabetically-last FOURTEEN
+#       (q21_degree_powerlaw, q21_funnel_conversion,
+#       q21_next_event_prediction, q21_survival_km,
+#       q21_triangle_count, s08_stateful_zscore_replay,
+#       x01_dedup_exact_key, x04_global_shuffle, x04_lm_quality_score,
+#       x04_quality_percentile_gate, x04_readability, x04_source_caps,
+#       x05_byte_histogram, x05_size_binned_shards) roll to round 17
+#       (the q21/s08/x01/x04/x05 families keep round-14/15 evidence
+#       via this and the prior window).
+# 18 + 32 = 50. Every round-15/16 registration must either take a
 # slot from the (b) tail in its own commit or add itself to
-# QUEUED_FOR_NEXT_WINDOW — keep velocity <= the handful the window can
-# absorb.
+# QUEUED_FOR_NEXT_WINDOW — keep velocity <= the handful the window
+# can absorb.
 GRADING_PRIORITY: tuple[str, ...] = (
-    # (a) the nine remaining r09 rows
-    "x03_cosine_topk_bruteforce",
-    "x03_hamming_rerank",
-    "x03_hamming_topk",
-    "x03_range_search",
-    "x04_fingerprint",
-    "x04_hash_sample",
-    "x04_language_id",
-    "x04_weighted_sample",
-    "x05_frame_sample",
-    # (b) the BMP+PPM round-trip landing grade + the three nullity
-    # re-grades + the first-37 r10 backfill, alphabetical
-    "pipeline_clean_coerce",
-    "pipeline_curation_full",
-    "pipeline_daily_ingest",
-    "pipeline_topk_window",
-    "pipeline_training_prep",
-    "q01_orc_scan",
-    "q01_xml_scan",
-    "q07_weighted_median",
-    "q09_unpivot",
-    "q10_join_salted_skew",
-    "q11_asof_join",
-    "q12_except_all",
-    "q13_lag_lead",
-    "q14_string_funcs3",
-    "q15_datetime_funcs2",
-    "q16_math_conditional",
-    "q17_json_funcs",
-    "q18_export_training_shards",
-    "q18_sink_roundtrip",
-    "q18_zorder_key",
-    "q19_scd2_history",
-    "q19_upsert_keep_latest",
-    "q20_apply_in_pandas_zscore",
-    "q20_pandas_scalar_udf",
-    "q21_cohort_retention",
-    "q22_rolling_zscore",
-    "q22_timeseries_gapfill",
-    "s01_tumbling_window",
-    "s02_sliding_window",
-    "s04_watermark_late_drop",
-    "s05_stateful_dedup",
-    "s06_interval_join",
-    "s07_windowed_topk",
-    "s09_session_gap_replay",
-    "s09_session_timeout_replay",
-    "x01_dedup_canonicalized",
-    "x02_incremental_neardup",
-    "x04_data_quality_report",
-    "x05_bmp_pixel_stats",
-    "x05_frame_dedup",
-    "x05_payload_resize",
+    # (a) the twelve rolled r10 rows
+    "x02_simhash16_neardup",
+    "x02_simhash_neardup",
+    "x03_sq8_topk",
+    "x04_chunking",
+    "x04_corpus_profile",
+    "x04_dataset_split",
+    "x04_length_histogram",
+    "x04_quality_filter",
+    "x04_stratified_sample",
+    "x04_term_frequency",
+    "x04_tfidf",
+    "x04_token_count",
+    # (b) the eleven round-14 amendment re-grades
+    "x00_adversarial_audit",
+    "x02_embedding_neardup",
+    "x02_semantic_dedup",
+    "x03_ann_lsh_bucketed",
+    "x03_ann_recall_report",
+    "x03_ivf_topk",
+    "x03_ivfpq_topk",
+    "x03_kmeans_step",
+    "x03_knn_classify",
+    "x03_pairwise_label_centroids",
+    "x03_pq_topk",
+    # plus the alphabetically-first 27 r11 backfill rows
+    "pipeline_dedup_report",
+    "pipeline_events_monitor",
+    "pipeline_feature_store",
+    "pipeline_split_leakage_audit",
+    "q07_winsorized_stats",
+    "q10_join_null_safe",
+    "q11_asof_tolerance",
+    "q12_table_diff",
+    "q13_percent_rank_cume",
+    "q16_null_semantics",
+    "q17_higher_order_funcs",
+    "q18_snapshot_publish_read",
+    "q19_cdc_apply",
+    "q19_incremental_agg_maintain",
+    "q20_map_in_arrow",
+    "q21_ab_lift_ztest",
+    "q21_activity_streaks",
+    "q21_attribution_last_touch",
+    "q21_copurchase_lift",
+    "q21_copurchase_reach2",
+    "q21_dau_wau_stickiness",
+    "q21_part_pagerank",
+    "q21_rfm_segments",
+    "q21_sessionize_gap",
+    "q22_cusum_drift",
+    "q22_ewma_window",
+    "q22_locf_fill",
 )
 
 GRADED_WINDOW = 50
