@@ -50,8 +50,12 @@ def embedded(spark: SparkSession, sf_dir: str) -> DataFrame:
     The ingest contract declares NULL embedding rows LEGAL (a document
     not yet embedded — ``FINITE_ARRAYS`` in ``tables.py``), but the
     vector surfaces never defined their behavior until the round-14
-    all-NULL-embedding hostile corpus crashed ten oracles (DuckDB's
-    ``list_inner_product`` raises on a NULL list) and diverged an
+    all-NULL-embedding hostile corpus crashed ten oracles (on the
+    pinned DuckDB 1.0.0, ``list_inner_product``/``list_cosine_similarity``
+    over a COLUMN batch containing NULL rows raise ``Invalid Input
+    Error: ... argument can not contain NULL values`` — reproduced
+    r15; a CONSTANT NULL argument instead folds to NULL, which is why
+    scalar probes don't show the crash) and diverged an
     eleventh (Spark emitted 0 centroid groups where the oracle emitted
     NULL centroids). The defined semantics: un-embedded rows DO NOT
     PARTICIPATE in vector operations — scoring, quantization, centroid

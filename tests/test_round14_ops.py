@@ -23,6 +23,7 @@ import duckdb
 
 from pyspark.sql import functions as F
 
+from conftest import SF_DIR
 from reddit_data_engineering_project_spark import registry
 from reddit_data_engineering_project_spark.tables import table
 
@@ -46,7 +47,7 @@ def test_null_source_corpus_curation_md5_is_null_not_empty_hash(
 
     out = str(tmp_path / "null_source")
     deg.write_null_column(
-        "/root/testdata/sf0.001", out, "source", "documents"
+        SF_DIR, out, "source", "documents"
     )
     rows = registry.QUERIES["pipeline_curation_full"](spark, out).collect()
     assert rows, "repetition gate should keep text-intact rows"
@@ -55,7 +56,7 @@ def test_null_source_corpus_curation_md5_is_null_not_empty_hash(
     # and on the committed corpus the hash is real, never the
     # empty-string sentinel
     committed = registry.QUERIES["pipeline_curation_full"](
-        spark, "/root/testdata/sf0.001"
+        spark, SF_DIR
     ).collect()
     empty_md5 = "d41d8cd98f00b204e9800998ecf8427e"
     assert all(
@@ -83,7 +84,7 @@ def test_null_key_corpora_hash_match_representative_entries(
     ]
     for col, tbl, entry in specs:
         out = str(tmp_path / f"null_{col}")
-        deg.write_null_column("/root/testdata/sf0.001", out, col, tbl)
+        deg.write_null_column(SF_DIR, out, col, tbl)
         con = duckdb.connect()
         try:
             for t in deg.TABLES:
@@ -131,7 +132,7 @@ def test_x00_null_concat_probe(spark):
     and rows with a present key emit the exact joined-token length
     ('text body s<k>' = 12 chars)."""
     rows = registry.QUERIES["x00_adversarial_audit"](
-        spark, "/root/testdata/sf0.001"
+        spark, SF_DIR
     ).collect()
     nc = {r.id: r.out for r in rows if r.probe == "null_concat"}
     assert len(nc) == 257  # event_id 0..256 planted slice
@@ -157,7 +158,7 @@ def test_null_embedding_exclusion_semantics(spark, tmp_path):
 
     out = str(tmp_path / "emb_half")
     deg.write_partial_null(
-        "/root/testdata/sf0.001", out, "embedding", "embeddings",
+        SF_DIR, out, "embedding", "embeddings",
         "vec_id", 2,
     )
     con = duckdb.connect()
@@ -194,7 +195,7 @@ def test_all_null_embeddings_empty_everywhere(spark, tmp_path):
 
     out = str(tmp_path / "emb_all")
     deg.write_null_column(
-        "/root/testdata/sf0.001", out, "embedding", "embeddings"
+        SF_DIR, out, "embedding", "embeddings"
     )
     for entry in (
         "x03_cosine_topk_bruteforce",
@@ -217,7 +218,7 @@ def test_null_nchars_corpus_profile_says_zero_not_null(spark, tmp_path):
 
     out = str(tmp_path / "null_nchars")
     deg.write_null_column(
-        "/root/testdata/sf0.001", out, "n_chars", "documents"
+        SF_DIR, out, "n_chars", "documents"
     )
     rows = registry.QUERIES["x04_corpus_profile"](spark, out).collect()
     assert rows

@@ -290,6 +290,16 @@ def main() -> int:
     from reddit_data_engineering_project_spark.session import get_spark
 
     spark = get_spark(app_name="audit_plans", master="local[4]")
+    # UNDECLARED_TABLE_DEP matches "/{table}.parquet" inside each scan's
+    # Location field, which Spark truncates at
+    # spark.sql.maxMetadataStringLength (default 100 chars) — a long sf
+    # path (e.g. a temp hostile-corpus dir) could push the filename out
+    # of the rendered text and silently void the flag (r14 ADVICE).
+    # Raise the cap so truncation can never mask a dependency, and
+    # fail loudly if the conf ever stops applying.
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2048")
+    if spark.conf.get("spark.sql.maxMetadataStringLength") != "2048":
+        raise RuntimeError("maxMetadataStringLength did not apply")
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
 

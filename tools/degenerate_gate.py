@@ -128,8 +128,12 @@ EXPECTED_FAILS: dict[str, frozenset[str]] = {
     # round 14 (second wave): NULL embeddings — contract-legal ("a
     # document not yet embedded", FINITE_ARRAYS in tables.py) yet the
     # vector surfaces had never defined behavior. The all-NULL corpus
-    # crashed TEN oracles (DuckDB list_inner_product raises on a NULL
-    # list) and diverged an eleventh (Spark 0 centroid groups vs the
+    # crashed TEN oracles (DuckDB 1.0.0 list_inner_product /
+    # list_cosine_similarity raise "argument can not contain NULL
+    # values" when a COLUMN batch holds NULL rows; a constant NULL
+    # folds to NULL — mechanism re-verified r15, see
+    # operators/similarity.py:embedded) and diverged an eleventh
+    # (Spark 0 centroid groups vs the
     # oracle's NULL centroids); fixed by the exclusion semantics —
     # un-embedded rows prune before any vector op (operators/
     # similarity.py:embedded), oracles mirror WHERE embedding IS NOT
@@ -189,6 +193,58 @@ MUTATED_TABLES: dict[str, frozenset[str] | None] = {
 _SUMMARY = re.compile(
     r"^(\d+) ok, (\d+) fail, (\d+) rows-only(?:; failing: (.*))?$"
 )
+
+
+def verify_mutations(src: str, dirs: dict[str, str]) -> None:
+    """Gate-time audit of the MUTATED_TABLES lockstep (r14 ADVICE,
+    medium): the input-identical skip is sound only if each generated
+    corpus differs from the baseline in EXACTLY its declared tables.
+    The declaration lives here while the writers live in
+    degenerate_corpus.main() — two files, nineteen+ entries, no
+    compiler between them — so the gate re-derives the truth from the
+    bytes: for every corpus, every UNDECLARED table must be
+    content-equal to the baseline (under-declaration would silently
+    skip entries the corpus can affect — the dangerous direction), and
+    every DECLARED table must actually differ (over-declaration means
+    the map drifted from the writers and deserves a loud failure too).
+    Content equality, not file bytes: writers re-encode parquet, so
+    byte-compare would false-alarm on metadata."""
+    import pyarrow.parquet as pq
+
+    from degenerate_corpus import TABLES
+
+    if set(dirs) != set(MUTATED_TABLES):
+        raise RuntimeError(
+            "MUTATED_TABLES / corpus-label drift: "
+            f"{sorted(set(dirs) ^ set(MUTATED_TABLES))}"
+        )
+    baseline = {
+        name: pq.read_table(os.path.join(src, f"{name}.parquet"))
+        for name in TABLES
+    }
+    problems: list[str] = []
+    for label, out_dir in dirs.items():
+        declared = MUTATED_TABLES[label]
+        if declared is None:  # "everything differs" — no skip, no audit
+            continue
+        for name in TABLES:
+            t = pq.read_table(os.path.join(out_dir, f"{name}.parquet"))
+            same = t.equals(baseline[name])
+            if name in declared and same:
+                problems.append(
+                    f"{label}: declared-mutated table {name!r} is "
+                    f"content-identical to the baseline (stale map?)"
+                )
+            elif name not in declared and not same:
+                problems.append(
+                    f"{label}: UNDECLARED mutation of table {name!r} — "
+                    f"the input-identical skip would wrongly skip "
+                    f"entries this corpus can affect"
+                )
+    if problems:
+        raise RuntimeError(
+            "MUTATED_TABLES audit failed:\n  " + "\n  ".join(problems)
+        )
 
 
 def run_sweep(sf_dir: str) -> tuple[int, int, int, frozenset[str], str]:
@@ -317,6 +373,10 @@ def main() -> int:
     deg.write_null_column(
         args.src, dirs["null_nchars"], "n_chars", "documents"
     )
+
+    t0 = time.time()
+    verify_mutations(args.src, dirs)
+    print(f"MUTATED_TABLES audit: OK [{time.time()-t0:.0f}s]")
 
     shared_spark = None
     if not args.isolate:

@@ -20,19 +20,22 @@ Runs, in order:
                             ``tools/audit_plans.py --snapshot`` and the
                             diff is committed);
   7. (``--degenerate`` only) degenerate gate —
-                            ``tools/degenerate_gate.py`` regenerates the
-                            fourteen degenerate corpora (empty / one-row
-                            / three mixed / monoculture / flat-time /
-                            all-NULL value / ts / user_id / text) and
-                            sweeps the
-                            FULL registry against each, asserting each
-                            sweep's fail set is exactly the documented
-                            one (r12 verdict item 3: the sweeps were
-                            manual, so a regression in a not-yet-pinned
-                            entry's degenerate-input path went unchecked
-                            between rounds). ~11 min with the
-                            input-identical skip — round-end
-                            protocol, not the fast loop.
+                            ``tools/degenerate_gate.py`` regenerates
+                            EVERY hostile corpus (empty / one-row /
+                            mixed / monoculture / flat-time / the
+                            all-NULL-column waves — the authoritative
+                            list is ``degenerate_gate.EXPECTED_FAILS``,
+                            which this stage reads at runtime so the
+                            count here can never go stale again) and
+                            sweeps the FULL registry against each,
+                            asserting each sweep's fail set is exactly
+                            the documented one (r12 verdict item 3: the
+                            sweeps were manual, so a regression in a
+                            not-yet-pinned entry's degenerate-input
+                            path went unchecked between rounds).
+                            ~12 min at nineteen corpora with the
+                            input-identical skip (measured r14) —
+                            round-end protocol, not the fast loop.
 
 Exit code 0 only if every stage passes. Use before ending a round:
 
@@ -156,11 +159,11 @@ def main() -> int:
         action="store_true",
         help=(
             "add stage 7: the full degenerate-cardinality gate "
-            "(tools/degenerate_gate.py — fourteen regenerated corpora x "
-            "full-registry sweep with the input-identical skip, fail "
-            "sets asserted against the documented state). ~11 min; "
-            "part of the round-end "
-            "protocol, not the fast loop"
+            "(tools/degenerate_gate.py — every hostile corpus in its "
+            "EXPECTED_FAILS map, regenerated and swept full-registry "
+            "with the input-identical skip, fail sets asserted against "
+            "the documented state). ~12 min at nineteen corpora "
+            "(measured r14); round-end protocol, not the fast loop"
         ),
     )
     args = ap.parse_args()
