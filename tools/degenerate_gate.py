@@ -6,7 +6,8 @@ but only for the entries the sweep had already caught. A regression in
 any OTHER entry's empty-input path would stay invisible until the next
 manual sweep. This tool makes the full sweep a one-command gate:
 
-1. regenerates the NINETEEN degenerate corpora from the committed
+1. regenerates every degenerate corpus in ``EXPECTED_FAILS`` (the
+   authoritative list — twenty-one as of round 15) from the committed
    sf0.001 fixtures via :mod:`degenerate_corpus` (empty, one-row, the
    three mixed corpora with exactly one of events / documents /
    embeddings zeroed, and — round 13 — the two zero-VARIANCE corpora
@@ -159,6 +160,18 @@ EXPECTED_FAILS: dict[str, frozenset[str]] = {
     # scan: a targeted grep found exactly this one other instance,
     # fixed to when/otherwise(0)). Sweeps clean post-fix.
     "null_nchars": frozenset(),
+    # round 15 (fifth wave, swept clean on first contact — recorded as
+    # such): all-NULL orders.o_orderdate (the date spine the
+    # survival/LTV/RFM/OLS family anchors on — NULL-date phantom
+    # points are exactly the class the r13 calendar-edge wave caught
+    # in q21_spend_trend_ols) and all-NULL lineitem.l_partkey (the
+    # co-purchase/graph family's edge key — NULL edge endpoints must
+    # drop identically from inner joins and self-joins on both
+    # engines). 22 affected entries each; the NULL-grouping-key and
+    # NULL-join-key disciplines the r13/r14 waves forced are already
+    # load-bearing on the date spine and edge keys.
+    "null_orderdate": frozenset(),
+    "null_partkey": frozenset(),
 }
 
 # corpus label -> the tables its writer mutates relative to the
@@ -188,6 +201,8 @@ MUTATED_TABLES: dict[str, frozenset[str] | None] = {
     "null_label": frozenset({"embeddings"}),
     "null_event_type": frozenset({"events"}),
     "null_nchars": frozenset({"documents"}),
+    "null_orderdate": frozenset({"orders"}),
+    "null_partkey": frozenset({"lineitem"}),
 }
 
 _SUMMARY = re.compile(
@@ -372,6 +387,12 @@ def main() -> int:
     )
     deg.write_null_column(
         args.src, dirs["null_nchars"], "n_chars", "documents"
+    )
+    deg.write_null_column(
+        args.src, dirs["null_orderdate"], "o_orderdate", "orders"
+    )
+    deg.write_null_column(
+        args.src, dirs["null_partkey"], "l_partkey", "lineitem"
     )
 
     t0 = time.time()
