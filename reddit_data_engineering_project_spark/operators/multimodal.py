@@ -66,6 +66,30 @@ def decode_media(payload: bytes, media_type: str) -> object:
     )
 
 
+def classify_media(
+    payload: bytes, media_type: str
+) -> tuple[object, str, str | None]:
+    """TOTAL decode — the declared deployment posture on bad bytes
+    (r14 verdict item 4). At 100 TB corrupt payloads are DATA (crawl
+    reality), not exceptions: a thousand-executor pass must neither
+    crash on one torn file nor silently drop it. This wrapper makes the
+    codec seam total: returns ``(pixels, "ok", None)`` on success, else
+    ``(None, "quarantined", err_kind)`` where ``err_kind`` is
+    ``"value_error"`` (structurally invalid bytes — bad magic,
+    truncated header, torn raster, degenerate dimensions) or
+    ``"unsupported"`` (a media type the deployment has no codec for).
+    The quarantine rows keep their metadata so the corrupt slice stays
+    auditable; :func:`decode_media` itself keeps the loud-failure
+    envelope for callers that want exceptions (tests, backfills).
+    Driver-graded end-to-end by ``x05_decode_errors``."""
+    try:
+        return decode_media(payload, media_type), "ok", None
+    except NotImplementedError:
+        return None, "quarantined", "unsupported"
+    except ValueError:
+        return None, "quarantined", "value_error"
+
+
 def decode_bmp(payload: bytes):
     """Pure-numpy decoder for uncompressed 24-bit BI_RGB BMP.
 
@@ -1069,4 +1093,169 @@ def x05_bmp_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").select("doc_id")
     return ensure_min_parallelism(docs).mapInPandas(
         _bmp_roundtrip_stats, schema=_BMP_STATS_SCHEMA
+    )
+
+
+# --- x05_decode_errors: the corrupt-payload quarantine path (r14
+#     verdict item 4). Payloads are not corpus columns (the committed
+#     tables carry no media bytes), so the corruption axis is planted
+#     IN-ENTRY, deterministically from doc_id — which means every
+#     hostile corpus class that reshapes documents (empty, one-row,
+#     monoculture, the nullity waves) sweeps the quarantine path too.
+
+#: doc_id % 5 -> corruption mode, applied to each codec's intact bytes.
+_CORRUPTIONS = (
+    "intact",            # 0: decodes clean
+    "short_header",      # 1: payload truncated to its first 12 bytes
+    "bad_magic",         # 2: first two bytes XOR 0xFF
+    "torn_raster",       # 3: last 7 raster bytes lost (torn write)
+    "undeclared_codec",  # 4: intact bytes, media type with no codec
+)
+
+_DECODE_ERRORS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("codec", StringType(), False),
+        StructField("corruption", StringType(), False),
+        StructField("status", StringType(), False),
+        StructField("err_kind", StringType(), True),
+        StructField("n_bytes", IntegerType(), False),
+        StructField("topleft_r", IntegerType(), True),
+        StructField("sum_all", LongType(), True),
+    ]
+)
+
+
+def _decode_errors_rows(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Corrupt each doc's REAL planted bytes per its mode, route them
+    through :func:`classify_media`, and emit the quarantine/ok rows.
+    The decode is genuinely attempted on genuinely corrupted bytes —
+    the status/err_kind columns are what the total classifier RETURNED,
+    never an echo of the mode."""
+    codecs = (
+        ("bmp", encode_bmp, "image/bmp"),
+        ("ppm", encode_ppm, "image/x-portable-pixmap"),
+    )
+    for pdf in batches:
+        rows = []
+        for doc_id in pdf["doc_id"]:
+            doc_id = int(doc_id)
+            mode = doc_id % 5
+            px = _planted_pixels(doc_id)
+            for codec, encode, media_type in codecs:
+                payload = encode(px)
+                if mode == 1:
+                    payload = payload[:12]
+                elif mode == 2:
+                    payload = bytes((payload[0] ^ 0xFF, payload[1] ^ 0xFF)) + payload[2:]
+                elif mode == 3:
+                    payload = payload[:-7]
+                routed_type = "image/png" if mode == 4 else media_type
+                img, status, err_kind = classify_media(payload, routed_type)
+                ok = status == "ok"
+                rows.append(
+                    (
+                        doc_id,
+                        codec,
+                        _CORRUPTIONS[mode],
+                        status,
+                        err_kind,
+                        len(payload),
+                        int(img[0, 0, 0]) if ok else None,
+                        int(img.astype("int64").sum()) if ok else None,
+                    )
+                )
+        out = pd.DataFrame(
+            rows, columns=[f.name for f in _DECODE_ERRORS_SCHEMA]
+        )
+        out["topleft_r"] = out["topleft_r"].astype("Int32")
+        out["sum_all"] = out["sum_all"].astype("Int64")
+        yield out
+
+
+@register(
+    "x05_decode_errors",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id,
+               4 + ((doc_id % {_BMP_W_MOD}) + {_BMP_W_MOD})
+                   % {_BMP_W_MOD} AS w,
+               3 + ((doc_id % {_BMP_H_MOD}) + {_BMP_H_MOD})
+                   % {_BMP_H_MOD} AS h,
+               ((doc_id % 5) + 5) % 5 AS m
+        FROM documents
+    ),
+    -- full pixel sum, only needed for the intact (m = 0) docs
+    sums AS (
+        SELECT d.doc_id,
+               CAST(sum((((d.doc_id * 31 + r.r * 7 + c.c * 3
+                           + ch.ch * 11) % 256) + 256) % 256)
+                    AS BIGINT) AS sum_all
+        FROM d
+        CROSS JOIN LATERAL (SELECT unnest(range(0, d.h)) AS r) r
+        CROSS JOIN LATERAL (SELECT unnest(range(0, d.w)) AS c) c
+        CROSS JOIN LATERAL (SELECT unnest([0, 1, 2]) AS ch) ch
+        WHERE d.m = 0
+        GROUP BY d.doc_id
+    ),
+    k AS (SELECT unnest(['bmp', 'ppm']) AS codec)
+    SELECT
+        d.doc_id,
+        k.codec,
+        CASE d.m WHEN 0 THEN 'intact' WHEN 1 THEN 'short_header'
+                 WHEN 2 THEN 'bad_magic' WHEN 3 THEN 'torn_raster'
+                 ELSE 'undeclared_codec' END AS corruption,
+        CASE WHEN d.m = 0 THEN 'ok' ELSE 'quarantined' END AS status,
+        CASE WHEN d.m = 0 THEN NULL
+             WHEN d.m = 4 THEN 'unsupported'
+             ELSE 'value_error' END AS err_kind,
+        -- bmp: 54-byte headers + 4-byte-aligned rows; ppm: 11-byte
+        -- header (single-digit dims by construction) + raw raster;
+        -- short_header keeps 12 bytes, torn_raster loses 7
+        CAST(CASE WHEN d.m = 1 THEN 12
+             ELSE (CASE k.codec
+                   WHEN 'bmp' THEN 54 + ((3 * d.w + 3) // 4) * 4 * d.h
+                   ELSE 11 + 3 * d.w * d.h END)
+                  - (CASE WHEN d.m = 3 THEN 7 ELSE 0 END)
+             END AS INT) AS n_bytes,
+        CAST(CASE WHEN d.m = 0
+             THEN ((d.doc_id * 31 % 256) + 256) % 256 END AS INT)
+            AS topleft_r,
+        CASE WHEN d.m = 0 THEN s.sum_all END AS sum_all
+    FROM d
+    CROSS JOIN k
+    LEFT JOIN sums s ON s.doc_id = d.doc_id
+    """,
+    tags=("multimodal", "X5", "codec", "quarantine", "pandas-udf"),
+)
+def x05_decode_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5h: the corrupt-payload QUARANTINE posture, hash-graded.
+
+    Per document and per real codec (BMP + PPM), the planted bytes are
+    deterministically corrupted by ``doc_id % 5`` — intact / truncated
+    header / flipped magic / torn raster / undeclared media type — and
+    routed through :func:`classify_media`, the TOTAL decode wrapper.
+    The declared behavior on bad bytes is ERROR ROWS, not exceptions
+    and not silent drops: corrupt payloads survive as ``quarantined``
+    rows with a typed ``err_kind`` and their metadata (``n_bytes``)
+    intact, while intact payloads prove the decode still works
+    (``topleft_r``, ``sum_all`` recomputed by the oracle from the
+    closed-form pixel definition — the oracle never sees the bytes, so
+    an ok row's stats still pin the byte round-trip). The oracle
+    derives status/err_kind/n_bytes from the corruption definition
+    alone: agreement proves the classifier detects exactly the planted
+    damage (a decoder that "successfully" reads a torn raster, or
+    crashes instead of quarantining, hash-fails).
+
+    Scale shape: identical to the other payload passes — one
+    embarrassingly-parallel ``mapInPandas``, no shuffle, quarantine
+    decided inside the task that holds the bytes. At deployment the
+    same pass runs over stored payload columns and the quarantine
+    slice becomes the ingest-quality audit feed.
+    """
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    return ensure_min_parallelism(docs).mapInPandas(
+        _decode_errors_rows, schema=_DECODE_ERRORS_SCHEMA
     )

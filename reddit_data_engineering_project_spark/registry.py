@@ -129,12 +129,15 @@ def register(
 #       x04_feature_hashing, x04_mixing_rebalance, x04_ngram_vocab,
 #       x04_pii_scrub, x04_repetition_metrics, x04_sequence_packing,
 #       x04_tokenize_to_ids, x05_corpus_slice);
-#   (b) the alphabetically-first 32 of the 46 entries whose latest
-#       green will then be r12 (q01_csv_scan .. q21_cohort_ltv — the
-#       49-member r12 class minus x02_embedding_neardup,
-#       x02_semantic_dedup, x03_ann_recall_report, which re-grade in
-#       round 15 above); the alphabetically-last FOURTEEN
-#       (q21_degree_powerlaw, q21_funnel_conversion,
+#   (b) the round-15 registration x05_decode_errors (landing-round
+#       grade, drained from QUEUED_FOR_NEXT_WINDOW — the
+#       corrupt-payload quarantine posture) + the alphabetically-first
+#       31 of the 46 entries whose latest green will then be r12
+#       (q01_csv_scan .. q21_ab_power_analysis — the 49-member r12
+#       class minus x02_embedding_neardup, x02_semantic_dedup,
+#       x03_ann_recall_report, which re-grade in round 15 above); the
+#       alphabetically-last FIFTEEN (q21_cohort_ltv,
+#       q21_degree_powerlaw, q21_funnel_conversion,
 #       q21_next_event_prediction, q21_survival_km,
 #       q21_triangle_count, s08_stateful_zscore_replay,
 #       x01_dedup_exact_key, x04_global_shuffle, x04_lm_quality_score,
@@ -142,7 +145,7 @@ def register(
 #       x05_byte_histogram, x05_size_binned_shards) roll to round 17
 #       (the q21/s08/x01/x04/x05 families keep round-14/15 evidence
 #       via this and the prior window).
-# 18 + 32 = 50. Every round-15/16 registration must either take a
+# 18 + 1 + 31 = 50. Every round-15/16 registration must either take a
 # slot from the (b) tail in its own commit or add itself to
 # QUEUED_FOR_NEXT_WINDOW — keep velocity <= the handful the window
 # can absorb.
