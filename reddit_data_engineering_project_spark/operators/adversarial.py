@@ -46,7 +46,19 @@ it, so the guarantees earn a driver hash row every round:
   the oracle's ``array_to_string(NULL)`` stays NULL (the
   round-14 null-source sweep finding in ``pipeline_curation_full``);
   any drift back to the ungated form emits 0 where NULL belongs and
-  flips the hash.
+  flips the hash;
+- (round 15) empty-input ROLLUP/CUBE semantics, hash-graded: Spark
+  emits ZERO rows for ``rollup()``/``cube()`` over empty input where
+  ANSI/DuckDB emit the grand-total row — the standing degenerate
+  gate's one accepted divergence ({q09_cube, q09_rollup} on the empty
+  corpus), until now documented-and-gated but never driver-visible.
+  The probes count the rollup/cube output rows of an always-empty
+  slice; the oracle pins the DOCUMENTED Spark value through a guarded
+  CASE (0 when the slice is empty, else the genuine ANSI rollup/cube
+  count — so a hostile corpus that ever populates the slice grades
+  the real agreement, and a Spark engine change that starts emitting
+  the grand-total row flips the hash loudly instead of "healing"
+  silently).
 
 Every probe output is a BIGINT (scaled where fractional), emitted as
 ``(probe, id, out)`` rows so any single divergent value flips the
@@ -294,6 +306,34 @@ def _sql_case(col: str, values, quote: bool) -> str:
         UNION ALL
         SELECT 'trend_sy', g, sy FROM trend
     )
+    ,
+    -- Empty-input ROLLUP/CUBE semantics (round 15): the oracle pins
+    -- the DOCUMENTED Spark behavior (zero rows over empty input)
+    -- through a guarded CASE — if the probed slice is ever non-empty
+    -- (a hostile corpus planting negative event_ids), the guard falls
+    -- through to the genuine ANSI rollup/cube row count, which the
+    -- engines agree on for non-empty input.
+    grouping_probes AS (
+        SELECT 'empty_rollup' AS probe, CAST(0 AS BIGINT) AS id,
+               CASE WHEN NOT EXISTS
+                        (SELECT 1 FROM events WHERE event_id < 0)
+                    THEN CAST(0 AS BIGINT)
+                    ELSE (SELECT CAST(count(*) AS BIGINT) FROM (
+                          SELECT user_id FROM events
+                          WHERE event_id < 0
+                          GROUP BY ROLLUP(user_id)) t)
+               END AS out
+        UNION ALL
+        SELECT 'empty_cube', CAST(0 AS BIGINT),
+               CASE WHEN NOT EXISTS
+                        (SELECT 1 FROM events WHERE event_id < 0)
+                    THEN CAST(0 AS BIGINT)
+                    ELSE (SELECT CAST(count(*) AS BIGINT) FROM (
+                          SELECT user_id, event_type FROM events
+                          WHERE event_id < 0
+                          GROUP BY CUBE(user_id, event_type)) t)
+               END
+    )
     SELECT probe, id, out FROM ev_probes
     UNION ALL
     SELECT probe, id, out FROM vec_probe
@@ -301,6 +341,8 @@ def _sql_case(col: str, values, quote: bool) -> str:
     SELECT probe, id, out FROM sess_probe
     UNION ALL
     SELECT probe, id, out FROM trend_probes
+    UNION ALL
+    SELECT probe, id, out FROM grouping_probes
     """.replace("{WIRE_CASE}", _sql_case("b", _WIRES, quote=True))
     .replace("{HALF_CASE}", _sql_case("b", _HALVES, quote=False))
     .replace("{GAP3}", str(3 * _GAP_US))
@@ -493,8 +535,36 @@ def x00_adversarial_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("g").alias("id"),
     ).select("probe", "id", "out")
 
+    # Empty-input ROLLUP/CUBE probes: Spark's documented zero-rows
+    # semantics, measured (not assumed) by counting the grouping
+    # output of an always-empty slice — a 1-row aggregate over a
+    # pruned scan, constant cost at any SF.
+    neg = table(spark, sf_dir, "events").filter(F.col("event_id") < 0)
+    empty_rollup = (
+        neg.rollup("user_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.count(F.lit(1)).cast("long").alias("out"))
+        .select(
+            F.lit("empty_rollup").alias("probe"),
+            F.lit(0).cast("long").alias("id"),
+            "out",
+        )
+    )
+    empty_cube = (
+        neg.cube("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.count(F.lit(1)).cast("long").alias("out"))
+        .select(
+            F.lit("empty_cube").alias("probe"),
+            F.lit(0).cast("long").alias("id"),
+            "out",
+        )
+    )
+
     return (
         stacked.unionByName(vec_probe)
         .unionByName(sess_probe)
         .unionByName(trend_probes)
+        .unionByName(empty_rollup)
+        .unionByName(empty_cube)
     )
