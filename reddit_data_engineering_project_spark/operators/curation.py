@@ -1111,9 +1111,19 @@ def x04_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     the aggregate — no global sort.
 
     Reference parity: extends R16/Q8 dedup duties (README.md:13) to the
-    sub-document granularity the north-star charter requires.
+    sub-document granularity the north-star charter requires. Measured
+    10×-docs curve: SCALE.md (via ``boilerplate_removal_over`` — the
+    composable form ``tools/scale_curve.py --family text`` feeds
+    replica corpora).
     """
-    docs = table(spark, sf_dir, "documents")
+    return boilerplate_removal_over(table(spark, sf_dir, "documents"))
+
+
+def boilerplate_removal_over(docs: DataFrame) -> DataFrame:
+    """Boilerplate removal over any ``(doc_id, source, text)``
+    DataFrame — the composable body of :func:`x04_boilerplate_removal`
+    (refactored round 15 for the scale harness; plan and output on the
+    graded corpus are unchanged)."""
     toks = tokens(F.col("text"))
     n_tok = F.size("toks")
     starts = F.filter(

@@ -351,6 +351,107 @@ def graph_curve(spark: SparkSession, sf_dir: str, multiplier: int) -> None:
         )
 
 
+def text_curve(spark: SparkSession, sf_dir: str, multiplier: int) -> None:
+    """x04 text-analysis curve at 1x and Nx docs (r14 verdict item 5 —
+    the second-slowest bench family had map-side-combine claims but no
+    measured datapoint). Two members, two replication shapes, each the
+    HONEST workload for its op:
+
+    - ``x04_bm25_scores``: verbatim replicas with offset doc_ids. BM25
+      has no pairwise structure — the claim under test is that the
+      shuffled stream is only the query-term hits, so the honest 10x
+      keeps term-hit DENSITY constant (rotation would destroy the
+      query terms and measure an empty stream).
+    - ``x04_boilerplate_removal``: rotation-permutation replicas
+      (``replicated_corpus``'s scheme) keeping each doc's ``source``.
+      Block recurrence is counted per (source, block_text); rotation
+      preserves each replica's internal recurrence structure while
+      destroying cross-replica block equality, so boilerplate DENSITY
+      stays constant — verbatim replication would instead multiply
+      every block's doc count by N and flood the threshold.
+
+    Reported per run: docs, output rows, wall seconds.
+    """
+    from reddit_data_engineering_project_spark.operators.curation import (
+        boilerplate_removal_over,
+    )
+    from reddit_data_engineering_project_spark.operators.text_analysis import (  # noqa: E501
+        bm25_scores_over,
+    )
+
+    base = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+
+    def verbatim(n: int) -> DataFrame:
+        if n <= 1:
+            return base
+        reps = [
+            base.select(
+                (F.col("doc_id") + F.lit(r * 100_000_000)).alias("doc_id"),
+                "source",
+                "text",
+            )
+            for r in range(n)
+        ]
+        out = reps[0]
+        for df in reps[1:]:
+            out = out.unionAll(df)
+        return out
+
+    def rotated(n: int) -> DataFrame:
+        if n <= 1:
+            return base
+        assert n <= len(_ALPHABET)
+        reps = []
+        for r in range(n):
+            rot = _ALPHABET[r:] + _ALPHABET[:r]
+            reps.append(
+                base.select(
+                    (F.col("doc_id") + F.lit(r * 100_000_000)).alias(
+                        "doc_id"
+                    ),
+                    "source",
+                    F.translate(F.col("text"), _ALPHABET, rot).alias(
+                        "text"
+                    ),
+                )
+            )
+        out = reps[0]
+        for df in reps[1:]:
+            out = out.unionAll(df)
+        return out
+
+    corpus = os.path.basename(sf_dir.rstrip("/"))
+    # Uncounted warm-up: the first run of each op in a session pays
+    # whole-stage-codegen JIT + Python-worker spin-up; without this the
+    # 1x reading lands ~1.6x high and the 10x/1x ratio reads BELOW 1
+    # (observed on the first sf0.1 measurement).
+    for op in (bm25_scores_over, boilerplate_removal_over):
+        op(base).count()
+    for n in (1, multiplier):
+        for name, docs_fn, op in (
+            ("bm25", verbatim, bm25_scores_over),
+            ("boilerplate", rotated, boilerplate_removal_over),
+        ):
+            docs = docs_fn(n)
+            spark.catalog.clearCache()
+            n_docs = docs.count()
+            t0 = time.time()
+            rows = op(docs).count()
+            print(
+                json.dumps(
+                    {
+                        "family": f"text/{name}",
+                        "corpus": corpus + (f" x{n}" if n > 1 else ""),
+                        "docs": n_docs,
+                        "rows": rows,
+                        "wall_sec": round(time.time() - t0, 2),
+                    }
+                )
+            )
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
@@ -363,6 +464,7 @@ def main() -> int:
             "simhash16",
             "semantic",
             "graph",
+            "text",
             "all",
         ),
         default="dedup",
@@ -393,6 +495,11 @@ def main() -> int:
     if args.family in ("graph", "all"):
         graph_curve(spark, args.sf, args.multiplier)
         if args.family == "graph":
+            spark.stop()
+            return 0
+    if args.family in ("text", "all"):
+        text_curve(spark, args.sf, args.multiplier)
+        if args.family == "text":
             spark.stop()
             return 0
     results = []
