@@ -7,7 +7,7 @@ any OTHER entry's empty-input path would stay invisible until the next
 manual sweep. This tool makes the full sweep a one-command gate:
 
 1. regenerates every degenerate corpus in ``EXPECTED_FAILS`` (the
-   authoritative list — twenty-one as of round 15) from the committed
+   authoritative list — twenty-two as of round 15) from the committed
    sf0.001 fixtures via :mod:`degenerate_corpus` (empty, one-row, the
    three mixed corpora with exactly one of events / documents /
    embeddings zeroed, and — round 13 — the two zero-VARIANCE corpora
@@ -172,6 +172,12 @@ EXPECTED_FAILS: dict[str, frozenset[str]] = {
     # load-bearing on the date spine and edge keys.
     "null_orderdate": frozenset(),
     "null_partkey": frozenset(),
+    # round 15 (sixth wave, also clean on first contact): all-NULL
+    # lineitem.l_orderkey — the OTHER graph edge key the r14 verdict
+    # named (co-purchase pairs join lineitem to itself on l_orderkey;
+    # NULL join keys must never self-match, and the q07/q10 fact-side
+    # aggregates must group them as one key on both engines).
+    "null_orderkey": frozenset(),
 }
 
 # corpus label -> the tables its writer mutates relative to the
@@ -203,6 +209,7 @@ MUTATED_TABLES: dict[str, frozenset[str] | None] = {
     "null_nchars": frozenset({"documents"}),
     "null_orderdate": frozenset({"orders"}),
     "null_partkey": frozenset({"lineitem"}),
+    "null_orderkey": frozenset({"lineitem"}),
 }
 
 _SUMMARY = re.compile(
@@ -393,6 +400,9 @@ def main() -> int:
     )
     deg.write_null_column(
         args.src, dirs["null_partkey"], "l_partkey", "lineitem"
+    )
+    deg.write_null_column(
+        args.src, dirs["null_orderkey"], "l_orderkey", "lineitem"
     )
 
     t0 = time.time()
