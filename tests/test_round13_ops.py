@@ -333,8 +333,13 @@ def test_bmp_decoder_rejects_out_of_envelope():
     bad_off[10:14] = (0).to_bytes(4, "little")  # points into the header
     with pytest.raises(ValueError, match="header region"):
         decode_bmp(bytes(bad_off) + b"\x00" * 64)
-    # the seam still raises for undecodable media types
+    # the seam still raises for undecodable media types (image/png
+    # gained a REAL decoder in round 15, so the no-codec example is
+    # now JPEG; a corrupt PNG routes to decode_png and raises
+    # ValueError instead)
     with pytest.raises(NotImplementedError, match="codec"):
+        decode_media(b"\xff\xd8\xff\xe0", "image/jpeg")
+    with pytest.raises(ValueError, match="signature"):
         decode_media(b"\x89PNG", "image/png")
 
 

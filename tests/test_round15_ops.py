@@ -22,15 +22,21 @@ sys.path.insert(
 from reddit_data_engineering_project_spark.operators.multimodal import (
     _planted_pixels,
     classify_media,
+    decode_png,
     encode_bmp,
+    encode_png,
     encode_ppm,
 )
 
 
 @pytest.mark.parametrize(
     "encode,media_type",
-    [(encode_bmp, "image/bmp"), (encode_ppm, "image/x-portable-pixmap")],
-    ids=["bmp", "ppm"],
+    [
+        (encode_bmp, "image/bmp"),
+        (encode_png, "image/png"),
+        (encode_ppm, "image/x-portable-pixmap"),
+    ],
+    ids=["bmp", "png", "ppm"],
 )
 class TestClassifyMedia:
     def test_intact_decodes_ok(self, encode, media_type):
@@ -57,7 +63,7 @@ class TestClassifyMedia:
 
     def test_undeclared_codec_quarantines(self, encode, media_type):
         payload = encode(_planted_pixels(7))
-        img, status, err = classify_media(payload, "image/png")
+        img, status, err = classify_media(payload, "image/jpeg")
         assert (img, status, err) == (None, "quarantined", "unsupported")
 
     def test_garbage_bytes_never_raise(self, encode, media_type):
@@ -65,6 +71,119 @@ class TestClassifyMedia:
             img, status, err = classify_media(junk, media_type)
             assert status == "quarantined" and img is None
             assert err == "value_error"
+
+
+class TestPngCodec:
+    """The round-15 compressed codec: decode_png must read REAL PNGs,
+    not just encode_png's subset — pinned by a foreign-style file
+    (level-9 zlib deflate, all five filter types, an ancillary chunk)
+    hand-filtered per the spec."""
+
+    def test_roundtrip_and_closed_form_size(self):
+        for doc_id in range(25):
+            px = _planted_pixels(doc_id)
+            payload = encode_png(px)
+            h, w, _ = px.shape
+            assert len(payload) == 68 + h * (1 + 3 * w)
+            assert (decode_png(payload) == px).all()
+
+    def test_multi_block_stored_deflate(self):
+        import numpy as np
+
+        big = np.random.default_rng(7).integers(
+            0, 256, (200, 150, 3), dtype=np.uint8
+        )  # raster > 65535 bytes -> two stored blocks
+        assert (decode_png(encode_png(big)) == big).all()
+
+    def test_foreign_encoder_all_filters(self):
+        import struct
+        import zlib
+
+        import numpy as np
+
+        h, w, bpp = 6, 5, 3
+        stride = 3 * w
+        img = np.random.default_rng(3).integers(
+            0, 256, (h, w, 3), dtype=np.uint8
+        )
+        rows = img.reshape(h, stride).astype(np.int64)
+        filtered = bytearray()
+        prev = np.zeros(stride, dtype=np.int64)
+        for y in range(h):
+            f = y % 5
+            cur = rows[y]
+            line = np.zeros(stride, dtype=np.int64)
+            for x in range(stride):
+                left = cur[x - bpp] if x >= bpp else 0
+                up = prev[x]
+                ul = prev[x - bpp] if x >= bpp else 0
+                if f == 0:
+                    pred = 0
+                elif f == 1:
+                    pred = left
+                elif f == 2:
+                    pred = up
+                elif f == 3:
+                    pred = (left + up) >> 1
+                else:
+                    p0 = left + up - ul
+                    pa, pb, pc = abs(p0 - left), abs(p0 - up), abs(p0 - ul)
+                    pred = (
+                        left
+                        if (pa <= pb and pa <= pc)
+                        else (up if pb <= pc else ul)
+                    )
+                line[x] = (cur[x] - pred) & 0xFF
+            filtered.append(f)
+            filtered += bytes(line.astype(np.uint8))
+            prev = cur
+
+        def chunk(t, d):
+            return (
+                struct.pack(">I", len(d))
+                + t
+                + d
+                + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+            )
+
+        png = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+            + chunk(b"tEXt", b"Comment\x00foreign encoder")
+            + chunk(b"IDAT", zlib.compress(bytes(filtered), 9))
+            + chunk(b"IEND", b"")
+        )
+        assert (decode_png(png) == img).all()
+
+    def test_crc_corruption_detected(self):
+        payload = bytearray(encode_png(_planted_pixels(7)))
+        payload[40] ^= 0xFF  # a byte inside IDAT data
+        with pytest.raises(ValueError, match="CRC mismatch"):
+            decode_png(bytes(payload))
+
+    def test_unsupported_shapes_raise_not_implemented(self):
+        import struct
+        import zlib
+
+        def chunk(t, d):
+            return (
+                struct.pack(">I", len(d))
+                + t
+                + d
+                + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+            )
+
+        for depth, ctype, interlace in ((16, 2, 0), (8, 6, 0), (8, 2, 1)):
+            png = (
+                b"\x89PNG\r\n\x1a\n"
+                + chunk(
+                    b"IHDR",
+                    struct.pack(">IIBBBBB", 4, 3, depth, ctype, 0, 0, interlace),
+                )
+                + chunk(b"IEND", b"")
+            )
+            with pytest.raises(NotImplementedError):
+                decode_png(png)
 
 
 def test_mutation_audit_catches_both_directions(tmp_path, monkeypatch):
