@@ -58,7 +58,19 @@ it, so the guarantees earn a driver hash row every round:
   count — so a hostile corpus that ever populates the slice grades
   the real agreement, and a Spark engine change that starts emitting
   the grand-total row flips the hash loudly instead of "healing"
-  silently).
+  silently);
+- (round 15) NEGATIVE-KEY totality: the negated-event_id hostile
+  corpus caught this entry's own planted geometry diverging (372-row
+  session drift on first sweep) through two stacked bugs —
+  ``_case_over_bucket`` falls through to the LAST arm for
+  out-of-range buckets while the SQL CASE (no ELSE) yields NULL, and
+  Spark ``DIV`` / DuckDB ``//`` both truncate toward zero where the
+  comb math assumed floor. Every key-derived bucket is now FLOORED
+  on both sides (``F.pmod`` / ``((x % m) + m) % m``, and division
+  spelled ``(x - floored_mod(x, m)) DIV m`` so truncation equals
+  floor on the exact multiple) — the planted classes are total over
+  the whole int64 key domain, and the standing ``neg_event_id`` /
+  ``neg_doc_id`` gate corpora keep them so.
 
 Every probe output is a BIGINT (scaled where fractional), emitted as
 ``(probe, id, out)`` rows so any single divergent value flips the
@@ -124,7 +136,13 @@ def _sql_case(col: str, values, quote: bool) -> str:
     oracle="""
     WITH sl AS (
         SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
-               event_id % 8 AS b
+               -- FLOORED mod (((x % m) + m) % m): SQL % truncates, so
+               -- bare event_id % 8 is negative for negative ids and
+               -- falls outside every CASE arm while the Spark fallback
+               -- picks the last arm — the round-15 negated-key corpus
+               -- made that real. Floored keys keep the planted classes
+               -- total over the whole int64 domain on both engines.
+               ((event_id % 8) + 8) % 8 AS b
         FROM events WHERE event_id <= 256
     ),
     planted AS (
@@ -136,10 +154,10 @@ def _sql_case(col: str, values, quote: bool) -> str:
                -- the same binary-float rounding path Spark uses, so the
                -- 0.05 pair genuinely probes float semantics (r09 advice).
                CAST({HALF_CASE} AS DOUBLE) AS x,
-               CASE WHEN b <= 2 THEN 0 ELSE event_id % 4 END AS n,
+               CASE WHEN b <= 2 THEN 0 ELSE ((event_id % 4) + 4) % 4 END AS n,
                CASE WHEN b = 3 THEN NULL ELSE ts END AS ts2,
                CASE WHEN b % 2 = 0 THEN NULL
-                    ELSE 's' || CAST(event_id % 5 AS VARCHAR) END AS src
+                    ELSE 's' || CAST(((event_id % 5) + 5) % 5 AS VARCHAR) END AS src
         FROM sl
     ),
     wide AS (
@@ -251,9 +269,17 @@ def _sql_case(col: str, values, quote: bool) -> str:
     -- MERGES windows that touch (commit 9d0ccc8), so the oracle splits
     -- sessions on STRICT > gap and sets end = last_ts + gap.
     sess_src AS (
-        SELECT event_id, event_id % 4 AS skey,
-               (event_id // 8) * {GAP3} + ((event_id // 4) % 2) *
-               CASE event_id % 4 {STEP_ARMS} END AS off
+        SELECT event_id, ((event_id % 4) + 4) % 4 AS skey,
+               -- FLOORED division: DuckDB's // truncates toward zero
+               -- (verified: -996 // 8 = -124, not -125), so the
+               -- floored form subtracts the floored mod first — the
+               -- numerator is then an exact multiple and truncation
+               -- equals floor, mirroring Spark's
+               -- (event_id - pmod(event_id, 8)) DIV 8 spelling.
+               ((event_id - (((event_id % 8) + 8) % 8)) // 8) * {GAP3}
+               + (((((event_id - (((event_id % 4) + 4) % 4)) // 4)
+                    % 2) + 2) % 2) *
+               CASE ((event_id % 4) + 4) % 4 {STEP_ARMS} END AS off
         FROM sl
     ),
     sess_lag AS (
@@ -280,13 +306,14 @@ def _sql_case(col: str, values, quote: bool) -> str:
     -- 3 days after their bucket's non-purchase dates), and NULL-date
     -- purchases contribute to NOTHING (commit cda0e90's phantom point).
     tp0 AS (
-        SELECT event_id, event_id % 2 AS g,
+        SELECT event_id, ((event_id % 2) + 2) % 2 AS g,
                CASE WHEN b = 3 THEN NULL
-                    ELSE DATE '2024-01-01' + CAST((event_id % 16)
+                    ELSE DATE '2024-01-01'
+                         + CAST((((event_id % 16) + 16) % 16)
                          + CASE WHEN event_id % 3 = 0 THEN 3 ELSE 0 END
                          AS INTEGER)
                END AS pd,
-               (event_id % 50) * 100 + 49 AS amt
+               (((event_id % 50) + 50) % 50) * 100 + 49 AS amt
         FROM sl
     ),
     tp AS (
@@ -368,17 +395,19 @@ def x00_adversarial_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("event_id") <= 256)
         .select("event_id", "user_id", "ts")
     )
-    b = (F.col("event_id") % 8).cast("int")
+    # pmod mirrors the oracle's floored-mod spelling (see the sl
+    # CTE comment): planted classes stay total for negative ids
+    b = F.pmod(F.col("event_id"), F.lit(8)).cast("int")
     wire = _case_over_bucket(b, _WIRES)
     x = _case_over_bucket(b, _HALVES)
     n = F.when(b <= 2, F.lit(0)).otherwise(
-        (F.col("event_id") % 4).cast("int")
+        F.pmod(F.col("event_id"), F.lit(4)).cast("int")
     )
     ts2 = F.when(b == 3, F.lit(None).cast("timestamp")).otherwise(
         F.col("ts")
     )
     src = F.when(b % 2 == 0, F.lit(None).cast("string")).otherwise(
-        F.concat(F.lit("s"), (F.col("event_id") % 5).cast("string"))
+        F.concat(F.lit("s"), F.pmod(F.col("event_id"), F.lit(5)).cast("string"))
     )
     planted = ev.select(
         "event_id", "user_id", wire.alias("wire"), x.alias("x"),
@@ -470,11 +499,20 @@ def x00_adversarial_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # gap±1µs / 0µs apart; F.session_window merges windows that touch
     # (round-12 boundary-tie finding, commit 9d0ccc8), which the oracle
     # mirrors with a strict-> split and end = last_ts + gap.
-    skey = (F.col("event_id") % 4).cast("long")
+    skey = F.pmod(F.col("event_id"), F.lit(4)).cast("long")
     step = _case_over_bucket(skey, _SESS_STEPS).cast("long")
+    # FLOORED integer division, spelled exactly ((a - pmod(a,b)) DIV b)
+    # so it stays in int64: Spark's DIV truncates toward zero while
+    # DuckDB's // floors — divergent on negative event_ids, which the
+    # round-15 negated-key corpus made real (372-row session drift on
+    # its first sweep). The numerator is an exact multiple of b, so
+    # DIV == floor division here on both engines.
     off = (
-        F.expr("event_id DIV 8") * F.lit(3 * _GAP_US)
-        + (F.expr("event_id DIV 4") % 2) * step
+        F.expr("(event_id - pmod(event_id, 8)) DIV 8")
+        * F.lit(3 * _GAP_US)
+        + F.pmod(
+            F.expr("(event_id - pmod(event_id, 4)) DIV 4"), F.lit(2)
+        ) * step
     )
     sess_src = ev.select(
         "event_id",
@@ -508,14 +546,15 @@ def x00_adversarial_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     pd_col = F.when(b == 3, F.lit(None).cast("date")).otherwise(
         F.date_add(
             F.to_date(F.lit("2024-01-01")),
-            ((F.col("event_id") % 16) + F.when(is_p, 3).otherwise(0))
-            .cast("int"),
+            (F.pmod(F.col("event_id"), F.lit(16))
+             + F.when(is_p, 3).otherwise(0)).cast("int"),
         )
     )
     dated_purchases = ev.filter(is_p & pd_col.isNotNull()).select(
-        (F.col("event_id") % 2).cast("long").alias("g"),
+        F.pmod(F.col("event_id"), F.lit(2)).cast("long").alias("g"),
         pd_col.alias("pd"),
-        ((F.col("event_id") % 50) * 100 + 49).cast("long").alias("amt"),
+        (F.pmod(F.col("event_id"), F.lit(50)) * 100 + 49)
+        .cast("long").alias("amt"),
     )
     anchor = F.min("pd").over(Window.partitionBy("g"))
     trend = (

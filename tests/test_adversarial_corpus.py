@@ -104,6 +104,16 @@ SWEEP_FINDINGS = [
     # anchor mismatch. Both sides now anchor on dated purchases and
     # drop undated rows from the regression.
     "q21_spend_trend_ols",
+    # round-15 negated-key class (every key contract-legal when
+    # negated; no committed corpus has a negative id): caught the x00
+    # sentinel's OWN planted geometry — _case_over_bucket fell through
+    # to the LAST arm for out-of-range buckets where the SQL CASE (no
+    # ELSE) yields NULL, and Spark DIV / DuckDB // both truncate
+    # toward zero where the session comb assumed floor. All key
+    # buckets in the entry are now floored (F.pmod mirrored by
+    # ((x % m) + m) % m; division spelled (x - floored_mod) DIV m so
+    # truncation equals floor on the exact multiple).
+    "x00_adversarial_audit",
 ]
 
 TABLES = (

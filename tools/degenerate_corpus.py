@@ -299,3 +299,26 @@ def main() -> int:
 
 if __name__ == "__main__":
     main()
+
+
+def write_negate_column(
+    src: str, out: str, column: str, table: str
+) -> None:
+    """NEGATED-key corpus (round 15): every ``<table>.<column>`` value
+    becomes its negation — contract-legal (primary keys declare only
+    non-null + unique, both preserved by negation) yet a shape no
+    committed corpus exhibits, and the one the modulo-discipline
+    docstrings call out explicitly: Python/numpy ``%`` is FLOORED
+    while Spark's and DuckDB's SQL ``%`` are TRUNCATED, so any
+    key-derived bucketing/sampling/planting arithmetic that mixes the
+    two silently diverges on the first negative key. Also flips every
+    ``ORDER BY key`` tie-break and min/max anchor."""
+    import pyarrow.compute as pc
+
+    os.makedirs(out, exist_ok=True)
+    for name in TABLES:
+        t = pq.read_table(os.path.join(src, f"{name}.parquet"))
+        if name == table:
+            idx = t.schema.get_field_index(column)
+            t = t.set_column(idx, column, pc.negate(t.column(column)))
+        pq.write_table(t, os.path.join(out, f"{name}.parquet"))

@@ -7,7 +7,7 @@ any OTHER entry's empty-input path would stay invisible until the next
 manual sweep. This tool makes the full sweep a one-command gate:
 
 1. regenerates every degenerate corpus in ``EXPECTED_FAILS`` (the
-   authoritative list — twenty-two as of round 15) from the committed
+   authoritative list — twenty-four as of round 15) from the committed
    sf0.001 fixtures via :mod:`degenerate_corpus` (empty, one-row, the
    three mixed corpora with exactly one of events / documents /
    embeddings zeroed, and — round 13 — the two zero-VARIANCE corpora
@@ -178,6 +178,22 @@ EXPECTED_FAILS: dict[str, frozenset[str]] = {
     # NULL join keys must never self-match, and the q07/q10 fact-side
     # aggregates must group them as one key on both engines).
     "null_orderkey": frozenset(),
+    # round 15 (seventh wave — NEGATED KEYS, the floored-vs-truncated
+    # modulo/division axis): every key is contract-legal when negated
+    # (PKs declare only non-null + unique), yet no committed corpus has
+    # a negative id. The neg_event_id corpus caught a REAL x00
+    # divergence on first sweep — two stacked planted-geometry bugs:
+    # Spark's _case_over_bucket falls through to the LAST arm for
+    # out-of-range buckets while the SQL CASE (no ELSE) yields NULL,
+    # and Spark DIV + DuckDB // BOTH truncate toward zero but the
+    # session comb's math assumed floor. Fixed by making every
+    # key-derived bucket FLOORED on both sides (F.pmod / the
+    # ((x % m) + m) % m and (x - floored_mod) // m spellings) — the
+    # planted classes are now total over the whole int64 key domain.
+    # neg_doc_id swept clean on first contact (the x04/x05 planting
+    # arithmetic already used floored-mod spellings throughout).
+    "neg_doc_id": frozenset(),
+    "neg_event_id": frozenset(),
 }
 
 # corpus label -> the tables its writer mutates relative to the
@@ -210,6 +226,8 @@ MUTATED_TABLES: dict[str, frozenset[str] | None] = {
     "null_orderdate": frozenset({"orders"}),
     "null_partkey": frozenset({"lineitem"}),
     "null_orderkey": frozenset({"lineitem"}),
+    "neg_doc_id": frozenset({"documents"}),
+    "neg_event_id": frozenset({"events"}),
 }
 
 _SUMMARY = re.compile(
@@ -403,6 +421,12 @@ def main() -> int:
     )
     deg.write_null_column(
         args.src, dirs["null_orderkey"], "l_orderkey", "lineitem"
+    )
+    deg.write_negate_column(
+        args.src, dirs["neg_doc_id"], "doc_id", "documents"
+    )
+    deg.write_negate_column(
+        args.src, dirs["neg_event_id"], "event_id", "events"
     )
 
     t0 = time.time()
