@@ -322,3 +322,34 @@ def write_negate_column(
             idx = t.schema.get_field_index(column)
             t = t.set_column(idx, column, pc.negate(t.column(column)))
         pq.write_table(t, os.path.join(out, f"{name}.parquet"))
+
+
+def write_offset_column(
+    src: str, out: str, column: str, table: str, offset: int
+) -> None:
+    """OFFSET-key corpus (round 15, the MAGNITUDE axis): every
+    ``<table>.<column>`` value shifts by ``offset`` — uniqueness and
+    non-nullity preserved, so contract-legal — planting keys near the
+    declared envelope edge (e.g. ``2^57`` for documents.doc_id, whose
+    pixel-planting math multiplies by 31 and documents ``|doc_id| <
+    2^58``). Above ``2^53`` a key no longer round-trips through a
+    double, so any engine-side cast-to-double in key arithmetic
+    (sampling, hashing, bucketing) silently diverges — exactly the
+    class this corpus exists to catch."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    os.makedirs(out, exist_ok=True)
+    for name in TABLES:
+        t = pq.read_table(os.path.join(src, f"{name}.parquet"))
+        if name == table:
+            idx = t.schema.get_field_index(column)
+            t = t.set_column(
+                idx,
+                column,
+                pc.add(
+                    pc.cast(t.column(column), pa.int64()),
+                    pa.scalar(offset, pa.int64()),
+                ),
+            )
+        pq.write_table(t, os.path.join(out, f"{name}.parquet"))

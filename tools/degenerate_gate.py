@@ -7,7 +7,7 @@ any OTHER entry's empty-input path would stay invisible until the next
 manual sweep. This tool makes the full sweep a one-command gate:
 
 1. regenerates every degenerate corpus in ``EXPECTED_FAILS`` (the
-   authoritative list — twenty-five as of round 15) from the committed
+   authoritative list — twenty-six as of round 15) from the committed
    sf0.001 fixtures via :mod:`degenerate_corpus` (empty, one-row, the
    three mixed corpora with exactly one of events / documents /
    embeddings zeroed, and — round 13 — the two zero-VARIANCE corpora
@@ -205,6 +205,14 @@ EXPECTED_FAILS: dict[str, frozenset[str]] = {
     # engine defect). Recorded in SURVEY round-15; re-sweep by hand if
     # the query-selection convention ever changes.
     "neg_custkey": frozenset(),
+    # round 15 (eighth wave — KEY MAGNITUDE at the envelope edge):
+    # doc_id shifted to ~2^57, just under the documented |doc_id| <
+    # 2^58 bound of the x05 pixel-planting math and far above the
+    # 2^53 double-precision cliff where any cast-to-double key
+    # arithmetic silently diverges. Swept 64/64 clean on first
+    # contact — the floored-mod + exact-integer disciplines hold at
+    # the edge (sampling/hashing/planting all stay integer-typed).
+    "huge_doc_id": frozenset(),
 }
 
 # corpus label -> the tables its writer mutates relative to the
@@ -240,6 +248,7 @@ MUTATED_TABLES: dict[str, frozenset[str] | None] = {
     "neg_doc_id": frozenset({"documents"}),
     "neg_event_id": frozenset({"events"}),
     "neg_custkey": frozenset({"customer"}),
+    "huge_doc_id": frozenset({"documents"}),
 }
 
 _SUMMARY = re.compile(
@@ -442,6 +451,10 @@ def main() -> int:
     )
     deg.write_negate_column(
         args.src, dirs["neg_custkey"], "c_custkey", "customer"
+    )
+    deg.write_offset_column(
+        args.src, dirs["huge_doc_id"], "doc_id", "documents",
+        (1 << 57) - (1 << 20),
     )
 
     t0 = time.time()
