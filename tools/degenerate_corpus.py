@@ -353,3 +353,28 @@ def write_offset_column(
                 ),
             )
         pq.write_table(t, os.path.join(out, f"{name}.parquet"))
+
+
+def write_empty_text(src: str, out: str) -> None:
+    """ALL-EMPTY-STRING text corpus (round 15): every documents.text
+    becomes "" (PRESENT but zero-token — the sibling shape to the
+    all-NULL text corpus), n_chars kept consistent at 0. Zero-token
+    docs make every shingle/token set empty: the near-dup families
+    emit the full all-pairs explosion (both engines must agree on the
+    empty-set-matches-empty-set convention), TF-IDF/BM25/BPE collapse
+    to empty outputs, and every length/entropy stat hits its zero
+    edge."""
+    import pyarrow as pa
+
+    os.makedirs(out, exist_ok=True)
+    for name in TABLES:
+        t = pq.read_table(os.path.join(src, f"{name}.parquet"))
+        if name == "documents":
+            n = t.num_rows
+            idx = t.schema.get_field_index("text")
+            t = t.set_column(idx, "text", pa.array([""] * n, pa.string()))
+            i2 = t.schema.get_field_index("n_chars")
+            t = t.set_column(
+                i2, "n_chars", pa.array([0] * n, t.schema.field("n_chars").type)
+            )
+        pq.write_table(t, os.path.join(out, f"{name}.parquet"))

@@ -7,7 +7,7 @@ any OTHER entry's empty-input path would stay invisible until the next
 manual sweep. This tool makes the full sweep a one-command gate:
 
 1. regenerates every degenerate corpus in ``EXPECTED_FAILS`` (the
-   authoritative list — twenty-six as of round 15) from the committed
+   authoritative list — twenty-seven as of round 15) from the committed
    sf0.001 fixtures via :mod:`degenerate_corpus` (empty, one-row, the
    three mixed corpora with exactly one of events / documents /
    embeddings zeroed, and — round 13 — the two zero-VARIANCE corpora
@@ -213,6 +213,15 @@ EXPECTED_FAILS: dict[str, frozenset[str]] = {
     # contact — the floored-mod + exact-integer disciplines hold at
     # the edge (sampling/hashing/planting all stay integer-typed).
     "huge_doc_id": frozenset(),
+    # round 15 (ninth wave — ALL-EMPTY-STRING text, the present-but-
+    # zero-token sibling of null_text): swept 64/64 clean on first
+    # contact. Distinct from monoculture (same NON-empty text): empty
+    # token/shingle sets drive the near-dup families to the full
+    # all-pairs output (C(500,2) = 124,750 pairs at sf0.001 — both
+    # engines agree on the empty-matches-empty convention) and every
+    # token-derived op to its zero edge (TF-IDF/BM25/BPE empty,
+    # entropy/length stats 0).
+    "empty_text": frozenset(),
 }
 
 # corpus label -> the tables its writer mutates relative to the
@@ -249,6 +258,7 @@ MUTATED_TABLES: dict[str, frozenset[str] | None] = {
     "neg_event_id": frozenset({"events"}),
     "neg_custkey": frozenset({"customer"}),
     "huge_doc_id": frozenset({"documents"}),
+    "empty_text": frozenset({"documents"}),
 }
 
 _SUMMARY = re.compile(
@@ -456,6 +466,7 @@ def main() -> int:
         args.src, dirs["huge_doc_id"], "doc_id", "documents",
         (1 << 57) - (1 << 20),
     )
+    deg.write_empty_text(args.src, dirs["empty_text"])
 
     t0 = time.time()
     verify_mutations(args.src, dirs)
