@@ -88,121 +88,105 @@ def register(
 # history lives in WINDOWS.md; tests/test_grading_window.py enforces
 # window == priority and per-family evidence.
 #
-# ROUND-15 WINDOW (executes the committed round-15 rotation plan
-# verbatim — r14 verdict "Next round" item 1; precondition held:
-# CORRECTNESS_r14 graded the round-14 window 50/50 green, matching
-# the committed plan name-for-name). Backfill plus the ELEVEN
-# round-14 amendment re-grades:
-#   (a) the twelve r10 rows that rolled from the round-14 (b) tail
-#       (x02_simhash16_neardup .. x04_token_count — x03_sq8_topk's
-#       row additionally lands the round-14 NULL-embedding exclusion,
-#       whose code it shares, and x04_corpus_profile's row lands the
-#       round-14 n_too_short when/otherwise(0) fix);
-#   (b) the ELEVEN round-14 amendment re-grades (code changed in
-#       round 14, graded-corpus hashes verified unchanged by full
-#       post-fix sf0.01 sweeps, but each latest green row described
-#       superseded code): x00_adversarial_audit (null_concat probe;
-#       round 15 further extends the sentinel with the empty-slice
-#       ROLLUP probe pinning Spark's zero-rows-on-empty semantics —
-#       r14 verdict item 6 — so this landing grade covers both) and
-#       the TEN vector entries of the NULL-embedding exclusion rework
-#       (x02_embedding_neardup, x02_semantic_dedup,
-#       x03_ann_lsh_bucketed, x03_ann_recall_report, x03_ivf_topk,
-#       x03_ivfpq_topk, x03_kmeans_step, x03_knn_classify,
-#       x03_pairwise_label_centroids, x03_pq_topk) — PLUS the
-#       alphabetically-first 27 of the 45 remaining r11 rows
-#       (pipeline_dedup_report .. q22_locf_fill); the remaining
-#       EIGHTEEN r11 rows (q22_seasonal_naive .. x05_corpus_slice)
-#       roll to round 16 per the committed plan below.
-# 12 + 11 + 27 = 50.
-#
-# ROUND-16 ROTATION PLAN (committed now so no entry waits on an
-# undocumented promise; precondition: CORRECTNESS_r15 grades the
-# window below 50/50 green). Pure backfill unless round-15 work
-# produces amendments (any such re-grade takes a slot from the (b)
-# tail in its own commit, same mechanism as rounds 13-15):
-#   (a) the EIGHTEEN r11 rows that rolled (q22_seasonal_naive,
-#       x02_containment_pairs, x02_dedup_keep_best,
-#       x02_fuzzy_levenshtein_neardup, x04_bm25_scores,
-#       x04_boilerplate_removal, x04_bpe_merge_apply,
-#       x04_bpe_pair_stats, x04_char_entropy, x04_decontamination,
-#       x04_feature_hashing, x04_mixing_rebalance, x04_ngram_vocab,
-#       x04_pii_scrub, x04_repetition_metrics, x04_sequence_packing,
-#       x04_tokenize_to_ids, x05_corpus_slice);
+# ROUND-16 WINDOW (executes the committed round-16 rotation plan
+# verbatim — registry history / WINDOWS.md "Round 16 (COMMITTED
+# PLAN)"; precondition held: CORRECTNESS_r15 graded the round-15
+# window 50/50 green, matching the committed plan name-for-name).
+# Pure backfill plus one landing-round registration:
+#   (a) the EIGHTEEN r11 rows that rolled from the round-15 (b) tail
+#       (q22_seasonal_naive .. x05_corpus_slice — x04_bm25_scores and
+#       x04_boilerplate_removal additionally land the round-15
+#       pure-extraction refactor, outputs verified byte-identical);
 #   (b) the round-15 registration x05_decode_errors (landing-round
 #       grade, drained from QUEUED_FOR_NEXT_WINDOW — the
 #       corrupt-payload quarantine posture) + the alphabetically-first
-#       31 of the 46 entries whose latest green will then be r12
-#       (q01_csv_scan .. q21_ab_power_analysis — the 49-member r12
-#       class minus x02_embedding_neardup, x02_semantic_dedup,
-#       x03_ann_recall_report, which re-grade in round 15 above); the
-#       alphabetically-last FIFTEEN (q21_cohort_ltv,
-#       q21_degree_powerlaw, q21_funnel_conversion,
+#       31 of the 46-member r12 class (q01_csv_scan ..
+#       q21_ab_power_analysis); the alphabetically-last FIFTEEN
+#       (q21_cohort_ltv, q21_degree_powerlaw, q21_funnel_conversion,
 #       q21_next_event_prediction, q21_survival_km,
 #       q21_triangle_count, s08_stateful_zscore_replay,
 #       x01_dedup_exact_key, x04_global_shuffle, x04_lm_quality_score,
 #       x04_quality_percentile_gate, x04_readability, x04_source_caps,
 #       x05_byte_histogram, x05_size_binned_shards) roll to round 17
-#       (the q21/s08/x01/x04/x05 families keep round-14/15 evidence
-#       via this and the prior window).
-# 18 + 1 + 31 = 50. Every round-15/16 registration must either take a
+#       per the committed plan below.
+# 18 + 1 + 31 = 50.
+#
+# ROUND-17 ROTATION PLAN (committed now so no entry waits on an
+# undocumented promise; precondition: CORRECTNESS_r16 grades the
+# window below 50/50 green). Pure backfill unless round-16 work
+# produces amendments (any such re-grade takes a slot from the (b)
+# tail in its own commit, same mechanism as rounds 13-16):
+#   (a) the FIFTEEN r12 rows that rolled (q21_cohort_ltv,
+#       q21_degree_powerlaw, q21_funnel_conversion,
+#       q21_next_event_prediction, q21_survival_km,
+#       q21_triangle_count, s08_stateful_zscore_replay,
+#       x01_dedup_exact_key, x04_global_shuffle, x04_lm_quality_score,
+#       x04_quality_percentile_gate, x04_readability, x04_source_caps,
+#       x05_byte_histogram, x05_size_binned_shards);
+#   (b) the alphabetically-first 35 of the 44-member r13 class
+#       (pipeline_posts_clean_wire .. q22_hampel_mad); the
+#       alphabetically-last NINE (q22_seasonal_decompose,
+#       s03_session_window, x01_dedup_content_hash, x02_dedup_clusters,
+#       x02_minhash_lsh_neardup, x02_neardup_jaccard, x04_doc_stats,
+#       x05_binary_features, x05_payload_energy) roll to round 18.
+# 15 + 35 = 50. Every round-16/17 registration must either take a
 # slot from the (b) tail in its own commit or add itself to
 # QUEUED_FOR_NEXT_WINDOW — keep velocity <= the handful the window
 # can absorb.
 GRADING_PRIORITY: tuple[str, ...] = (
-    # (a) the twelve rolled r10 rows
-    "x02_simhash16_neardup",
-    "x02_simhash_neardup",
-    "x03_sq8_topk",
-    "x04_chunking",
-    "x04_corpus_profile",
-    "x04_dataset_split",
-    "x04_length_histogram",
-    "x04_quality_filter",
-    "x04_stratified_sample",
-    "x04_term_frequency",
-    "x04_tfidf",
-    "x04_token_count",
-    # (b) the eleven round-14 amendment re-grades
-    "x00_adversarial_audit",
-    "x02_embedding_neardup",
-    "x02_semantic_dedup",
-    "x03_ann_lsh_bucketed",
-    "x03_ann_recall_report",
-    "x03_ivf_topk",
-    "x03_ivfpq_topk",
-    "x03_kmeans_step",
-    "x03_knn_classify",
-    "x03_pairwise_label_centroids",
-    "x03_pq_topk",
-    # plus the alphabetically-first 27 r11 backfill rows
-    "pipeline_dedup_report",
-    "pipeline_events_monitor",
-    "pipeline_feature_store",
-    "pipeline_split_leakage_audit",
-    "q07_winsorized_stats",
-    "q10_join_null_safe",
-    "q11_asof_tolerance",
-    "q12_table_diff",
-    "q13_percent_rank_cume",
-    "q16_null_semantics",
-    "q17_higher_order_funcs",
-    "q18_snapshot_publish_read",
-    "q19_cdc_apply",
-    "q19_incremental_agg_maintain",
-    "q20_map_in_arrow",
-    "q21_ab_lift_ztest",
-    "q21_activity_streaks",
-    "q21_attribution_last_touch",
-    "q21_copurchase_lift",
-    "q21_copurchase_reach2",
-    "q21_dau_wau_stickiness",
-    "q21_part_pagerank",
-    "q21_rfm_segments",
-    "q21_sessionize_gap",
-    "q22_cusum_drift",
-    "q22_ewma_window",
-    "q22_locf_fill",
+    # (a) the eighteen rolled r11 rows
+    "q22_seasonal_naive",
+    "x02_containment_pairs",
+    "x02_dedup_keep_best",
+    "x02_fuzzy_levenshtein_neardup",
+    "x04_bm25_scores",
+    "x04_boilerplate_removal",
+    "x04_bpe_merge_apply",
+    "x04_bpe_pair_stats",
+    "x04_char_entropy",
+    "x04_decontamination",
+    "x04_feature_hashing",
+    "x04_mixing_rebalance",
+    "x04_ngram_vocab",
+    "x04_pii_scrub",
+    "x04_repetition_metrics",
+    "x04_sequence_packing",
+    "x04_tokenize_to_ids",
+    "x05_corpus_slice",
+    # (b) x05_decode_errors landing grade + the
+    # alphabetically-first 31 r12 backfill rows
+    "x05_decode_errors",
+    "q01_csv_scan",
+    "q01_json_scan",
+    "q02_projection_pruning",
+    "q03_filter_predicates",
+    "q04_topk",
+    "q05_multikey_sort",
+    "q06_limit_offset",
+    "q07_corr_exact_moments",
+    "q07_heavy_hitters",
+    "q07_mode_exact",
+    "q07_percentiles",
+    "q08_approx_distinct",
+    "q08_count_distinct",
+    "q08_distinct_pairs",
+    "q09_pivot",
+    "q10_join_anti",
+    "q10_join_broadcast_dims",
+    "q10_join_inner_star",
+    "q10_local_supplier_volume",
+    "q11_interval_overlap",
+    "q11_range_join_bands",
+    "q12_intersect_users",
+    "q13_range_interval_frames",
+    "q13_running_frames",
+    "q13_value_functions",
+    "q16_bitwise_funcs",
+    "q17_adhoc_sql_correlated",
+    "q17_variant_shred",
+    "q18_schema_evolution_read",
+    "q20_grouped_agg_pandas",
+    "q21_ab_power_analysis",
 )
 
 GRADED_WINDOW = 50

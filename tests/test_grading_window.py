@@ -118,10 +118,11 @@ def test_every_family_has_driver_evidence():
 # round-14 landing slot; round 14 drains it into the window (extended
 # with planted-PPM sibling rows, r13 verdict item 3), so the set is
 # empty again. Round 15's one registration (x05_decode_errors — the
-# corrupt-payload quarantine posture, r14 verdict item 4) queues here
-# for its committed round-16 landing slot (the (b) tail cedes
-# q21_cohort_ltv to round 17).
-QUEUED_FOR_NEXT_WINDOW: set[str] = {"x05_decode_errors"}
+# corrupt-payload quarantine posture, r14 verdict item 4) queued here
+# until its committed round-16 landing slot; round 16 drains it into
+# the window (the (b) tail ceded q21_cohort_ltv to round 17), so the
+# set is empty again.
+QUEUED_FOR_NEXT_WINDOW: set[str] = set()
 
 
 def test_previously_ungraded_entries_are_all_in_window():
