@@ -115,8 +115,17 @@ _SESS_STEPS = (_GAP_US, _GAP_US + 1, _GAP_US - 1, 0)
 
 
 def _case_over_bucket(bucket, values) -> F.Column:
-    expr = F.lit(values[-1])
-    for i in range(len(values) - 2, -1, -1):
+    """Spark twin of :func:`_sql_case` (a CASE with NO ELSE arm).
+
+    Falls through to NULL on an out-of-range bucket, exactly like the
+    mirrored SQL — r15 ADVICE: the old form silently mapped strays to
+    the LAST arm, the asymmetry behind the round-15 372-row drift.
+    Call sites pass pmod-derived buckets so no arm is unreachable; an
+    unguarded future caller now diverges loudly (NULL vs a value) in
+    the oracle compare instead of silently agreeing with neither side.
+    """
+    expr: F.Column = F.lit(None)
+    for i in range(len(values) - 1, -1, -1):
         expr = F.when(bucket == i, F.lit(values[i])).otherwise(expr)
     return expr
 

@@ -215,6 +215,13 @@ def encode_ppm(pixels) -> bytes:
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
+#: Decode-envelope cap on the filtered raster (h * (1 + 3w) bytes,
+#: 64 MiB ≈ a 4.7k×4.7k truecolor frame). A hostile IHDR can declare
+#: dimensions far beyond anything this seam should materialize
+#: per-row in an executor; oversized frames quarantine as
+#: "unsupported" rather than attempt the allocation.
+_PNG_MAX_RASTER = 1 << 26
+
 
 def decode_png(payload: bytes):
     """Pure-stdlib decoder for 8-bit truecolor (color type 2,
@@ -288,10 +295,30 @@ def decode_png(payload: bytes):
         )
     if w == 0 or h == 0:
         raise ValueError(f"degenerate PNG dimensions {w}x{h}")
+    expected = h * (1 + 3 * w)
+    if expected > _PNG_MAX_RASTER:
+        raise NotImplementedError(
+            f"PNG raster {w}x{h} exceeds the "
+            f"{_PNG_MAX_RASTER >> 20} MiB decode envelope"
+        )
+    # Bounded inflate (r15 ADVICE, medium): IHDR declares the raster
+    # size BEFORE the deflate stream runs, so never hand untrusted
+    # IDAT bytes to an unbounded zlib.decompress — a ~1000:1 deflate
+    # bomb would otherwise allocate gigabytes and OOM the executor
+    # instead of landing in classify_media's ValueError quarantine.
+    dobj = zlib.decompressobj()
     try:
-        raw = zlib.decompress(bytes(idat))
+        raw = dobj.decompress(bytes(idat), expected + 1)
     except zlib.error as exc:
         raise ValueError(f"PNG IDAT inflate failed: {exc}") from exc
+    if len(raw) > expected or dobj.unconsumed_tail:
+        raise ValueError(
+            f"PNG IDAT inflates past the declared raster size {expected}"
+        )
+    if not dobj.eof:
+        raise ValueError("PNG IDAT inflate failed: incomplete deflate stream")
+    if dobj.unused_data:
+        raise ValueError("PNG IDAT carries trailing bytes past the stream end")
     stride = 3 * w
     if len(raw) != h * (1 + stride):
         raise ValueError(

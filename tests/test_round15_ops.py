@@ -19,6 +19,8 @@ sys.path.insert(
     0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "tools")
 )
 
+from conftest import SF_DIR
+
 from reddit_data_engineering_project_spark.operators.multimodal import (
     _planted_pixels,
     classify_media,
@@ -194,7 +196,7 @@ def test_mutation_audit_catches_both_directions(tmp_path, monkeypatch):
     import degenerate_corpus as deg
     import degenerate_gate as gate
 
-    src = "/root/testdata/sf0.001"
+    src = SF_DIR
     good = str(tmp_path / "null_value")
     deg.write_null_column(src, good, "value")
     monkeypatch.setattr(
@@ -225,7 +227,7 @@ def test_mutation_audit_rejects_label_drift(monkeypatch):
     import degenerate_gate as gate
 
     with pytest.raises(RuntimeError, match="drift"):
-        gate.verify_mutations("/root/testdata/sf0.001", {"bogus": "/tmp/x"})
+        gate.verify_mutations(SF_DIR, {"bogus": "/tmp/x"})
 
 
 def test_negated_key_corpus_keeps_x00_total(tmp_path):
@@ -242,9 +244,7 @@ def test_negated_key_corpus_keeps_x00_total(tmp_path):
 
     registry.load_all_operators()
     out = str(tmp_path / "neg_events")
-    deg.write_negate_column(
-        "/root/testdata/sf0.001", out, "event_id", "events"
-    )
+    deg.write_negate_column(SF_DIR, out, "event_id", "events")
     spark = get_spark()
     sdf = registry.QUERIES["x00_adversarial_audit"](spark, out)
     srows = [tuple(r) for r in sdf.collect()]

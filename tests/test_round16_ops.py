@@ -1,0 +1,132 @@
+"""Round-16 behavior pins: the bounded PNG inflate (r15 ADVICE,
+medium) and the NULL fall-through in the adversarial CASE helper
+(r15 ADVICE, low).
+
+The codec fix closes a resource-exhaustion hole: decode_png handed
+untrusted IDAT bytes to an UNBOUNDED zlib.decompress before the
+raster-size check, so a crafted high-ratio deflate stream could
+allocate gigabytes and OOM an executor — escaping classify_media's
+quarantine (which catches ValueError/NotImplementedError, not
+MemoryError). IHDR declares the raster size before any inflate runs,
+so the bound is known up front.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import pytest
+
+from reddit_data_engineering_project_spark.operators.multimodal import (
+    _PNG_MAX_RASTER,
+    _planted_pixels,
+    classify_media,
+    decode_png,
+    encode_png,
+)
+
+
+def _chunk(t: bytes, d: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(d))
+        + t
+        + d
+        + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+    )
+
+
+def _png(w: int, h: int, idat: bytes) -> bytes:
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + _chunk(b"IDAT", idat)
+        + _chunk(b"IEND", b"")
+    )
+
+
+class TestBoundedInflate:
+    def test_deflate_bomb_quarantines_without_materializing(self):
+        # 4x4 raster declares 52 bytes; the stream inflates to 64 MiB
+        # of zeros (~65000:1). Must raise ValueError after at most
+        # expected+1 bytes of output — never allocate the bomb.
+        bomb = zlib.compress(bytes(1 << 26), 9)
+        assert len(bomb) < 70_000
+        png = _png(4, 4, bomb)
+        with pytest.raises(ValueError, match="inflates past"):
+            decode_png(png)
+        img, status, err = classify_media(png, "image/png")
+        assert (img, status, err) == (None, "quarantined", "value_error")
+
+    def test_truncated_deflate_stream_is_value_error(self):
+        px = _planted_pixels(3)
+        payload = bytearray(encode_png(px))
+        # encode_png layout: 8 sig + 25 IHDR + IDAT; chop the IDAT
+        # data mid-stream and rewrite the chunk around the cut.
+        h, w, _ = px.shape
+        full = decode_png(bytes(payload))  # sanity: intact decodes
+        assert full.shape == (h, w, 3)
+        idat_len = struct.unpack(">I", payload[33:37])[0]
+        data = bytes(payload[41 : 41 + idat_len])[: idat_len // 2]
+        png = (
+            bytes(payload[:33])
+            + _chunk(b"IDAT", data)
+            + _chunk(b"IEND", b"")
+        )
+        with pytest.raises(ValueError, match="incomplete deflate"):
+            decode_png(png)
+
+    def test_trailing_bytes_after_stream_end_rejected(self):
+        px = _planted_pixels(5)
+        h, w, _ = px.shape
+        stride = 3 * w
+        raw = b"".join(
+            b"\x00" + px[y].tobytes() for y in range(h)
+        )
+        assert len(raw) == h * (1 + stride)
+        png = _png(w, h, zlib.compress(raw) + b"JUNKJUNK")
+        with pytest.raises(ValueError, match="trailing bytes"):
+            decode_png(png)
+
+    def test_oversized_ihdr_dimensions_are_unsupported(self):
+        # A hostile IHDR declaring a raster past the 64 MiB envelope
+        # quarantines as "unsupported" before any inflate attempt.
+        w = h = 1 << 16  # raster = h*(1+3w) ≈ 12.9 GiB
+        assert h * (1 + 3 * w) > _PNG_MAX_RASTER
+        png = _png(w, h, zlib.compress(b"\x00"))
+        with pytest.raises(NotImplementedError, match="decode envelope"):
+            decode_png(png)
+        img, status, err = classify_media(png, "image/png")
+        assert (img, status, err) == (None, "quarantined", "unsupported")
+
+    def test_exact_size_roundtrip_still_green(self):
+        for doc_id in (0, 7, 24):
+            px = _planted_pixels(doc_id)
+            assert (decode_png(encode_png(px)) == px).all()
+
+
+def test_case_over_bucket_null_on_out_of_range():
+    """_case_over_bucket now structurally matches the mirrored SQL
+    CASE (no ELSE): an out-of-range bucket yields NULL, not the last
+    arm — a future unguarded caller diverges loudly in the oracle
+    compare instead of silently landing on values[-1]."""
+    from pyspark.sql import functions as F
+
+    from reddit_data_engineering_project_spark.operators.adversarial import (
+        _case_over_bucket,
+    )
+    from reddit_data_engineering_project_spark.session import get_spark
+
+    spark = get_spark()
+    df = spark.range(6).select(
+        (F.col("id") - 1).alias("bucket")
+    )  # buckets -1..4 over a 3-arm CASE
+    out = (
+        df.select(
+            "bucket",
+            _case_over_bucket(F.col("bucket"), ["a", "b", "c"]).alias("v"),
+        )
+        .orderBy("bucket")
+        .collect()
+    )
+    assert [r.v for r in out] == [None, "a", "b", "c", None, None]

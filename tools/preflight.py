@@ -33,9 +33,10 @@ Runs, in order:
                             sweeps were manual, so a regression in a
                             not-yet-pinned entry's degenerate-input
                             path went unchecked between rounds).
-                            ~17 min at twenty-five corpora with the
-                            input-identical skip (measured r15:
-                            996 s) — round-end protocol, not the
+                            Runtime scales with len(EXPECTED_FAILS):
+                            ~40 s per corpus with the input-identical
+                            skip (r15 measured 996 s at its then-25
+                            corpora) — round-end protocol, not the
                             fast loop.
 
 Exit code 0 only if every stage passes. Use before ending a round:
@@ -163,8 +164,9 @@ def main() -> int:
             "(tools/degenerate_gate.py — every hostile corpus in its "
             "EXPECTED_FAILS map, regenerated and swept full-registry "
             "with the input-identical skip, fail sets asserted against "
-            "the documented state). ~17 min at twenty-five corpora "
-            "(measured r15); round-end protocol, not the fast loop"
+            "the documented state). Runtime scales with len(EXPECTED_"
+            "FAILS) — the authoritative corpus count — at roughly 40 s "
+            "per corpus; round-end protocol, not the fast loop"
         ),
     )
     args = ap.parse_args()
