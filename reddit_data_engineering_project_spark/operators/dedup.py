@@ -1395,7 +1395,7 @@ def x02_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH canon AS (
         SELECT doc_id,
                trim(regexp_replace(
-                   regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                   lower(regexp_replace(text, '[^a-zA-Z0-9 ]', ' ', 'g')),
                    ' +', ' ', 'g')) AS ctext
         FROM documents
     )
@@ -1431,9 +1431,18 @@ def x01_dedup_canonicalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     is ``sha2`` of the canonical form (32-byte shuffle key, never the
     text).
     """
+    # Strip BEFORE lowercasing (r16 unicode wave): lower() is the one
+    # locale-sensitive step (Java maps U+0130 'İ' to "i"+U+0307 while
+    # DuckDB's utf8proc maps it to "i"), so case-fold only after the
+    # ASCII-restricting strip has removed every codepoint the engines
+    # could disagree on. Strip-then-lower ≡ lower-then-strip on ASCII
+    # input (baseline outputs byte-identical); on hostile unicode the
+    # reordered form is engine-portable where the old one diverged.
     canon = F.trim(
         F.regexp_replace(
-            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+            F.lower(
+                F.regexp_replace(F.col("text"), "[^a-zA-Z0-9 ]", " ")
+            ),
             " +",
             " ",
         )

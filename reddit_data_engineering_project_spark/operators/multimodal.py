@@ -626,7 +626,7 @@ def x05_corpus_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
         doc_id,
         CAST(octet_length(encode(text)) AS INT) AS n_bytes,
-        lower(hex(encode(substr(text, 1, 4)))) AS header_hex,
+        lower(substring(hex(encode(text)), 1, 8)) AS header_hex,
         'text/plain' AS media_type
     FROM documents
     WHERE lang = 'en' AND text IS NOT NULL
@@ -640,8 +640,11 @@ def x05_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     Python feature extraction (size, header bytes, checksum) with a
     declared output schema. ``byte_checksum`` is computed only Python-side
     (it is the "decoded feature"); the oracle pins the Spark-side
-    verifiable features, and the ASCII-only ``lang='en'`` slice keeps
-    byte↔char equivalence exact for the header comparison.
+    verifiable features. ``header_hex`` is the first four BYTES on both
+    sides — the oracle slices ``hex(encode(text))``, never
+    ``substr(text, ...)`` (char semantics), so the pin holds on
+    multi-byte text too (r16 unicode wave: the old char-based oracle
+    diverged the moment an 'en' row carried a non-ASCII codepoint).
     """
     docs = (
         table(spark, sf_dir, "documents")

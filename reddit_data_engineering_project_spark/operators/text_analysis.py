@@ -1279,7 +1279,7 @@ def x04_lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      x -> x <> '')), 1) AS n_words,
             greatest(len(regexp_split_to_array(text, '[.!?]+')) - 1, 1)
                 AS n_sentences,
-            greatest(len(regexp_split_to_array(lower(text), '[aeiouy]+')) - 1,
+            greatest(len(regexp_split_to_array(text, '[aeiouyAEIOUY]+')) - 1,
                      1) AS n_syllables
         FROM documents
     )
@@ -1304,7 +1304,8 @@ def x04_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     alongside stopword/punctuation ratios in C4-style quality stacks):
     texts that score implausibly high or low are boilerplate, tables, or
     garbled extractions. Syllables are approximated as vowel-group runs
-    (``[aeiouy]+``) — the classic heuristic; sentence count as
+    (``[aeiouyAEIOUY]+`` — case-insensitive by class, not by lower();
+    see the inline note) — the classic heuristic; sentence count as
     terminator runs (``[.!?]+``). Both are REGEX-RUN counts computed as
     ``len(split) - 1``, a formulation whose trailing-separator edge
     cases agree between Java regex split (limit -1) and DuckDB's
@@ -1323,8 +1324,14 @@ def x04_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_sentences = F.greatest(
         F.size(F.split(F.col("text"), r"[.!?]+", -1)) - 1, F.lit(1)
     )
+    # Case-insensitive vowel class instead of lower(text): lower() is
+    # locale-sensitive above ASCII (Java expands U+0130 'İ' to
+    # "i"+U+0307, splitting a vowel run that DuckDB's 1:1 utf8proc
+    # mapping keeps joined — r16 unicode wave, same class as the
+    # canonicalized-dedup fix). [aeiouyAEIOUY]+ is byte-identical on
+    # ASCII and engine-portable everywhere.
     n_syllables = F.greatest(
-        F.size(F.split(F.lower(F.col("text")), r"[aeiouy]+", -1)) - 1, F.lit(1)
+        F.size(F.split(F.col("text"), r"[aeiouyAEIOUY]+", -1)) - 1, F.lit(1)
     )
     t = docs.select(
         "doc_id",

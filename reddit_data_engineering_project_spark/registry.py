@@ -113,23 +113,34 @@ def register(
 #
 # ROUND-17 ROTATION PLAN (committed now so no entry waits on an
 # undocumented promise; precondition: CORRECTNESS_r16 grades the
-# window below 50/50 green). Pure backfill unless round-16 work
-# produces amendments (any such re-grade takes a slot from the (b)
-# tail in its own commit, same mechanism as rounds 13-16):
+# window below 50/50 green). Backfill plus the THREE round-16
+# amendment re-grades (the unicode-wave fixes — code/oracle changed
+# in round 16, graded-corpus hashes verified unchanged by post-fix
+# sf0.01 runs, but each latest green row describes superseded text;
+# same mechanism as rounds 13-16, each taking a slot from the (b)
+# tail):
 #   (a) the FIFTEEN r12 rows that rolled (q21_cohort_ltv,
 #       q21_degree_powerlaw, q21_funnel_conversion,
 #       q21_next_event_prediction, q21_survival_km,
 #       q21_triangle_count, s08_stateful_zscore_replay,
 #       x01_dedup_exact_key, x04_global_shuffle, x04_lm_quality_score,
 #       x04_quality_percentile_gate, x04_readability, x04_source_caps,
-#       x05_byte_histogram, x05_size_binned_shards);
-#   (b) the alphabetically-first 35 of the 44-member r13 class
-#       (pipeline_posts_clean_wire .. q22_hampel_mad); the
-#       alphabetically-last NINE (q22_seasonal_decompose,
-#       s03_session_window, x01_dedup_content_hash, x02_dedup_clusters,
-#       x02_minhash_lsh_neardup, x02_neardup_jaccard, x04_doc_stats,
-#       x05_binary_features, x05_payload_energy) roll to round 18.
-# 15 + 35 = 50. Every round-16/17 registration must either take a
+#       x05_byte_histogram, x05_size_binned_shards — x04_readability's
+#       row additionally lands its round-16 vowel-class amendment)
+#       PLUS the three amendment re-grades: x01_dedup_canonicalized
+#       (strip-before-lower canon), x05_binary_features (byte-head
+#       oracle), pipeline_dedup_report (composes the amended canon
+#       oracle);
+#   (b) the alphabetically-first 32 of the remaining 43-member r13
+#       class (pipeline_posts_clean_wire .. q21_kcore_peel —
+#       x05_binary_features left the pool for its (a) amendment
+#       slot); the alphabetically-last ELEVEN (q21_spend_trend_ols,
+#       q22_acf_hourly, q22_hampel_mad, q22_seasonal_decompose,
+#       s03_session_window, x01_dedup_content_hash,
+#       x02_dedup_clusters, x02_minhash_lsh_neardup,
+#       x02_neardup_jaccard, x04_doc_stats, x05_payload_energy) roll
+#       to round 18.
+# 15 + 3 + 32 = 50. Every round-16/17 registration must either take a
 # slot from the (b) tail in its own commit or add itself to
 # QUEUED_FOR_NEXT_WINDOW — keep velocity <= the handful the window
 # can absorb.

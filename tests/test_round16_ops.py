@@ -130,3 +130,111 @@ def test_case_over_bucket_null_on_out_of_range():
         .collect()
     )
     assert [r.v for r in out] == [None, "a", "b", "c", None, None]
+
+
+def _spark_vs_oracle(tmp_corpus: str, name: str):
+    import duckdb
+    import sys, os
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "tools")
+    )
+    import degenerate_corpus as deg
+    from check_oracle import table_hash
+    from reddit_data_engineering_project_spark import registry
+    from reddit_data_engineering_project_spark.session import get_spark
+
+    registry.load_all_operators()
+    spark = get_spark()
+    sdf = registry.QUERIES[name](spark, tmp_corpus)
+    srows = [tuple(r) for r in sdf.collect()]
+    con = duckdb.connect()
+    for t in deg.TABLES:
+        con.execute(
+            f"create view {t} as select * from "
+            f"read_parquet('{tmp_corpus}/{t}.parquet')"
+        )
+    cur = con.execute(registry.ORACLES[name])
+    cols = [d[0] for d in cur.description]
+    drows = cur.fetchall()
+    assert len(srows) == len(drows), f"{name}: row counts diverge"
+    assert table_hash(srows, sdf.columns) == table_hash(drows, cols), (
+        f"{name}: value hash diverges on the hostile corpus"
+    )
+
+
+class TestUnicodeWave:
+    """Round-16 tenth hostile wave: the two first-sweep divergences the
+    unicode corpus caught, value-pinned on the exact corpus shape."""
+
+    @pytest.fixture(scope="class")
+    def unicorpus(self, tmp_path_factory):
+        import sys, os
+        sys.path.insert(
+            0,
+            os.path.join(os.path.dirname(os.path.dirname(__file__)), "tools"),
+        )
+        import degenerate_corpus as deg
+        from conftest import SF_DIR
+
+        out = str(tmp_path_factory.mktemp("uni") / "corpus")
+        deg.write_unicode_text(SF_DIR, out)
+        return out
+
+    def test_canonicalized_dedup_strip_before_lower(self, unicorpus):
+        # Java lower('İ') = "i"+U+0307 vs DuckDB's 1:1 "i": the old
+        # lower-then-strip canon diverged here; strip-then-lower is
+        # engine-portable.
+        _spark_vs_oracle(unicorpus, "x01_dedup_canonicalized")
+
+    def test_binary_features_header_is_bytes(self, unicorpus):
+        # The header pin is the first four BYTES on both sides — the
+        # old substr(text,1,4) oracle took four CHARS and diverged on
+        # any multi-byte 'en' row.
+        _spark_vs_oracle(unicorpus, "x05_binary_features")
+
+    def test_readability_vowel_class_portable(self, unicorpus):
+        _spark_vs_oracle(unicorpus, "x04_readability")
+
+    def test_lower_divergence_is_real(self):
+        # The mechanism the fixes dodge, pinned so it can't silently
+        # change under an engine upgrade: Python/Java expand U+0130,
+        # DuckDB maps it 1:1.
+        import duckdb
+
+        duck = duckdb.connect().execute("select lower('İ')").fetchone()[0]
+        assert duck == "i"
+        assert "İ".lower() == "i̇"
+
+
+def test_whitespace_corpus_token_vs_char_split(tmp_path):
+    """Eleventh wave pin: all-whitespace text is PRESENT with
+    n_chars > 0 yet yields zero tokens — the quality/profile entries
+    must agree cross-engine on that split."""
+    import sys, os
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "tools")
+    )
+    import degenerate_corpus as deg
+    from conftest import SF_DIR
+
+    out = str(tmp_path / "ws")
+    deg.write_whitespace_text(SF_DIR, out)
+    for name in ("x04_token_count", "x04_data_quality_report"):
+        _spark_vs_oracle(out, name)
+
+
+def test_duplicate_lineitem_bag_semantics(tmp_path):
+    """Twelfth wave pin: full-row lineitem duplicates (contract-legal —
+    no declared PK) double every edge; pair counts and weighted
+    aggregates must agree cross-engine at multiplicity 2."""
+    import sys, os
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "tools")
+    )
+    import degenerate_corpus as deg
+    from conftest import SF_DIR
+
+    out = str(tmp_path / "dup")
+    deg.write_duplicate_rows(SF_DIR, out, "lineitem", 2)
+    for name in ("q21_copurchase_lift", "q21_triangle_count"):
+        _spark_vs_oracle(out, name)

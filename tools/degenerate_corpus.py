@@ -262,6 +262,46 @@ def main() -> int:
         ),
     )
     ap.add_argument(
+        "--empty-text",
+        metavar="DIR",
+        default=None,
+        help="also write the all-empty-string documents.text corpus to DIR",
+    )
+    ap.add_argument(
+        "--unicode-text",
+        metavar="DIR",
+        default=None,
+        help="also write the unicode-hostile documents.text corpus to DIR",
+    )
+    ap.add_argument(
+        "--whitespace-text",
+        metavar="DIR",
+        default=None,
+        help="also write the all-whitespace documents.text corpus to DIR",
+    )
+    ap.add_argument(
+        "--negate-column",
+        metavar="TABLE.COL:DIR",
+        action="append",
+        default=None,
+        help="also write a negated-key corpus (repeatable)",
+    )
+    ap.add_argument(
+        "--offset-column",
+        metavar="TABLE.COL:OFFSET:DIR",
+        action="append",
+        default=None,
+        help="also write an offset-key corpus (repeatable)",
+    )
+    ap.add_argument(
+        "--duplicate-rows",
+        metavar="TABLE:COPIES:DIR",
+        action="append",
+        default=None,
+        help="also write a duplicated-rows corpus (repeatable; the "
+        "table must not declare a primary key)",
+    )
+    ap.add_argument(
         "--mixed",
         metavar="TABLE",
         action="append",
@@ -294,11 +334,45 @@ def main() -> int:
             ap.error(f"--null-column table {tbl!r} not in {sorted(TABLES)}")
         write_null_column(args.src, out, col, tbl)
         print(f"{out}: all-NULL {tbl}.{col} corpus")
+    if args.empty_text:
+        write_empty_text(args.src, args.empty_text)
+        print(f"{args.empty_text}: all-empty-string text corpus")
+    if args.unicode_text:
+        write_unicode_text(args.src, args.unicode_text)
+        print(f"{args.unicode_text}: unicode-hostile text corpus")
+    if args.whitespace_text:
+        write_whitespace_text(args.src, args.whitespace_text)
+        print(f"{args.whitespace_text}: all-whitespace text corpus")
+    for spec in args.negate_column or ():
+        colspec, _, out = spec.partition(":")
+        tbl, dot, col = colspec.rpartition(".")
+        if not dot:
+            ap.error("--negate-column needs TABLE.COL:DIR")
+        if tbl not in TABLES:
+            ap.error(f"--negate-column table {tbl!r} not in {sorted(TABLES)}")
+        write_negate_column(args.src, out, col, tbl)
+        print(f"{out}: negated {tbl}.{col} corpus")
+    for spec in args.offset_column or ():
+        colspec, _, rest = spec.partition(":")
+        off_s, _, out = rest.partition(":")
+        tbl, dot, col = colspec.rpartition(".")
+        if not dot or not out:
+            ap.error("--offset-column needs TABLE.COL:OFFSET:DIR")
+        if tbl not in TABLES:
+            ap.error(f"--offset-column table {tbl!r} not in {sorted(TABLES)}")
+        write_offset_column(args.src, out, col, tbl, int(off_s))
+        print(f"{out}: {tbl}.{col} offset by {off_s} corpus")
+    for spec in args.duplicate_rows or ():
+        tbl, _, rest = spec.partition(":")
+        copies_s, _, out = rest.partition(":")
+        if not out:
+            ap.error("--duplicate-rows needs TABLE:COPIES:DIR")
+        if tbl not in TABLES:
+            ap.error(f"--duplicate-rows table {tbl!r} not in {sorted(TABLES)}")
+        write_duplicate_rows(args.src, out, tbl, int(copies_s))
+        print(f"{out}: {tbl} duplicated x{copies_s} corpus")
     return 0
 
-
-if __name__ == "__main__":
-    main()
 
 
 def write_negate_column(
@@ -378,3 +452,135 @@ def write_empty_text(src: str, out: str) -> None:
                 i2, "n_chars", pa.array([0] * n, t.schema.field("n_chars").type)
             )
         pq.write_table(t, os.path.join(out, f"{name}.parquet"))
+
+
+#: The eight unicode-hostile text shapes, cycled by floored
+#: ``doc_id % 8``. Every shape is contract-legal free text; together
+#: they cover the axes where engine string stacks classically part
+#: ways: astral-plane codepoints (above the BMP — any UTF-16 code-unit
+#: counting shows here), ZWJ emoji clusters, combining diacritics
+#: (NFD — length vs grapheme confusion), bidi/RTL control marks,
+#: locale case traps (Turkish dotless-i, German sharp-s — upper/lower
+#: divergence), zero-width and non-breaking spaces (tokenizer \s
+#: envelopes), space-free CJK (token-count assumptions), and
+#: mathematical alphanumerics (astral letters that ARE \w in some
+#: regex engines and not others).
+UNICODE_SHAPES = (
+    "\U0001f30d astral plane \U0001f680\U0001f9ea payload "
+    "\U0001d54a\U0001d554\U0001d552\U0001d55d\U0001d552",
+    "famille \U0001f468‍\U0001f469‍\U0001f467‍"
+    "\U0001f466 zwj cluster flags \U0001f1fa\U0001f1e6 joined",
+    "étudé à la modé combining sȩdille "
+    "ñ diacritics stacked ȫ",
+    "bidi ‫مرحبا الع"
+    "الم‬ mixed שלום rtl runs",
+    "İstanbul ıssız STRASSE straße ẞß "
+    "ǅungla case traps",
+    "zero​width‌joined‍tokens nb space "
+    "thin space ideographic　space",
+    "训练数据去重是大规模"
+    "语料处理的经典问题"
+    "日本語テキスト",
+    "math \U0001d49c\U0001d4c1\U0001d454\U0001d452\U0001d4b7"
+    "\U0001d4c7\U0001d4b6 ops ∑∫∞≠≤ "
+    "digits \U0001d7d8\U0001d7d9\U0001d7da\U0001d7db",
+)
+
+
+def write_unicode_text(src: str, out: str) -> None:
+    """UNICODE-HOSTILE text corpus (round 16): every ``documents.text``
+    becomes one of the eight :data:`UNICODE_SHAPES`, cycled by floored
+    ``doc_id % 8``; ``n_chars`` is kept CONSISTENT (codepoint length,
+    the corpus convention — Python ``len``, Spark ``length()`` and
+    DuckDB ``length()`` all count codepoints). Both engines sweep the
+    SAME corpus, so any failure is a real cross-engine divergence in
+    the string stack (length/substr vs UTF-16 units, Java vs RE2 regex
+    classes, locale-sensitive case mapping, \\s tokenizer envelopes),
+    not a planted expectation."""
+    import pyarrow as pa
+
+    os.makedirs(out, exist_ok=True)
+    for name in TABLES:
+        t = pq.read_table(os.path.join(src, f"{name}.parquet"))
+        if name == "documents":
+            ids = t.column("doc_id").to_pylist()
+            texts = [UNICODE_SHAPES[i % 8] for i in ids]
+            t = t.set_column(
+                t.schema.get_field_index("text"),
+                "text",
+                pa.array(texts, pa.string()),
+            )
+            t = t.set_column(
+                t.schema.get_field_index("n_chars"),
+                "n_chars",
+                pa.array(
+                    [len(x) for x in texts],
+                    t.schema.field("n_chars").type,
+                ),
+            )
+        pq.write_table(t, os.path.join(out, f"{name}.parquet"))
+
+
+#: The four whitespace-only text shapes, cycled by floored
+#: ``doc_id % 4`` — PRESENT, non-empty (n_chars > 0), yet zero-token.
+WHITESPACE_SHAPES = (" ", "\t\t", " \n \t ", "  \r\n  ")
+
+
+def write_whitespace_text(src: str, out: str) -> None:
+    """ALL-WHITESPACE text corpus (round 16): every ``documents.text``
+    becomes one of :data:`WHITESPACE_SHAPES` (cycled by floored
+    ``doc_id % 4``), ``n_chars`` kept consistent. The third corner of
+    the degenerate-text triangle after all-NULL (r13) and
+    all-empty-string (r15): text is PRESENT and n_chars is NON-ZERO,
+    yet every tokenizer yields zero tokens — the shape that forces
+    apart "has characters" and "has content" wherever a quality gate,
+    ratio metric, or per-token normalizer divides by one while
+    filtering on the other."""
+    import pyarrow as pa
+
+    os.makedirs(out, exist_ok=True)
+    for name in TABLES:
+        t = pq.read_table(os.path.join(src, f"{name}.parquet"))
+        if name == "documents":
+            ids = t.column("doc_id").to_pylist()
+            texts = [WHITESPACE_SHAPES[i % 4] for i in ids]
+            t = t.set_column(
+                t.schema.get_field_index("text"),
+                "text",
+                pa.array(texts, pa.string()),
+            )
+            t = t.set_column(
+                t.schema.get_field_index("n_chars"),
+                "n_chars",
+                pa.array(
+                    [len(x) for x in texts],
+                    t.schema.field("n_chars").type,
+                ),
+            )
+        pq.write_table(t, os.path.join(out, f"{name}.parquet"))
+
+
+def write_duplicate_rows(
+    src: str, out: str, table: str, copies: int = 2
+) -> None:
+    """DUPLICATE-ROW corpus (round 16): every row of ``table`` appears
+    ``copies`` times. Contract-legal ONLY for tables with no declared
+    primary key (lineitem — tables.PRIMARY_KEYS deliberately omits it:
+    full-row duplicates are DATA there, the crawl-reality shape the
+    dedup/diff operators exist for). Bag semantics become load-bearing:
+    EXCEPT ALL multiplicities, self-join pair counts (co-purchase
+    edges quadruple per duplicated order), weighted aggregates, and
+    any DISTINCT the plans rely on must agree across engines when
+    multiplicity > 1 everywhere."""
+    import pyarrow as pa
+
+    os.makedirs(out, exist_ok=True)
+    for name in TABLES:
+        t = pq.read_table(os.path.join(src, f"{name}.parquet"))
+        if name == table:
+            t = pa.concat_tables([t] * copies)
+        pq.write_table(t, os.path.join(out, f"{name}.parquet"))
+
+
+if __name__ == "__main__":
+    main()

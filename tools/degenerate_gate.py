@@ -7,7 +7,7 @@ any OTHER entry's empty-input path would stay invisible until the next
 manual sweep. This tool makes the full sweep a one-command gate:
 
 1. regenerates every degenerate corpus in ``EXPECTED_FAILS`` (the
-   authoritative list — twenty-seven as of round 15) from the committed
+   authoritative list — thirty as of round 16) from the committed
    sf0.001 fixtures via :mod:`degenerate_corpus` (empty, one-row, the
    three mixed corpora with exactly one of events / documents /
    embeddings zeroed, and — round 13 — the two zero-VARIANCE corpora
@@ -222,6 +222,32 @@ EXPECTED_FAILS: dict[str, frozenset[str]] = {
     # token-derived op to its zero edge (TF-IDF/BM25/BPE empty,
     # entropy/length stats 0).
     "empty_text": frozenset(),
+    # round 16 (tenth wave — UNICODE-HOSTILE text): eight shapes cover
+    # astral codepoints, ZWJ clusters, NFD combining marks, bidi runs,
+    # locale case traps, zero-width/NBSP separators, space-free CJK and
+    # math alphanumerics. Caught TWO real divergences on first sweep:
+    # x01_dedup_canonicalized (lower() before the ASCII strip — Java
+    # expands U+0130 to "i"+U+0307 where DuckDB's utf8proc maps 1:1;
+    # fixed by stripping to ASCII BEFORE case-folding, plus the same
+    # class fix in x04_readability's vowel runs) and
+    # x05_binary_features (the oracle's header was the first four
+    # CHARS via substr(text,1,4) while Spark hexes the first four
+    # BYTES — fixed to slice hex(encode(text))). Sweeps clean
+    # post-fix.
+    "unicode_text": frozenset(),
+    # round 16 (eleventh wave, swept clean on first contact): ALL-
+    # WHITESPACE text — present, n_chars > 0, zero tokens: the third
+    # corner of the degenerate-text triangle after all-NULL (r13) and
+    # all-empty-string (r15), forcing apart "has characters" and "has
+    # content" in every quality gate and per-token normalizer.
+    "whitespace_text": frozenset(),
+    # round 16 (twelfth wave, swept clean on first contact): every
+    # lineitem row DUPLICATED (x2) — contract-legal (lineitem declares
+    # no primary key; full-row duplicates are data there). Bag
+    # semantics become load-bearing: self-join pair counts, weighted
+    # aggregates, and any DISTINCT the graph/star plans rely on must
+    # agree across engines at multiplicity 2 everywhere.
+    "dup_lineitem": frozenset(),
 }
 
 # corpus label -> the tables its writer mutates relative to the
@@ -259,6 +285,9 @@ MUTATED_TABLES: dict[str, frozenset[str] | None] = {
     "neg_custkey": frozenset({"customer"}),
     "huge_doc_id": frozenset({"documents"}),
     "empty_text": frozenset({"documents"}),
+    "unicode_text": frozenset({"documents"}),
+    "whitespace_text": frozenset({"documents"}),
+    "dup_lineitem": frozenset({"lineitem"}),
 }
 
 _SUMMARY = re.compile(
@@ -467,6 +496,11 @@ def main() -> int:
         (1 << 57) - (1 << 20),
     )
     deg.write_empty_text(args.src, dirs["empty_text"])
+    deg.write_unicode_text(args.src, dirs["unicode_text"])
+    deg.write_whitespace_text(args.src, dirs["whitespace_text"])
+    deg.write_duplicate_rows(
+        args.src, dirs["dup_lineitem"], "lineitem", 2
+    )
 
     t0 = time.time()
     verify_mutations(args.src, dirs)
