@@ -967,6 +967,68 @@ def x05_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: at 128), 256 samples per analysis frame.
 _ENERGY_FRAME = 256
 
+_ENERGY_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("frame_idx", LongType(), False),
+        StructField("n_samples", LongType(), False),
+        StructField("energy", LongType(), False),
+        StructField("rms_e3", LongType(), False),
+    ]
+)
+
+
+def _payload_energy_frames(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Vectorized per-frame energy: one numpy pass per payload, one
+    concatenated rms computation per Arrow batch."""
+    import numpy as np
+
+    for pdf in batches:
+        ids, idxs, ns, es = [], [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            nb = len(payload)
+            if nb == 0:
+                continue
+            d = np.frombuffer(payload, dtype=np.uint8).astype(
+                np.int64
+            ) - 128
+            starts = np.arange(0, nb, _ENERGY_FRAME)
+            e = np.add.reduceat(d * d, starts)
+            n = np.minimum(starts + _ENERGY_FRAME, nb) - starts
+            k = len(starts)
+            ids.append(np.full(k, int(doc_id), dtype=np.int64))
+            idxs.append(np.arange(k, dtype=np.int64))
+            ns.append(n.astype(np.int64))
+            es.append(e)
+        if not ids:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(dtype="int64"),
+                    "frame_idx": pd.Series(dtype="int64"),
+                    "n_samples": pd.Series(dtype="int64"),
+                    "energy": pd.Series(dtype="int64"),
+                    "rms_e3": pd.Series(dtype="int64"),
+                }
+            )
+            continue
+        energy = np.concatenate(es)
+        n_samples = np.concatenate(ns)
+        v = np.sqrt(energy / n_samples) * 1000.0
+        fl = np.floor(v)
+        rms = (fl + (v - fl >= 0.5)).astype(np.int64)  # HALF_UP, exact
+        yield pd.DataFrame(
+            {
+                "doc_id": np.concatenate(ids),
+                "frame_idx": np.concatenate(idxs),
+                "n_samples": n_samples,
+                "energy": energy,
+                "rms_e3": rms,
+            }
+        )
+
+
 
 @register(
     "x05_payload_energy",
@@ -1017,88 +1079,46 @@ def x05_payload_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     feature-extraction shape (silence detection, loudness
     normalization, voice-activity gating all start from exactly this
     per-frame energy table). Payload bytes are read as 8-bit PCM
-    samples centered at 128, split into {_ENERGY_FRAME}-sample
-    analysis frames, and each frame reports its sample count, exact
-    integer energy (sum of squared deviations, <= 256 * 128^2 < 2^23
-    per frame), and e3-scaled RMS (the one float op, a sqrt of
-    identical doubles on both engines, rounded once).
+    samples centered at 128, split into 256-sample analysis
+    frames, and each frame reports its sample count, exact integer
+    energy (sum of squared deviations, <= 256 * 128^2 < 2^23 per
+    frame), and e3-scaled RMS (the one float op, a sqrt of identical
+    doubles on both engines, rounded HALF_UP once — the Python side
+    spells it ``floor + (frac >= 0.5)``, exact on the double's actual
+    value, because ``np.round`` is half-to-even and would diverge on
+    exact .5 landings like energy=1/n=256 -> rms 62.5).
 
     Decode note: per this module's codec seam, the corpus payload is
     the UTF-8 encoding of ``text``; a real audio deployment swaps the
-    hex-pair byte extraction for the codec in :func:`decode_media` —
-    the framing, energy algebra, and plan shape are unchanged.
+    byte view for the codec in :func:`decode_media` — the framing,
+    energy algebra, and output contract are unchanged.
 
-    Scale shape: everything up to the final projection is ONE codegen
-    pass riding the corpus scan — bytes never become rows; per-frame
-    energies are computed by a higher-order ``aggregate`` over array
-    SLICES inside ``transform`` (the byte-histogram docstring's
-    "fold before exploding" refinement, implemented here because the
-    output is per-frame anyway), and only the tiny frame table
-    explodes. No shuffle anywhere — the output partitioning is the
-    scan's.
+    Scale shape — MEASURED, round 16 (SCALE.md): this op ran
+    2007-2015-style relational for seven rounds (hex -> per-byte
+    ``conv`` -> higher-order ``aggregate`` over array slices, "no
+    Python"), but higher-order functions DO NOT enter whole-stage
+    codegen — the fold is interpreted per element, and the measured
+    cost was 4.0 s at sf0.1 vs 0.6 s for the Arrow path doing the
+    same math in numpy (10x docs: 4.2 s vs ~1.1 s). Per-byte math
+    belongs in vectorized batches, so the op is mapInPandas: bytes
+    cross the Arrow boundary ONCE, ``np.add.reduceat`` folds each
+    frame, and the output partitioning is the scan's (the
+    ensure_min_parallelism round-robin applies only when the corpus
+    scans narrower than the session parallelism — false at 100 TB).
+    The relational formulation and its measured curve stay in
+    tools/scale_curve.py as the documented contrast.
     """
-    docs = table(spark, sf_dir, "documents")
-    hx = docs.select(
-        "doc_id", F.hex(F.encode(F.col("text"), "UTF-8")).alias("h")
+    docs = (
+        table(spark, sf_dir, "documents")
+        # NULL-text rows carry no payload and emit no frames on either
+        # engine (the oracle's generate_series over len(NULL) unnests
+        # to zero rows); prune them BEFORE the Python boundary per the
+        # r13 nullity discipline.
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
     )
-    # conv(hex-pair) is one intrinsic per byte (a digit-position
-    # formulation with two instr calls per byte measured ~2x slower at
-    # sf0.1); the ORACLE keeps the strpos digit algebra — the emitted
-    # VALUES are method-independent, so the hash still pins them.
-    # Empty-payload guard (both spines): Spark's ``sequence(a, b)``
-    # defaults step to -1 when a > b, so an empty payload would turn
-    # sequence(1, 0) / sequence(0, -1) into DESCENDING two-element
-    # arrays and emit bogus frames — while DuckDB's generate_series
-    # with the default +1 step is empty. Gate each sequence on a
-    # positive length so both engines emit zero rows for zero bytes.
-    _empty_ints = F.expr("CAST(array() AS array<int>)")
-    n_bytes = (F.length("h") / F.lit(2)).cast("int")
-    vals = hx.select(
-        "doc_id",
-        F.transform(
-            F.when(n_bytes > 0, F.sequence(F.lit(1), n_bytes)).otherwise(
-                _empty_ints
-            ),
-            lambda i: F.conv(
-                F.col("h").substr(i * 2 - 1, F.lit(2)), 16, 10
-            ).cast("long"),
-        ).alias("v"),
-    )
-    n_frames = F.ceil(F.size("v") / F.lit(float(_ENERGY_FRAME))).cast("int")
-    frames = vals.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.when(n_frames > 0, F.sequence(F.lit(0), n_frames - 1))
-                .otherwise(_empty_ints),
-                lambda f: F.struct(
-                    f.cast("long").alias("frame_idx"),
-                    F.size(
-                        F.slice(F.col("v"), f * _ENERGY_FRAME + 1,
-                                F.lit(_ENERGY_FRAME))
-                    )
-                    .cast("long")
-                    .alias("n_samples"),
-                    F.aggregate(
-                        F.slice(F.col("v"), f * _ENERGY_FRAME + 1,
-                                F.lit(_ENERGY_FRAME)),
-                        F.lit(0).cast("long"),
-                        lambda acc, x: acc + (x - 128) * (x - 128),
-                    ).alias("energy"),
-                ),
-            )
-        ).alias("fr"),
-    )
-    return frames.select(
-        "doc_id",
-        F.col("fr.frame_idx").alias("frame_idx"),
-        F.col("fr.n_samples").alias("n_samples"),
-        F.col("fr.energy").alias("energy"),
-        F.round(
-            F.sqrt(F.col("fr.energy") * 1.0 / F.col("fr.n_samples")) * 1000.0
-        )
-        .cast("bigint")
-        .alias("rms_e3"),
+    return ensure_min_parallelism(docs).mapInPandas(
+        _payload_energy_frames, schema=_ENERGY_SCHEMA
     )
 
 

@@ -495,13 +495,19 @@ def test_survival_km_single_fact_aggregate_bounded_windows(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_payload_energy_no_shuffle_no_python(spark):
-    """x05_payload_energy: a pure codegen scan-side pass — no Exchange
-    (output keeps the scan's partitioning), no Python evaluation node
-    (the byte/energy algebra is all higher-order functions)."""
+def test_payload_energy_single_arrow_pass(spark):
+    """x05_payload_energy: ONE Arrow/mapInPandas pass (r16 rework —
+    the old higher-order-function fold was interpreted, not codegen'd,
+    and measured 4.0 s vs 1.3 s at sf0.1; SCALE.md round 16). No
+    BatchEvalPython (row-at-a-time) anywhere; the only Exchange is the
+    documented ensure_min_parallelism round-robin, whose narrow-scan
+    condition is false at production scale."""
     plan = _plan(spark, "x05_payload_energy")
-    assert "Exchange" not in plan
-    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
+    # exactly one exchange node (the round-robin), never a key shuffle
+    assert plan.count("+- Exchange") == 1
+    assert "hashpartitioning" not in plan
 
 
 def test_cohort_ltv_single_fact_flow_broadcast_sizes(spark):

@@ -238,3 +238,29 @@ def test_duplicate_lineitem_bag_semantics(tmp_path):
     deg.write_duplicate_rows(SF_DIR, out, "lineitem", 2)
     for name in ("q21_copurchase_lift", "q21_triangle_count"):
         _spark_vs_oracle(out, name)
+
+
+def test_payload_energy_halfup_landing():
+    """The r16 Arrow rework's one float op must round HALF_UP like
+    F.round/DuckDB round — np.round (half-to-even) would emit 62 on
+    the exact landing energy=1, n_samples=256 -> rms 62.5. Driven
+    straight through the batch kernel with raw payload bytes."""
+    import pandas as pd
+
+    from reddit_data_engineering_project_spark.operators.multimodal import (
+        _payload_energy_frames,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            # doc 1: one full frame, energy 1 -> rms exactly 62.5
+            # doc 2: empty payload -> zero frames on both engines
+            "payload": [bytes([128] * 255 + [129]), b""],
+        }
+    )
+    out = pd.concat(list(_payload_energy_frames(iter([pdf]))))
+    assert out["doc_id"].tolist() == [1]
+    assert out["n_samples"].tolist() == [256]
+    assert out["energy"].tolist() == [1]
+    assert out["rms_e3"].tolist() == [63]  # HALF_UP, not banker's 62

@@ -452,6 +452,145 @@ def text_curve(spark: SparkSession, sf_dir: str, multiplier: int) -> None:
             )
 
 
+def multimodal_curve(
+    spark: SparkSession, sf_dir: str, multiplier: int
+) -> None:
+    """x05 Python-boundary curve at 1x and Nx docs (round 16): the
+    multimodal family is the one place bytes cross the Arrow boundary
+    into Python, and at 100 TB the question is whether the mapInPandas
+    paths stay linear-in-bytes or drown in per-row overhead. Three
+    members, one contrast:
+
+    - ``frame_sample``: the strided mapInPandas fan-out (payload ->
+      1-in-4 16-byte frames) — per-PAYLOAD Python work, linear bytes.
+    - ``codec_roundtrip``: the real-decoder path (_bmp_roundtrip_stats:
+      planted pixels -> real BMP+PPM bytes -> decode_media -> numpy
+      stats) — the heaviest per-doc Python this repo runs.
+    - ``payload_energy``: the SAME per-byte feature class spelled
+      relationally (hex -> per-byte conv -> higher-order fold, zero
+      Python) — the contrast number. The r16 measurement INVERTED the
+      "stay JVM-side" prose for this class: higher-order functions are
+      interpreted, not codegen'd, and the fold read 4.0 s at sf0.1 vs
+      0.6-1.3 s for the Arrow paths — which is why the REGISTERED
+      x05_payload_energy is now mapInPandas and this inline relational
+      twin is kept here as the measured contrast.
+
+    Replicas are verbatim with offset doc_ids (payload work has no
+    pairwise structure; density is inherently constant). Reported per
+    run: docs, output rows, wall seconds.
+    """
+    from reddit_data_engineering_project_spark.operators.multimodal import (
+        _FRAME_SCHEMA,
+        _BMP_STATS_SCHEMA,
+        _bmp_roundtrip_stats,
+        _sample_frames,
+        x05_payload_energy,
+    )
+    from reddit_data_engineering_project_spark.tables import (
+        ensure_min_parallelism,
+        table,
+    )
+
+    base = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
+
+    def verbatim(n: int) -> DataFrame:
+        if n <= 1:
+            return base
+        reps = [
+            base.select(
+                (F.col("doc_id") + F.lit(r * 100_000_000)).alias("doc_id"),
+                "text",
+            )
+            for r in range(n)
+        ]
+        out = reps[0]
+        for df in reps[1:]:
+            out = out.unionAll(df)
+        return out
+
+    def frame_sample_op(docs: DataFrame) -> DataFrame:
+        payloads = docs.select(
+            "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+        )
+        return ensure_min_parallelism(payloads).mapInPandas(
+            _sample_frames, schema=_FRAME_SCHEMA
+        )
+
+    def codec_op(docs: DataFrame) -> DataFrame:
+        ids = docs.select("doc_id")
+        return ensure_min_parallelism(ids).mapInPandas(
+            _bmp_roundtrip_stats, schema=_BMP_STATS_SCHEMA
+        )
+
+    def energy_op(docs: DataFrame) -> DataFrame:
+        # same framing algebra as the registered entry, inlined over
+        # the replicated doc set (the registered fn reads sf_dir).
+        hx = docs.select(
+            "doc_id", F.hex(F.encode(F.col("text"), "UTF-8")).alias("h")
+        )
+        _empty = F.expr("CAST(array() AS array<int>)")
+        nb = (F.length("h") / F.lit(2)).cast("int")
+        vals = hx.select(
+            "doc_id",
+            F.transform(
+                F.when(nb > 0, F.sequence(F.lit(1), nb)).otherwise(_empty),
+                lambda i: F.conv(
+                    F.col("h").substr(i * 2 - 1, F.lit(2)), 16, 10
+                ).cast("long"),
+            ).alias("v"),
+        )
+        nf = F.ceil(F.size("v") / F.lit(256.0)).cast("int")
+        return vals.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.when(nf > 0, F.sequence(F.lit(0), nf - 1)).otherwise(
+                        _empty
+                    ),
+                    lambda f: F.aggregate(
+                        F.slice(F.col("v"), f * 256 + 1, F.lit(256)),
+                        F.lit(0).cast("long"),
+                        lambda acc, x: acc + (x - 128) * (x - 128),
+                    ),
+                )
+            ).alias("energy"),
+        )
+
+    corpus = os.path.basename(sf_dir.rstrip("/"))
+    ops = (
+        ("frame_sample", frame_sample_op),
+        ("codec_roundtrip", codec_op),
+        ("payload_energy", energy_op),
+    )
+    # Uncounted warm-up (codegen JIT + Python worker spin-up).
+    for _, op in ops:
+        op(base).count()
+    for n in (1, multiplier):
+        docs = verbatim(n)
+        spark.catalog.clearCache()
+        n_docs = docs.count()
+        for name, op in ops:
+            t0 = time.time()
+            rows = op(docs).count()
+            print(
+                json.dumps(
+                    {
+                        "family": f"multimodal/{name}",
+                        "corpus": corpus + (f" x{n}" if n > 1 else ""),
+                        "docs": n_docs,
+                        "rows": rows,
+                        "wall_sec": round(time.time() - t0, 2),
+                    }
+                ),
+                flush=True,
+            )
+
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
@@ -465,6 +604,7 @@ def main() -> int:
             "semantic",
             "graph",
             "text",
+            "multimodal",
             "all",
         ),
         default="dedup",
@@ -500,6 +640,11 @@ def main() -> int:
     if args.family in ("text", "all"):
         text_curve(spark, args.sf, args.multiplier)
         if args.family == "text":
+            spark.stop()
+            return 0
+    if args.family in ("multimodal", "all"):
+        multimodal_curve(spark, args.sf, args.multiplier)
+        if args.family == "multimodal":
             spark.stop()
             return 0
     results = []
