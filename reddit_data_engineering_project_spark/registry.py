@@ -113,36 +113,42 @@ def register(
 #
 # ROUND-17 ROTATION PLAN (committed now so no entry waits on an
 # undocumented promise; precondition: CORRECTNESS_r16 grades the
-# window below 50/50 green). Backfill plus the FOUR round-16
+# window below 50/50 green). Backfill plus the SIX round-16
 # amendment re-grades (code/oracle changed in round 16 — the three
-# unicode-wave fixes plus the payload-energy Arrow rework;
-# graded-corpus hashes verified unchanged by post-fix sf0.001+sf0.01
-# runs, but each latest green row describes superseded code; same
-# mechanism as rounds 13-16, each taking a slot from the (b) tail):
+# unicode-wave fixes, the payload-energy Arrow rework, and the two
+# s09 rows of the ts-edge µs-boundary rework; graded-corpus hashes
+# verified unchanged by post-fix sf0.001+sf0.01 runs, but each latest
+# green row describes superseded code; same mechanism as rounds
+# 13-16, each taking a slot from the (b) tail):
 #   (a) the FIFTEEN r12 rows that rolled (q21_cohort_ltv,
 #       q21_degree_powerlaw, q21_funnel_conversion,
 #       q21_next_event_prediction, q21_survival_km,
 #       q21_triangle_count, s08_stateful_zscore_replay,
 #       x01_dedup_exact_key, x04_global_shuffle, x04_lm_quality_score,
 #       x04_quality_percentile_gate, x04_readability, x04_source_caps,
-#       x05_byte_histogram, x05_size_binned_shards — x04_readability's
-#       row additionally lands its round-16 vowel-class amendment)
-#       PLUS the four amendment re-grades: x01_dedup_canonicalized
-#       (strip-before-lower canon), x05_binary_features (byte-head
-#       oracle), pipeline_dedup_report (composes the amended canon
-#       oracle), x05_payload_energy (Arrow/mapInPandas rework — the
-#       measured 4.0 s -> 1.3 s interpreted-HOF finding, SCALE.md
-#       round 16);
-#   (b) the alphabetically-first 31 of the remaining 42-member r13
-#       class (pipeline_posts_clean_wire .. q21_event_transitions —
+#       x05_byte_histogram, x05_size_binned_shards —
+#       x04_readability's row additionally lands its round-16
+#       vowel-class amendment, and s08_stateful_zscore_replay's row
+#       lands the round-16 µs-boundary rework) PLUS the six amendment
+#       re-grades: x01_dedup_canonicalized (strip-before-lower
+#       canon), x05_binary_features (byte-head oracle),
+#       pipeline_dedup_report (composes the amended canon oracle),
+#       x05_payload_energy (Arrow/mapInPandas rework — the measured
+#       4.0 s -> 1.3 s interpreted-HOF finding, SCALE.md round 16),
+#       s09_session_gap_replay + s09_session_timeout_replay (the
+#       ts-edge wave's pandas-ns-cliff fix: epoch-µs longs across the
+#       pandas boundary, timestamps re-cast relationally);
+#   (b) the alphabetically-first 29 of the remaining 42-member r13
+#       class (pipeline_posts_clean_wire .. q21_adamic_adar —
 #       x05_binary_features and x05_payload_energy left the pool for
-#       their (a) amendment slots); the alphabetically-last ELEVEN
-#       (q21_kcore_peel, q21_spend_trend_ols, q22_acf_hourly,
+#       their (a) amendment slots); the alphabetically-last THIRTEEN
+#       (q21_adamic_adar_capped, q21_event_transitions,
+#       q21_kcore_peel, q21_spend_trend_ols, q22_acf_hourly,
 #       q22_hampel_mad, q22_seasonal_decompose, s03_session_window,
 #       x01_dedup_content_hash, x02_dedup_clusters,
 #       x02_minhash_lsh_neardup, x02_neardup_jaccard, x04_doc_stats)
 #       roll to round 18.
-# 15 + 4 + 31 = 50. Every round-16/17 registration must either take a
+# 15 + 6 + 29 = 50. Every round-16/17 registration must either take a
 # slot from the (b) tail in its own commit or add itself to
 # QUEUED_FOR_NEXT_WINDOW — keep velocity <= the handful the window
 # can absorb.

@@ -29,8 +29,36 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
-    TimestampType,
 )
+
+#: NULL-event-time sentinel for the epoch-µs boundary column: int64
+#: min, the same value a NaT datetime64 view yields, so every "NaT
+#: sorts last / NaT drops" discipline keeps its comparison shape.
+#:
+#: WHY epoch-µs longs cross the pandas boundary instead of timestamps
+#: (r16 ts-edge hostile wave): Spark's Arrow->pandas conversion casts
+#: timestamp[us] to timestamp[ns], which overflows for any event time
+#: past 2262-04-11 — the declared TIME_DOMAINS ceiling is 2999-12-31,
+#: so a TimestampType column makes every applyInPandas(WithState)
+#: operator crash on contract-legal data (pyarrow ArrowInvalid; and
+#: pd.Timestamp(us * 1000) even overflows int64). Longs have no unit
+#: cast: the transition functions do exact integer µs arithmetic over
+#: the full domain, and callers re-cast to TimestampType RELATIONALLY
+#: (timestamp_micros) after the boundary.
+NAT_US = -(1 << 63)
+
+
+def ts_us_expr():
+    """The boundary projection for event time: ``ts`` as epoch-µs
+    LongType named ``ts_us``, NULL encoded as :data:`NAT_US` (so the
+    column is non-nullable int64 in pandas — a nullable long would
+    arrive as float64 and lose µs exactness above 2^53)."""
+    from pyspark.sql import functions as F
+
+    return F.coalesce(F.unix_micros(F.col("ts")), F.lit(NAT_US)).alias(
+        "ts_us"
+    )
+
 
 #: Per-user profile state: (n_events, total_value, last_ts-as-epoch-µs).
 STATE_SCHEMA = StructType(
@@ -41,12 +69,14 @@ STATE_SCHEMA = StructType(
     ]
 )
 
+#: Boundary output: ``last_ts_us`` stays an epoch-µs long through the
+#: pandas seam; the runner casts it to TimestampType relationally.
 PROFILE_SCHEMA = StructType(
     [
         StructField("user_id", LongType()),
         StructField("n_events", LongType()),
         StructField("total_value", DoubleType()),
-        StructField("last_ts", TimestampType()),
+        StructField("last_ts_us", LongType()),
     ]
 )
 
@@ -66,8 +96,9 @@ def update_user_profile(
     for pdf in batches:
         n += len(pdf)
         total += float(pdf["value"].fillna(0.0).sum())
-        ts_us = pdf["ts"].astype("int64") // 1000  # ns -> µs
-        last_us = max(last_us, int(ts_us.max()))
+        # epoch-µs longs (NAT_US for NULL ts) — the sentinel is int64
+        # min, so it never wins the max unless every row is NULL.
+        last_us = max(last_us, int(pdf["ts_us"].max()))
 
     state.update((n, total, last_us))
     yield pd.DataFrame(
@@ -75,7 +106,7 @@ def update_user_profile(
             "user_id": [user_id],
             "n_events": [n],
             "total_value": [total],
-            "last_ts": [pd.Timestamp(last_us * 1000)],
+            "last_ts_us": [last_us],
         }
     )
 
@@ -97,13 +128,23 @@ def run_profile_stream(
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(source_dir)
+        # only what the fold reads crosses the Arrow boundary, and
+        # event time crosses as epoch-µs longs (see ts_us_expr)
+        .select("user_id", "value", ts_us_expr())
     )
+    from pyspark.sql import functions as F
+
     profiles = stream.groupBy("user_id").applyInPandasWithState(
         update_user_profile,
         outputStructType=PROFILE_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    ).select(
+        "user_id",
+        "n_events",
+        "total_value",
+        F.timestamp_micros("last_ts_us").alias("last_ts"),
     )
 
     # foreachBatch is at-least-once: overwrite keyed on batch_id makes a
@@ -378,7 +419,21 @@ def score_rolling_zscore(
     if not frames:
         state.update((tail,))
         return
-    pdf = pd.concat(frames).sort_values(["ts", "event_id"])
+    import numpy as np
+
+    pdf = frames[0] if len(frames) == 1 else pd.concat(frames)
+    # (ts, event_id) order with NULL ts LAST — the sentinel NAT_US is
+    # int64 min, so remap it to int64 max for the sort key (same
+    # discipline as the bucketed fold; NULL-ts rows keep their frame
+    # slot, their fold position is load-bearing for row identity).
+    ts_us = pdf["ts_us"].to_numpy("int64")
+    ts_key = np.where(
+        ts_us == NAT_US, np.iinfo("int64").max, ts_us
+    )
+    eid = pdf["event_id"].to_numpy()
+    if eid.dtype == object:
+        eid = pdf["event_id"].astype("float64").to_numpy()
+    pdf = pdf.iloc[np.lexsort((eid, ts_key))]
 
     ev, val, val_mask, z, z_mask, tail = _zscore_fold(
         tail, pdf["event_id"], pdf["value"]
@@ -423,7 +478,7 @@ def run_zscore_stream(
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(source_dir)
-        .select("user_id", "ts", "event_id", "value"),
+        .select("user_id", "event_id", "value", ts_us_expr()),
         contract_table,
     )
     scored = stream.groupBy("user_id").applyInPandasWithState(
@@ -497,13 +552,13 @@ def score_rolling_zscore_bucketed(
     chunks: list[tuple] = []  # (uid_or_None, ev, val, val_mask, z, z_mask)
     if frames:
         pdf = frames[0] if len(frames) == 1 else pd.concat(frames)
-        ts_ns = pdf["ts"].to_numpy("datetime64[ns]").view("int64")
-        # NaT (int64-min) must sort LAST to match the per-user path's
-        # sort_values(["ts", "event_id"]) — the z-score fold KEEPS
-        # null-ts rows (they occupy a frame slot), so their position in
-        # the fold order is load-bearing for row-identity (r11 advice).
+        ts_us = pdf["ts_us"].to_numpy("int64")
+        # NULL ts (NAT_US = int64 min) must sort LAST to match the
+        # per-user path — the z-score fold KEEPS null-ts rows (they
+        # occupy a frame slot), so their position in the fold order is
+        # load-bearing for row-identity (r11 advice).
         ts_key = np.where(
-            ts_ns == np.iinfo("int64").min, np.iinfo("int64").max, ts_ns
+            ts_us == NAT_US, np.iinfo("int64").max, ts_us
         )
         eid = pdf["event_id"].to_numpy()
         if eid.dtype == object:
@@ -594,9 +649,9 @@ def run_zscore_stream_bucketed(
         .parquet(source_dir)
         .select(
             "user_id",
-            "ts",
             "event_id",
             "value",
+            ts_us_expr(),
             F.pmod(F.xxhash64(F.col("user_id")), F.lit(n_buckets)).alias(
                 "bucket"
             ),
@@ -644,15 +699,59 @@ SESSION_STATE_SCHEMA = StructType(
     ]
 )
 
+#: Boundary output: session bounds stay epoch-µs longs through the
+#: pandas seam (see ts_us_expr's rationale); callers cast to
+#: TimestampType relationally via :func:`cast_session_bounds`.
 SESSION_OUT_SCHEMA = StructType(
     [
         StructField("user_id", LongType()),
-        StructField("session_start", TimestampType()),
-        StructField("session_end", TimestampType()),
+        StructField("session_start", LongType()),
+        StructField("session_end", LongType()),
         StructField("n_events", LongType()),
         StructField("closed_by", StringType()),
     ]
 )
+
+
+#: The watermark column for the event-time-timeout streams: the real
+#: event time CLAMPED to datetime64[ns]'s ceiling
+#: (2262-04-11T23:47:16.854775), so the TimestampType column Spark's
+#: EventTimeTimeout machinery requires in the stateful operator's
+#: child output survives the hardcoded Arrow->pandas ns cast for ANY
+#: in-domain corpus. Inside the ns range the clamp is the identity:
+#: watermark advance and Spark's engine-side late-row drop (which
+#: keys on this tagged column — pinned by
+#: test_session_streams_filter_late_rows_identically) behave exactly
+#: as on the raw column. Past the ceiling the watermark SATURATES:
+#: no rows are dropped or corrupted and gap-closure (driven by the
+#: exact ts_us longs) stays total over the whole TIME_DOMAIN, but
+#: timeout-closure stops firing once the watermark pins at the
+#: ceiling — the one documented residual of Spark's ns boundary, vs
+#: the pre-r16 state where any event past 2262 CRASHED the stream.
+_WM_CEILING_US = 9_223_372_036_854_775
+
+
+def _clamped_wm_ts():
+    from pyspark.sql import functions as F
+
+    return F.least(
+        F.col("ts"), F.timestamp_micros(F.lit(_WM_CEILING_US))
+    ).alias("ts")
+
+
+def cast_session_bounds(df):
+    """Relational µs->timestamp cast of the sessionizer's boundary
+    output — the half of the timestamp round-trip that never touches
+    pandas, total over the whole declared TIME_DOMAIN."""
+    from pyspark.sql import functions as F
+
+    return df.select(
+        "user_id",
+        F.timestamp_micros("session_start").alias("session_start"),
+        F.timestamp_micros("session_end").alias("session_end"),
+        "n_events",
+        "closed_by",
+    )
 
 
 def _gap_fold(
@@ -742,8 +841,8 @@ def close_idle_sessions(
                 "user_id": pd.array(
                     [user_id] * len(sessions), dtype="Int64"
                 ),
-                "session_start": starts.view("datetime64[us]"),
-                "session_end": ends.view("datetime64[us]"),
+                "session_start": starts,
+                "session_end": ends,
                 "n_events": counts,
                 "closed_by": [why] * len(sessions),
             }
@@ -780,16 +879,16 @@ def close_idle_sessions(
         # lexsort is stable like sort_values, NaT drops, NaN event_ids
         # sort last.
         pdf = frames[0] if len(frames) == 1 else pd.concat(frames)
-        ts_ns = pdf["ts"].to_numpy("datetime64[ns]").view("int64")
+        ts_us_all = pdf["ts_us"].to_numpy("int64")
         eid = pdf["event_id"].to_numpy()
         if eid.dtype == object:  # nullable extension fallback
             eid = pdf["event_id"].astype("float64").to_numpy()
-        mask = ts_ns != np.iinfo("int64").min  # NaT carries no position
+        mask = ts_us_all != NAT_US  # NULL ts carries no position
         if not mask.all():
-            ts_ns = ts_ns[mask]
+            ts_us_all = ts_us_all[mask]
             eid = eid[mask]
-        order = np.lexsort((eid, ts_ns))
-        ts_us = ts_ns[order] // 1000  # ns -> µs
+        order = np.lexsort((eid, ts_us_all))
+        ts_us = ts_us_all[order]
         newly_closed, cur = _gap_fold(cur, ts_us, gap_us)
         closed.extend(newly_closed)
     if cur is None:
@@ -862,13 +961,21 @@ def run_session_stream(
         .parquet(source_dir)
         .select("user_id", "ts", "event_id"),
         contract_table,
+    )
+    # exact epoch-µs longs for the fold + the ns-safe clamped ts for
+    # the watermark/late-drop machinery (see _WM_CEILING_US); ts_us is
+    # computed from the RAW ts before the clamp
+    stream = stream.select(
+        "user_id", "event_id", ts_us_expr(), _clamped_wm_ts()
     ).withWatermark("ts", "0 seconds")
-    sessions = stream.groupBy("user_id").applyInPandasWithState(
-        close_idle_sessions,
-        outputStructType=SESSION_OUT_SCHEMA,
-        stateStructType=SESSION_STATE_SCHEMA,
-        outputMode="append",
-        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    sessions = cast_session_bounds(
+        stream.groupBy("user_id").applyInPandasWithState(
+            close_idle_sessions,
+            outputStructType=SESSION_OUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
     )
 
     def write_batch(batch_df, batch_id: int) -> None:
@@ -974,17 +1081,17 @@ def close_idle_sessions_bucketed(
         frames = [pdf for pdf in batches if len(pdf)]
         if frames:
             pdf = frames[0] if len(frames) == 1 else pd.concat(frames)
-            ts_ns = pdf["ts"].to_numpy("datetime64[ns]").view("int64")
-            mask = ts_ns != np.iinfo("int64").min
+            ts_arr = pdf["ts_us"].to_numpy("int64")
+            mask = ts_arr != NAT_US
             if not mask.all():
                 pdf = pdf[mask]
-                ts_ns = ts_ns[mask]
+                ts_arr = ts_arr[mask]
             eid = pdf["event_id"].to_numpy()
             if eid.dtype == object:
                 eid = pdf["event_id"].astype("float64").to_numpy()
-            order = np.lexsort((eid, ts_ns))
+            order = np.lexsort((eid, ts_arr))
             pdf = pdf.iloc[order]
-            ts_us_all = ts_ns[order] // 1000
+            ts_us_all = ts_arr[order]
             # groupby(sort=False) preserves the (ts, event_id) order
             # within each user — the fold sees the same sequence the
             # per-user operator sorts for itself.
@@ -1057,8 +1164,8 @@ def close_idle_sessions_bucketed(
         yield pd.DataFrame(
             {
                 "user_id": pd.array(out_user, dtype="Int64"),
-                "session_start": starts.view("datetime64[us]"),
-                "session_end": ends.view("datetime64[us]"),
+                "session_start": starts,
+                "session_end": ends,
                 "n_events": counts,
                 "closed_by": out_why,
             }
@@ -1107,13 +1214,18 @@ def run_session_stream_bucketed(
             ),
         ),
         contract_table,
+    )
+    stream = stream.select(
+        "user_id", "event_id", "bucket", ts_us_expr(), _clamped_wm_ts()
     ).withWatermark("ts", "0 seconds")
-    sessions = stream.groupBy("bucket").applyInPandasWithState(
-        close_idle_sessions_bucketed,
-        outputStructType=SESSION_OUT_SCHEMA,
-        stateStructType=BUCKET_SESSION_STATE_SCHEMA,
-        outputMode="append",
-        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    sessions = cast_session_bounds(
+        stream.groupBy("bucket").applyInPandasWithState(
+            close_idle_sessions_bucketed,
+            outputStructType=SESSION_OUT_SCHEMA,
+            stateStructType=BUCKET_SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
     )
 
     def write_batch(batch_df, batch_id: int) -> None:

@@ -635,14 +635,14 @@ def s08_stateful_zscore_replay(
     replay (vs O(frame) in the true stream — the replay is a grading
     harness, not the deployment path; ``run_zscore_stream`` is).
     """
+    from .stateful import ZSCORE_OUT_SCHEMA, ts_us_expr
+
     ev = table(spark, sf_dir, "events").select(
         "user_id",
         "event_id",
-        "ts",
+        ts_us_expr(),
         F.round(F.col("value") * 10000.0).cast("double").alias("value"),
     )
-    from .stateful import ZSCORE_OUT_SCHEMA
-
     return ev.groupBy("user_id").applyInPandas(
         _replay_zscore_user, schema=ZSCORE_OUT_SCHEMA
     )
@@ -661,9 +661,9 @@ def _replay_sessions_user(pdf):
 
     from .stateful import SESSION_OUT_SCHEMA, close_idle_sessions
 
-    # The transition fn converts event times ns->µs; Arrow may hand
-    # batch pandas timestamps at a different unit, so pin ns here.
-    pdf = pdf.assign(ts=pdf["ts"].astype("datetime64[ns]"))
+    # Event time arrives as exact epoch-µs int64 (ts_us, NULL as
+    # NAT_US) — no datetime unit to pin since the r16 µs-boundary
+    # rework (pandas' ns cast overflowed at the TIME_DOMAIN edge).
     uid = pdf["user_id"].iloc[0]
     state = _ReplayGroupState()
     out = list(
@@ -789,15 +789,21 @@ def s09_session_gap_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     replay harness (the deployment path, ``run_session_stream``, holds
     O(1) state per user under ``applyInPandasWithState``).
     """
-    from .stateful import SESSION_OUT_SCHEMA
+    from .stateful import (
+        SESSION_OUT_SCHEMA,
+        cast_session_bounds,
+        ts_us_expr,
+    )
 
     ev = _s09_sample(
         table(spark, sf_dir, "events")
         .filter(F.col("ts").isNotNull())
-        .select("user_id", "event_id", "ts")
+        .select("user_id", "event_id", ts_us_expr())
     )
-    return ev.groupBy("user_id").applyInPandas(
-        _replay_sessions_user, schema=SESSION_OUT_SCHEMA
+    return cast_session_bounds(
+        ev.groupBy("user_id").applyInPandas(
+            _replay_sessions_user, schema=SESSION_OUT_SCHEMA
+        )
     )
 
 
@@ -815,7 +821,6 @@ def _replay_sessions_user_timeout(pdf):
 
     from .stateful import SESSION_OUT_SCHEMA, close_idle_sessions
 
-    pdf = pdf.assign(ts=pdf["ts"].astype("datetime64[ns]"))
     uid = pdf["user_id"].iloc[0]
     key = (None if pd.isna(uid) else int(uid),)
     state = _ReplayGroupState()
@@ -908,13 +913,19 @@ def s09_session_timeout_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5 1-in-8 user sample, same scale shape (one pruned scan, one
     user_id exchange into Arrow batches).
     """
-    from .stateful import SESSION_OUT_SCHEMA
+    from .stateful import (
+        SESSION_OUT_SCHEMA,
+        cast_session_bounds,
+        ts_us_expr,
+    )
 
     ev = _s09_sample(
         table(spark, sf_dir, "events")
         .filter(F.col("ts").isNotNull())
-        .select("user_id", "event_id", "ts")
+        .select("user_id", "event_id", ts_us_expr())
     )
-    return ev.groupBy("user_id").applyInPandas(
-        _replay_sessions_user_timeout, schema=SESSION_OUT_SCHEMA
+    return cast_session_bounds(
+        ev.groupBy("user_id").applyInPandas(
+            _replay_sessions_user_timeout, schema=SESSION_OUT_SCHEMA
+        )
     )

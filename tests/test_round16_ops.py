@@ -264,3 +264,49 @@ def test_payload_energy_halfup_landing():
     assert out["n_samples"].tolist() == [256]
     assert out["energy"].tolist() == [1]
     assert out["rms_e3"].tolist() == [63]  # HALF_UP, not banker's 62
+
+
+def test_ts_edge_corpus_stateful_replays_total(tmp_path):
+    """Fifteenth wave pin — the pandas ns cliff: year-2999 event times
+    (contract-legal, TIME_DOMAINS) crashed every pandas-boundary
+    stateful entry before the r16 µs-boundary rework (Arrow->pandas
+    hard-casts timestamp[us] to ns, overflowing past 2262-04-11).
+    The replay entries must now hash-match their oracles at the
+    calendar envelope edge."""
+    import sys, os
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "tools")
+    )
+    import degenerate_corpus as deg
+    from conftest import SF_DIR
+
+    out = str(tmp_path / "edge")
+    deg.write_ts_edge(SF_DIR, out)
+    for name in (
+        "s08_stateful_zscore_replay",
+        "s09_session_gap_replay",
+        "s09_session_timeout_replay",
+    ):
+        _spark_vs_oracle(out, name)
+
+
+def test_value_edge_and_one_user_sample_entries(tmp_path):
+    """Thirteenth/fourteenth wave pins: total user-skew and the ±1e3
+    value-domain edge hold on representative quantized/windowed
+    entries."""
+    import sys, os
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "tools")
+    )
+    import degenerate_corpus as deg
+    from conftest import SF_DIR
+
+    ve = str(tmp_path / "ve")
+    deg.write_value_edge(SF_DIR, ve)
+    for name in ("q22_rolling_zscore", "s08_stateful_zscore_replay"):
+        _spark_vs_oracle(ve, name)
+
+    ou = str(tmp_path / "ou")
+    deg.write_const_column(SF_DIR, ou, "user_id", "events", 0)
+    for name in ("q21_sessionize_gap", "s09_session_gap_replay"):
+        _spark_vs_oracle(ou, name)

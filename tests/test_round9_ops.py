@@ -124,8 +124,16 @@ def test_close_idle_sessions_multichunk_and_degenerate_input():
             return 0  # batch stand-in, same as _ReplayGroupState
 
     def chunk(eids, tss):
+        from reddit_data_engineering_project_spark.streaming.stateful import (
+            NAT_US,
+        )
+
         return pd.DataFrame(
-            {"event_id": eids, "ts": pd.to_datetime(pd.Series(tss)),
+            {"event_id": eids,
+             "ts_us": [
+                 NAT_US if t is None else int(pd.Timestamp(t).value // 1000)
+                 for t in tss
+             ],
              "user_id": [7] * len(eids)}
         )
 
@@ -257,8 +265,16 @@ def test_close_idle_sessions_state_continuation_branches():
             return 0  # batch stand-in, same as _ReplayGroupState
 
     def chunk(eids, tss):
+        from reddit_data_engineering_project_spark.streaming.stateful import (
+            NAT_US,
+        )
+
         return pd.DataFrame(
-            {"event_id": eids, "ts": pd.to_datetime(pd.Series(tss)),
+            {"event_id": eids,
+             "ts_us": [
+                 NAT_US if t is None else int(pd.Timestamp(t).value // 1000)
+                 for t in tss
+             ],
              "user_id": [7] * len(eids)}
         )
 
@@ -285,7 +301,7 @@ def test_close_idle_sessions_state_continuation_branches():
     assert list(frame["n_events"]) == [3]
     assert list(frame["closed_by"]) == ["gap"]
     assert frame["session_start"].iloc[0] == pd.Timestamp(
-        "2024-01-01 00:00:00")
+        "2024-01-01 00:00:00").value // 1000
     assert frame["session_end"].iloc[0] == pd.Timestamp(
-        "2024-01-01 00:34:00")
+        "2024-01-01 00:34:00").value // 1000
     assert st.get[2] == 1  # the new open session

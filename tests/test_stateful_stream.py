@@ -262,6 +262,7 @@ def test_session_stream_ignores_nat_event_times():
     import pandas as pd
 
     from reddit_data_engineering_project_spark.streaming.stateful import (
+        NAT_US,
         close_idle_sessions,
     )
     from reddit_data_engineering_project_spark.streaming.stream_queries import (
@@ -273,7 +274,12 @@ def test_session_stream_ignores_nat_event_times():
             {
                 "user_id": [1] * len(ts_list),
                 "event_id": range(1, len(ts_list) + 1),
-                "ts": pd.to_datetime(pd.Series(ts_list)),
+                "ts_us": [
+                    NAT_US
+                    if t is None
+                    else int(pd.Timestamp(t).value // 1000)
+                    for t in ts_list
+                ],
             }
         )
         state = _ReplayGroupState()
@@ -587,7 +593,7 @@ def test_bucketed_late_fold_defers_like_per_user():
         return pd.DataFrame(
             {
                 "user_id": [u for _, _, u in rows],
-                "ts": pd.to_datetime([t for _, t, _ in rows]),
+                "ts_us": [us(t) for _, t, _ in rows],
                 "event_id": [e for e, _, _ in rows],
             }
         )

@@ -302,6 +302,26 @@ def main() -> int:
         "table must not declare a primary key)",
     )
     ap.add_argument(
+        "--const-column",
+        metavar="TABLE.COL:VALUE:DIR",
+        action="append",
+        default=None,
+        help="also write a constant-column corpus (VALUE parsed as int "
+        "when possible; repeatable)",
+    )
+    ap.add_argument(
+        "--value-edge",
+        metavar="DIR",
+        default=None,
+        help="also write the events.value ±1e3 domain-edge corpus",
+    )
+    ap.add_argument(
+        "--ts-edge",
+        metavar="DIR",
+        default=None,
+        help="also write the events.ts calendar-envelope-edge corpus",
+    )
+    ap.add_argument(
         "--mixed",
         metavar="TABLE",
         action="append",
@@ -371,6 +391,26 @@ def main() -> int:
             ap.error(f"--duplicate-rows table {tbl!r} not in {sorted(TABLES)}")
         write_duplicate_rows(args.src, out, tbl, int(copies_s))
         print(f"{out}: {tbl} duplicated x{copies_s} corpus")
+    for spec in args.const_column or ():
+        colspec, _, rest = spec.partition(":")
+        val_s, _, out = rest.partition(":")
+        tbl, dot, col = colspec.rpartition(".")
+        if not dot or not out:
+            ap.error("--const-column needs TABLE.COL:VALUE:DIR")
+        if tbl not in TABLES:
+            ap.error(f"--const-column table {tbl!r} not in {sorted(TABLES)}")
+        try:
+            val = int(val_s)
+        except ValueError:
+            val = val_s
+        write_const_column(args.src, out, col, tbl, val)
+        print(f"{out}: constant {tbl}.{col}={val!r} corpus")
+    if args.value_edge:
+        write_value_edge(args.src, args.value_edge)
+        print(f"{args.value_edge}: events.value domain-edge corpus")
+    if args.ts_edge:
+        write_ts_edge(args.src, args.ts_edge)
+        print(f"{args.ts_edge}: events.ts calendar-edge corpus")
     return 0
 
 
@@ -579,6 +619,91 @@ def write_duplicate_rows(
         t = pq.read_table(os.path.join(src, f"{name}.parquet"))
         if name == table:
             t = pa.concat_tables([t] * copies)
+        pq.write_table(t, os.path.join(out, f"{name}.parquet"))
+
+
+def write_const_column(
+    src: str, out: str, column: str, table: str, value
+) -> None:
+    """CONSTANT-column corpus (round 16, the TOTAL-KEY-SKEW axis):
+    every ``<table>.<column>`` becomes the same value — the grouping/
+    partitioning key collapses to ONE group holding the entire table.
+    Monoculture (r13) zeroed VARIANCE of analyzed values; this zeroes
+    the CARDINALITY of a key: every per-user window spans the whole
+    corpus, every sessionizer emits one user's stream, every groupBy
+    ships all rows to one reducer — the worst-case skew the salting/
+    AQE levers exist for, and the shape where any per-group tie-break
+    nondeterminism shows at full size."""
+    import pyarrow as pa
+
+    os.makedirs(out, exist_ok=True)
+    for name in TABLES:
+        t = pq.read_table(os.path.join(src, f"{name}.parquet"))
+        if name == table:
+            idx = t.schema.get_field_index(column)
+            typ = t.schema.field(column).type
+            t = t.set_column(
+                idx, column, pa.array([value] * t.num_rows, typ)
+            )
+        pq.write_table(t, os.path.join(out, f"{name}.parquet"))
+
+
+def write_value_edge(src: str, out: str) -> None:
+    """VALUE-DOMAIN-EDGE corpus (round 16): every ``events.value``
+    sits EXACTLY on the declared ingest boundary (tables.VALUE_DOMAINS
+    = ±1e3), alternating sign by floored ``event_id % 2``. The scaled-
+    BIGINT compare discipline documents exactness headroom up to this
+    edge ((|v|*1e4)^2 <= 2^53); this corpus makes every quantized
+    operator compute AT the boundary instead of comfortably inside it,
+    so any op that quietly exceeded its documented headroom (an e6
+    scale where e4 was declared, a squared term folded before
+    rounding) diverges here first."""
+    import pyarrow as pa
+
+    os.makedirs(out, exist_ok=True)
+    for name in TABLES:
+        t = pq.read_table(os.path.join(src, f"{name}.parquet"))
+        if name == "events":
+            ids = t.column("event_id").to_pylist()
+            vals = [1000.0 if (i % 2) == 0 else -1000.0 for i in ids]
+            idx = t.schema.get_field_index("value")
+            t = t.set_column(
+                idx, "value", pa.array(vals, t.schema.field("value").type)
+            )
+        pq.write_table(t, os.path.join(out, f"{name}.parquet"))
+
+
+#: write_ts_edge target: one week inside the declared TIME_DOMAINS
+#: ceiling (2999-12-31 23:59:59), leaving room for window ENDS.
+TS_EDGE_TARGET_US = 32_503_075_199_000_000  # 2999-12-24T23:59:59Z
+
+
+def write_ts_edge(src: str, out: str) -> None:
+    """CALENDAR-ENVELOPE-EDGE corpus (round 16): every non-NULL
+    ``events.ts`` shifts by one constant so the corpus MAX lands at
+    2999-12-24T23:59:59 — the far edge of the declared event-time
+    domain (tables.TIME_DOMAINS), where epoch-microsecond arithmetic
+    carries its largest magnitudes (~3.25e16 µs) and every
+    year/quarter/ISO-week function runs a millennium from the
+    fixtures. Relative structure (gaps, sessions, windows) is
+    preserved exactly; only the absolute calendar position moves."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    os.makedirs(out, exist_ok=True)
+    for name in TABLES:
+        t = pq.read_table(os.path.join(src, f"{name}.parquet"))
+        if name == "events":
+            ts = t.column("ts")
+            typ = t.schema.field("ts").type
+            us = pc.cast(pc.cast(ts, pa.timestamp("us")), pa.int64())
+            max_us = pc.max(us).as_py()
+            shifted = pc.add(us, TS_EDGE_TARGET_US - max_us)
+            t = t.set_column(
+                t.schema.get_field_index("ts"),
+                "ts",
+                pc.cast(pc.cast(shifted, pa.timestamp("us")), typ),
+            )
         pq.write_table(t, os.path.join(out, f"{name}.parquet"))
 
 

@@ -7,7 +7,7 @@ any OTHER entry's empty-input path would stay invisible until the next
 manual sweep. This tool makes the full sweep a one-command gate:
 
 1. regenerates every degenerate corpus in ``EXPECTED_FAILS`` (the
-   authoritative list — thirty as of round 16) from the committed
+   authoritative list — thirty-three as of round 16) from the committed
    sf0.001 fixtures via :mod:`degenerate_corpus` (empty, one-row, the
    three mixed corpora with exactly one of events / documents /
    embeddings zeroed, and — round 13 — the two zero-VARIANCE corpora
@@ -248,6 +248,30 @@ EXPECTED_FAILS: dict[str, frozenset[str]] = {
     # aggregates, and any DISTINCT the graph/star plans rely on must
     # agree across engines at multiplicity 2 everywhere.
     "dup_lineitem": frozenset(),
+    # round 16 (thirteenth wave, swept clean on first contact): every
+    # events.user_id the SAME value — TOTAL key skew: one group holds
+    # the corpus, every per-user window spans everything, every
+    # sessionizer folds one stream. The shape the salting/AQE levers
+    # exist for; correctness must hold regardless.
+    "one_user": frozenset(),
+    # round 16 (fourteenth wave, swept clean on first contact): every
+    # events.value EXACTLY on the declared ±1e3 ingest boundary
+    # (alternating sign by floored event_id % 2) — every quantized
+    # operator computes AT its documented exactness edge.
+    "value_edge": frozenset(),
+    # round 16 (fifteenth wave — CALENDAR ENVELOPE EDGE): all ts
+    # shifted so the corpus max lands at 2999-12-24, the far edge of
+    # the declared TIME_DOMAIN. Caught the PANDAS NS CLIFF on first
+    # sweep: Spark's Arrow->pandas conversion hard-casts timestamp[us]
+    # to timestamp[ns] (overflow past 2262-04-11), crashing all three
+    # stateful replay entries (s08, s09 x2) on contract-legal data.
+    # Fixed by the r16 µs-boundary rework: event time crosses every
+    # pandas boundary as exact epoch-µs longs (streaming/stateful.py:
+    # ts_us_expr; NULL as the NAT_US sentinel), timestamps re-cast
+    # relationally after; the live event-time-timeout streams keep a
+    # ns-safe CLAMPED watermark column (identity inside the ns range,
+    # saturating past it — see _WM_CEILING_US). Sweeps clean post-fix.
+    "ts_edge": frozenset(),
 }
 
 # corpus label -> the tables its writer mutates relative to the
@@ -288,6 +312,9 @@ MUTATED_TABLES: dict[str, frozenset[str] | None] = {
     "unicode_text": frozenset({"documents"}),
     "whitespace_text": frozenset({"documents"}),
     "dup_lineitem": frozenset({"lineitem"}),
+    "one_user": frozenset({"events"}),
+    "value_edge": frozenset({"events"}),
+    "ts_edge": frozenset({"events"}),
 }
 
 _SUMMARY = re.compile(
@@ -501,6 +528,9 @@ def main() -> int:
     deg.write_duplicate_rows(
         args.src, dirs["dup_lineitem"], "lineitem", 2
     )
+    deg.write_const_column(args.src, dirs["one_user"], "user_id", "events", 0)
+    deg.write_value_edge(args.src, dirs["value_edge"])
+    deg.write_ts_edge(args.src, dirs["ts_edge"])
 
     t0 = time.time()
     verify_mutations(args.src, dirs)
