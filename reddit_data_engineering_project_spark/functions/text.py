@@ -156,7 +156,7 @@ def q17_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         event_id,
         event_type,
         coalesce(CASE WHEN json_valid(props) THEN
-                     CAST(trunc(TRY_CAST(
+                     TRY_CAST(trunc(TRY_CAST(
                          json_extract_string(props, '$.k') AS DOUBLE))
                      AS BIGINT) END, 0)
             AS k_from_map,

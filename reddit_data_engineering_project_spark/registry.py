@@ -113,13 +113,14 @@ def register(
 #
 # ROUND-17 ROTATION PLAN (committed now so no entry waits on an
 # undocumented promise; precondition: CORRECTNESS_r16 grades the
-# window below 50/50 green). Backfill plus the SIX round-16
+# window below 50/50 green). Backfill plus the SEVEN round-16
 # amendment re-grades (code/oracle changed in round 16 — the three
-# unicode-wave fixes, the payload-energy Arrow rework, and the two
-# s09 rows of the ts-edge µs-boundary rework; graded-corpus hashes
-# verified unchanged by post-fix sf0.001+sf0.01 runs, but each latest
-# green row describes superseded code; same mechanism as rounds
-# 13-16, each taking a slot from the (b) tail):
+# unicode-wave fixes, the payload-energy Arrow rework, the two s09
+# rows of the ts-edge µs-boundary rework, and pipeline_clean_coerce's
+# hostile-props TRY_CAST oracle guard; graded-corpus hashes verified
+# unchanged by post-fix sf0.001+sf0.01 runs, but each latest green
+# row describes superseded code; same mechanism as rounds 13-16,
+# each taking a slot from the (b) tail):
 #   (a) the FIFTEEN r12 rows that rolled (q21_cohort_ltv,
 #       q21_degree_powerlaw, q21_funnel_conversion,
 #       q21_next_event_prediction, q21_survival_km,
@@ -137,18 +138,21 @@ def register(
 #       4.0 s -> 1.3 s interpreted-HOF finding, SCALE.md round 16),
 #       s09_session_gap_replay + s09_session_timeout_replay (the
 #       ts-edge wave's pandas-ns-cliff fix: epoch-µs longs across the
-#       pandas boundary, timestamps re-cast relationally);
-#   (b) the alphabetically-first 29 of the remaining 42-member r13
-#       class (pipeline_posts_clean_wire .. q21_adamic_adar —
+#       pandas boundary, timestamps re-cast relationally),
+#       pipeline_clean_coerce (TRY_CAST overflow guard — the
+#       hostile-props wave's oracle-crash fix; q17_map_funcs' twin
+#       fix lands via its (b) row below);
+#   (b) the alphabetically-first 28 of the remaining 42-member r13
+#       class (pipeline_posts_clean_wire .. q20_udtf_chunks —
 #       x05_binary_features and x05_payload_energy left the pool for
-#       their (a) amendment slots); the alphabetically-last THIRTEEN
-#       (q21_adamic_adar_capped, q21_event_transitions,
-#       q21_kcore_peel, q21_spend_trend_ols, q22_acf_hourly,
-#       q22_hampel_mad, q22_seasonal_decompose, s03_session_window,
-#       x01_dedup_content_hash, x02_dedup_clusters,
+#       their (a) amendment slots); the alphabetically-last FOURTEEN
+#       (q21_adamic_adar, q21_adamic_adar_capped,
+#       q21_event_transitions, q21_kcore_peel, q21_spend_trend_ols,
+#       q22_acf_hourly, q22_hampel_mad, q22_seasonal_decompose,
+#       s03_session_window, x01_dedup_content_hash, x02_dedup_clusters,
 #       x02_minhash_lsh_neardup, x02_neardup_jaccard, x04_doc_stats)
 #       roll to round 18.
-# 15 + 6 + 29 = 50. Every round-16/17 registration must either take a
+# 15 + 7 + 28 = 50. Every round-16/17 registration must either take a
 # slot from the (b) tail in its own commit or add itself to
 # QUEUED_FOR_NEXT_WINDOW — keep velocity <= the handful the window
 # can absorb.

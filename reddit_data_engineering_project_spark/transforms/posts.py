@@ -268,7 +268,7 @@ def pipeline_posts_clean_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
         coalesce(nullif(trim(event_type), ''), 'unknown') AS event_type,
         round(coalesce(value, 0.0) * 100.0) / 100.0 + 0.0 AS value_clean,
         coalesce(CASE WHEN json_valid(props) THEN
-                     CAST(trunc(TRY_CAST(
+                     TRY_CAST(trunc(TRY_CAST(
                          json_extract_string(props, '$.k') AS DOUBLE))
                      AS BIGINT) END, 0) AS prop_k,
         (coalesce(value, 0.0) > 100.0) AS high_value

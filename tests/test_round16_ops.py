@@ -310,3 +310,65 @@ def test_value_edge_and_one_user_sample_entries(tmp_path):
     deg.write_const_column(SF_DIR, ou, "user_id", "events", 0)
     for name in ("q21_sessionize_gap", "s09_session_gap_replay"):
         _spark_vs_oracle(ou, name)
+
+
+def test_hostile_props_overflow_guard(tmp_path):
+    """Sixteenth wave pin: numbers beyond int64 in events.props must
+    NULL-then-default on BOTH engines (the old oracle's plain
+    CAST(huge double AS BIGINT) raised in DuckDB where Spark's
+    non-ANSI string->long cast yields NULL)."""
+    import sys, os
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "tools")
+    )
+    import degenerate_corpus as deg
+    from conftest import SF_DIR
+
+    out = str(tmp_path / "hp")
+    deg.write_hostile_props(SF_DIR, out)
+    for name in ("pipeline_clean_coerce", "q17_map_funcs", "q17_json_funcs"):
+        _spark_vs_oracle(out, name)
+
+
+def test_dup_key_divergence_is_real_and_bounded(tmp_path):
+    """Seventeenth wave pin: duplicate JSON keys are RFC-undefined and
+    the engines genuinely part ways — Spark from_json STRUCT keeps the
+    LAST 'k', DuckDB json_extract the FIRST, Spark VARIANT rejects the
+    object. Pinned here at the mechanism level so the accepted
+    gate fail set {q17_json_funcs, q17_variant_shred} can't silently
+    change meaning under an engine upgrade; equal-value duplicates and
+    the MAP path (first-wins on both) must keep agreeing."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from reddit_data_engineering_project_spark.session import get_spark
+
+    spark = get_spark()
+    dup = '{"k": 1, "k": 2}'
+    row = (
+        spark.range(1)
+        .select(
+            F.from_json(
+                F.lit(dup), StructType([StructField("k", LongType())])
+            )["k"].alias("struct_k"),
+            F.try_variant_get(
+                F.try_parse_json(F.lit(dup)), "$.k", "long"
+            ).alias("variant_k"),
+            F.from_json(F.lit(dup), "map<string,bigint>")["k"].alias(
+                "map_k"
+            ),
+        )
+        .collect()[0]
+    )
+    assert row.struct_k == 2  # Jackson: last wins
+    # VARIANT rejects duplicate keys: try_parse_json -> NULL (strict
+    # parse_json raises VARIANT_DUPLICATE_KEY, which is why the entry
+    # uses the total try_ form)
+    assert row.variant_k is None
+    duck = duckdb.connect().execute(
+        "select json_extract_string(?, '$.k')", [dup]
+    ).fetchone()[0]
+    assert duck == "1"  # yyjson: first wins
+    assert row.map_k == 1  # from_json MAP: first wins, agrees with duck

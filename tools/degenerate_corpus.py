@@ -322,6 +322,18 @@ def main() -> int:
         help="also write the events.ts calendar-envelope-edge corpus",
     )
     ap.add_argument(
+        "--hostile-props",
+        metavar="DIR",
+        default=None,
+        help="also write the hostile-JSON events.props corpus",
+    )
+    ap.add_argument(
+        "--dup-key-props",
+        metavar="DIR",
+        default=None,
+        help="also write the duplicate-JSON-key events.props corpus",
+    )
+    ap.add_argument(
         "--mixed",
         metavar="TABLE",
         action="append",
@@ -411,6 +423,12 @@ def main() -> int:
     if args.ts_edge:
         write_ts_edge(args.src, args.ts_edge)
         print(f"{args.ts_edge}: events.ts calendar-edge corpus")
+    if args.hostile_props:
+        write_hostile_props(args.src, args.hostile_props)
+        print(f"{args.hostile_props}: hostile-JSON props corpus")
+    if args.dup_key_props:
+        write_dup_key_props(args.src, args.dup_key_props)
+        print(f"{args.dup_key_props}: duplicate-JSON-key props corpus")
     return 0
 
 
@@ -709,3 +727,84 @@ def write_ts_edge(src: str, out: str) -> None:
 
 if __name__ == "__main__":
     main()
+
+
+#: The ten hostile props shapes (round 16), cycled by floored
+#: ``event_id % 10`` — every one VALID-or-guardably-invalid JSON text
+#: on both engines, aimed at where JSON stacks classically part ways:
+#: duplicate keys (first-wins vs last-wins), numbers outside
+#: int64/double, deep nesting, top-level non-objects, escaped and
+#: astral strings, and the valid/invalid boundary itself.
+HOSTILE_PROPS = (
+    '{"k": 5}',                                  # plain valid baseline
+    '{"j": 1, "k": 3}',                          # multi-key, k present
+    '{"k": 123456789012345678901234567890}',     # > int64, > exact double
+    '{"k": 1e308, "j": -1e308}',                 # double extremes
+    '{"a": {"a": {"a": {"a": {"k": 9}}}}}',      # nesting, $.k absent
+    '[1, 2, 3]',                                 # top-level array
+    '"just a string"',                           # top-level scalar
+    '{ "k" :\t\n 7 , "s": "\\u00e9\\ud83c\\udf0d" }',  # ws + escapes
+    '{"k": null, "s": null}',                    # explicit nulls
+    '{"k": tru',                                 # truncated: invalid
+)
+
+
+#: The duplicate-key shapes (their own corpus: RFC 8259 leaves
+#: duplicate member names UNDEFINED, and the engines genuinely part
+#: ways — Jackson (Spark from_json/get_json_object) keeps the LAST
+#: occurrence, yyjson (DuckDB json_extract) the FIRST, and Spark's
+#: VARIANT parse_json rejects the object outright (NULL through
+#: try_variant_get). The equal-value dup shows the engines agreeing
+#: whenever the divergence cannot be observed.
+DUP_KEY_PROPS = (
+    '{"k": 1, "k": 2}',
+    '{"k": 7, "k": 7}',
+    '{"a": 1, "k": 9, "k": 8, "a": 2}',
+)
+
+
+def write_dup_key_props(src: str, out: str) -> None:
+    """DUPLICATE-KEY props corpus (round 16): every ``events.props``
+    becomes one of :data:`DUP_KEY_PROPS`, cycled by floored
+    ``event_id % 3`` — the one JSON shape where the engines' behavior
+    is DOCUMENTED-DIVERGENT by spec (see the constant's note). Kept
+    out of :data:`HOSTILE_PROPS` so that corpus must sweep clean while
+    this one carries a pinned, explained fail set in the gate."""
+    import pyarrow as pa
+
+    os.makedirs(out, exist_ok=True)
+    for name in TABLES:
+        t = pq.read_table(os.path.join(src, f"{name}.parquet"))
+        if name == "events":
+            ids = t.column("event_id").to_pylist()
+            vals = [DUP_KEY_PROPS[i % 3] for i in ids]
+            idx = t.schema.get_field_index("props")
+            t = t.set_column(
+                idx, "props", pa.array(vals, t.schema.field("props").type)
+            )
+        pq.write_table(t, os.path.join(out, f"{name}.parquet"))
+
+
+def write_hostile_props(src: str, out: str) -> None:
+    """HOSTILE-JSON props corpus (round 16): every ``events.props``
+    becomes one of :data:`HOSTILE_PROPS`, cycled by floored
+    ``event_id % 10``. The props column is free text under the
+    declared contracts, yet every committed corpus carries only
+    ``{"k": <small int>}`` — none of the shapes where Jackson (Spark)
+    and yyjson (DuckDB) classically diverge ever reach the JSON
+    operators. Both engines sweep the SAME corpus, so a failure is a
+    real cross-engine JSON-semantics divergence, not a planted
+    expectation."""
+    import pyarrow as pa
+
+    os.makedirs(out, exist_ok=True)
+    for name in TABLES:
+        t = pq.read_table(os.path.join(src, f"{name}.parquet"))
+        if name == "events":
+            ids = t.column("event_id").to_pylist()
+            vals = [HOSTILE_PROPS[i % 10] for i in ids]
+            idx = t.schema.get_field_index("props")
+            t = t.set_column(
+                idx, "props", pa.array(vals, t.schema.field("props").type)
+            )
+        pq.write_table(t, os.path.join(out, f"{name}.parquet"))

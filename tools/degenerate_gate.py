@@ -7,7 +7,7 @@ any OTHER entry's empty-input path would stay invisible until the next
 manual sweep. This tool makes the full sweep a one-command gate:
 
 1. regenerates every degenerate corpus in ``EXPECTED_FAILS`` (the
-   authoritative list — thirty-three as of round 16) from the committed
+   authoritative list — thirty-five as of round 16) from the committed
    sf0.001 fixtures via :mod:`degenerate_corpus` (empty, one-row, the
    three mixed corpora with exactly one of events / documents /
    embeddings zeroed, and — round 13 — the two zero-VARIANCE corpora
@@ -272,6 +272,28 @@ EXPECTED_FAILS: dict[str, frozenset[str]] = {
     # ns-safe CLAMPED watermark column (identity inside the ns range,
     # saturating past it — see _WM_CEILING_US). Sweeps clean post-fix.
     "ts_edge": frozenset(),
+    # round 16 (sixteenth wave — HOSTILE JSON in events.props): ten
+    # shapes covering numbers beyond int64/double,
+    # deep nesting, top-level non-objects, escapes, explicit nulls,
+    # the valid/invalid boundary. Caught TWO oracle crashes on first
+    # sweep (pipeline_clean_coerce + q17_map_funcs: plain
+    # CAST(huge double AS BIGINT) raises in DuckDB where Spark's
+    # non-ANSI string->long cast yields NULL — fixed to TRY_CAST,
+    # baseline hashes unchanged). Sweeps clean post-fix.
+    "hostile_props": frozenset(),
+    # round 16 (seventeenth wave — DUPLICATE JSON KEYS, its own corpus
+    # because the divergence is DOCUMENTED, not a defect): RFC 8259
+    # leaves duplicate member names undefined and the engines part
+    # ways for real — Jackson (Spark from_json struct /
+    # get_json_object) keeps the LAST occurrence, yyjson (DuckDB
+    # json_extract) the FIRST, and Spark's VARIANT parse rejects the
+    # object (NULL through try_variant_get). Equal-value duplicates
+    # agree everywhere (pinned by the corpus's second shape); the
+    # observable divergence is exactly these two entries, accepted
+    # and gate-pinned like the q09 empty-ROLLUP class. Notably
+    # from_json to MAP agrees with DuckDB (first wins) — pinned by
+    # q17_map_funcs NOT being in this fail set.
+    "dup_key_props": frozenset({"q17_json_funcs", "q17_variant_shred"}),
 }
 
 # corpus label -> the tables its writer mutates relative to the
@@ -315,6 +337,8 @@ MUTATED_TABLES: dict[str, frozenset[str] | None] = {
     "one_user": frozenset({"events"}),
     "value_edge": frozenset({"events"}),
     "ts_edge": frozenset({"events"}),
+    "hostile_props": frozenset({"events"}),
+    "dup_key_props": frozenset({"events"}),
 }
 
 _SUMMARY = re.compile(
@@ -531,6 +555,8 @@ def main() -> int:
     deg.write_const_column(args.src, dirs["one_user"], "user_id", "events", 0)
     deg.write_value_edge(args.src, dirs["value_edge"])
     deg.write_ts_edge(args.src, dirs["ts_edge"])
+    deg.write_hostile_props(args.src, dirs["hostile_props"])
+    deg.write_dup_key_props(args.src, dirs["dup_key_props"])
 
     t0 = time.time()
     verify_mutations(args.src, dirs)
