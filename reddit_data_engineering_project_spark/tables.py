@@ -73,6 +73,23 @@ FINITE_ARRAYS: dict[str, tuple[str, ...]] = {
     "embeddings": ("embedding",),
 }
 
+# Component-MAGNITUDE domain for the declared arrays (r16 embedding-
+# magnitude hostile wave): finiteness alone is not enough for the
+# exact-integer compare discipline. The vector family quantizes raw
+# components to e6 BIGINTs; the tightest consumer is the k-means
+# assignment distance — a 64-dim sum of (q - c)² — which must stay
+# inside int64: |x| <= 100 gives |q| <= 1e8, (q-c)² <= 4e16, ×64 dims
+# = 2.6e18 < 2^63 with ~3.5× headroom (and x·1e6 <= 1e8 « 2^53, so
+# the double-side rounding is exact). At 1e30-scale components the
+# oracle's INT64 casts RAISE where Spark's non-ANSI double→long cast
+# wraps silently — the silent-divergence class this domain exists to
+# fence off. Real embedding encoders emit unit-scale components; 100
+# is ~200× that. Outside the domain = ingest bug, same posture as
+# events.value.
+ARRAY_DOMAINS: dict[str, dict[str, tuple[float, float]]] = {
+    "embeddings": {"embedding": (-100.0, 100.0)},
+}
+
 # Event-time domain: a window whose END crosses year 10000 cannot
 # materialize to a Python datetime (probed: an event at
 # 9999-12-31 23:50 CRASHES any collected F.window result with "year
@@ -219,13 +236,18 @@ def contract_exprs(
     for col in FINITE_ARRAYS.get(name, ()):
         if not present(col):
             continue
+        lo, hi = ARRAY_DOMAINS.get(name, {}).get(
+            col, (float("-inf"), float("inf"))
+        )
         in_domain = in_domain & (
             F.col(col).isNull()
             | ~F.exists(
                 F.col(col),
                 lambda x: x.isNull()
                 | F.isnan(x)
-                | (F.abs(x) == F.lit(float("inf"))),
+                | (F.abs(x) == F.lit(float("inf")))
+                | (x < F.lit(lo))
+                | (x > F.lit(hi)),
             )
         )
     return complete, in_domain, pk

@@ -372,3 +372,36 @@ def test_dup_key_divergence_is_real_and_bounded(tmp_path):
     ).fetchone()[0]
     assert duck == "1"  # yyjson: first wins
     assert row.map_k == 1  # from_json MAP: first wins, agrees with duck
+
+
+def test_embedding_component_domain(tmp_path):
+    """Eighteenth wave pin — the component-magnitude envelope: the
+    contract REJECTS out-of-domain components (where the e6-quantized
+    oracles overflow int64 loudly and Spark's non-ANSI double->long
+    cast would wrap silently), and the legal edge region (x100 of
+    baseline) stays hash-exact on the tightest quantized entries."""
+    import sys, os
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "tools")
+    )
+    import degenerate_corpus as deg
+    from conftest import SF_DIR
+    from reddit_data_engineering_project_spark.session import get_spark
+    from reddit_data_engineering_project_spark.tables import (
+        check_ingest_contracts,
+    )
+
+    spark = get_spark()
+    # beyond the domain: contract gate rejects as an ingest bug
+    hot = str(tmp_path / "hot")
+    deg.write_scaled_embeddings(SF_DIR, hot, factor=1e4)  # |x| ~ 5e3 > 100
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="contract"):
+        check_ingest_contracts(spark, hot, tables=("embeddings",))
+
+    # the legal edge region: exact on the tightest quantized entries
+    edge = str(tmp_path / "edge")
+    deg.write_scaled_embeddings(SF_DIR, edge)
+    for name in ("x03_kmeans_step", "x03_pairwise_label_centroids"):
+        _spark_vs_oracle(edge, name)

@@ -334,6 +334,13 @@ def main() -> int:
         help="also write the duplicate-JSON-key events.props corpus",
     )
     ap.add_argument(
+        "--scaled-embeddings",
+        metavar="DIR[:FACTOR]",
+        default=None,
+        help="also write the embedding-magnitude corpus to DIR "
+        "(default factor 100, the ARRAY_DOMAINS legal edge region)",
+    )
+    ap.add_argument(
         "--mixed",
         metavar="TABLE",
         action="append",
@@ -429,6 +436,12 @@ def main() -> int:
     if args.dup_key_props:
         write_dup_key_props(args.src, args.dup_key_props)
         print(f"{args.dup_key_props}: duplicate-JSON-key props corpus")
+    if args.scaled_embeddings:
+        out, _, fac = args.scaled_embeddings.partition(":")
+        write_scaled_embeddings(
+            args.src, out, float(fac) if fac else EMB_EDGE_FACTOR
+        )
+        print(f"{out}: embedding-magnitude corpus (x{fac or EMB_EDGE_FACTOR})")
     return 0
 
 
@@ -806,5 +819,45 @@ def write_hostile_props(src: str, out: str) -> None:
             idx = t.schema.get_field_index("props")
             t = t.set_column(
                 idx, "props", pa.array(vals, t.schema.field("props").type)
+            )
+        pq.write_table(t, os.path.join(out, f"{name}.parquet"))
+
+
+#: write_scaled_embeddings factor for the gate's magnitude-edge
+#: corpus: baseline components are unit-scale (|x| <= ~0.49), so ×100
+#: lands |x| <= ~49 — deep inside the declared ±100 component domain
+#: (tables.ARRAY_DOMAINS) yet ~100× beyond anything a real encoder
+#: emits, exercising every e6 quantizer near its documented envelope.
+EMB_EDGE_FACTOR = 100.0
+
+
+def write_scaled_embeddings(
+    src: str, out: str, factor: float = EMB_EDGE_FACTOR
+) -> None:
+    """EMBEDDING-MAGNITUDE corpus (round 16): every embedding component
+    scaled by ``factor``. The wave that forced the component-magnitude
+    domain declaration: FINITE_ARRAYS alone admitted 1e30-scale
+    components (finite in float32 up to ~3.4e38) where the e6-quantized
+    vector oracles overflow INT64 loudly and Spark's non-ANSI
+    double→long cast wraps silently — the silent-divergence class.
+    ``tables.ARRAY_DOMAINS`` now fences components to ±100 (the
+    k-means distance-sum int64 bound, derivation at the declaration);
+    this corpus sweeps the legal edge region, and the contract gate
+    rejects anything beyond as an ingest bug."""
+    import pyarrow as pa
+
+    os.makedirs(out, exist_ok=True)
+    for name in TABLES:
+        t = pq.read_table(os.path.join(src, f"{name}.parquet"))
+        if name == "embeddings":
+            col = t.column("embedding").to_pylist()
+            scaled = [
+                None if v is None else [x * factor for x in v] for v in col
+            ]
+            idx = t.schema.get_field_index("embedding")
+            t = t.set_column(
+                idx,
+                "embedding",
+                pa.array(scaled, t.schema.field("embedding").type),
             )
         pq.write_table(t, os.path.join(out, f"{name}.parquet"))

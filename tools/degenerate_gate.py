@@ -7,7 +7,7 @@ any OTHER entry's empty-input path would stay invisible until the next
 manual sweep. This tool makes the full sweep a one-command gate:
 
 1. regenerates every degenerate corpus in ``EXPECTED_FAILS`` (the
-   authoritative list — thirty-five as of round 16) from the committed
+   authoritative list — thirty-six as of round 16) from the committed
    sf0.001 fixtures via :mod:`degenerate_corpus` (empty, one-row, the
    three mixed corpora with exactly one of events / documents /
    embeddings zeroed, and — round 13 — the two zero-VARIANCE corpora
@@ -294,6 +294,18 @@ EXPECTED_FAILS: dict[str, frozenset[str]] = {
     # from_json to MAP agrees with DuckDB (first wins) — pinned by
     # q17_map_funcs NOT being in this fail set.
     "dup_key_props": frozenset({"q17_json_funcs", "q17_variant_shred"}),
+    # round 16 (eighteenth wave — EMBEDDING-COMPONENT MAGNITUDE): the
+    # wave that forced tables.ARRAY_DOMAINS. FINITE_ARRAYS alone
+    # admitted 1e30-scale components, where the e6-quantized vector
+    # oracles overflow INT64 LOUDLY (DuckDB raises) and Spark's
+    # non-ANSI double->long cast wraps SILENTLY — the exact
+    # silent-divergence class the events.value domain fences off for
+    # scalars. Components are now contract-fenced to ±100 (the k-means
+    # distance-sum int64 bound, derivation at the declaration); this
+    # corpus sweeps the legal edge region (×100 of baseline, |x| <=
+    # ~49) clean, and check_ingest_contracts rejects anything beyond
+    # as an ingest bug (pytest pins both sides).
+    "emb_edge": frozenset(),
 }
 
 # corpus label -> the tables its writer mutates relative to the
@@ -339,6 +351,7 @@ MUTATED_TABLES: dict[str, frozenset[str] | None] = {
     "ts_edge": frozenset({"events"}),
     "hostile_props": frozenset({"events"}),
     "dup_key_props": frozenset({"events"}),
+    "emb_edge": frozenset({"embeddings"}),
 }
 
 _SUMMARY = re.compile(
@@ -557,6 +570,7 @@ def main() -> int:
     deg.write_ts_edge(args.src, dirs["ts_edge"])
     deg.write_hostile_props(args.src, dirs["hostile_props"])
     deg.write_dup_key_props(args.src, dirs["dup_key_props"])
+    deg.write_scaled_embeddings(args.src, dirs["emb_edge"])
 
     t0 = time.time()
     verify_mutations(args.src, dirs)
