@@ -405,3 +405,28 @@ def test_embedding_component_domain(tmp_path):
     deg.write_scaled_embeddings(SF_DIR, edge)
     for name in ("x03_kmeans_step", "x03_pairwise_label_centroids"):
         _spark_vs_oracle(edge, name)
+
+
+def test_huge_user_id_and_unknown_lang_pins(tmp_path):
+    """Nineteenth/twentieth wave pins: 2^57-scale user ids stay
+    integer-exact through the stateful fold + md5 sample, and an
+    all-unknown-lang corpus empties the en-sliced entries identically
+    on both engines (case-sensitive membership misses 'EN')."""
+    import sys, os
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "tools")
+    )
+    import degenerate_corpus as deg
+    from conftest import SF_DIR
+
+    hu = str(tmp_path / "hu")
+    deg.write_offset_column(
+        SF_DIR, hu, "user_id", "events", (1 << 57) - (1 << 20)
+    )
+    for name in ("s09_session_gap_replay", "q21_sessionize_gap"):
+        _spark_vs_oracle(hu, name)
+
+    ul = str(tmp_path / "ul")
+    deg.write_unknown_lang(SF_DIR, ul)
+    for name in ("x05_binary_features", "x04_stratified_sample"):
+        _spark_vs_oracle(ul, name)

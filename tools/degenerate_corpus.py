@@ -341,6 +341,12 @@ def main() -> int:
         "(default factor 100, the ARRAY_DOMAINS legal edge region)",
     )
     ap.add_argument(
+        "--unknown-lang",
+        metavar="DIR",
+        default=None,
+        help="also write the unknown-lang documents corpus",
+    )
+    ap.add_argument(
         "--mixed",
         metavar="TABLE",
         action="append",
@@ -442,6 +448,9 @@ def main() -> int:
             args.src, out, float(fac) if fac else EMB_EDGE_FACTOR
         )
         print(f"{out}: embedding-magnitude corpus (x{fac or EMB_EDGE_FACTOR})")
+    if args.unknown_lang:
+        write_unknown_lang(args.src, args.unknown_lang)
+        print(f"{args.unknown_lang}: unknown-lang corpus")
     return 0
 
 
@@ -859,5 +868,40 @@ def write_scaled_embeddings(
                 idx,
                 "embedding",
                 pa.array(scaled, t.schema.field("embedding").type),
+            )
+        pq.write_table(t, os.path.join(out, f"{name}.parquet"))
+
+
+#: The six unknown-lang shapes (round 16), cycled by floored
+#: ``doc_id % 6``: codes outside the generator's {en,de,zh,es,fr,...}
+#: set, a BCP-47 script subtag, the EMPTY string (present, zero-length
+#: — distinct from NULL lang, already swept r14), an UPPERCASE
+#: variant of a known code (joins/filters are case-sensitive on both
+#: engines — must miss identically), a region-tagged code, and the
+#: ISO-639 "undetermined" reserved code.
+UNKNOWN_LANGS = ("xx", "zz-Cyrl", "", "EN", "pt-BR", "und")
+
+
+def write_unknown_lang(src: str, out: str) -> None:
+    """UNKNOWN-LANG corpus (round 16): every ``documents.lang`` becomes
+    one of :data:`UNKNOWN_LANGS`. lang is a free string under the
+    declared contracts, yet every committed corpus draws from the
+    generator's known-code set — so every ``lang IN (...)`` filter,
+    per-lang stratification key, and en-only payload slice had never
+    run against a corpus where NO row matches its expectations. Both
+    engines sweep the SAME corpus; the en-sliced x05 entries must
+    empty identically, the stratifiers must group the unknown codes as
+    opaque keys, and case-sensitive membership must miss 'EN'."""
+    import pyarrow as pa
+
+    os.makedirs(out, exist_ok=True)
+    for name in TABLES:
+        t = pq.read_table(os.path.join(src, f"{name}.parquet"))
+        if name == "documents":
+            ids = t.column("doc_id").to_pylist()
+            vals = [UNKNOWN_LANGS[i % 6] for i in ids]
+            idx = t.schema.get_field_index("lang")
+            t = t.set_column(
+                idx, "lang", pa.array(vals, t.schema.field("lang").type)
             )
         pq.write_table(t, os.path.join(out, f"{name}.parquet"))

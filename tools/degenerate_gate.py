@@ -7,7 +7,7 @@ any OTHER entry's empty-input path would stay invisible until the next
 manual sweep. This tool makes the full sweep a one-command gate:
 
 1. regenerates every degenerate corpus in ``EXPECTED_FAILS`` (the
-   authoritative list — thirty-six as of round 16) from the committed
+   authoritative list — thirty-eight as of round 16) from the committed
    sf0.001 fixtures via :mod:`degenerate_corpus` (empty, one-row, the
    three mixed corpora with exactly one of events / documents /
    embeddings zeroed, and — round 13 — the two zero-VARIANCE corpora
@@ -306,6 +306,20 @@ EXPECTED_FAILS: dict[str, frozenset[str]] = {
     # ~49) clean, and check_ingest_contracts rejects anything beyond
     # as an ingest bug (pytest pins both sides).
     "emb_edge": frozenset(),
+    # round 16 (nineteenth wave, swept clean on first contact):
+    # events.user_id shifted to ~2^57 — the key-magnitude axis (r15's
+    # huge_doc_id) applied to the session/window/sampling key: md5
+    # string-cast sampling, xxhash64 bucketing, and the stateful
+    # folds' pandas Int64 round-trips must all stay integer-exact
+    # above the 2^53 double cliff.
+    "huge_user_id": frozenset(),
+    # round 16 (twentieth wave, swept clean on first contact): every
+    # documents.lang an UNKNOWN code (off-set codes, BCP-47 subtags,
+    # empty string, case-flipped 'EN', 'und') — every lang IN (...)
+    # filter and en-only payload slice empties identically on both
+    # engines, stratifiers treat unknown codes as opaque keys,
+    # case-sensitive membership misses 'EN'.
+    "unknown_lang": frozenset(),
 }
 
 # corpus label -> the tables its writer mutates relative to the
@@ -352,6 +366,8 @@ MUTATED_TABLES: dict[str, frozenset[str] | None] = {
     "hostile_props": frozenset({"events"}),
     "dup_key_props": frozenset({"events"}),
     "emb_edge": frozenset({"embeddings"}),
+    "huge_user_id": frozenset({"events"}),
+    "unknown_lang": frozenset({"documents"}),
 }
 
 _SUMMARY = re.compile(
@@ -571,6 +587,11 @@ def main() -> int:
     deg.write_hostile_props(args.src, dirs["hostile_props"])
     deg.write_dup_key_props(args.src, dirs["dup_key_props"])
     deg.write_scaled_embeddings(args.src, dirs["emb_edge"])
+    deg.write_offset_column(
+        args.src, dirs["huge_user_id"], "user_id", "events",
+        (1 << 57) - (1 << 20),
+    )
+    deg.write_unknown_lang(args.src, dirs["unknown_lang"])
 
     t0 = time.time()
     verify_mutations(args.src, dirs)
