@@ -88,57 +88,32 @@ def register(
 # history lives in WINDOWS.md; tests/test_grading_window.py enforces
 # window == priority and per-family evidence.
 #
-# ROUND-16 WINDOW (executes the committed round-16 rotation plan
-# verbatim — registry history / WINDOWS.md "Round 16 (COMMITTED
-# PLAN)"; precondition held: CORRECTNESS_r15 graded the round-15
-# window 50/50 green, matching the committed plan name-for-name).
-# Pure backfill plus one landing-round registration:
-#   (a) the EIGHTEEN r11 rows that rolled from the round-15 (b) tail
-#       (q22_seasonal_naive .. x05_corpus_slice — x04_bm25_scores and
-#       x04_boilerplate_removal additionally land the round-15
-#       pure-extraction refactor, outputs verified byte-identical);
-#   (b) the round-15 registration x05_decode_errors (landing-round
-#       grade, drained from QUEUED_FOR_NEXT_WINDOW — the
-#       corrupt-payload quarantine posture) + the alphabetically-first
-#       31 of the 46-member r12 class (q01_csv_scan ..
-#       q21_ab_power_analysis); the alphabetically-last FIFTEEN
-#       (q21_cohort_ltv, q21_degree_powerlaw, q21_funnel_conversion,
-#       q21_next_event_prediction, q21_survival_km,
-#       q21_triangle_count, s08_stateful_zscore_replay,
-#       x01_dedup_exact_key, x04_global_shuffle, x04_lm_quality_score,
-#       x04_quality_percentile_gate, x04_readability, x04_source_caps,
-#       x05_byte_histogram, x05_size_binned_shards) roll to round 17
-#       per the committed plan below.
-# 18 + 1 + 31 = 50.
-#
-# ROUND-17 ROTATION PLAN (committed now so no entry waits on an
-# undocumented promise; precondition: CORRECTNESS_r16 grades the
-# window below 50/50 green). Backfill plus the SEVEN round-16
-# amendment re-grades (code/oracle changed in round 16 — the three
-# unicode-wave fixes, the payload-energy Arrow rework, the two s09
-# rows of the ts-edge µs-boundary rework, and pipeline_clean_coerce's
-# hostile-props TRY_CAST oracle guard; graded-corpus hashes verified
-# unchanged by post-fix sf0.001+sf0.01 runs, but each latest green
-# row describes superseded code; same mechanism as rounds 13-16,
-# each taking a slot from the (b) tail):
-#   (a) the FIFTEEN r12 rows that rolled (q21_cohort_ltv,
-#       q21_degree_powerlaw, q21_funnel_conversion,
-#       q21_next_event_prediction, q21_survival_km,
-#       q21_triangle_count, s08_stateful_zscore_replay,
-#       x01_dedup_exact_key, x04_global_shuffle, x04_lm_quality_score,
-#       x04_quality_percentile_gate, x04_readability, x04_source_caps,
-#       x05_byte_histogram, x05_size_binned_shards —
-#       x04_readability's row additionally lands its round-16
-#       vowel-class amendment, and s08_stateful_zscore_replay's row
-#       lands the round-16 µs-boundary rework) PLUS the six amendment
-#       re-grades: x01_dedup_canonicalized (strip-before-lower
-#       canon), x05_binary_features (byte-head oracle),
-#       pipeline_dedup_report (composes the amended canon oracle),
-#       x05_payload_energy (Arrow/mapInPandas rework — the measured
-#       4.0 s -> 1.3 s interpreted-HOF finding, SCALE.md round 16),
-#       s09_session_gap_replay + s09_session_timeout_replay (the
-#       ts-edge wave's pandas-ns-cliff fix: epoch-µs longs across the
-#       pandas boundary, timestamps re-cast relationally),
+# ROUND-17 WINDOW (executes the committed round-17 rotation plan
+# verbatim — WINDOWS.md "Round 17 (COMMITTED PLAN)"; precondition
+# held: CORRECTNESS_r16 graded the round-16 window 50/50 green,
+# matching the committed plan name-for-name in order). Backfill plus
+# the SEVEN round-16 amendment re-grades (code/oracle changed in
+# round 16 — the three unicode-wave fixes, the payload-energy Arrow
+# rework, the two s09 rows of the ts-edge µs-boundary rework, and
+# pipeline_clean_coerce's hostile-props TRY_CAST oracle guard;
+# graded-corpus hashes verified unchanged by post-fix sf0.001+sf0.01
+# runs, but each latest green row describes superseded code; same
+# mechanism as rounds 13-16, each taking a slot from the (b) tail):
+#   (a) the FIFTEEN r12 rows that rolled (q21_cohort_ltv ..
+#       x05_size_binned_shards — x04_readability's row additionally
+#       lands its round-16 vowel-class amendment, and
+#       s08_stateful_zscore_replay's row lands the round-16
+#       µs-boundary rework) PLUS the SEVEN amendment re-grades:
+#       x01_dedup_canonicalized (strip-before-lower canon),
+#       x05_binary_features (byte-head oracle), pipeline_dedup_report
+#       (composes the amended canon oracle), x05_payload_energy
+#       (Arrow/mapInPandas rework — the measured interpreted-HOF
+#       finding, SCALE.md round 16), s09_session_gap_replay +
+#       s09_session_timeout_replay (the ts-edge wave's
+#       pandas-ns-cliff fix: epoch-µs longs across the pandas
+#       boundary, timestamps re-cast relationally; these two rows
+#       additionally land the round-17 NULL-ts watermark-clamp fix —
+#       graded-corpus hashes verified unchanged, ADVICE r16 high),
 #       pipeline_clean_coerce (TRY_CAST overflow guard — the
 #       hostile-props wave's oracle-crash fix; q17_map_funcs' twin
 #       fix lands via its (b) row below);
@@ -146,70 +121,86 @@ def register(
 #       class (pipeline_posts_clean_wire .. q20_udtf_chunks —
 #       x05_binary_features and x05_payload_energy left the pool for
 #       their (a) amendment slots); the alphabetically-last FOURTEEN
-#       (q21_adamic_adar, q21_adamic_adar_capped,
-#       q21_event_transitions, q21_kcore_peel, q21_spend_trend_ols,
-#       q22_acf_hourly, q22_hampel_mad, q22_seasonal_decompose,
-#       s03_session_window, x01_dedup_content_hash, x02_dedup_clusters,
-#       x02_minhash_lsh_neardup, x02_neardup_jaccard, x04_doc_stats)
-#       roll to round 18.
-# 15 + 7 + 28 = 50. Every round-16/17 registration must either take a
+#       roll to round 18 per the committed plan below.
+# 15 + 7 + 28 = 50.
+#
+# ROUND-18 ROTATION PLAN (committed now so no entry waits on an
+# undocumented promise; precondition: CORRECTNESS_r17 grades the
+# window below 50/50 green). Pure backfill:
+#   (a) the FOURTEEN r13 rows that rolled (q21_adamic_adar,
+#       q21_adamic_adar_capped, q21_event_transitions, q21_kcore_peel,
+#       q21_spend_trend_ols, q22_acf_hourly, q22_hampel_mad,
+#       q22_seasonal_decompose, s03_session_window,
+#       x01_dedup_content_hash, x02_dedup_clusters,
+#       x02_minhash_lsh_neardup, x02_neardup_jaccard, x04_doc_stats);
+#   (b) the alphabetically-first 36 of the 46-member r14 class
+#       (pipeline_curation_full .. x03_hamming_topk — the 50 r14 rows
+#       minus x01_dedup_canonicalized, s09_session_gap_replay,
+#       s09_session_timeout_replay, pipeline_clean_coerce, whose
+#       amendments re-grade in round 17 above); the
+#       alphabetically-last TEN (x03_range_search,
+#       x04_data_quality_report, x04_fingerprint, x04_hash_sample,
+#       x04_language_id, x04_weighted_sample, x05_bmp_pixel_stats,
+#       x05_frame_dedup, x05_frame_sample, x05_payload_resize) roll
+#       to round 19.
+# 14 + 36 = 50. Every round-17/18 registration must either take a
 # slot from the (b) tail in its own commit or add itself to
 # QUEUED_FOR_NEXT_WINDOW — keep velocity <= the handful the window
 # can absorb.
 GRADING_PRIORITY: tuple[str, ...] = (
-    # (a) the eighteen rolled r11 rows
-    "q22_seasonal_naive",
-    "x02_containment_pairs",
-    "x02_dedup_keep_best",
-    "x02_fuzzy_levenshtein_neardup",
-    "x04_bm25_scores",
-    "x04_boilerplate_removal",
-    "x04_bpe_merge_apply",
-    "x04_bpe_pair_stats",
-    "x04_char_entropy",
-    "x04_decontamination",
-    "x04_feature_hashing",
-    "x04_mixing_rebalance",
-    "x04_ngram_vocab",
-    "x04_pii_scrub",
-    "x04_repetition_metrics",
-    "x04_sequence_packing",
-    "x04_tokenize_to_ids",
-    "x05_corpus_slice",
-    # (b) x05_decode_errors landing grade + the
-    # alphabetically-first 31 r12 backfill rows
-    "x05_decode_errors",
-    "q01_csv_scan",
-    "q01_json_scan",
-    "q02_projection_pruning",
-    "q03_filter_predicates",
-    "q04_topk",
-    "q05_multikey_sort",
-    "q06_limit_offset",
-    "q07_corr_exact_moments",
-    "q07_heavy_hitters",
-    "q07_mode_exact",
-    "q07_percentiles",
-    "q08_approx_distinct",
-    "q08_count_distinct",
-    "q08_distinct_pairs",
-    "q09_pivot",
-    "q10_join_anti",
-    "q10_join_broadcast_dims",
-    "q10_join_inner_star",
-    "q10_local_supplier_volume",
-    "q11_interval_overlap",
-    "q11_range_join_bands",
-    "q12_intersect_users",
-    "q13_range_interval_frames",
-    "q13_running_frames",
-    "q13_value_functions",
-    "q16_bitwise_funcs",
-    "q17_adhoc_sql_correlated",
-    "q17_variant_shred",
-    "q18_schema_evolution_read",
-    "q20_grouped_agg_pandas",
-    "q21_ab_power_analysis",
+    # (a) the fifteen rolled r12 rows
+    "q21_cohort_ltv",
+    "q21_degree_powerlaw",
+    "q21_funnel_conversion",
+    "q21_next_event_prediction",
+    "q21_survival_km",
+    "q21_triangle_count",
+    "s08_stateful_zscore_replay",
+    "x01_dedup_exact_key",
+    "x04_global_shuffle",
+    "x04_lm_quality_score",
+    "x04_quality_percentile_gate",
+    "x04_readability",
+    "x04_source_caps",
+    "x05_byte_histogram",
+    "x05_size_binned_shards",
+    # (a) the seven round-16 amendment re-grades
+    "x01_dedup_canonicalized",
+    "x05_binary_features",
+    "pipeline_dedup_report",
+    "x05_payload_energy",
+    "s09_session_gap_replay",
+    "s09_session_timeout_replay",
+    "pipeline_clean_coerce",
+    # (b) the alphabetically-first 28 r13 backfill rows
+    "pipeline_posts_clean_wire",
+    "q01_scan_explicit_schema",
+    "q07_cms_heavy_hitters",
+    "q07_hash_aggregate",
+    "q07_histogram_quantiles",
+    "q09_cube",
+    "q09_grouping_sets",
+    "q09_rollup",
+    "q10_bloom_prune",
+    "q10_join_full_outer",
+    "q10_join_left_outer",
+    "q10_join_semi",
+    "q10_star_report",
+    "q12_union_by_name",
+    "q12_union_daily_slices",
+    "q13_rank_dense_rank",
+    "q13_topn_per_group",
+    "q13_window_share",
+    "q14_string_funcs",
+    "q14_string_funcs2",
+    "q15_datetime_funcs",
+    "q17_array_funcs",
+    "q17_explode_tokens",
+    "q17_json_corrupt_records",
+    "q17_map_funcs",
+    "q18_partitioned_prune",
+    "q20_arrow_udf_ttr",
+    "q20_udtf_chunks",
 )
 
 GRADED_WINDOW = 50

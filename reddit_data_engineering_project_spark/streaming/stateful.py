@@ -355,6 +355,37 @@ def _vector_exact_ok(tail_arr, vals) -> bool:
     )
 
 
+def _eid_sort_keys(col) -> tuple:
+    """Exact lexsort tie-break keys for an ``event_id`` column, to be
+    spliced BEFORE the ts key in ``np.lexsort((*keys, ts_key))``.
+
+    The pre-r17 nullable/object fallback cast to float64, which loses
+    integer exactness above 2^53 — ts-tied rows with nearby huge ids
+    (the hostile waves plant 2^57-scale keys, where float64 spacing is
+    32) could silently sort differently from the exact int64 path,
+    changing fold row identity. Instead: an exact int64 view plus a
+    separate null mask as the more-significant key, preserving the
+    float path's NaN-sorts-last semantics without the lossy cast
+    (r16 advice). Only a plain integer ndarray takes the fast path —
+    a nullable Int64 series renders to float64 (this pandas) or object
+    (older), and BOTH must go through the exact fillna view (the
+    fillna(0) stays extension-typed, so the int64 render is exact).
+    """
+    import numpy as np
+
+    arr = col.to_numpy()
+    if arr.dtype.kind in "iu":
+        return (arr,)
+    mask = col.isna().to_numpy()
+    if arr.dtype == object:
+        # per-element Python-int conversion: exact, and avoids the
+        # object-fillna downcast deprecation
+        ints = np.where(mask, 0, arr).astype("int64")
+    else:
+        ints = col.fillna(0).to_numpy(dtype="int64")
+    return (ints, mask)
+
+
 def _zscore_fold_seq(tail: list, ev, vals) -> tuple:
     """Sequential fold body — the small-call arm of :func:`_zscore_fold`
     (inputs already normalized to int64/float64 ndarrays; same return
@@ -430,10 +461,7 @@ def score_rolling_zscore(
     ts_key = np.where(
         ts_us == NAT_US, np.iinfo("int64").max, ts_us
     )
-    eid = pdf["event_id"].to_numpy()
-    if eid.dtype == object:
-        eid = pdf["event_id"].astype("float64").to_numpy()
-    pdf = pdf.iloc[np.lexsort((eid, ts_key))]
+    pdf = pdf.iloc[np.lexsort((*_eid_sort_keys(pdf["event_id"]), ts_key))]
 
     ev, val, val_mask, z, z_mask, tail = _zscore_fold(
         tail, pdf["event_id"], pdf["value"]
@@ -560,15 +588,22 @@ def score_rolling_zscore_bucketed(
         ts_key = np.where(
             ts_us == NAT_US, np.iinfo("int64").max, ts_us
         )
-        eid = pdf["event_id"].to_numpy()
-        if eid.dtype == object:
-            eid = pdf["event_id"].astype("float64").to_numpy()
-        order = np.lexsort((eid, ts_key))
+        eid_keys = _eid_sort_keys(pdf["event_id"])
+        order = np.lexsort((*eid_keys, ts_key))
         pdf = pdf.iloc[order]
         # Column arrays extracted ONCE per bucket: the per-user slices
         # below are numpy fancy-indexing, not pdf.iloc frames — the
         # per-user pandas construction was most of the fold wall.
-        eid_sorted = eid[order]
+        # eid_keys[0] is the exact int64 id view (never a lossy float
+        # round-trip); a null id must fail loudly before it reaches the
+        # fold as the pandas path does — it is the declared primary key.
+        if len(eid_keys) > 1 and eid_keys[1].any():
+            raise ValueError(
+                "null event_id in z-score fold input — event_id is the "
+                "events primary key (tables.PRIMARY_KEYS); the ingest "
+                "contract gate rejects such batches before state updates"
+            )
+        eid_sorted = eid_keys[0][order]
         val_sorted = pdf["value"].to_numpy(dtype="float64", na_value=np.nan)
         for u, idx in pdf.groupby(
             "user_id", dropna=False, sort=False
@@ -734,8 +769,15 @@ _WM_CEILING_US = 9_223_372_036_854_775
 def _clamped_wm_ts():
     from pyspark.sql import functions as F
 
-    return F.least(
-        F.col("ts"), F.timestamp_micros(F.lit(_WM_CEILING_US))
+    # least() SKIPS nulls, so a bare clamp would turn a NULL event time
+    # into the 2262 ceiling and advance the watermark to it — timeout-
+    # closing every open session and late-dropping all subsequent
+    # in-range rows. NULL ts is contract-legal on the live streams (the
+    # fold drops NAT_US rows); preserve it so, as on the raw-ts
+    # watermark, NULL never advances the watermark.
+    return F.when(
+        F.col("ts").isNotNull(),
+        F.least(F.col("ts"), F.timestamp_micros(F.lit(_WM_CEILING_US))),
     ).alias("ts")
 
 
@@ -880,14 +922,12 @@ def close_idle_sessions(
         # sort last.
         pdf = frames[0] if len(frames) == 1 else pd.concat(frames)
         ts_us_all = pdf["ts_us"].to_numpy("int64")
-        eid = pdf["event_id"].to_numpy()
-        if eid.dtype == object:  # nullable extension fallback
-            eid = pdf["event_id"].astype("float64").to_numpy()
+        eid_keys = _eid_sort_keys(pdf["event_id"])
         mask = ts_us_all != NAT_US  # NULL ts carries no position
         if not mask.all():
             ts_us_all = ts_us_all[mask]
-            eid = eid[mask]
-        order = np.lexsort((eid, ts_us_all))
+            eid_keys = tuple(k[mask] for k in eid_keys)
+        order = np.lexsort((*eid_keys, ts_us_all))
         ts_us = ts_us_all[order]
         newly_closed, cur = _gap_fold(cur, ts_us, gap_us)
         closed.extend(newly_closed)
@@ -1086,10 +1126,9 @@ def close_idle_sessions_bucketed(
             if not mask.all():
                 pdf = pdf[mask]
                 ts_arr = ts_arr[mask]
-            eid = pdf["event_id"].to_numpy()
-            if eid.dtype == object:
-                eid = pdf["event_id"].astype("float64").to_numpy()
-            order = np.lexsort((eid, ts_arr))
+            order = np.lexsort(
+                (*_eid_sort_keys(pdf["event_id"]), ts_arr)
+            )
             pdf = pdf.iloc[order]
             ts_us_all = ts_arr[order]
             # groupby(sort=False) preserves the (ts, event_id) order

@@ -305,6 +305,164 @@ def test_session_stream_ignores_nat_event_times():
     assert out_c == [] and not st_c.exists and st_c.timeout_ts is None
 
 
+def test_session_stream_null_ts_does_not_advance_watermark(spark, tmp_path):
+    """NULL event times must not move the live watermark (r16 advice,
+    high): ``least()`` SKIPS nulls, so the pre-r17 clamp turned a NULL
+    ts into the 2262 ceiling — one NULL row advanced the watermark to
+    the ns ceiling, timeout-closing every open session and dropping all
+    subsequent in-range rows as late. On the raw-ts watermark NULL never
+    advanced it; the clamped column must preserve that. Scenario: a
+    NULL-ts row lands beside an open session, then an IN-GAP event
+    follows — it must merge (n=2), not be late-dropped."""
+    import datetime
+
+    from reddit_data_engineering_project_spark.streaming.stateful import (
+        run_session_stream,
+        run_session_stream_bucketed,
+    )
+
+    def drop(src, rows):
+        pdf = spark.createDataFrame(
+            [
+                (
+                    e,
+                    None if t is None else datetime.datetime.fromisoformat(t),
+                    u,
+                    "view",
+                    1.0,
+                )
+                for e, t, u in rows
+            ],
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double",
+        )
+        pdf.coalesce(1).write.mode("append").parquet(src)
+
+    # F1: user 1 opens a session; user 2 contributes a NULL-ts row.
+    # F2: user 1 returns WITHIN the gap — must merge into the open
+    #     session (the poisoned watermark would have dropped it late).
+    # F3: user 2 far in the future fires user 1's timeout.
+    files = [
+        [(1, "2024-01-01 00:00:00", 1), (2, None, 2)],
+        [(3, "2024-01-01 00:10:00", 1)],
+        [(4, "2024-01-01 06:00:00", 2)],
+    ]
+    import pandas as pd
+
+    for tag, runner, kwargs in (
+        ("per_user", run_session_stream, {}),
+        ("bucketed", run_session_stream_bucketed, {"n_buckets": 1}),
+    ):
+        src = os.path.join(str(tmp_path), f"src_{tag}")
+        sink = os.path.join(str(tmp_path), f"sink_{tag}")
+        ckpt = os.path.join(str(tmp_path), f"ckpt_{tag}")
+        for rows in files:
+            drop(src, rows)
+            runner(spark, src, sink, ckpt, **kwargs)
+        out = (
+            spark.read.option("recursiveFileLookup", True)
+            .parquet(sink)
+            .collect()
+        )
+        got = sorted(
+            (r.user_id, r.session_start, r.session_end, r.n_events,
+             r.closed_by)
+            for r in out
+        )
+        # exactly user 1's merged 2-event session, timeout-closed; the
+        # NULL-ts row tracked nothing and user 2's 06:00 stays open
+        assert got == [
+            (
+                1,
+                pd.Timestamp("2024-01-01 00:00:00"),
+                pd.Timestamp("2024-01-01 00:10:00"),
+                2,
+                "timeout",
+            )
+        ], (tag, got)
+
+
+def test_zscore_fold_sorts_huge_extension_ids_exactly():
+    """Tie-break exactness (r16 advice): the pre-r17 nullable/object
+    fallback cast event_id to float64 for the lexsort key; float64
+    spacing at 2^57 is 32, so ts-tied rows with nearby huge ids
+    collided and kept ARRIVAL order instead of id order, silently
+    changing fold row identity. Both fold paths must sort ts-tied
+    extension-dtype ids in exact integer order."""
+    import numpy as np
+    import pandas as pd
+
+    from reddit_data_engineering_project_spark.streaming.stateful import (
+        score_rolling_zscore,
+        score_rolling_zscore_bucketed,
+    )
+    from reddit_data_engineering_project_spark.streaming.stream_queries import (
+        _ReplayGroupState,
+    )
+
+    base = 1 << 57
+    ts = int(pd.Timestamp("2024-01-01").value // 1000)
+    # float64 cannot even represent the distinction the sort relies on
+    assert float(base + 3) == float(base + 1)
+
+    for eid_col in (
+        pd.array([base + 3, base + 1], dtype="Int64"),  # extension
+        np.array([base + 3, base + 1], dtype=object),  # object fallback
+    ):
+        pdf = pd.DataFrame(
+            {
+                "user_id": pd.array([1, 1], dtype="Int64"),
+                "event_id": eid_col,
+                "ts_us": np.array([ts, ts], dtype="int64"),
+                "value": [10.0, 20.0],
+            }
+        )
+        for fn, key in (
+            (score_rolling_zscore, (1,)),
+            (score_rolling_zscore_bucketed, (0,)),
+        ):
+            out = pd.concat(
+                list(fn(key, iter([pdf.copy()]), _ReplayGroupState())),
+                ignore_index=True,
+            )
+            # exact id order: base+1 (value 20.0) folds FIRST
+            assert list(out["event_id"]) == [base + 1, base + 3], fn.__name__
+            assert list(out["value_e4"]) == [200000, 100000], fn.__name__
+
+
+def test_bucketed_zscore_rejects_null_extension_event_id():
+    """A null id in a nullable-extension event_id column must fail
+    loudly on the bucketed path (event_id is the declared primary key)
+    — the pre-r17 float64 cast would have folded it as NaN, and the
+    exact int64 view must not silently fold it as a filled zero."""
+    import numpy as np
+    import pandas as pd
+    import pytest as _pytest
+
+    from reddit_data_engineering_project_spark.streaming.stateful import (
+        score_rolling_zscore_bucketed,
+    )
+    from reddit_data_engineering_project_spark.streaming.stream_queries import (
+        _ReplayGroupState,
+    )
+
+    ts = int(pd.Timestamp("2024-01-01").value // 1000)
+    pdf = pd.DataFrame(
+        {
+            "user_id": pd.array([1, 1], dtype="Int64"),
+            "event_id": pd.array([1, None], dtype="Int64"),
+            "ts_us": np.array([ts, ts], dtype="int64"),
+            "value": [10.0, 20.0],
+        }
+    )
+    with _pytest.raises(ValueError, match="primary key"):
+        list(
+            score_rolling_zscore_bucketed(
+                (0,), iter([pdf]), _ReplayGroupState()
+            )
+        )
+
+
 def test_bucketed_session_stream_matches_per_user(spark, tmp_path):
     """The key-coarsened sessionizer (r10 verdict item 3: per-key
     protocol cost amortized over user buckets) must be ROW-IDENTICAL to
