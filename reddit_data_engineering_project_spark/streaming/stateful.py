@@ -781,6 +781,67 @@ def _clamped_wm_ts():
     ).alias("ts")
 
 
+def _observe_wm_saturation(stream):
+    """Count rows whose event time exceeds the ns ceiling, riding the
+    stream's existing scan as an ``observe()`` metric (zero extra pass,
+    same mechanism as the ingest-contract gates).
+
+    Past ``_WM_CEILING_US`` the clamped watermark SATURATES: nothing
+    drops or corrupts, but timeout-closure silently stops firing — a
+    documented degradation an operator near the ceiling could
+    otherwise never see (r16 verdict item 4). The counter keys on the
+    RAW ts (call before the clamp projection); read it back with
+    :func:`wm_saturation_count`."""
+    from pyspark.sql import functions as F
+
+    return stream.observe(
+        "wm_saturation",
+        F.sum(
+            F.when(
+                F.col("ts")
+                > F.timestamp_micros(F.lit(_WM_CEILING_US)),
+                1,
+            ).otherwise(0)
+        ).alias("n_wm_clamped"),
+    )
+
+
+def wm_saturation_count(query) -> int:
+    """Total past-ceiling rows the finished run observed (sum over the
+    progress history — same read path as the ingest-contract gate;
+    batches evicted past ``numRecentProgressUpdates`` would undercount,
+    which ``raise_on_contract_violations`` already refuses to vouch
+    for on the same runs)."""
+    total = 0
+    for p in query.recentProgress:
+        row = (p.observedMetrics or {}).get("wm_saturation")
+        if row is not None:
+            total += row["n_wm_clamped"] or 0
+    return total
+
+
+def _warn_wm_saturation(query) -> int:
+    """Post-run check: warn loudly when any row exceeded the ns
+    ceiling — timeout-closure stopped firing once the clamped
+    watermark pinned there (gap-closure and row integrity are
+    unaffected; see ``_WM_CEILING_US``). Returns the count so runners
+    can surface it."""
+    import warnings
+
+    n = wm_saturation_count(query)
+    if n:
+        warnings.warn(
+            f"{n} event(s) beyond the datetime64[ns] ceiling "
+            f"(2262-04-11): the clamped watermark saturated, so "
+            f"timeout-closure stopped firing for the remainder of the "
+            f"run; gap-closure and emitted rows are unaffected "
+            f"(streaming/stateful.py:_WM_CEILING_US)",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+    return n
+
+
 def cast_session_bounds(df):
     """Relational µs->timestamp cast of the sessionizer's boundary
     output — the half of the timestamp round-trip that never touches
@@ -1004,7 +1065,9 @@ def run_session_stream(
     )
     # exact epoch-µs longs for the fold + the ns-safe clamped ts for
     # the watermark/late-drop machinery (see _WM_CEILING_US); ts_us is
-    # computed from the RAW ts before the clamp
+    # computed from the RAW ts before the clamp, and the saturation
+    # counter rides the same scan on the raw column
+    stream = _observe_wm_saturation(stream)
     stream = stream.select(
         "user_id", "event_id", ts_us_expr(), _clamped_wm_ts()
     ).withWatermark("ts", "0 seconds")
@@ -1041,6 +1104,7 @@ def run_session_stream(
     from .runner import raise_on_contract_violations
 
     raise_on_contract_violations(q, contract_table, spark)
+    _warn_wm_saturation(q)
 
 
 # ---------------------------------------------------------------------------
@@ -1254,6 +1318,7 @@ def run_session_stream_bucketed(
         ),
         contract_table,
     )
+    stream = _observe_wm_saturation(stream)
     stream = stream.select(
         "user_id", "event_id", "bucket", ts_us_expr(), _clamped_wm_ts()
     ).withWatermark("ts", "0 seconds")
@@ -1288,3 +1353,4 @@ def run_session_stream_bucketed(
     from .runner import raise_on_contract_violations
 
     raise_on_contract_violations(q, contract_table, spark)
+    _warn_wm_saturation(q)

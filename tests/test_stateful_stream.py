@@ -382,6 +382,71 @@ def test_session_stream_null_ts_does_not_advance_watermark(spark, tmp_path):
         ], (tag, got)
 
 
+def test_wm_saturation_counter_fires_past_ns_ceiling(spark, tmp_path):
+    """Watermark saturation is OBSERVABLE (r16 verdict item 4): past
+    2262-04-11 the clamped watermark saturates — documented degradation
+    (timeout-closure stops firing) that was previously silent. The
+    observe() counter rides the contract-gate scan and the runners warn
+    post-run; it must FIRE on a past-ceiling corpus (contract-legal:
+    TIME_DOMAIN reaches 2999-12-31) and stay SILENT on committed-shaped
+    fixtures."""
+    import datetime
+    import warnings
+
+    from reddit_data_engineering_project_spark.streaming.stateful import (
+        run_session_stream,
+        run_session_stream_bucketed,
+    )
+
+    def drop(src, rows):
+        pdf = spark.createDataFrame(
+            [
+                (e, datetime.datetime.fromisoformat(t), u, "view", 1.0)
+                for e, t, u in rows
+            ],
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double",
+        )
+        pdf.coalesce(1).write.mode("append").parquet(src)
+
+    in_range = [
+        (1, "2024-01-01 00:00:00", 1),
+        (2, "2024-01-01 00:10:00", 1),
+    ]
+    past_ceiling = [
+        (3, "2500-01-01 00:00:00", 1),  # beyond 2262-04-11, inside domain
+        (4, "2024-01-02 00:00:00", 2),
+    ]
+    for tag, runner, kwargs in (
+        ("per_user", run_session_stream, {}),
+        ("bucketed", run_session_stream_bucketed, {"n_buckets": 1}),
+    ):
+        src = os.path.join(str(tmp_path), f"src_{tag}")
+        sink = os.path.join(str(tmp_path), f"sink_{tag}")
+        ckpt = os.path.join(str(tmp_path), f"ckpt_{tag}")
+        # committed-shaped fixture: counter stays zero, no warning
+        drop(src, in_range)
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            runner(spark, src, sink, ckpt, **kwargs)
+        assert not [
+            w for w in caught if "ns" in str(w.message) and "ceiling"
+            in str(w.message)
+        ], tag
+        # one past-ceiling event: the counter fires with its count
+        drop(src, past_ceiling)
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            runner(spark, src, sink, ckpt, **kwargs)
+        hits = [
+            w for w in caught
+            if issubclass(w.category, RuntimeWarning)
+            and "ceiling" in str(w.message)
+        ]
+        assert len(hits) == 1, (tag, [str(w.message) for w in caught])
+        assert "1 event(s)" in str(hits[0].message), str(hits[0].message)
+
+
 def test_zscore_fold_sorts_huge_extension_ids_exactly():
     """Tie-break exactness (r16 advice): the pre-r17 nullable/object
     fallback cast event_id to float64 for the lexsort key; float64

@@ -347,6 +347,16 @@ def main() -> int:
         help="also write the unknown-lang documents corpus",
     )
     ap.add_argument(
+        "--composed",
+        metavar="NAME:DIR",
+        action="append",
+        default=None,
+        help=(
+            "also write a named COMPOSED-axis corpus (repeatable; "
+            "names: " + ", ".join(sorted(COMPOSED)) + ")"
+        ),
+    )
+    ap.add_argument(
         "--mixed",
         metavar="TABLE",
         action="append",
@@ -451,6 +461,14 @@ def main() -> int:
     if args.unknown_lang:
         write_unknown_lang(args.src, args.unknown_lang)
         print(f"{args.unknown_lang}: unknown-lang corpus")
+    for spec in args.composed or ():
+        label, _, out = spec.partition(":")
+        if label not in COMPOSED or not out:
+            ap.error(
+                f"--composed needs NAME:DIR with NAME in {sorted(COMPOSED)}"
+            )
+        write_composed(args.src, out, label)
+        print(f"{out}: composed {label} corpus")
     return 0
 
 
@@ -905,3 +923,38 @@ def write_unknown_lang(src: str, out: str) -> None:
                 idx, "lang", pa.array(vals, t.schema.field("lang").type)
             )
         pq.write_table(t, os.path.join(out, f"{name}.parquet"))
+
+
+#: COMPOSED-AXIS corpora (round 17, r16 verdict item 3): every gate
+#: corpus so far mutates ONE axis; the program's hit rate says bug
+#: classes hide at axis JUNCTIONS — both r14's concat_ws and r16's
+#: strip-then-lower bugs lived exactly where digest/canonicalization
+#: meets a NULL grouping key. Each entry names the single-axis writers
+#: applied IN SEQUENCE (first from the committed baseline, the rest
+#: over the intermediate corpus), so a composed corpus is definitionally
+#: the junction of already-swept axes — any new failure is an
+#: interaction bug, not a re-discovery.
+COMPOSED: dict[str, tuple] = {
+    # unicode-hostile documents.text × all-NULL documents.source: the
+    # digest/canonicalization × NULL-key junction named above.
+    "unicode_null_source": (
+        write_unicode_text,
+        lambda s, o: write_null_column(s, o, "source", "documents"),
+    ),
+    # hostile-JSON events.props × all-NULL events.user_id: extraction
+    # lenses × NULL-key grouping (q17 family + every per-user plan).
+    "hostile_props_null_user": (
+        write_hostile_props,
+        lambda s, o: write_null_column(s, o, "user_id", "events"),
+    ),
+}
+
+
+def write_composed(src: str, out: str, label: str) -> None:
+    """Write the :data:`COMPOSED` corpus ``label``: the first step reads
+    the committed baseline at ``src``; each later step re-reads ``out``
+    and rewrites it in place (every writer materializes a table fully
+    before writing, so in-place is safe)."""
+    steps = COMPOSED[label]
+    for i, step in enumerate(steps):
+        step(src if i == 0 else out, out)
