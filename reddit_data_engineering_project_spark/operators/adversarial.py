@@ -72,6 +72,22 @@ it, so the guarantees earn a driver hash row every round:
   the whole int64 key domain, and the standing ``neg_event_id`` /
   ``neg_doc_id`` gate corpora keep them so.
 
+- (round 17) DUPLICATE-JSON-KEY policy pins, driver-visible: RFC 8259
+  leaves duplicate member names undefined and the engines genuinely
+  part ways (the r16 seventeenth-wave finding, gate-pinned as the
+  ``dup_key_props`` fail set) — Spark ``from_json``-STRUCT keeps the
+  LAST occurrence (Jackson), ``from_json``-MAP the FIRST (agreeing
+  with DuckDB's yyjson), and Spark VARIANT REJECTS the object
+  (``try_parse_json`` → NULL), equal-value duplicates included. Three
+  planted dup-key wires (mirroring
+  ``tools/degenerate_corpus.DUP_KEY_PROPS``) probe all three APIs;
+  the oracle computes the MAP lens genuinely (first-wins on both
+  engines) and pins the STRUCT/VARIANT winners through guarded CASE
+  (guard: the first-wins extraction still sees key ``k``, proving the
+  planted wire is intact) — an engine upgrade that changes Jackson's
+  last-wins policy or VARIANT's reject now flips the hash loudly
+  instead of silently re-shaping the accepted gate fail set.
+
 Every probe output is a BIGINT (scaled where fractional), emitted as
 ``(probe, id, out)`` rows so any single divergent value flips the
 driver hash. The slice is fixed-size (event_id ≤ 256, vec_id < 32) —
@@ -102,6 +118,21 @@ _WIRES = (
 
 #: Planted half-boundary doubles (incl. a binary-inexact 0.05 pair).
 _HALVES = (-2.5, -1.5, -0.5, 0.5, 1.5, 2.5, 0.05, -0.05)
+
+#: Planted duplicate-key wires, one per event_id % 3 bucket — the same
+#: three shapes as ``tools/degenerate_corpus.DUP_KEY_PROPS`` (kept as
+#: literals here so the package never imports from tools/): unequal
+#: values, equal values, interleaved with a second duplicated key.
+_DUP_WIRES = (
+    '{"k": 1, "k": 2}',
+    '{"k": 7, "k": 7}',
+    '{"a": 1, "k": 9, "k": 8, "a": 2}',
+)
+#: The DOCUMENTED Spark from_json-STRUCT winners (Jackson last-wins)
+#: per shape — measured and pinned by
+#: ``tests/test_round16_ops.py::test_dup_key_divergence_is_real_and_bounded``.
+_DUP_STRUCT_LAST = (2, 7, 8)
+_DUP_SCHEMA = "struct<k: bigint>"
 
 #: Session-gap boundary probe: the gap in µs (30 minutes) and the epoch
 #: base (2024-01-01T00:00:00Z). Per event: skey = event_id % 4 picks the
@@ -156,6 +187,8 @@ def _sql_case(col: str, values, quote: bool) -> str:
     ),
     planted AS (
         SELECT event_id, user_id, b,
+               ((event_id % 3) + 3) % 3 AS b3,
+               {DUP_CASE} AS dwire,
                {WIRE_CASE} AS wire,
                -- CAST to DOUBLE: repr() splices exact decimals, which
                -- DuckDB would otherwise type DECIMAL(3,2) and round in
@@ -226,7 +259,21 @@ def _sql_case(col: str, values, quote: bool) -> str:
             CAST(len(array_to_string(
                 list_filter(string_split('text body ' || src, ' '),
                             t -> t <> ''), ' ')) AS BIGINT)
-                AS null_concat
+                AS null_concat,
+            -- duplicate-key policy pins (round 17): the MAP lens is
+            -- computed GENUINELY (yyjson first-wins = Spark
+            -- from_json-MAP first-wins); the STRUCT lens pins the
+            -- DOCUMENTED Jackson last-wins winner and the VARIANT lens
+            -- the documented reject (NULL), each guarded on the
+            -- first-wins extraction still seeing key k — a drifted
+            -- planted wire degrades the pin loudly instead of
+            -- vacuously agreeing
+            TRY_CAST(json_extract_string(dwire, '$.k') AS BIGINT)
+                AS dup_map,
+            CASE WHEN json_extract_string(dwire, '$.k') IS NOT NULL
+                 THEN {DUP_LAST_CASE} END AS dup_struct,
+            CASE WHEN json_extract_string(dwire, '$.k') IS NOT NULL
+                 THEN CAST(NULL AS BIGINT) END AS dup_var
         FROM planted
         WINDOW w AS (
             PARTITION BY user_id
@@ -250,6 +297,12 @@ def _sql_case(col: str, values, quote: bool) -> str:
         SELECT 'round_pair', event_id, round_pair FROM wide
         UNION ALL
         SELECT 'null_concat', event_id, null_concat FROM wide
+        UNION ALL
+        SELECT 'dup_map', event_id, dup_map FROM wide
+        UNION ALL
+        SELECT 'dup_struct', event_id, dup_struct FROM wide
+        UNION ALL
+        SELECT 'dup_var', event_id, dup_var FROM wide
     ),
     v AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
@@ -380,6 +433,11 @@ def _sql_case(col: str, values, quote: bool) -> str:
     UNION ALL
     SELECT probe, id, out FROM grouping_probes
     """.replace("{WIRE_CASE}", _sql_case("b", _WIRES, quote=True))
+    .replace("{DUP_CASE}", _sql_case("b3", _DUP_WIRES, quote=True))
+    .replace(
+        "{DUP_LAST_CASE}",
+        _sql_case("b3", _DUP_STRUCT_LAST, quote=False),
+    )
     .replace("{HALF_CASE}", _sql_case("b", _HALVES, quote=False))
     .replace("{GAP3}", str(3 * _GAP_US))
     .replace("{GAP}", str(_GAP_US))
@@ -418,9 +476,12 @@ def x00_adversarial_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = F.when(b % 2 == 0, F.lit(None).cast("string")).otherwise(
         F.concat(F.lit("s"), F.pmod(F.col("event_id"), F.lit(5)).cast("string"))
     )
+    b3 = F.pmod(F.col("event_id"), F.lit(3)).cast("int")
+    dwire = _case_over_bucket(b3, _DUP_WIRES)
     planted = ev.select(
         "event_id", "user_id", wire.alias("wire"), x.alias("x"),
         n.alias("n"), ts2.alias("ts2"), src.alias("src"),
+        dwire.alias("dwire"),
     )
 
     # Spark Window.orderBy ascending = NULLS FIRST (oracle mirrors it
@@ -462,14 +523,31 @@ def x00_adversarial_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             _null_toks.isNotNull(),
             F.length(F.concat_ws(" ", _null_toks)),
         ).cast("long").alias("null_concat"),
+        # duplicate-key policy pins (round 17): the three APIs applied
+        # to the SAME planted dup-key wire — from_json-MAP first-wins
+        # (the oracle computes this genuinely), from_json-STRUCT
+        # last-wins (the oracle pins Jackson's documented winner),
+        # VARIANT reject (try_parse_json -> NULL; strict parse_json
+        # raises VARIANT_DUPLICATE_KEY)
+        F.from_json("dwire", "map<string,bigint>")[F.lit("k")].alias(
+            "dup_map"
+        ),
+        F.from_json("dwire", _DUP_SCHEMA).k.cast("long").alias(
+            "dup_struct"
+        ),
+        F.try_variant_get(
+            F.try_parse_json("dwire"), "$.k", "long"
+        ).alias("dup_var"),
     )
     stacked = wide.select(
         F.expr(
-            "stack(8, 'json_int', json_int, 'json_cast', json_cast, "
+            "stack(11, 'json_int', json_int, 'json_cast', json_cast, "
             "'json_var', json_var, 'win_rank', win_rank, "
             "'gap_us', gap_us, 'frame', frame, "
             "'round_pair', round_pair, "
-            "'null_concat', null_concat) AS (probe, out)"
+            "'null_concat', null_concat, "
+            "'dup_map', dup_map, 'dup_struct', dup_struct, "
+            "'dup_var', dup_var) AS (probe, out)"
         ),
         F.col("event_id").alias("id"),
     ).select("probe", "id", "out")

@@ -117,33 +117,39 @@ def register(
 #       pipeline_clean_coerce (TRY_CAST overflow guard — the
 #       hostile-props wave's oracle-crash fix; q17_map_funcs' twin
 #       fix lands via its (b) row below);
-#   (b) the alphabetically-first 28 of the remaining 42-member r13
-#       class (pipeline_posts_clean_wire .. q20_udtf_chunks —
+#   (b) the alphabetically-first 27 of the remaining 42-member r13
+#       class (pipeline_posts_clean_wire .. q20_arrow_udf_ttr —
 #       x05_binary_features and x05_payload_energy left the pool for
-#       their (a) amendment slots); the alphabetically-last FOURTEEN
-#       roll to round 18 per the committed plan below.
-# 15 + 7 + 28 = 50.
+#       their (a) amendment slots) PLUS the round-17
+#       x00_adversarial_audit re-grade (its output gained the three
+#       dup-key policy-pin probes this round — the changed-output rule
+#       mandates a landing-round grade; the slot comes from the (b)
+#       tail per the standing velocity rule, ceding q20_udtf_chunks to
+#       round 18); the alphabetically-last FIFTEEN roll to round 18
+#       per the committed plan below.
+# 15 + 7 + 27 + 1 = 50.
 #
 # ROUND-18 ROTATION PLAN (committed now so no entry waits on an
 # undocumented promise; precondition: CORRECTNESS_r17 grades the
 # window below 50/50 green). Pure backfill:
-#   (a) the FOURTEEN r13 rows that rolled (q21_adamic_adar,
+#   (a) the FIFTEEN r13 rows that rolled (q20_udtf_chunks — ceded its
+#       round-17 slot to the x00 re-grade — plus q21_adamic_adar,
 #       q21_adamic_adar_capped, q21_event_transitions, q21_kcore_peel,
 #       q21_spend_trend_ols, q22_acf_hourly, q22_hampel_mad,
 #       q22_seasonal_decompose, s03_session_window,
 #       x01_dedup_content_hash, x02_dedup_clusters,
 #       x02_minhash_lsh_neardup, x02_neardup_jaccard, x04_doc_stats);
-#   (b) the alphabetically-first 36 of the 46-member r14 class
-#       (pipeline_curation_full .. x03_hamming_topk — the 50 r14 rows
-#       minus x01_dedup_canonicalized, s09_session_gap_replay,
+#   (b) the alphabetically-first 35 of the 46-member r14 class
+#       (pipeline_curation_full .. x03_hamming_rerank — the 50 r14
+#       rows minus x01_dedup_canonicalized, s09_session_gap_replay,
 #       s09_session_timeout_replay, pipeline_clean_coerce, whose
 #       amendments re-grade in round 17 above); the
-#       alphabetically-last TEN (x03_range_search,
-#       x04_data_quality_report, x04_fingerprint, x04_hash_sample,
-#       x04_language_id, x04_weighted_sample, x05_bmp_pixel_stats,
-#       x05_frame_dedup, x05_frame_sample, x05_payload_resize) roll
-#       to round 19.
-# 14 + 36 = 50. Every round-17/18 registration must either take a
+#       alphabetically-last ELEVEN (x03_hamming_topk,
+#       x03_range_search, x04_data_quality_report, x04_fingerprint,
+#       x04_hash_sample, x04_language_id, x04_weighted_sample,
+#       x05_bmp_pixel_stats, x05_frame_dedup, x05_frame_sample,
+#       x05_payload_resize) roll to round 19.
+# 15 + 35 = 50. Every round-17/18 registration must either take a
 # slot from the (b) tail in its own commit or add itself to
 # QUEUED_FOR_NEXT_WINDOW — keep velocity <= the handful the window
 # can absorb.
@@ -200,7 +206,9 @@ GRADING_PRIORITY: tuple[str, ...] = (
     "q17_map_funcs",
     "q18_partitioned_prune",
     "q20_arrow_udf_ttr",
-    "q20_udtf_chunks",
+    # (b) the x00 landing-round re-grade (dup-key policy pins; slot
+    # ceded by q20_udtf_chunks, which rolls to round 18)
+    "x00_adversarial_audit",
 )
 
 GRADED_WINDOW = 50

@@ -7,7 +7,7 @@ any OTHER entry's empty-input path would stay invisible until the next
 manual sweep. This tool makes the full sweep a one-command gate:
 
 1. regenerates every degenerate corpus in ``EXPECTED_FAILS`` (the
-   authoritative list — thirty-eight as of round 16) from the committed
+   authoritative list — forty as of round 17) from the committed
    sf0.001 fixtures via :mod:`degenerate_corpus` (empty, one-row, the
    three mixed corpora with exactly one of events / documents /
    embeddings zeroed, and — round 13 — the two zero-VARIANCE corpora
@@ -320,6 +320,18 @@ EXPECTED_FAILS: dict[str, frozenset[str]] = {
     # engines, stratifiers treat unknown codes as opaque keys,
     # case-sensitive membership misses 'EN'.
     "unknown_lang": frozenset(),
+    # round 17 (COMPOSED AXES, r16 verdict item 3 — both swept 209/209
+    # clean on first contact): every prior corpus mutates ONE axis, yet
+    # the r14 concat_ws and r16 strip-then-lower bugs both lived where
+    # digest/canonicalization meets a NULL grouping key.
+    # unicode_null_source = unicode-hostile documents.text × all-NULL
+    # documents.source (canonicalization × NULL-key junction);
+    # hostile_props_null_user = hostile-JSON events.props × all-NULL
+    # events.user_id (extraction lenses × NULL-key grouping). Built by
+    # SEQUENCING the single-axis writers (degenerate_corpus.COMPOSED),
+    # so any failure here is an interaction bug by construction.
+    "unicode_null_source": frozenset(),
+    "hostile_props_null_user": frozenset(),
 }
 
 # corpus label -> the tables its writer mutates relative to the
@@ -368,6 +380,8 @@ MUTATED_TABLES: dict[str, frozenset[str] | None] = {
     "emb_edge": frozenset({"embeddings"}),
     "huge_user_id": frozenset({"events"}),
     "unknown_lang": frozenset({"documents"}),
+    "unicode_null_source": frozenset({"documents"}),
+    "hostile_props_null_user": frozenset({"events"}),
 }
 
 _SUMMARY = re.compile(
@@ -592,6 +606,8 @@ def main() -> int:
         (1 << 57) - (1 << 20),
     )
     deg.write_unknown_lang(args.src, dirs["unknown_lang"])
+    for label in deg.COMPOSED:
+        deg.write_composed(args.src, dirs[label], label)
 
     t0 = time.time()
     verify_mutations(args.src, dirs)
