@@ -49,11 +49,12 @@ def decode_media(payload: bytes, media_type: str) -> object:
     In production this dispatches to an image/audio/video decoder
     (PIL / torchaudio / pyav). THREE real image formats are decodable
     without any external codec library — uncompressed 24-bit BMP
-    (:func:`decode_bmp`), binary PPM (:func:`decode_ppm`), and, as of
-    round 15, 8-bit truecolor PNG (:func:`decode_png`: full chunk
-    walk with CRC verification, stdlib-``zlib`` inflate, and all five
-    scanline filter reconstructions — a genuinely COMPRESSED format,
-    closing the r14 "no compressed codec" gap) — so the seam has
+    (:func:`decode_bmp`), binary PPM (:func:`decode_ppm`), and
+    COMPLETE PNG (:func:`decode_png`: full chunk walk with CRC
+    verification, stdlib-``zlib`` bounded inflate, all five scanline
+    filter reconstructions, and — as of round 17 — every spec-legal
+    color type × bit depth combination plus Adam7 interlacing, so any
+    conformant PNG from a standard tool decodes) — the seam has
     tested, executable siblings next to the ``text/plain`` fake;
     every other media type (JPEG needs a DCT codec) still raises
     until a library is plugged in here at deployment.
@@ -223,110 +224,36 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _PNG_MAX_RASTER = 1 << 26
 
 
-def decode_png(payload: bytes):
-    """Pure-stdlib decoder for 8-bit truecolor (color type 2,
-    non-interlaced) PNG — the third real format behind the seam and
-    the first COMPRESSED one (the r14 verdict's remaining codec gap
-    named "compressed/real-world formats"; deflate ships in CPython's
-    ``zlib``, so this needs zero new dependencies). Implements the
-    format for real, not just this repo's encoder subset: signature +
-    chunk walk with per-chunk CRC32 verification, multi-IDAT
-    concatenation, zlib inflate, and ALL FIVE scanline filter
-    reconstructions (None/Sub/Up/Average/Paeth) per the PNG spec —
-    any 8-bit RGB non-interlaced PNG from a standard tool decodes.
-    Returns ``(height, width, 3)`` uint8 RGB, top row first. Outside
-    the envelope: other bit depths / color types / Adam7 interlace
-    raise ``NotImplementedError`` (a codec limitation); structural
-    damage — bad signature, truncated chunks, CRC mismatch, inflate
-    failure, wrong raster size, unknown filter type — raises
-    ``ValueError`` (corrupt bytes), the split :func:`classify_media`
-    maps to ``unsupported`` vs ``value_error``.
-    """
-    import struct
-    import zlib
+#: PNG spec tables: samples per pixel per color type, and the legal
+#: bit depths per color type (PNG spec §11.2.2, Table 11.1).
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+_PNG_DEPTHS = {
+    0: (1, 2, 4, 8, 16),
+    2: (8, 16),
+    3: (1, 2, 4, 8),
+    4: (8, 16),
+    6: (8, 16),
+}
+#: Adam7 pass geometry: (x0, y0, dx, dy) per pass (spec §8.2).
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
 
+
+def _png_unfilter(lines, stride: int, bpp: int):
+    """Reconstruct one filtered scanline block: ``lines`` is
+    ``(h, 1 + stride)`` uint8 (filter byte + filtered bytes per row);
+    returns ``(h, stride)`` uint8. All five filters per spec §9."""
     import numpy as np
 
-    if payload[:8] != _PNG_SIG:
-        raise ValueError("not a PNG payload (missing signature)")
-    pos = 8
-    ihdr: bytes | None = None
-    idat = bytearray()
-    seen_iend = False
-    while pos < len(payload):
-        if pos + 8 > len(payload):
-            raise ValueError("truncated PNG chunk header")
-        length, ctype = struct.unpack(">I4s", payload[pos : pos + 8])
-        end = pos + 8 + length + 4
-        if end > len(payload):
-            raise ValueError(f"truncated PNG chunk {ctype!r}")
-        data = payload[pos + 8 : pos + 8 + length]
-        (crc,) = struct.unpack(">I", payload[pos + 8 + length : end])
-        if zlib.crc32(payload[pos + 4 : pos + 8 + length]) & 0xFFFFFFFF != crc:
-            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
-        if ctype == b"IHDR":
-            if len(data) != 13:
-                raise ValueError(f"PNG IHDR length {len(data)} != 13")
-            ihdr = data
-        elif ctype == b"IDAT":
-            idat += data
-        elif ctype == b"IEND":
-            seen_iend = True
-            break
-        # ancillary chunks (tEXt, pHYs, ...) are legal and skipped
-        pos = end
-    if ihdr is None:
-        raise ValueError("PNG missing IHDR chunk")
-    if not seen_iend:
-        raise ValueError("PNG missing IEND chunk")
-    w, h, depth, ctype_i, comp, filt, interlace = struct.unpack(
-        ">IIBBBBB", ihdr
-    )
-    if depth != 8 or ctype_i != 2:
-        raise NotImplementedError(
-            f"only 8-bit truecolor PNG is decodable here "
-            f"(got depth={depth}, color_type={ctype_i})"
-        )
-    if interlace != 0:
-        raise NotImplementedError("Adam7-interlaced PNG not supported")
-    if comp != 0 or filt != 0:
-        raise ValueError(
-            f"invalid PNG compression/filter method {comp}/{filt}"
-        )
-    if w == 0 or h == 0:
-        raise ValueError(f"degenerate PNG dimensions {w}x{h}")
-    expected = h * (1 + 3 * w)
-    if expected > _PNG_MAX_RASTER:
-        raise NotImplementedError(
-            f"PNG raster {w}x{h} exceeds the "
-            f"{_PNG_MAX_RASTER >> 20} MiB decode envelope"
-        )
-    # Bounded inflate (r15 ADVICE, medium): IHDR declares the raster
-    # size BEFORE the deflate stream runs, so never hand untrusted
-    # IDAT bytes to an unbounded zlib.decompress — a ~1000:1 deflate
-    # bomb would otherwise allocate gigabytes and OOM the executor
-    # instead of landing in classify_media's ValueError quarantine.
-    dobj = zlib.decompressobj()
-    try:
-        raw = dobj.decompress(bytes(idat), expected + 1)
-    except zlib.error as exc:
-        raise ValueError(f"PNG IDAT inflate failed: {exc}") from exc
-    if len(raw) > expected or dobj.unconsumed_tail:
-        raise ValueError(
-            f"PNG IDAT inflates past the declared raster size {expected}"
-        )
-    if not dobj.eof:
-        raise ValueError("PNG IDAT inflate failed: incomplete deflate stream")
-    if dobj.unused_data:
-        raise ValueError("PNG IDAT carries trailing bytes past the stream end")
-    stride = 3 * w
-    if len(raw) != h * (1 + stride):
-        raise ValueError(
-            f"PNG raster size {len(raw)} != {h * (1 + stride)} expected"
-        )
-    lines = np.frombuffer(raw, dtype=np.uint8).reshape(h, 1 + stride)
+    h = lines.shape[0]
     out = np.zeros((h, stride), dtype=np.uint8)
-    bpp = 3  # bytes per pixel at depth 8 / color type 2
     for y in range(h):
         ftype = int(lines[y, 0])
         line = lines[y, 1:].astype(np.int64)
@@ -357,9 +284,193 @@ def decode_png(payload: bytes):
                         pred = ul
                     rec[x] = (line[x] + pred) & 0xFF
         else:
-            raise ValueError(f"unknown PNG filter type {ftype} at row {y}")
+            raise ValueError(f"unknown PNG filter type {ftype}")
         out[y] = rec.astype(np.uint8)
-    return out.reshape(h, w, 3).copy()
+    return out
+
+
+def _png_unpack_samples(scan, pw: int, channels: int, depth: int):
+    """Unpack unfiltered scanline bytes ``(ph, stride)`` into samples
+    ``(ph, pw * channels)``: MSB-first sub-byte packing for depths
+    1/2/4, big-endian pairs for depth 16 (spec §7.2)."""
+    import numpy as np
+
+    n = pw * channels
+    if depth == 8:
+        return scan[:, :n].astype(np.uint16)
+    if depth == 16:
+        pairs = scan[:, : 2 * n].reshape(scan.shape[0], n, 2)
+        return (
+            pairs[:, :, 0].astype(np.uint16) << 8
+        ) | pairs[:, :, 1].astype(np.uint16)
+    bits = np.unpackbits(scan, axis=1)[:, : n * depth]
+    groups = bits.reshape(scan.shape[0], n, depth).astype(np.uint16)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint16)
+    return (groups * weights).sum(axis=2, dtype=np.uint16)
+
+
+def decode_png(payload: bytes):
+    """Pure-stdlib PNG decoder — the third real format behind the seam
+    and the first COMPRESSED one (deflate ships in CPython's ``zlib``,
+    zero new dependencies). Implements the format for real: signature +
+    chunk walk with per-chunk CRC32 verification, multi-IDAT
+    concatenation, size-bounded zlib inflate, ALL FIVE scanline filter
+    reconstructions (None/Sub/Up/Average/Paeth), and — as of round
+    17 — EVERY spec-legal (color type, bit depth) combination plus
+    Adam7 interlacing: grayscale 1/2/4/8/16-bit, truecolor 8/16-bit,
+    palette 1/2/4/8-bit (PLTE-expanded to RGB), gray+alpha and RGBA
+    8/16-bit. Any spec-conformant PNG from a standard tool decodes.
+
+    Returns pixels top row first: palette expands to ``(h, w, 3)``
+    uint8; 16-bit images return uint16 samples (no precision loss);
+    sub-8-bit grayscale scales to the full 8-bit range
+    (``v * 255 // (2^d - 1)``, the spec's display convention); alpha
+    channels are returned as-is (no compositing). The ``tRNS``
+    ancillary chunk is skipped like all ancillary chunks — palette
+    transparency is not applied. Structural damage — bad signature,
+    truncated chunks, CRC mismatch, inflate failure, wrong raster
+    size, unknown filter type, missing/invalid PLTE, out-of-range
+    palette index — raises ``ValueError`` (corrupt bytes); the one
+    remaining envelope limit (raster beyond the decode cap) raises
+    ``NotImplementedError``; the split :func:`classify_media` maps to
+    ``value_error`` vs ``unsupported``.
+    """
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload (missing signature)")
+    pos = 8
+    ihdr: bytes | None = None
+    plte: bytes | None = None
+    idat = bytearray()
+    seen_iend = False
+    while pos < len(payload):
+        if pos + 8 > len(payload):
+            raise ValueError("truncated PNG chunk header")
+        length, ctype = struct.unpack(">I4s", payload[pos : pos + 8])
+        end = pos + 8 + length + 4
+        if end > len(payload):
+            raise ValueError(f"truncated PNG chunk {ctype!r}")
+        data = payload[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack(">I", payload[pos + 8 + length : end])
+        if zlib.crc32(payload[pos + 4 : pos + 8 + length]) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            if len(data) != 13:
+                raise ValueError(f"PNG IHDR length {len(data)} != 13")
+            ihdr = data
+        elif ctype == b"PLTE":
+            if len(data) == 0 or len(data) % 3 or len(data) > 768:
+                raise ValueError(f"invalid PNG PLTE length {len(data)}")
+            plte = data
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            seen_iend = True
+            break
+        # ancillary chunks (tEXt, pHYs, tRNS, ...) are legal and skipped
+        pos = end
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR chunk")
+    if not seen_iend:
+        raise ValueError("PNG missing IEND chunk")
+    w, h, depth, ctype_i, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr
+    )
+    if ctype_i not in _PNG_CHANNELS or depth not in _PNG_DEPTHS[ctype_i]:
+        raise ValueError(
+            f"illegal PNG depth/color-type combination "
+            f"(depth={depth}, color_type={ctype_i})"
+        )
+    if interlace not in (0, 1):
+        raise ValueError(f"invalid PNG interlace method {interlace}")
+    if comp != 0 or filt != 0:
+        raise ValueError(
+            f"invalid PNG compression/filter method {comp}/{filt}"
+        )
+    if w == 0 or h == 0:
+        raise ValueError(f"degenerate PNG dimensions {w}x{h}")
+    if ctype_i == 3 and plte is None:
+        raise ValueError("palette PNG missing required PLTE chunk")
+    channels = _PNG_CHANNELS[ctype_i]
+
+    def pass_stride(pw: int) -> int:
+        return (pw * channels * depth + 7) // 8
+
+    # pass geometry: one full-frame pass when non-interlaced, the
+    # seven Adam7 sub-images otherwise (empty passes are wholly
+    # absent from the raster, spec §8.2)
+    if interlace == 0:
+        passes = [(0, 0, 1, 1, w, h)]
+    else:
+        passes = []
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw > 0 and ph > 0:
+                passes.append((x0, y0, dx, dy, pw, ph))
+    expected = sum(ph * (1 + pass_stride(pw)) for *_, pw, ph in passes)
+    if expected > _PNG_MAX_RASTER:
+        raise NotImplementedError(
+            f"PNG raster {w}x{h} exceeds the "
+            f"{_PNG_MAX_RASTER >> 20} MiB decode envelope"
+        )
+    # Bounded inflate (r15 ADVICE, medium): IHDR declares the raster
+    # size BEFORE the deflate stream runs, so never hand untrusted
+    # IDAT bytes to an unbounded zlib.decompress — a ~1000:1 deflate
+    # bomb would otherwise allocate gigabytes and OOM the executor
+    # instead of landing in classify_media's ValueError quarantine.
+    dobj = zlib.decompressobj()
+    try:
+        raw = dobj.decompress(bytes(idat), expected + 1)
+    except zlib.error as exc:
+        raise ValueError(f"PNG IDAT inflate failed: {exc}") from exc
+    if len(raw) > expected or dobj.unconsumed_tail:
+        raise ValueError(
+            f"PNG IDAT inflates past the declared raster size {expected}"
+        )
+    if not dobj.eof:
+        raise ValueError("PNG IDAT inflate failed: incomplete deflate stream")
+    if dobj.unused_data:
+        raise ValueError("PNG IDAT carries trailing bytes past the stream end")
+    if len(raw) != expected:
+        raise ValueError(
+            f"PNG raster size {len(raw)} != {expected} expected"
+        )
+
+    bpp = max(1, channels * depth // 8)
+    out_dtype = np.uint16 if depth == 16 else np.uint8
+    samples = np.zeros((h, w, channels), dtype=np.uint16)
+    off = 0
+    for x0, y0, dx, dy, pw, ph in passes:
+        stride = pass_stride(pw)
+        block = raw[off : off + ph * (1 + stride)]
+        off += ph * (1 + stride)
+        lines = np.frombuffer(block, dtype=np.uint8).reshape(
+            ph, 1 + stride
+        )
+        scan = _png_unfilter(lines, stride, bpp)
+        vals = _png_unpack_samples(scan, pw, channels, depth).reshape(
+            ph, pw, channels
+        )
+        samples[y0::dy, x0::dx] = vals
+
+    if ctype_i == 3:
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        idxs = samples[:, :, 0]
+        if int(idxs.max(initial=0)) >= pal.shape[0]:
+            raise ValueError(
+                f"PNG palette index {int(idxs.max())} out of range "
+                f"(palette has {pal.shape[0]} entries)"
+            )
+        return pal[idxs].copy()
+    if depth < 8:  # sub-8-bit grayscale: scale to full 8-bit range
+        scale = 255 // ((1 << depth) - 1)
+        return (samples * scale).astype(np.uint8).copy()
+    return samples.astype(out_dtype).copy()
 
 
 def encode_png(pixels) -> bytes:

@@ -163,7 +163,13 @@ class TestPngCodec:
         with pytest.raises(ValueError, match="CRC mismatch"):
             decode_png(bytes(payload))
 
-    def test_unsupported_shapes_raise_not_implemented(self):
+    def test_formerly_unsupported_shapes_now_in_envelope(self):
+        # Round 17 widened the envelope: every spec-legal (depth,
+        # color type, interlace) combination DECODES (the positive
+        # matrix lives in tests/test_round17_ops.py). A header-only
+        # file of any shape is structurally incomplete — no raster —
+        # so it must now be a ValueError quarantine, never
+        # NotImplementedError.
         import struct
         import zlib
 
@@ -184,7 +190,7 @@ class TestPngCodec:
                 )
                 + chunk(b"IEND", b"")
             )
-            with pytest.raises(NotImplementedError):
+            with pytest.raises(ValueError):
                 decode_png(png)
 
 
