@@ -1,0 +1,634 @@
+"""Baseline JPEG codec — the last real format behind the codec seam.
+
+Every round since r14 documented "JPEG needs a DCT codec" as the honest
+remaining gap; round 17 closes it with a pure stdlib+numpy BASELINE
+(ITU-T T.81 sequential DCT, Huffman) implementation:
+
+- :func:`decode_jpeg` — marker walk (SOI/APPn/COM/DQT/DHT/SOF/DRI/
+  SOS/EOI), 8- and 16-bit quantization tables, per-file Huffman tables
+  (the decoder builds its code tables from the FILE's DHT segments, so
+  any conformant encoder's stream decodes — it never assumes the Annex
+  K defaults), arbitrary h/v sampling factors (4:4:4, 4:2:2, 4:2:0,
+  ...), restart intervals (DRI + RSTn with DC-predictor reset and bit
+  realignment), byte-unstuffing, dequant → de-zigzag → exact 8x8
+  IDCT (matrix form) → level shift, nearest-neighbor chroma
+  upsampling, and YCbCr→RGB (BT.601) or single-component grayscale.
+- :func:`encode_jpeg` — 4:4:4 baseline encoder with the Annex K
+  example tables (quant scaled by a quality knob, the four standard
+  Huffman tables), FDCT + quantize + zigzag + DC-diff + Huffman with
+  byte stuffing. Exists so corpus writers can plant REAL compressed
+  JPEG payloads (the encode_png/encode_bmp siblings' role).
+
+Posture matches the other codecs: structural damage (bad magic,
+truncated segments, undefined Huffman codes, missing tables, bad
+component refs) raises ``ValueError`` (quarantine as corrupt bytes);
+spec features OUTSIDE baseline — progressive (SOF2), arithmetic coding
+(SOF9+), 12-bit precision, hierarchical — raise
+``NotImplementedError`` (envelope limits). Per-pixel Python cost is
+the documented multimodal-seam trade (SCALE.md "Python boundary
+policy"): the seam decodes on executors inside mapInPandas batches;
+images stay thumbnail-scale in the committed corpora.
+"""
+
+from __future__ import annotations
+
+#: Zigzag scan order: zigzag index -> (row * 8 + col) raster index.
+_ZIGZAG = (
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+)
+
+#: Annex K.1/K.2 example quantization tables (raster order).
+_STD_LUM_QT = (
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+)
+_STD_CHROM_QT = (
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+)
+
+#: Annex K.3-K.6 example Huffman specs: (bits[1..16], values).
+_STD_DC_LUM = (
+    (0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0),
+    tuple(range(12)),
+)
+_STD_DC_CHROM = (
+    (0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0),
+    tuple(range(12)),
+)
+_STD_AC_LUM = (
+    (0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125),
+    (
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+        0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+        0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+        0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+        0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+        0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+        0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+        0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+        0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+        0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ),
+)
+_STD_AC_CHROM = (
+    (0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119),
+    (
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+        0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+        0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+        0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+        0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+        0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+        0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+        0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+        0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+        0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+        0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ),
+)
+for _bits, _vals in (_STD_DC_LUM, _STD_DC_CHROM, _STD_AC_LUM, _STD_AC_CHROM):
+    assert sum(_bits) == len(_vals), "Annex K Huffman spec out of sync"
+
+
+def _idct_matrix():
+    import numpy as np
+
+    m = np.zeros((8, 8))
+    for u in range(8):
+        c = (0.5 / (2**0.5)) if u == 0 else 0.5
+        for x in range(8):
+            m[u, x] = c * float(
+                np.cos((2 * x + 1) * u * np.pi / 16)
+            )
+    return m
+
+
+def _build_huffman(bits, vals) -> dict:
+    """(length, code) -> symbol per T.81 Annex C code generation."""
+    if sum(bits) != len(vals):
+        raise ValueError(
+            f"Huffman table declares {sum(bits)} codes but carries "
+            f"{len(vals)} symbols"
+        )
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded bytes with byte
+    unstuffing (0xFF 0x00) and RSTn detection."""
+
+    __slots__ = ("data", "pos", "acc", "nbits")
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        d = self.data
+        if self.pos >= len(d):
+            raise ValueError("truncated JPEG entropy-coded segment")
+        b = d[self.pos]
+        if b == 0xFF:
+            if self.pos + 1 >= len(d):
+                raise ValueError("truncated JPEG marker in entropy data")
+            nxt = d[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2  # stuffed literal 0xFF
+            else:
+                # a real marker terminates the segment; missing data
+                raise ValueError(
+                    f"JPEG entropy data ran into marker 0xFF{nxt:02X}"
+                )
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align_restart(self, n: int) -> None:
+        """Consume the expected RSTn marker at a restart boundary."""
+        self.acc = 0
+        self.nbits = 0
+        d = self.data
+        if self.pos + 1 >= len(d) or d[self.pos] != 0xFF:
+            raise ValueError("expected JPEG restart marker")
+        got = d[self.pos + 1]
+        if got != 0xD0 + (n & 7):
+            raise ValueError(
+                f"JPEG restart marker out of sequence: expected "
+                f"RST{n & 7}, got 0xFF{got:02X}"
+            )
+        self.pos += 2
+
+    def decode_symbol(self, table: dict) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("undefined JPEG Huffman code in stream")
+
+
+def _extend(v: int, t: int) -> int:
+    return v - (1 << t) + 1 if v < (1 << (t - 1)) else v
+
+
+def decode_jpeg(payload: bytes):
+    """Decode a baseline JPEG to ``(h, w, 3)`` uint8 RGB (or
+    ``(h, w, 1)`` grayscale for single-component files), top row
+    first. See the module docstring for envelope and error posture."""
+    import numpy as np
+
+    if len(payload) < 4 or payload[0:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI marker)")
+    qt: dict[int, "np.ndarray"] = {}
+    huff: dict[tuple[int, int], dict] = {}  # (class, id) -> table
+    frame = None  # (h, w, comps) comps = [(cid, hs, vs, tq)]
+    restart_interval = 0
+    pos = 2
+    scan = None
+    while pos < len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(
+                f"JPEG marker expected at offset {pos}, got "
+                f"0x{payload[pos]:02X}"
+            )
+        marker = payload[pos + 1] if pos + 1 < len(payload) else None
+        if marker is None:
+            raise ValueError("truncated JPEG marker")
+        pos += 2
+        if marker == 0xD9:  # EOI before SOS: no image
+            raise ValueError("JPEG EOI before any scan")
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue  # TEM / stray RST: no payload
+        if pos + 2 > len(payload):
+            raise ValueError("truncated JPEG segment length")
+        seglen = int.from_bytes(payload[pos : pos + 2], "big")
+        if seglen < 2 or pos + seglen > len(payload):
+            raise ValueError("truncated JPEG segment")
+        seg = payload[pos + 2 : pos + seglen]
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 15
+                p += 1
+                n = 64 * (2 if pq == 1 else 1)
+                if pq > 1 or p + n > len(seg):
+                    raise ValueError("invalid JPEG DQT segment")
+                raw = seg[p : p + n]
+                vals = (
+                    np.frombuffer(raw, dtype=">u2")
+                    if pq
+                    else np.frombuffer(raw, dtype=np.uint8)
+                ).astype(np.int32)
+                table = np.zeros(64, dtype=np.int32)
+                table[list(_ZIGZAG)] = vals  # de-zigzag at load
+                qt[tq] = table.reshape(8, 8)
+                p += n
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 15
+                if tc > 1 or p + 17 > len(seg):
+                    raise ValueError("invalid JPEG DHT segment")
+                bits = tuple(seg[p + 1 : p + 17])
+                n = sum(bits)
+                if p + 17 + n > len(seg):
+                    raise ValueError("truncated JPEG DHT symbols")
+                vals = tuple(seg[p + 17 : p + 17 + n])
+                huff[(tc, th)] = _build_huffman(bits, vals)
+                p += 17 + n
+        elif marker in (0xC0, 0xC1):  # SOF0/1: baseline Huffman
+            prec, h, w, nf = seg[0], int.from_bytes(
+                seg[1:3], "big"
+            ), int.from_bytes(seg[3:5], "big"), seg[5]
+            if prec != 8:
+                raise NotImplementedError(
+                    f"{prec}-bit JPEG precision not supported (baseline "
+                    f"is 8-bit)"
+                )
+            if h == 0 or w == 0:
+                raise ValueError(f"degenerate JPEG dimensions {w}x{h}")
+            if nf not in (1, 3):
+                raise NotImplementedError(
+                    f"{nf}-component JPEG not supported (grayscale or "
+                    f"YCbCr)"
+                )
+            comps = []
+            for i in range(nf):
+                cid = seg[6 + 3 * i]
+                hv = seg[7 + 3 * i]
+                comps.append((cid, hv >> 4, hv & 15, seg[8 + 3 * i]))
+            frame = (h, w, comps)
+        elif marker == 0xC2:
+            raise NotImplementedError("progressive JPEG not supported")
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"JPEG SOF marker 0xFF{marker:02X} (non-baseline "
+                f"coding) not supported"
+            )
+        elif marker == 0xDD:  # DRI
+            restart_interval = int.from_bytes(seg[0:2], "big")
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = seg[0]
+            sel = []
+            for i in range(ns):
+                cs = seg[1 + 2 * i]
+                tt = seg[2 + 2 * i]
+                sel.append((cs, tt >> 4, tt & 15))
+            scan = (sel, pos + seglen)
+            break
+        # APPn / COM / anything else with a length: skip
+        pos += seglen
+    if scan is None:
+        raise ValueError("JPEG missing SOS scan")
+    h, w, comps = frame
+    sel, data_pos = scan
+    if len(sel) != len(comps):
+        raise NotImplementedError(
+            "multi-scan (non-interleaved) baseline JPEG not supported"
+        )
+    by_id = {cid: (hs, vs, tq) for cid, hs, vs, tq in comps}
+    order = []
+    for cs, td, ta in sel:
+        if cs not in by_id:
+            raise ValueError(f"JPEG scan references unknown component {cs}")
+        hs, vs, tq = by_id[cs]
+        if tq not in qt:
+            raise ValueError(f"JPEG quantization table {tq} undefined")
+        if (0, td) not in huff or (1, ta) not in huff:
+            raise ValueError("JPEG scan references undefined Huffman table")
+        order.append((cs, hs, vs, qt[tq], huff[(0, td)], huff[(1, ta)]))
+
+    hmax = max(hs for _, hs, _, _, _, _ in order)
+    vmax = max(vs for _, _, vs, _, _, _ in order)
+    if hmax == 0 or vmax == 0 or hmax > 4 or vmax > 4:
+        raise ValueError("invalid JPEG sampling factors")
+    for _, hs, vs, _, _, _ in order:
+        if hs == 0 or vs == 0 or hmax % hs or vmax % vs:
+            raise NotImplementedError(
+                f"non-integer JPEG sampling ratio {hs}x{vs} vs "
+                f"{hmax}x{vmax} not supported"
+            )
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+
+    idct_m = _idct_matrix()
+    planes = {
+        cs: np.zeros((mcus_y * vs * 8, mcus_x * hs * 8), dtype=np.float64)
+        for cs, hs, vs, _, _, _ in order
+    }
+    reader = _BitReader(payload, data_pos)
+    pred = {cs: 0 for cs, *_ in order}
+    n_mcus = mcus_x * mcus_y
+    rst = 0
+    for mcu in range(n_mcus):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            reader.align_restart(rst)
+            rst = (rst + 1) & 7
+            pred = {cs: 0 for cs, *_ in order}
+        my, mx = divmod(mcu, mcus_x)
+        for cs, hs, vs, q, dc_t, ac_t in order:
+            for by in range(vs):
+                for bx in range(hs):
+                    coef = np.zeros(64, dtype=np.int32)
+                    t = reader.decode_symbol(dc_t)
+                    if t > 11:
+                        raise ValueError(
+                            f"invalid JPEG DC magnitude category {t}"
+                        )
+                    diff = _extend(reader.receive(t), t) if t else 0
+                    pred[cs] += diff
+                    coef[0] = pred[cs]
+                    k = 1
+                    while k < 64:
+                        rs = reader.decode_symbol(ac_t)
+                        r, s = rs >> 4, rs & 15
+                        if s == 0:
+                            if r == 15:
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += r
+                        if k > 63:
+                            raise ValueError(
+                                "JPEG AC run past end of block"
+                            )
+                        coef[k] = _extend(reader.receive(s), s)
+                        k += 1
+                    block = np.zeros(64, dtype=np.int32)
+                    block[list(_ZIGZAG)] = coef
+                    dq = block.reshape(8, 8) * q
+                    px = idct_m.T @ dq @ idct_m + 128.0
+                    y0 = (my * vs + by) * 8
+                    x0 = (mx * hs + bx) * 8
+                    planes[cs][y0 : y0 + 8, x0 : x0 + 8] = px
+
+    out_planes = []
+    for cs, hs, vs, *_ in order:
+        p = planes[cs]
+        if hs != hmax or vs != vmax:  # nearest-neighbor upsample
+            p = np.repeat(np.repeat(p, vmax // vs, axis=0), hmax // hs, axis=1)
+        out_planes.append(p[:h, :w])
+    if len(out_planes) == 1:
+        gray = np.clip(np.round(out_planes[0]), 0, 255).astype(np.uint8)
+        return gray[:, :, None].copy()
+    y, cb, cr = out_planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+class _BitWriter:
+    __slots__ = ("out", "acc", "nbits")
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            b = (self.acc >> self.nbits) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+
+    def flush(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # 1-bits pad per spec
+
+
+def _encode_huffman_codes(bits, vals) -> dict:
+    """symbol -> (code, length), same Annex C generation as the
+    decoder's table (independent structures, shared spec)."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def encode_jpeg(pixels, quality: int = 90) -> bytes:
+    """Encode ``(h, w, 3)`` uint8 RGB (or ``(h, w, 1)`` grayscale) as a
+    baseline 4:4:4 JFIF JPEG with the Annex K example tables, quant
+    scaled by the IJG-style ``quality`` knob (1..100; 50 = the tables
+    verbatim, 100 = all-ones near-lossless)."""
+    import struct
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.float64)
+    h, w, nc = px.shape
+    if nc == 3:
+        r, g, b = px[:, :, 0], px[:, :, 1], px[:, :, 2]
+        comps = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b,
+            128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b,
+        ]
+    elif nc == 1:
+        comps = [px[:, :, 0]]
+    else:
+        raise ValueError(f"encode_jpeg needs 1 or 3 channels, got {nc}")
+
+    if not 1 <= quality <= 100:
+        raise ValueError(f"quality {quality} outside 1..100")
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+
+    def scaled(base):
+        q = [(v * scale + 50) // 100 for v in base]
+        return [min(255, max(1, int(v))) for v in q]
+
+    lum_q = scaled(_STD_LUM_QT)
+    chrom_q = scaled(_STD_CHROM_QT)
+    idct_m = _idct_matrix()  # orthonormal: FDCT is its transpose pair
+
+    dc_lum = _encode_huffman_codes(*_STD_DC_LUM)
+    ac_lum = _encode_huffman_codes(*_STD_AC_LUM)
+    dc_chrom = _encode_huffman_codes(*_STD_DC_CHROM)
+    ac_chrom = _encode_huffman_codes(*_STD_AC_CHROM)
+
+    bw = _BitWriter()
+    pred = [0] * len(comps)
+    bh, bwid = (h + 7) // 8, (w + 7) // 8
+    # _STD_*_QT are RASTER order and scaling preserves order; the DQT
+    # writer converts to zigzag at serialization time.
+    qts = [
+        np.array(lum_q if i == 0 else chrom_q, dtype=np.int32).reshape(8, 8)
+        for i in range(len(comps))
+    ]
+
+    def emit_block(vals, dc_t, ac_t, ci):
+        nonlocal pred
+        f = idct_m @ (vals - 128.0) @ idct_m.T  # FDCT (orthonormal pair)
+        q = np.round(f / qts[ci]).astype(np.int32)
+        zz = q.reshape(64)[list(_ZIGZAG)]
+        diff = int(zz[0]) - pred[ci]
+        pred[ci] = int(zz[0])
+        mag = diff if diff >= 0 else -diff
+        t = mag.bit_length()
+        code, ln = dc_t[t]
+        bw.write(code, ln)
+        if t:
+            v = diff if diff >= 0 else diff + (1 << t) - 1
+            bw.write(v, t)
+        run = 0
+        last_nz = 0
+        for k in range(1, 64):
+            if zz[k]:
+                last_nz = k
+        for k in range(1, last_nz + 1):
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = ac_t[0xF0]
+                bw.write(code, ln)
+                run -= 16
+            mag = v if v >= 0 else -v
+            s = mag.bit_length()
+            code, ln = ac_t[(run << 4) | s]
+            bw.write(code, ln)
+            vv = v if v >= 0 else v + (1 << s) - 1
+            bw.write(vv, s)
+            run = 0
+        if last_nz < 63:
+            code, ln = ac_t[0x00]
+            bw.write(code, ln)
+
+    for by in range(bh):
+        for bx in range(bwid):
+            for ci, plane in enumerate(comps):
+                block = np.full((8, 8), 128.0)
+                ys, xs = by * 8, bx * 8
+                tile = plane[ys : ys + 8, xs : xs + 8]
+                block[: tile.shape[0], : tile.shape[1]] = tile
+                # edge replication beats zero-padding for ringing
+                if tile.shape[0] < 8:
+                    block[tile.shape[0] :, : tile.shape[1]] = tile[-1:, :]
+                if tile.shape[1] < 8:
+                    block[:, tile.shape[1] :] = block[
+                        :, tile.shape[1] - 1 : tile.shape[1]
+                    ]
+                emit_block(
+                    block,
+                    dc_lum if ci == 0 else dc_chrom,
+                    ac_lum if ci == 0 else ac_chrom,
+                    ci,
+                )
+    bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    def dqt(tq: int, table) -> bytes:
+        zz = bytes(int(table.reshape(64)[i]) for i in _ZIGZAG)
+        return seg(0xDB, bytes([tq]) + zz)
+
+    def dht(tc: int, th: int, spec) -> bytes:
+        bits, vals = spec
+        return seg(
+            0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
+        )
+
+    nf = len(comps)
+    sof_body = struct.pack(">BHHB", 8, h, w, nf)
+    sos_body = bytes([nf])
+    for i in range(nf):
+        sof_body += bytes([i + 1, 0x11, 0 if i == 0 else 1])
+        sos_body += bytes([i + 1, 0x00 if i == 0 else 0x11])
+    sos_body += bytes([0, 63, 0])
+
+    out = b"\xff\xd8"  # SOI
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += dqt(0, qts[0])
+    if nf == 3:
+        out += dqt(1, qts[1])
+    out += seg(0xC0, sof_body)
+    out += dht(0, 0, _STD_DC_LUM) + dht(1, 0, _STD_AC_LUM)
+    if nf == 3:
+        out += dht(0, 1, _STD_DC_CHROM) + dht(1, 1, _STD_AC_CHROM)
+    out += seg(0xDA, sos_body)
+    out += bytes(bw.out)
+    out += b"\xff\xd9"  # EOI
+    return out

@@ -47,17 +47,20 @@ def decode_media(payload: bytes, media_type: str) -> object:
     """Decode a media payload — the codec seam.
 
     In production this dispatches to an image/audio/video decoder
-    (PIL / torchaudio / pyav). THREE real image formats are decodable
+    (PIL / torchaudio / pyav). FOUR real image formats are decodable
     without any external codec library — uncompressed 24-bit BMP
-    (:func:`decode_bmp`), binary PPM (:func:`decode_ppm`), and
-    COMPLETE PNG (:func:`decode_png`: full chunk walk with CRC
-    verification, stdlib-``zlib`` bounded inflate, all five scanline
-    filter reconstructions, and — as of round 17 — every spec-legal
-    color type × bit depth combination plus Adam7 interlacing, so any
-    conformant PNG from a standard tool decodes) — the seam has
-    tested, executable siblings next to the ``text/plain`` fake;
-    every other media type (JPEG needs a DCT codec) still raises
-    until a library is plugged in here at deployment.
+    (:func:`decode_bmp`), binary PPM (:func:`decode_ppm`), COMPLETE
+    PNG (:func:`decode_png`: full chunk walk with CRC verification,
+    stdlib-``zlib`` bounded inflate, all five scanline filter
+    reconstructions, and — as of round 17 — every spec-legal color
+    type × bit depth combination plus Adam7 interlacing), and — also
+    round 17, closing the long-documented DCT gap — baseline JPEG
+    (:func:`..jpeg.decode_jpeg`: per-file Huffman tables, 4:2:0/2:2
+    sampling, restart intervals, exact matrix IDCT; progressive/
+    arithmetic/12-bit remain ``NotImplementedError`` envelope limits).
+    The seam has tested, executable siblings next to the
+    ``text/plain`` fake; audio/video types still raise until a
+    library is plugged in here at deployment.
     """
     if media_type == "text/plain":
         return payload.decode("utf-8")
@@ -67,6 +70,10 @@ def decode_media(payload: bytes, media_type: str) -> object:
         return decode_ppm(payload)
     if media_type == "image/png":
         return decode_png(payload)
+    if media_type == "image/jpeg":
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     raise NotImplementedError(
         f"media decode for {media_type!r} requires a codec library; "
         "plug PIL/pyav in here at deployment"
@@ -1493,7 +1500,14 @@ def _decode_errors_rows(
                     payload = bytes((payload[0] ^ 0xFF, payload[1] ^ 0xFF)) + payload[2:]
                 elif mode == 3:
                     payload = payload[:-7]
-                routed_type = "image/jpeg" if mode == 4 else media_type
+                # round 17: the undeclared-codec arm moves to GIF —
+                # image/jpeg gained a real decoder (operators/jpeg.py),
+                # and these bytes are BMP/PNG/PPM payloads, so routing
+                # them as jpeg would now be a value_error, not the
+                # unsupported-type posture this arm grades. GIF (LZW)
+                # is the honest remaining undeclared type; output
+                # values are identical to the pre-r17 rows.
+                routed_type = "image/gif" if mode == 4 else media_type
                 img, status, err_kind = classify_media(payload, routed_type)
                 ok = status == "ok"
                 if ok:

@@ -334,11 +334,11 @@ def test_bmp_decoder_rejects_out_of_envelope():
     with pytest.raises(ValueError, match="header region"):
         decode_bmp(bytes(bad_off) + b"\x00" * 64)
     # the seam still raises for undecodable media types (image/png
-    # gained a REAL decoder in round 15, so the no-codec example is
-    # now JPEG; a corrupt PNG routes to decode_png and raises
-    # ValueError instead)
+    # gained a REAL decoder in round 15 and image/jpeg in round 17,
+    # so the no-codec example is now GIF; a corrupt PNG routes to
+    # decode_png and raises ValueError instead)
     with pytest.raises(NotImplementedError, match="codec"):
-        decode_media(b"\xff\xd8\xff\xe0", "image/jpeg")
+        decode_media(b"GIF89a", "image/gif")
     with pytest.raises(ValueError, match="signature"):
         decode_media(b"\x89PNG", "image/png")
 

@@ -64,8 +64,11 @@ class TestClassifyMedia:
         assert (img, status, err) == (None, "quarantined", "value_error")
 
     def test_undeclared_codec_quarantines(self, encode, media_type):
+        # image/jpeg gained a real decoder in round 17 (these bytes
+        # would now be a value_error bad-SOI quarantine); GIF is the
+        # honest remaining undeclared type
         payload = encode(_planted_pixels(7))
-        img, status, err = classify_media(payload, "image/jpeg")
+        img, status, err = classify_media(payload, "image/gif")
         assert (img, status, err) == (None, "quarantined", "unsupported")
 
     def test_garbage_bytes_never_raise(self, encode, media_type):

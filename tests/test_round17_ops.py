@@ -230,3 +230,199 @@ def test_wrong_raster_size_still_caught_per_shape():
     assert decode_png(png).shape == (3, 5, 1)
     with pytest.raises(ValueError, match="past the declared raster"):
         decode_png(bad)
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG codec (round 17: the last documented codec gap closes)
+# ---------------------------------------------------------------------------
+
+from reddit_data_engineering_project_spark.operators.jpeg import (  # noqa: E402
+    _ZIGZAG,
+    decode_jpeg,
+    encode_jpeg,
+)
+
+
+def _jseg(marker: int, body: bytes) -> bytes:
+    return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+
+class _TestBits:
+    """Minimal MSB-first bit writer with JPEG byte stuffing — test-side
+    twin so the hand-built streams never touch the repo's encoder."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code: int, length: int):
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)
+                self.acc = 0
+                self.n = 0
+
+    def pad(self):
+        while self.n:
+            self.put(1, 1)
+
+
+def _trivial_tables() -> bytes:
+    """DHT pair: DC codes 00->cat5, 01->cat0; AC code 0->EOB."""
+    dc = _jseg(0xC4, bytes([0x00]) + bytes([0, 2] + [0] * 14) + bytes([5, 0]))
+    ac = _jseg(0xC4, bytes([0x10]) + bytes([1] + [0] * 15) + bytes([0x00]))
+    return dc + ac
+
+
+def _ones_dqt(tq: int = 0) -> bytes:
+    return _jseg(0xDB, bytes([tq]) + bytes([1] * 64))
+
+
+class TestJpegCodec:
+    def test_hand_built_foreign_stream_exact(self):
+        """A fully hand-built 8x8 grayscale stream: quant all-ones,
+        one-symbol Huffman tables, DC coefficient 16 -> every pixel
+        exactly 130 (16/8 + 128). Pins the decoder against the FORMAT
+        (marker layout, Annex C code generation, zigzag, extend, IDCT
+        DC path) with zero dependence on the repo's encoder."""
+        bits = _TestBits()
+        bits.put(0b00, 2)       # DC symbol: category 5
+        bits.put(16, 5)         # DC value 16
+        bits.put(0, 1)          # AC EOB
+        bits.pad()
+        payload = (
+            b"\xff\xd8"
+            + _ones_dqt()
+            + _jseg(0xC0, bytes([8]) + (8).to_bytes(2, "big") * 2
+                    + bytes([1, 1, 0x11, 0]))
+            + _trivial_tables()
+            + _jseg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+            + bytes(bits.out)
+            + b"\xff\xd9"
+        )
+        img = decode_jpeg(payload)
+        assert img.shape == (8, 8, 1)
+        assert (img == 130).all()
+
+    def test_restart_markers_reset_dc_prediction(self):
+        """DRI=1 with two MCUs: the stream pads to a byte, emits RST0,
+        and the second MCU's DC predictor restarts from zero — both
+        blocks decode to the same 130 even though a predictor carried
+        across the restart would halve the second."""
+        mcu = _TestBits()
+        mcu.put(0b00, 2)
+        mcu.put(16, 5)
+        mcu.put(0, 1)
+        mcu.pad()
+        one = bytes(mcu.out)
+        payload = (
+            b"\xff\xd8"
+            + _ones_dqt()
+            + _jseg(0xDD, (1).to_bytes(2, "big"))  # DRI = 1 MCU
+            + _jseg(0xC0, bytes([8]) + (8).to_bytes(2, "big")
+                    + (16).to_bytes(2, "big") + bytes([1, 1, 0x11, 0]))
+            + _trivial_tables()
+            + _jseg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+            + one + b"\xff\xd0" + one
+            + b"\xff\xd9"
+        )
+        img = decode_jpeg(payload)
+        assert img.shape == (8, 16, 1)
+        assert (img == 130).all()
+
+    def test_hand_built_420_chroma_subsampling(self):
+        """4:2:0 MCU structure hand-built: four flat Y blocks + one Cb
+        + one Cr (DC diff 0 -> neutral 128 chroma), decoding to a flat
+        gray 16x16 RGB image — pins MCU block order, per-component
+        sampling geometry, and the chroma upsample."""
+        bits = _TestBits()
+        bits.put(0b00, 2); bits.put(16, 5); bits.put(0, 1)  # Y block 1
+        for _ in range(3):                                   # Y 2-4: diff 0
+            bits.put(0b01, 2); bits.put(0, 1)
+        for _ in range(2):                                   # Cb, Cr: diff 0
+            bits.put(0b01, 2); bits.put(0, 1)
+        bits.pad()
+        sof = bytes([8]) + (16).to_bytes(2, "big") * 2 + bytes(
+            [3, 1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0]
+        )
+        sos = bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0])
+        payload = (
+            b"\xff\xd8"
+            + _ones_dqt()
+            + _jseg(0xC0, sof)
+            + _trivial_tables()
+            + _jseg(0xDA, sos)
+            + bytes(bits.out)
+            + b"\xff\xd9"
+        )
+        img = decode_jpeg(payload)
+        assert img.shape == (16, 16, 3)
+        # Y=130, Cb=Cr=128 -> R=G=B=130
+        assert (img == 130).all()
+
+    def test_roundtrip_flat_color(self):
+        import numpy as np
+
+        px = np.full((24, 17, 3), 0, dtype=np.uint8)
+        px[:, :, 0] = 200
+        px[:, :, 1] = 90
+        px[:, :, 2] = 35
+        got = decode_jpeg(encode_jpeg(px, quality=90))
+        assert got.shape == px.shape
+        assert int(np.abs(got.astype(int) - px.astype(int)).max()) <= 2
+
+    def test_roundtrip_gradient_high_quality(self):
+        import numpy as np
+
+        y, x = np.mgrid[0:32, 0:40]
+        px = np.stack(
+            [(y * 3) % 256, (x * 2) % 256, ((x + y) * 2) % 256], axis=2
+        ).astype(np.uint8)
+        # smooth content at quality 100 (near-all-ones quant): small error
+        got = decode_jpeg(encode_jpeg(px, quality=100))
+        err = np.abs(got.astype(int) - px.astype(int))
+        assert float(err.mean()) < 1.5 and int(err.max()) <= 12
+
+    def test_roundtrip_grayscale(self):
+        import numpy as np
+
+        rng = np.random.default_rng(5)
+        smooth = np.cumsum(
+            rng.integers(-2, 3, (16, 16)), axis=1
+        ).astype(np.float64)
+        px = np.clip(smooth + 128, 0, 255).astype(np.uint8)[:, :, None]
+        got = decode_jpeg(encode_jpeg(px, quality=100))
+        assert got.shape == px.shape
+        assert int(np.abs(got.astype(int) - px.astype(int)).max()) <= 4
+
+    def test_structural_errors_quarantine(self):
+        import numpy as np
+
+        good = encode_jpeg(np.full((8, 8, 1), 99, dtype=np.uint8))
+        with pytest.raises(ValueError, match="SOI"):
+            decode_jpeg(b"\x00\x00" + good[2:])
+        with pytest.raises(ValueError):
+            decode_jpeg(good[:-20])  # torn entropy data / missing EOI
+        # progressive SOF2 is an envelope limit, not corruption
+        prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+        with pytest.raises(NotImplementedError, match="progressive"):
+            decode_jpeg(prog)
+
+    def test_annex_k_tables_self_consistent(self):
+        """The embedded Annex K specs satisfy the DHT invariant and the
+        encoder's streams decode with tables READ FROM THE FILE — a
+        transcription error in any bits/values pair would break the
+        decode, not silently skew it."""
+        import numpy as np
+
+        px = (np.arange(8 * 8 * 3, dtype=np.uint8).reshape(8, 8, 3) * 3) % 256
+        got = decode_jpeg(encode_jpeg(px.astype(np.uint8), quality=95))
+        assert got.shape == (8, 8, 3)
+
+    def test_zigzag_is_a_permutation(self):
+        assert sorted(_ZIGZAG) == list(range(64))
