@@ -632,3 +632,151 @@ def encode_jpeg(pixels, quality: int = 90) -> bytes:
     out += bytes(bw.out)
     out += b"\xff\xd9"  # EOI
     return out
+
+
+# --- registered entry: the JPEG seam, driver-graded --------------------
+
+import pandas as pd  # noqa: E402
+
+from collections.abc import Iterator  # noqa: E402
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: E402
+from pyspark.sql.types import (  # noqa: E402
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..registry import register  # noqa: E402
+from ..tables import ensure_min_parallelism, table  # noqa: E402
+
+_JPEG_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("width", IntegerType(), False),
+        StructField("height", IntegerType(), False),
+        StructField("magic_hex", StringType(), False),
+        StructField("topleft", IntegerType(), False),
+        StructField("sum_all", LongType(), False),
+        StructField("rowsum_w", LongType(), False),
+        StructField("colsum_w", LongType(), False),
+    ]
+)
+
+
+def _planted_tiles(doc_id: int):
+    """Deterministic FLAT-8x8-TILE grayscale image: tile (ty, tx) holds
+    the single value ``(doc_id*37 + ty*11 + tx*17) mod 256``. Flat
+    tiles are the bit-exactness device: a flat block's FDCT is DC-only
+    (every AC cosine sum is exactly zero), and at quality 100 the
+    quant table is all-ones, so encode->decode reproduces every pixel
+    EXACTLY — the oracle can pin closed-form integer stats against a
+    genuinely entropy-coded, genuinely IDCT'd payload."""
+    import numpy as np
+
+    tw = 2 + doc_id % 3
+    th = 2 + doc_id % 2
+    ty = np.arange(th, dtype=np.int64)[:, None]
+    tx = np.arange(tw, dtype=np.int64)[None, :]
+    tiles = ((doc_id * 37 + ty * 11 + tx * 17) % 256).astype(np.uint8)
+    return np.repeat(np.repeat(tiles, 8, axis=0), 8, axis=1)[:, :, None]
+
+
+def _jpeg_roundtrip_stats(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    from .multimodal import decode_media
+
+    for pdf in batches:
+        rows = []
+        for doc_id in pdf["doc_id"]:
+            doc_id = int(doc_id)
+            px = _planted_tiles(doc_id)
+            payload = encode_jpeg(px, quality=100)
+            img = decode_media(payload, "image/jpeg").astype(np.int64)
+            h, w = img.shape[0], img.shape[1]
+            plane = img[:, :, 0]
+            rw = (np.arange(h, dtype=np.int64) + 1)[:, None]
+            cw = (np.arange(w, dtype=np.int64) + 1)[None, :]
+            rows.append(
+                (
+                    doc_id,
+                    w,
+                    h,
+                    payload[:2].hex(),
+                    int(plane[0, 0]),
+                    int(plane.sum()),
+                    int((plane * rw).sum()),
+                    int((plane * cw).sum()),
+                )
+            )
+        yield pd.DataFrame(rows, columns=[f.name for f in _JPEG_STATS_SCHEMA])
+
+
+@register(
+    "x05_jpeg_pixel_stats",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id,
+               -- floored modulo (numpy semantics) like every planted
+               -- geometry in the x05 family: total over int64 ids
+               2 + ((doc_id % 3) + 3) % 3 AS tw,
+               2 + ((doc_id % 2) + 2) % 2 AS th
+        FROM documents
+    ),
+    t AS (
+        SELECT d.doc_id, d.tw, d.th, ty.ty, tx.tx,
+               (((d.doc_id * 37 + ty.ty * 11 + tx.tx * 17) % 256) + 256)
+                   % 256 AS v
+        FROM d
+        CROSS JOIN LATERAL (SELECT unnest(range(0, d.th)) AS ty) ty
+        CROSS JOIN LATERAL (SELECT unnest(range(0, d.tw)) AS tx) tx
+    )
+    SELECT doc_id,
+        CAST(any_value(tw) * 8 AS INT) AS width,
+        CAST(any_value(th) * 8 AS INT) AS height,
+        'ffd8' AS magic_hex,
+        CAST(max(CASE WHEN ty = 0 AND tx = 0 THEN v END) AS INT)
+            AS topleft,
+        CAST(sum(v) * 64 AS BIGINT) AS sum_all,
+        -- a flat tile at tile-row ty spans pixel rows 8ty..8ty+7, so
+        -- its (r+1)-weighted mass is v * 8cols * sum_{k=1..8}(8ty+k)
+        -- = v * 8 * (64*ty + 36); columns mirror it
+        CAST(sum(v * (64 * ty + 36)) * 8 AS BIGINT) AS rowsum_w,
+        CAST(sum(v * (64 * tx + 36)) * 8 AS BIGINT) AS colsum_w
+    FROM t
+    GROUP BY doc_id
+    """,
+    tags=("multimodal", "X5", "jpeg", "codec", "pandas-udf"),
+)
+def x05_jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5j: REAL JPEG decode through the codec seam, driver-graded
+    (round 17 — the DCT-codec sibling of ``x05_bmp_pixel_stats``).
+
+    Per document, a deterministic flat-8x8-tile grayscale image is
+    encoded as a GENUINE baseline JPEG (:func:`encode_jpeg`, quality
+    100: Huffman-entropy-coded, FDCT'd, quantized) and decoded back
+    through :func:`..multimodal.decode_media` — full marker walk,
+    per-file Huffman tables, dequant, exact IDCT. Flat tiles make the
+    lossy pipeline bit-exact (DC-only blocks, all-ones quant table),
+    so the oracle pins closed-form integer stats relationally without
+    ever seeing the bytes: ``topleft`` pins block placement,
+    ``rowsum_w``/``colsum_w`` pin MCU raster order both ways (a
+    decoder that transposes, or walks MCUs column-major, hash-fails),
+    ``sum_all`` pins dequant/IDCT scaling, ``magic_hex`` the SOI
+    marker. Every graded value crosses a real entropy-coded stream —
+    a Huffman table transcription error or an extend()/predictor bug
+    cannot pass.
+
+    Scale shape: one embarrassingly-parallel ``mapInPandas`` pass, no
+    shuffle; payload bytes never leave the task that made them (the
+    x05 deployment posture — per-image stats O(rows) on the wire).
+    """
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    return ensure_min_parallelism(docs).mapInPandas(
+        _jpeg_roundtrip_stats, schema=_JPEG_STATS_SCHEMA
+    )

@@ -139,17 +139,20 @@ def register(
 #       q22_seasonal_decompose, s03_session_window,
 #       x01_dedup_content_hash, x02_dedup_clusters,
 #       x02_minhash_lsh_neardup, x02_neardup_jaccard, x04_doc_stats);
-#   (b) the alphabetically-first 35 of the 46-member r14 class
-#       (pipeline_curation_full .. x03_hamming_rerank — the 50 r14
-#       rows minus x01_dedup_canonicalized, s09_session_gap_replay,
+#   (b) the round-17 registration x05_jpeg_pixel_stats (landing-round
+#       grade, drained from QUEUED_FOR_NEXT_WINDOW — the baseline-JPEG
+#       seam round-trip) + the alphabetically-first 34 of the
+#       46-member r14 class (pipeline_curation_full ..
+#       x03_cosine_topk_bruteforce — the 50 r14 rows minus
+#       x01_dedup_canonicalized, s09_session_gap_replay,
 #       s09_session_timeout_replay, pipeline_clean_coerce, whose
 #       amendments re-grade in round 17 above); the
-#       alphabetically-last ELEVEN (x03_hamming_topk,
-#       x03_range_search, x04_data_quality_report, x04_fingerprint,
-#       x04_hash_sample, x04_language_id, x04_weighted_sample,
-#       x05_bmp_pixel_stats, x05_frame_dedup, x05_frame_sample,
-#       x05_payload_resize) roll to round 19.
-# 15 + 35 = 50. Every round-17/18 registration must either take a
+#       alphabetically-last TWELVE (x03_hamming_rerank,
+#       x03_hamming_topk, x03_range_search, x04_data_quality_report,
+#       x04_fingerprint, x04_hash_sample, x04_language_id,
+#       x04_weighted_sample, x05_bmp_pixel_stats, x05_frame_dedup,
+#       x05_frame_sample, x05_payload_resize) roll to round 19.
+# 15 + 1 + 34 = 50. Every round-17/18 registration must either take a
 # slot from the (b) tail in its own commit or add itself to
 # QUEUED_FOR_NEXT_WINDOW — keep velocity <= the handful the window
 # can absorb.
@@ -244,6 +247,7 @@ def load_all_operators() -> None:
         bucketing,
         curation,
         dedup,
+        jpeg,
         joins,
         layout,
         multimodal,

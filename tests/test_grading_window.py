@@ -121,8 +121,12 @@ def test_every_family_has_driver_evidence():
 # corrupt-payload quarantine posture, r14 verdict item 4) queued here
 # until its committed round-16 landing slot; round 16 drains it into
 # the window (the (b) tail ceded q21_cohort_ltv to round 17), so the
-# set is empty again.
-QUEUED_FOR_NEXT_WINDOW: set[str] = set()
+# set is empty again. Round 17's one registration
+# (x05_jpeg_pixel_stats — the baseline-JPEG seam round-trip, bit-exact
+# by flat-tile construction) queues here until its committed round-18
+# landing slot (registry.py ROUND-18 plan: it takes a (b) slot;
+# x03_hamming_rerank rolls to round 19).
+QUEUED_FOR_NEXT_WINDOW: set[str] = {"x05_jpeg_pixel_stats"}
 
 
 def test_previously_ungraded_entries_are_all_in_window():
