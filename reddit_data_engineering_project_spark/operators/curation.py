@@ -25,11 +25,14 @@ charter in SURVEY §2.3.
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..functions.numeric import dround
 from ..registry import register
-from ..tables import table
+from ..tables import ensure_min_parallelism, table
 from .text_analysis import nsize, tokens
 
 #: Hash-split constants: Knuth multiplicative hash under a Mersenne-ish
@@ -1282,26 +1285,26 @@ def x04_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     A real BPE trainer re-runs this census after each merge; the census
     IS the distributed step (the merge-table update is metadata).
 
-    Scale shape: pair generation is ``transform(sequence)`` + one
-    explode — pure codegen, output bounded by total corpus chars; the
-    census is one map-side-combinable count keyed by a ≤ |alphabet|²
-    pair space (tiny agg state), and top-100 rides
-    ``TakeOrderedAndProject`` (per-partition heads, no global sort).
-    The window rank re-derives the same order for the emitted rows.
+    Scale shape: the pair census runs as ONE Arrow pass
+    (``mapInPandas`` + packed-key ``np.unique`` — see
+    ``_pair_census_partials``; the earlier ``transform(sequence)`` +
+    explode materialized one row per character window through an
+    INTERPRETED lambda, the round-16 HOF finding), emitting ≤
+    |alphabet|² partial rows per task; the merge aggregate and the
+    top-100 ``TakeOrderedAndProject`` (per-partition heads, no global
+    sort) are unchanged. The window rank re-derives the same order for
+    the emitted rows.
     """
     docs = table(spark, sf_dir, "documents")
-    toks = docs.select(
+    # Widen before the explode: the round-robin then moves ~doc-count
+    # rows, not ~token-count rows, and the explode itself parallelizes.
+    toks = ensure_min_parallelism(docs).select(
         F.explode(F.filter(F.split("text", " "), lambda t: t != "")).alias("t")
     ).filter(F.length("t") >= 2)
-    pairs = toks.select(
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.length("t") - 1),
-                lambda i: F.col("t").substr(i, F.lit(2)),
-            )
-        ).alias("pair")
+    pairs = toks.mapInPandas(
+        _pair_census_partials, schema="pair string, pn long"
     )
-    counted = pairs.groupBy("pair").agg(F.count("*").alias("n"))
+    counted = pairs.groupBy("pair").agg(F.sum("pn").alias("n"))
     # Top-100 FIRST via TakeOrderedAndProject (per-partition heads, no
     # global sort), then rank only the surviving 100 rows — the global
     # row_number window runs over 100 rows, never the full pair space
@@ -1311,6 +1314,87 @@ def x04_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn("rank", F.row_number().over(w)).select(
         "pair", "n", "rank"
     )
+
+
+def _pair_census_partials(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Per-task adjacent-pair census over a ``t`` token column (plus an
+    optional constant ``merged_pair`` pass-through column): one
+    ``(merged_pair?, pair, pn)`` partial row per distinct 2-code-point
+    window per task. Fully vectorized — the batch's tokens concatenate
+    into ONE code-point array, token boundaries mask the cross-token
+    windows, and ``np.unique`` counts packed (hi << 21 | lo) keys —
+    no per-character Python and no separator sentinel that hostile
+    text could collide with. Pairs are exact code-point windows
+    (``substr(i, 2)`` semantics, astral-safe on both engines)."""
+    import numpy as np
+
+    accs: dict = {}
+    has_mp = False
+    for pdf in batches:
+        has_mp = "merged_pair" in pdf.columns
+        # dropna=False: Spark's groupBy keeps NULL keys; pandas drops
+        # them by default (merged_pair is never NULL today — inner
+        # crossJoin against a non-null 1-row pick — but the helper must
+        # not bake in a silent row-dropping divergence).
+        for mp, group in (
+            pdf.groupby("merged_pair", sort=False, dropna=False)
+            if has_mp
+            else [(None, pdf)]
+        ):
+            texts = [t for t in group["t"] if t is not None and len(t) >= 2]
+            if not texts:
+                continue
+            big = "".join(texts)
+            cp = np.frombuffer(big.encode("utf-32-le"), dtype=np.uint32)
+            ends = np.cumsum(np.fromiter(map(len, texts), dtype=np.int64))
+            mask = np.ones(len(cp) - 1, dtype=bool)
+            mask[ends[:-1] - 1] = False  # windows spanning two tokens
+            keys = (cp[:-1][mask].astype(np.int64) << 21) | cp[1:][mask]
+            uk, uc = np.unique(keys, return_counts=True)
+            acc = accs.setdefault(mp, {})
+            for k, c in zip(uk.tolist(), uc.tolist()):
+                acc[k] = acc.get(k, 0) + c
+    for mp, acc in accs.items():
+        pairs = [chr(k >> 21) + chr(k & 0x1FFFFF) for k in acc]
+        out = {"pair": pairs, "pn": pd.Series(list(acc.values()), dtype="int64")}
+        if has_mp:
+            out = {"merged_pair": [mp] * len(pairs), **out}
+        yield pd.DataFrame(out)
+
+
+def _char_census_rows(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Per-doc character census for ``x04_char_entropy``: one
+    ``(doc_id, n_c)`` row per distinct code point per document, counted
+    via ``np.unique`` over the UTF-32 view of the text. Counts are
+    exact integers, so NO float math crosses this boundary — the log2
+    entropy terms stay in the caller's unchanged Spark expression
+    (``np.log2`` and Spark's StrictMath-based ``log2`` diverge in the
+    last ulp for ~0.08% of integer counts — first at n = 68 260,
+    measured exhaustively — which would flip the e6 rounding on
+    long-run repeated-character documents; emitting counts instead of
+    terms removes that divergence class entirely)."""
+    import numpy as np
+
+    for pdf in batches:
+        ids, ncs = [], []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            if text is None or len(text) == 0:
+                continue
+            cp = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
+            counts = np.unique(cp, return_counts=True)[1]
+            ids.append(np.full(len(counts), int(doc_id), dtype=np.int64))
+            ncs.append(counts)
+        if ids:
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.concatenate(ids),
+                    "n_c": np.concatenate(ncs).astype(np.int64),
+                }
+            )
 
 
 @register(
@@ -1365,22 +1449,25 @@ def x04_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     final e4 round divides two exact integers the same way on both
     sides.
 
-    Scale shape: char explode is bounded by corpus bytes; the census is
-    map-side-combinable keyed by (doc, char) with ≤ |alphabet| classes
-    per doc, and the per-doc fold is a second tiny aggregate on the
-    same doc_id partitioning.
+    Scale shape: the per-doc census runs as ONE Arrow pass
+    (``mapInPandas`` + ``np.unique`` — the r16 payload_energy pattern)
+    emitting one exact-integer ``(doc_id, n_c)`` row per distinct code
+    point per document — the previous relational form exploded one row
+    per CHARACTER through an interpreted higher-order ``transform``
+    (HOF lambdas never enter whole-stage codegen, the round-16
+    finding) and shuffled that per-char stream into a (doc, char)
+    aggregate; the census output is |alphabet|-bounded per doc, so the
+    one remaining per-doc aggregate Exchange moves ~20× fewer, narrower
+    rows. Measured 2.17 s → ~0.6 s at sf0.1. Every float op (the log2
+    terms and the final entropy projection) stays in the SAME Spark
+    expressions as before, on the same exact integers — no cross-engine
+    or cross-library float path changed (see ``_char_census_rows`` for
+    why terms are NOT computed in numpy).
     """
-    docs = table(spark, sf_dir, "documents").filter(F.length("text") >= 1)
-    chars = docs.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.length("text")),
-                lambda i: F.col("text").substr(i, F.lit(1)),
-            )
-        ).alias("c"),
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    counts = ensure_min_parallelism(docs).mapInPandas(
+        _char_census_rows, schema="doc_id long, n_c long"
     )
-    counts = chars.groupBy("doc_id", "c").agg(F.count("*").alias("n_c"))
     per_doc = counts.groupBy("doc_id").agg(
         F.sum("n_c").cast("bigint").alias("n_chars_counted"),
         F.sum(
@@ -1546,24 +1633,23 @@ def x04_bpe_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     rewrite ride scans of it.
     """
     docs = table(spark, sf_dir, "documents")
-    toks = docs.select(
+    # Widen ONCE before the token explode: both Arrow censuses and the
+    # merge projection inherit the widened partitioning (the second
+    # census sits above a broadcast crossJoin, where probing partition
+    # counts would execute the broadcast at plan time — see
+    # ensure_min_parallelism).
+    toks = ensure_min_parallelism(docs).select(
         F.explode(F.filter(F.split("text", " "), lambda t: t != "")).alias("t")
     )
 
+    # Both censuses run as ONE Arrow pass each (``_pair_census_partials``
+    # — r17 opt, same rationale and measurement as x04_bpe_pair_stats;
+    # the merge rewrite itself stays a codegen ``replace`` projection).
     def census(tok_df: DataFrame) -> DataFrame:
-        return (
-            tok_df.filter(F.length("t") >= 2)
-            .select(
-                F.explode(
-                    F.transform(
-                        F.sequence(F.lit(1), F.length("t") - 1),
-                        lambda i: F.col("t").substr(i, F.lit(2)),
-                    )
-                ).alias("pair")
-            )
-            .groupBy("pair")
-            .agg(F.count("*").alias("n"))
+        partials = tok_df.filter(F.length("t") >= 2).mapInPandas(
+            _pair_census_partials, schema="pair string, pn long"
         )
+        return partials.groupBy("pair").agg(F.sum("pn").alias("n"))
 
     top1 = (
         census(toks)
@@ -1575,19 +1661,12 @@ def x04_bpe_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.replace(F.col("t"), F.col("merged_pair"), F.lit("\x01")).alias("t"),
         "merged_pair",
     )
-    counted = (
-        merged.filter(F.length("t") >= 2)
-        .select(
-            "merged_pair",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.length("t") - 1),
-                    lambda i: F.col("t").substr(i, F.lit(2)),
-                )
-            ).alias("pair"),
-        )
-        .groupBy("merged_pair", "pair")
-        .agg(F.count("*").alias("n"))
+    counted_partials = merged.filter(F.length("t") >= 2).mapInPandas(
+        _pair_census_partials,
+        schema="merged_pair string, pair string, pn long",
+    )
+    counted = counted_partials.groupBy("merged_pair", "pair").agg(
+        F.sum("pn").alias("n")
     )
     top = counted.orderBy(F.col("n").desc(), F.col("pair").asc()).limit(20)
     w = Window.orderBy(F.col("n").desc(), F.col("pair").asc())

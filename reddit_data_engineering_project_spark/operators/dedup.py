@@ -189,7 +189,15 @@ def x02_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Finds the 25 planted near-dup pairs at J ≥ 0.6. This is also the
     verification stage the LSH variant reuses.
     """
-    sh = shingles(table(spark, sf_dir, "documents"))
+    # Persist the shingle stream once (r17 opt): three plan branches
+    # read it (both inverted-index join sides + the size counts) and
+    # the planner broadcasts one join side, so without the cache the
+    # scan→shingle→dedupe DAG executes three times, serially. Same
+    # lifecycle as _verify_jaccard's caches; at 100 TB this entry IS
+    # the full-corpus verifier by design, and the materialized distinct
+    # shingle stream is its canonical intermediate (production would
+    # checkpoint it).
+    sh = shingles(table(spark, sf_dir, "documents")).persist()
     counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -353,7 +361,16 @@ def _simhash_candidates(
             f"max_hamming={max_hamming}; pairs inside max_hamming could "
             "be missed"
         )
-    buckets = _simhash_buckets(_simhash_signatures(docs), band_bits)
+    # Persist the bucket stream once (r17 opt): the probe split makes the
+    # two join branches non-identical ABOVE the buckets, so exchange
+    # reuse never fires on the shared signature DAG below them — and the
+    # planner broadcasts one probe side, which executes the full
+    # shingle+signature aggregate TWICE, sequentially (broadcast build
+    # first, stream side second). Persisting the 8·|docs|-row narrow
+    # bucket relation computes the signature DAG once: measured 5.0 s →
+    # 1.4 s for candidate generation at sf0.1 (both band widths). Guide
+    # §5 persist rule; lifecycle identical to _verify_jaccard's caches.
+    buckets = _simhash_buckets(_simhash_signatures(docs), band_bits).persist()
     r_l = (radius + 1) // 2
     r_r = radius - r_l
 
@@ -558,8 +575,17 @@ def _verify_jaccard(
         .dropDuplicates()
         .persist()
     )
+    # Broadcast the candidate-id list into the semi-join (r17 opt): the
+    # cached relation's size estimate made the planner pick a sort-merge
+    # semi-join, which shuffles AND sorts the ENTIRE corpus by doc_id
+    # just to keep the few candidate docs. The id list is O(candidate
+    # docs) — tiny by construction (see above) — so broadcasting it
+    # leaves the corpus scan in place with zero corpus-side Exchange:
+    # guide §3.1 (broadcast replaces a shuffle of the large side) and
+    # §2.4. At sf0.1: 2 Exchanges + 2 Sorts removed from the verify
+    # stage.
     sh_cand = shingles(
-        docs.join(cand_docs, "doc_id", "left_semi"), widen=False
+        docs.join(F.broadcast(cand_docs), "doc_id", "left_semi"), widen=False
     ).persist()
     if persisted_out is not None:
         persisted_out.extend((cand_docs, sh_cand))
@@ -683,7 +709,17 @@ def minhash_pairs_over(docs: DataFrame) -> DataFrame:
         shingles(docs.repartition(F.col("doc_id")), distinct=False, widen=False)
     )
 
-    buckets = band_buckets(sig)
+    # Persist the band index once (r17 opt): both join branches read it,
+    # and Spark does NOT reuse the signature subtree across the two
+    # branches (measured: the whole shingle+signature DAG executed twice,
+    # sequentially, because the planner broadcasts one side — the build
+    # pays the full DAG before the stream side starts its own copy).
+    # Guide §5 persist rule: reused AND expensive to recompute. Same
+    # lifecycle as the _verify_jaccard caches (bench/check_oracle
+    # clearCache between queries; production stores this index — see
+    # build_band_index, which is the durable form of exactly this
+    # relation).
+    buckets = band_buckets(sig).persist()
 
     lhs = buckets.alias("l")
     rhs = buckets.alias("r")
@@ -1356,7 +1392,9 @@ def x02_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the scaled-BIGINT scores are one IEEE division each over exact
     integer counts.
     """
-    sh = shingles(table(spark, sf_dir, "documents"))
+    # Persist the shingle stream once (r17 opt) — same three-branch
+    # re-evaluation as x02_neardup_jaccard, same lifecycle.
+    sh = shingles(table(spark, sf_dir, "documents")).persist()
     counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")

@@ -948,6 +948,26 @@ def x05_size_binned_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _byte_census_partials(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Per-task byte census: fold every payload byte in the partition
+    into one 256-slot int64 accumulator, emit the nonzero slots as
+    ``(byte_hex, count)`` partial rows (≤256 per task)."""
+    import numpy as np
+
+    acc = np.zeros(256, dtype=np.int64)
+    for pdf in batches:
+        for payload in pdf["payload"]:
+            if payload is None:
+                continue
+            acc += np.bincount(
+                np.frombuffer(payload, dtype=np.uint8), minlength=256
+            )
+    nz = np.nonzero(acc)[0]
+    yield pd.DataFrame({"byte": ["%02X" % b for b in nz], "pn": acc[nz]})
+
+
 @register(
     "x05_byte_histogram",
     oracle="""
@@ -987,35 +1007,27 @@ def x05_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the census is the BPE shape — one map-side-combinable
     count over a ≤256-key space riding the corpus scan, then the 1-row
     total broadcasts into the share projection. Output is ≤256 rows at
-    any corpus size. The cost is inherently linear in corpus BYTES (the
-    measured sf-curve's one visible data term, SCALE.md §12) because
-    the explode materializes a row per byte before the partial
-    aggregate collapses it; the constant-factor refinement at true
-    scale is folding each payload to its per-document byte counts
-    inside a higher-order ``aggregate`` (≤256 map entries per doc)
-    before exploding — same asymptotics, ~byte/row fewer
-    materializations — kept out here because the per-byte explode is
-    what the oracle can mirror exactly.
+    any corpus size. The per-byte fold runs as ONE Arrow pass
+    (``mapInPandas`` + ``np.bincount`` — the r16 payload_energy
+    pattern): each task folds its partition's payload bytes into a
+    single 256-slot int64 accumulator and emits ≤256 ``(byte, count)``
+    partial rows, so the shuffle moves O(256·tasks) rows regardless of
+    corpus size and NOTHING materializes a row per byte. (The previous
+    relational form exploded one row per byte through an interpreted
+    higher-order ``transform`` — HOF lambdas never enter whole-stage
+    codegen, the round-16 finding — and measured 3.45 s vs 0.78 s for
+    this form at sf0.1; the explode also carried the empty-payload
+    ``sequence(1, 0)`` descent hazard, which ``np.bincount`` over an
+    empty buffer simply cannot have.) Byte values are exact integers
+    end to end; the hex rendering ``%02X`` matches ``hex()`` on both
+    engines; NULL payloads contribute nothing on either engine.
     """
     docs = table(spark, sf_dir, "documents")
-    hx = docs.select(F.hex(F.encode(F.col("text"), "UTF-8")).alias("h"))
-    # Empty-payload guard (the x05_payload_energy sequence hazard): with
-    # length 0, sequence(1, 0) silently DESCENDS and fabricates two
-    # empty-string "bytes" per empty doc; DuckDB's generate_series(1, 0)
-    # is empty. Adversarial-sweep finding — fixtures have no empty text.
-    nb = (F.length("h") / F.lit(2)).cast("int")
-    bytes_ = hx.select(
-        F.explode(
-            F.when(
-                nb > 0,
-                F.transform(
-                    F.sequence(F.lit(1), nb),
-                    lambda i: F.col("h").substr(i * 2 - 1, F.lit(2)),
-                ),
-            ).otherwise(F.array().cast("array<string>"))
-        ).alias("byte")
+    payloads = docs.select(F.encode(F.col("text"), "UTF-8").alias("payload"))
+    partials = ensure_min_parallelism(payloads).mapInPandas(
+        _byte_census_partials, schema="byte string, pn long"
     )
-    counted = bytes_.groupBy("byte").agg(F.count("*").alias("n"))
+    counted = partials.groupBy("byte").agg(F.sum("pn").alias("n"))
     tot = counted.agg(F.sum("n").alias("n_total"))
     return counted.crossJoin(F.broadcast(tot)).select(
         "byte",

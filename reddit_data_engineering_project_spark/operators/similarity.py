@@ -391,6 +391,12 @@ def x03_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label", "dim")
         .agg(F.percentile(F.col("val"), F.lit(0.5)).alias("m"))
     )
+    # Persist the coarse quantizer (r17 opt): both the corpus
+    # assignment and the query probing crossJoin against it, and
+    # without the cache the whole posexplode + two-shuffle percentile
+    # build executes twice. ~10 rows; production stores the trained
+    # codebook anyway. Same cache lifecycle as the dedup family's
+    # intermediates.
     centroids = (
         by_dim.groupBy("label")
         .agg(
@@ -405,6 +411,7 @@ def x03_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda j: F.element_at("cmap", j),
             ).alias("c"),
         )
+        .persist()
     )
     # Nearest-centroid proxy distance: dot(c,c) - 2*dot(e,c), the
     # engine-portable form (see docstring). Broadcast 10 centroid rows.
@@ -528,9 +535,15 @@ def x02_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = base.unionByName(copies).filter(
         _dot(F.col("e"), F.col("e")) > 0
     )
+    # Persist the bucketed index once (r17 opt): both join sides read
+    # it, and without the cache the planner broadcasts one side —
+    # executing the interpreted 8-hyperplane signing per row twice,
+    # sequentially (the simhash-buckets pathology). Production stores
+    # this index. Same cache lifecycle as the dedup family's
+    # intermediates.
     indexed = corpus.select(
         "vec_id", "e", _bucket_bits(F.col("e")).alias("bucket")
-    )
+    ).persist()
     lhs = indexed.alias("l")
     rhs = indexed.alias("r")
     return (
@@ -1478,6 +1491,10 @@ def x03_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "e", lambda x: F.floor(x / F.col("g") * 127.0 + 0.5).cast("long")
         ).alias("icode"),
     )
+    # Persist the 1-row coarse codebook (r17 opt): the corpus
+    # assignment AND the query probing both crossJoin against it, and
+    # without the cache its encode + collect aggregate executes twice.
+    # Same cache lifecycle as the dedup family's intermediates.
     cc = (
         enc.filter(F.col("vec_id") < _IVFPQ_COARSE_K)
         .agg(
@@ -1486,6 +1503,7 @@ def x03_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda s: s.icode,
             ).alias("ccents")
         )
+        .persist()
     )
 
     def _l2sq(a, b):
@@ -1506,6 +1524,12 @@ def x03_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_position(cdists, F.array_min(cdists)).alias("cid"),
         F.col("ccents"),
     )
+    # Persist the residual table (r17 opt): the residual-codebook
+    # aggregate AND the coding pass both read it, and each evaluation
+    # re-runs the interpreted 16-centroid coarse assignment per row
+    # (the most expensive per-row arithmetic in this entry). One cache
+    # = one assignment pass; production stores exactly this residual
+    # layout. Same cache lifecycle as the dedup family's intermediates.
     res = assigned.select(
         "vec_id",
         "cid",
@@ -1514,7 +1538,7 @@ def x03_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at(F.col("ccents"), F.col("cid").cast("int")),
             lambda x, y: x - y,
         ).alias("rvec"),
-    )
+    ).persist()
     rcb = (
         res.filter(F.col("vec_id") < 16)
         .agg(
@@ -1751,21 +1775,45 @@ def semantic_dedup_over(
             lambda st: st.e,
         ).alias("cents")
     )
-    # Assignment is pure codegen over the broadcast 1-row centroid
-    # array (argmin = position of min over the materialized distance
-    # array; first-minimum = lowest centroid position on both engines)
-    # — no per-vector window, so the corpus never shuffles to be
-    # assigned. cid is the 1-based position in the id-ordered centroid
-    # list (= centroid vec_id + 1), mirrored exactly in the oracle.
-    dists = F.transform(
-        F.col("cents"),
-        lambda ct: _dot(ct, ct) - 2.0 * _dot(F.col("e"), ct),
+    # Hoist the per-centroid self-dot into the 1-row broadcast relation
+    # (r17 opt): ``dot(ct, ct)`` is centroid-only, yet the previous
+    # per-row expression recomputed it for every (vector, centroid)
+    # pair — K·dim interpreted multiplies per corpus row for values
+    # that never change (HOF lambdas evaluate interpreted, the r16
+    # finding, so this is real per-row CPU). Computing it once here and
+    # zip_with-ing it in halves the assignment's per-row arithmetic;
+    # the distance VALUES are bit-identical (same fold over the same
+    # doubles, just evaluated once).
+    cents = cents.select(
+        "cents",
+        F.transform(F.col("cents"), lambda ct: _dot(ct, ct)).alias(
+            "cents_sd"
+        ),
     )
+    # Assignment rides the corpus scan against the broadcast 1-row
+    # centroid array (argmin = position of min over the materialized
+    # distance array; first-minimum = lowest centroid position on both
+    # engines) — no per-vector window, so the corpus never shuffles to
+    # be assigned. cid is the 1-based position in the id-ordered
+    # centroid list (= centroid vec_id + 1), mirrored exactly in the
+    # oracle.
+    dists = F.zip_with(
+        F.col("cents"),
+        F.col("cents_sd"),
+        lambda ct, sd: sd - 2.0 * _dot(F.col("e"), ct),
+    )
+    # Persist the assignment (r17 opt): BOTH sides of the within-cluster
+    # pair join read it, and without the cache the planner broadcasts
+    # one side — executing the interpreted K·dim-per-row assignment
+    # arithmetic twice, sequentially (the simhash-buckets pathology).
+    # The assigned table is also exactly the artifact a production
+    # SemDeDup run checkpoints. Same cache lifecycle as the dedup
+    # family's intermediates.
     assigned = corpus.crossJoin(F.broadcast(cents)).select(
         "vec_id",
         "e",
         F.array_position(dists, F.array_min(dists)).alias("cid"),
-    )
+    ).persist()
     lhs = assigned.alias("l")
     rhs = assigned.alias("r")
     pairs = (

@@ -1217,15 +1217,16 @@ def x04_lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = docs.select("doc_id", toks.alias("toks")).filter(
         F.size("toks") >= 2
     )
+    # Bigrams via posexplode + indexed lookup (r17 opt): the generator
+    # and element_at/concat_ws all run in codegen, where the previous
+    # transform(sequence) comprehension evaluated its lambda INTERPRETED
+    # per bigram (the round-16 HOF finding). Identical bigram multiset.
     bg = t.select(
+        "doc_id", F.col("toks"), F.posexplode("toks").alias("i", "w1")
+    ).filter(F.col("i") <= F.size("toks") - 2).select(
         "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.size("toks") - 2),
-                lambda i: F.concat_ws(
-                    " ", F.col("toks")[i], F.col("toks")[i + 1]
-                ),
-            )
+        F.concat_ws(
+            " ", F.col("w1"), F.element_at(F.col("toks"), F.col("i") + 2)
         ).alias("bigram"),
     )
     doc_bg = bg.groupBy("doc_id", "bigram").agg(F.count("*").alias("n_occ"))
