@@ -1010,6 +1010,12 @@ def propagate_min_labels(pairs: DataFrame) -> DataFrame:
         # Lazy checkpoint: the convergence aggregate below is the action
         # that materializes it, so each round costs ONE job (materialize
         # + agg fused) instead of two (eager checkpoint, then agg).
+        # (r17 note: batching the convergence test to every second round
+        # was tried and MEASURED WORSE — 4.6 s → 11.9 s on
+        # x02_dedup_clusters at sf0.1 — because a two-round stride only
+        # detects a fixpoint once an entire stride is quiescent, which
+        # pushes short-diameter corpora 2-3 extra rounds into the
+        # pointer-jump regime. Per-round detection stands.)
         new_labels = stepped.localCheckpoint(eager=False)
         new_sum = new_labels.agg(_dsum).first()[0]
         labels = new_labels
