@@ -112,7 +112,25 @@ def main() -> int:
 
     budget_hit = False
     for pass_no in range(repeats):
-        for name in sorted(queries):
+        # Pass scheduling by value (r17 verdict item 1): pass 0 runs in
+        # name order (stable, comparable with every prior round), but
+        # REPEAT passes run slowest-first so that when the time budget
+        # cuts a pass short, the queries that lost their second sample
+        # are the sub-second tail — whose min-of-1 is within host jitter
+        # of min-of-2 anyway — never the >=1 s set that carries the
+        # regression gate. r17's budget-cut run degraded the WHOLE suite
+        # to single cold samples and manufactured 31 phantom family
+        # regressions; this keeps the gateable minimums settled first.
+        # Repeats of a query remain separated by dozens of other queries
+        # (a full pass each way), preserving the interleaving rationale.
+        if pass_no == 0:
+            order = sorted(queries)
+        else:
+            order = sorted(
+                queries,
+                key=lambda n: -(samples[n][0] if samples[n] else 0.0),
+            )
+        for name in order:
             if pass_no > 0 and time.time() - bench_start > time_budget:
                 budget_hit = True
                 break
@@ -151,6 +169,9 @@ def main() -> int:
         if len(s) > 1
         and (max(s) - min(s)) > min(noisy_spread, 0.5 * min(s))
     )
+    # Slowest-first here too: if the budget cuts the extra passes, the
+    # expensive noisy queries got their extra samples first.
+    noisy.sort(key=lambda n: -min(samples[n]))
     for _ in range(extra_passes):
         for name in noisy:
             if time.time() - bench_start > time_budget:
@@ -206,6 +227,12 @@ def main() -> int:
         "repeats": repeats,
         "aggregation": "per-query min over interleaved full passes",
         "families": dict(sorted(families.items())),
+        # How many timed samples each min is a min OF — lets PERF compare
+        # like-for-like when a budget cut truncates repeat passes
+        # (r17 verdict item 1).
+        "repeats_completed": {
+            n: len(s) for n, s in samples.items() if s
+        },
     }
     if spread:
         worst = sorted(
@@ -276,6 +303,16 @@ def main() -> int:
         )
     if budget_hit:
         result["time_budget_hit"] = True
+        # Which minimums are single-sample (budget cut their repeat) and
+        # how much >=1 s time sits in that unsettled set: 0.0 means every
+        # gateable query still got min-of-2+ despite the cut.
+        single = [n for n, s in samples.items() if len(s) == 1]
+        result["n_single_sample"] = len(single)
+        result["single_sample_ge1s_total"] = round(
+            sum(timings.get(n, 0.0) for n in single
+                if timings.get(n, 0.0) >= 1.0),
+            3,
+        )
     if failures:
         result["n_failures"] = len(failures)
         result["failures"] = {
@@ -289,6 +326,8 @@ def main() -> int:
             "noise_spread_total",
             "noise_min_stability_total",
             "noise_min_stability_ge1s_total",
+            "n_single_sample",
+            "single_sample_ge1s_total",
         ):
             result.pop(key, None)
         line = json.dumps(result)

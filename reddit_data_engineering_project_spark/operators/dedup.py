@@ -64,24 +64,44 @@ def shingles(
     skip that shuffle entirely — their aggregate is then the FIRST
     shuffle the query pays.
 
-    Shingling is CPU-bound (the ``transform`` lambda runs interpreted,
-    outside whole-stage codegen), so the stage must not be narrower than
-    the machine: ``ensure_min_parallelism`` redistributes a too-narrow
-    scan first and is a no-op on the 100 TB path. Callers whose input
-    already passed a shuffle (a join or repartition) MUST pass
-    ``widen=False``: they are already parallel, and probing partition
-    counts there would execute the upstream DAG at plan time (see
-    ``ensure_min_parallelism``).
+    Window enumeration is ``arrays_zip`` of ``n`` shifted slices of the
+    token array (r18, guide §4.1): the zipped struct array is built once
+    per DOC by array-level codegen'd expressions, ``explode`` is a
+    codegen'd Generate, and the per-shingle join is a codegen'd
+    ``concat_ws`` projection ABOVE the generate — nothing interpreted
+    anywhere. The prior form (``transform`` over an index sequence with
+    an ``array_join(slice(...))`` lambda) ran the lambda INTERPRETED per
+    window position, and shingling sits under every near-dup entry. Edge
+    semantics are preserved exactly: a doc shorter than ``n`` tokens
+    zips slices shorter than the window, and ``concat_ws`` skipping the
+    NULL tail yields the whole text as the single shingle — the same
+    row the old slice-clamp produced; NULL text yields one NULL-shingle
+    row via ``explode_outer`` + the explicit NULL guard (the all-NULL
+    degenerate corpus pins this).
+
+    Shingling is still the CPU-heaviest scan stage, so it must not be
+    narrower than the machine: ``ensure_min_parallelism`` redistributes
+    a too-narrow scan first and is a no-op on the 100 TB path. Callers
+    whose input already passed a shuffle (a join or repartition) MUST
+    pass ``widen=False``: they are already parallel, and probing
+    partition counts there would execute the upstream DAG at plan time
+    (see ``ensure_min_parallelism``).
     """
     if widen:
         docs = ensure_min_parallelism(docs)
     toks = F.split(F.col("text"), " ")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-    sh = F.transform(
-        idx,
-        lambda i: F.array_join(F.slice(toks, i + 1, n), "_"),
+    # size-n+1 full windows for long docs, clamped to one window for
+    # docs shorter than n tokens (slices past the end come out short and
+    # concat_ws skips the NULL padding arrays_zip adds).
+    m = F.greatest(F.size(toks) - (n - 1), F.lit(1))
+    zipped = F.arrays_zip(
+        *[F.slice(toks, j + 1, m).alias(f"w{j}") for j in range(n)]
     )
-    exploded = docs.select("doc_id", F.explode(sh).alias("shingle"))
+    exploded = docs.select("doc_id", F.explode_outer(zipped).alias("__sh"))
+    shingle = F.when(
+        F.col("__sh").isNull(), F.lit(None).cast("string")
+    ).otherwise(F.concat_ws("_", *[f"__sh.w{j}" for j in range(n)]))
+    exploded = exploded.select("doc_id", shingle.alias("shingle"))
     return exploded.dropDuplicates(["doc_id", "shingle"]) if distinct else exploded
 
 
@@ -1551,7 +1571,14 @@ def pipeline_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     canon = x01_dedup_canonicalized(spark, sf_dir).agg(
         F.count("*").cast("bigint").alias("n_canonical_groups")
     )
-    nd = x02_minhash_lsh_neardup(spark, sf_dir)
+    # Persist the verified pair set (r18, guide §5): TWO report columns
+    # consume it (pair count + distinct-doc count) through separate
+    # broadcast subtrees, and without the cache each broadcast build
+    # re-executes the whole shingle+sign+band+verify DAG serially —
+    # the same double-evaluation pathology r17 fixed inside the LSH
+    # stages, recurring one level up in the composed report. The pair
+    # relation is O(verified pairs) — tiny at any scale.
+    nd = x02_minhash_lsh_neardup(spark, sf_dir).persist()
     nd_pairs = nd.agg(F.count("*").cast("bigint").alias("n_neardup_pairs"))
     nd_docs = (
         nd.select(F.col("doc_a").alias("d"))
