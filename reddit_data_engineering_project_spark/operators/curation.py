@@ -1316,6 +1316,11 @@ def x04_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Flush threshold for the per-task pair-census accumulator (module level
+#: so the bounded-memory test can shrink it and exercise the flush path).
+_PAIR_CENSUS_FLUSH_ENTRIES = 1 << 20
+
+
 def _pair_census_partials(
     batches: Iterator[pd.DataFrame],
 ) -> Iterator[pd.DataFrame]:
@@ -1329,6 +1334,26 @@ def _pair_census_partials(
     text could collide with. Pairs are exact code-point windows
     (``substr(i, 2)`` semantics, astral-safe on both engines)."""
     import numpy as np
+
+    # Bounded accumulator (r18, ADVICE r17): the per-task dict is capped —
+    # a large-alphabet (CJK) corpus can push the |alphabet|²-bounded pair
+    # space to millions of entries, and unlike the old spill-capable
+    # map-side aggregate a Python dict cannot spill. When the cap trips,
+    # the partials are flushed to the downstream groupBy/sum (which
+    # already merges partials across tasks, so extra partial rows are
+    # free correctness-wise) and the dict restarts empty.
+    _FLUSH_ENTRIES = _PAIR_CENSUS_FLUSH_ENTRIES
+
+    def _emit(accs_, has_mp_):
+        for mp, acc in accs_.items():
+            pairs = [chr(k >> 21) + chr(k & 0x1FFFFF) for k in acc]
+            out = {
+                "pair": pairs,
+                "pn": pd.Series(list(acc.values()), dtype="int64"),
+            }
+            if has_mp_:
+                out = {"merged_pair": [mp] * len(pairs), **out}
+            yield pd.DataFrame(out)
 
     accs: dict = {}
     has_mp = False
@@ -1356,12 +1381,10 @@ def _pair_census_partials(
             acc = accs.setdefault(mp, {})
             for k, c in zip(uk.tolist(), uc.tolist()):
                 acc[k] = acc.get(k, 0) + c
-    for mp, acc in accs.items():
-        pairs = [chr(k >> 21) + chr(k & 0x1FFFFF) for k in acc]
-        out = {"pair": pairs, "pn": pd.Series(list(acc.values()), dtype="int64")}
-        if has_mp:
-            out = {"merged_pair": [mp] * len(pairs), **out}
-        yield pd.DataFrame(out)
+        if sum(len(a) for a in accs.values()) > _FLUSH_ENTRIES:
+            yield from _emit(accs, has_mp)
+            accs = {}
+    yield from _emit(accs, has_mp)
 
 
 def _char_census_rows(

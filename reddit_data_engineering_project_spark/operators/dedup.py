@@ -259,7 +259,14 @@ def _simhash_signatures(docs: DataFrame) -> DataFrame:
     ~3× slower than either form: HOF lambdas run interpreted, outside
     whole-stage codegen.)
     """
-    sh = shingles(docs)
+    return _simhash_signatures_over(shingles(docs))
+
+
+def _simhash_signatures_over(sh: DataFrame) -> DataFrame:
+    """Packed-lane SimHash aggregate over an existing DISTINCT
+    ``(doc_id, shingle)`` stream — the seam that lets one persisted
+    shingle relation feed both candidate generation and verification
+    (see :func:`_simhash_signatures` for the lane layout)."""
     h = F.xxhash64(F.col("shingle"))
     packed = []
     for k in range(16):
@@ -343,6 +350,7 @@ def _simhash_candidates(
     band_bits: int,
     radius: int,
     max_hamming: int | None = 15,
+    sh_stream: DataFrame | None = None,
 ) -> DataFrame:
     """SimHash candidate pairs via pigeonhole banding with in-band
     multi-probe: two signatures within Hamming distance
@@ -390,7 +398,13 @@ def _simhash_candidates(
     # bucket relation computes the signature DAG once: measured 5.0 s →
     # 1.4 s for candidate generation at sf0.1 (both band widths). Guide
     # §5 persist rule; lifecycle identical to _verify_jaccard's caches.
-    buckets = _simhash_buckets(_simhash_signatures(docs), band_bits).persist()
+    # ``sh_stream`` (r18): callers that also verify share ONE persisted
+    # distinct-shingle relation between the signature aggregate here and
+    # the exact-Jaccard verify stage — the corpus is scanned+tokenized
+    # once per query instead of twice (guide §2.4 "remove shuffles/
+    # passes outright"; see _verify_jaccard's sh_stream).
+    sh = sh_stream if sh_stream is not None else shingles(docs)
+    buckets = _simhash_buckets(_simhash_signatures_over(sh), band_bits).persist()
     r_l = (radius + 1) // 2
     r_r = radius - r_l
 
@@ -483,8 +497,15 @@ def x02_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``(band_bits, radius)``.
     """
     docs = table(spark, sf_dir, "documents")
+    # One persisted distinct-shingle relation feeds BOTH the signature
+    # aggregate and the exact-Jaccard verify (r18): one corpus
+    # scan+tokenize per query, not two.
+    sh = shingles(docs).persist()
     return _verify_jaccard(
-        docs, _simhash_candidates(docs, band_bits=8, radius=1)
+        docs,
+        _simhash_candidates(docs, band_bits=8, radius=1, sh_stream=sh),
+        sh_stream=sh,
+        sh_stream_distinct=True,
     )
 
 
@@ -547,9 +568,22 @@ def x02_simhash16_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     distance budget is small.
     """
     docs = table(spark, sf_dir, "documents")
+    sh = shingles(docs).persist()
     return _verify_jaccard(
-        docs, _simhash_candidates(docs, band_bits=16, radius=3)
+        docs,
+        _simhash_candidates(docs, band_bits=16, radius=3, sh_stream=sh),
+        sh_stream=sh,
+        sh_stream_distinct=True,
     )
+
+
+#: Candidate-id broadcast guard (r18, ADVICE): above this many candidate
+#: docs the verify semi-join falls back to a planner-chosen join rather
+#: than force-broadcasting an adversarially huge id list into every
+#: executor (a 2^23-row long list is ~64 MB built — far under the 8 GB /
+#: 512M-row broadcast cap; beyond it the shuffle join degrades
+#: gracefully where the forced broadcast would not).
+_BROADCAST_CAND_MAX_ROWS = 8_000_000
 
 
 def _verify_jaccard(
@@ -557,6 +591,8 @@ def _verify_jaccard(
     candidates: DataFrame,
     threshold: float = 0.6,
     persisted_out: list | None = None,
+    sh_stream: DataFrame | None = None,
+    sh_stream_distinct: bool = False,
 ) -> DataFrame:
     """Exact-Jaccard verification of candidate pairs (shared by LSH variants).
 
@@ -595,6 +631,19 @@ def _verify_jaccard(
         .dropDuplicates()
         .persist()
     )
+    # Materialize the persisted id list NOW and count it (r18): the
+    # count is the broadcast-size guard (ADVICE r17 — an adversarial
+    # corpus with a huge candidate set must degrade to a shuffle join,
+    # not blow the broadcast), and the job it runs is work the
+    # broadcast build would otherwise do inside the final query anyway
+    # — the chain is persisted at every level, so nothing is computed
+    # twice.
+    n_cand = cand_docs.count()
+    cand_side = (
+        F.broadcast(cand_docs)
+        if n_cand <= _BROADCAST_CAND_MAX_ROWS
+        else cand_docs
+    )
     # Broadcast the candidate-id list into the semi-join (r17 opt): the
     # cached relation's size estimate made the planner pick a sort-merge
     # semi-join, which shuffles AND sorts the ENTIRE corpus by doc_id
@@ -604,9 +653,25 @@ def _verify_jaccard(
     # guide §3.1 (broadcast replaces a shuffle of the large side) and
     # §2.4. At sf0.1: 2 Exchanges + 2 Sorts removed from the verify
     # stage.
-    sh_cand = shingles(
-        docs.join(F.broadcast(cand_docs), "doc_id", "left_semi"), widen=False
-    ).persist()
+    #
+    # ``sh_stream`` (r18): when the caller's candidate generation
+    # already computed a persisted corpus shingle relation, verification
+    # filters THAT instead of re-scanning and re-tokenizing the corpus —
+    # the query's second full-corpus pass disappears outright (guide
+    # §1.2 step 1 / §2.4). ``sh_stream_distinct`` says whether the
+    # stream is already the per-doc distinct set (SimHash) or the raw
+    # window stream (MinHash — duplicate-insensitive minima skip the
+    # dedupe shuffle), in which case only the candidate-restricted
+    # remnant pays the dedupe.
+    if sh_stream is not None:
+        sh_cand = sh_stream.join(cand_side, "doc_id", "left_semi")
+        if not sh_stream_distinct:
+            sh_cand = sh_cand.dropDuplicates(["doc_id", "shingle"])
+        sh_cand = sh_cand.persist()
+    else:
+        sh_cand = shingles(
+            docs.join(cand_side, "doc_id", "left_semi"), widen=False
+        ).persist()
     if persisted_out is not None:
         persisted_out.extend((cand_docs, sh_cand))
     counts = sh_cand.groupBy("doc_id").agg(F.count("*").alias("n"))
@@ -724,10 +789,14 @@ def minhash_pairs_over(docs: DataFrame) -> DataFrame:
     # MinHash minima are unchanged by duplicates: the signature reads the
     # raw shingle stream and skips the dedupe shuffle (doc-level
     # repartition parallelizes the map-side aggregate); only the exact
-    # Jaccard verification needs the distinct set.
-    sig = minhash_signatures(
-        shingles(docs.repartition(F.col("doc_id")), distinct=False, widen=False)
-    )
+    # Jaccard verification needs the distinct set. The raw stream is
+    # persisted and shared with the verify stage (r18): one corpus
+    # scan+tokenize per query — verification dedupes only the
+    # candidate-restricted remnant.
+    sh = shingles(
+        docs.repartition(F.col("doc_id")), distinct=False, widen=False
+    ).persist()
+    sig = minhash_signatures(sh)
 
     # Persist the band index once (r17 opt): both join branches read it,
     # and Spark does NOT reuse the signature subtree across the two
@@ -756,7 +825,7 @@ def minhash_pairs_over(docs: DataFrame) -> DataFrame:
         .dropDuplicates()
     )
 
-    return _verify_jaccard(docs, candidates)
+    return _verify_jaccard(docs, candidates, sh_stream=sh)
 
 
 def build_band_index(docs: DataFrame, table_name: str, n_buckets: int = 16) -> None:
@@ -1102,16 +1171,20 @@ def x02_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = table(spark, sf_dir, "documents")
     is_inc = F.col("doc_id") % 10 == 0
-    inc = docs.filter(is_inc)
-    corpus = docs.filter(~is_inc)
-    sig_inc = minhash_signatures(
-        shingles(inc.repartition(F.col("doc_id")), distinct=False, widen=False)
-    )
-    sig_cor = minhash_signatures(
-        shingles(
-            corpus.repartition(F.col("doc_id")), distinct=False, widen=False
-        )
-    )
+    # ONE persisted raw shingle stream over the whole corpus (r18): the
+    # increment and corpus signature aggregates each read their filtered
+    # slice of it (the doc_id filter preserves the hash partitioning, so
+    # both groupBys stay shuffle-free), and exact-Jaccard verification
+    # filters the same cache — the query scans+tokenizes the corpus
+    # ONCE, where the previous form paid three text passes (increment
+    # sign, corpus sign, verify re-scan). This also dissolves the r17
+    # broadcast-serialization regression: the serial chain behind the
+    # candidate broadcast no longer hides a corpus re-scan behind it.
+    sh_all = shingles(
+        docs.repartition(F.col("doc_id")), distinct=False, widen=False
+    ).persist()
+    sig_inc = minhash_signatures(sh_all.filter(is_inc))
+    sig_cor = minhash_signatures(sh_all.filter(~is_inc))
     lhs = band_buckets(sig_inc).alias("l")
     rhs = band_buckets(sig_cor).alias("r")
     candidates = (
@@ -1129,7 +1202,7 @@ def x02_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # _verify_jaccard re-derives all-pairs >= threshold among candidate
     # docs (free recall, see its docstring); keep only cross-side pairs
     # and normalize to (inc_doc, corpus_doc).
-    pairs = _verify_jaccard(docs, candidates)
+    pairs = _verify_jaccard(docs, candidates, sh_stream=sh_all)
     a_inc = F.col("doc_a") % 10 == 0
     b_inc = F.col("doc_b") % 10 == 0
     return (

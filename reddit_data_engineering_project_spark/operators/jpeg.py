@@ -777,6 +777,12 @@ def x05_jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     x05 deployment posture — per-image stats O(rows) on the wire).
     """
     docs = table(spark, sf_dir, "documents").select("doc_id")
-    return ensure_min_parallelism(docs).mapInPandas(
+    # bytes_per_task=256: the input is 8 bytes/row (doc_id only — the
+    # payload is synthesized and codec-roundtripped INSIDE the task), so
+    # the stage's compute is maximally amplified per input byte; the
+    # census byte floor serialized the decode onto 2 tasks and measured
+    # 2× slower (r18 A/B). This floor keeps full fan-out for any corpus
+    # beyond a few thousand rows.
+    return ensure_min_parallelism(docs, bytes_per_task=256).mapInPandas(
         _jpeg_roundtrip_stats, schema=_JPEG_STATS_SCHEMA
     )

@@ -1444,7 +1444,9 @@ def x05_bmp_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the wire.
     """
     docs = table(spark, sf_dir, "documents").select("doc_id")
-    return ensure_min_parallelism(docs).mapInPandas(
+    # bytes_per_task=256: 8-byte input rows, codec-roundtrip compute —
+    # same decode-amplification exemption as the JPEG seam (r18 A/B).
+    return ensure_min_parallelism(docs, bytes_per_task=256).mapInPandas(
         _bmp_roundtrip_stats, schema=_BMP_STATS_SCHEMA
     )
 
@@ -1641,6 +1643,8 @@ def x05_decode_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
     slice becomes the ingest-quality audit feed.
     """
     docs = table(spark, sf_dir, "documents").select("doc_id")
-    return ensure_min_parallelism(docs).mapInPandas(
+    # bytes_per_task=256: 8-byte input rows, codec-roundtrip compute —
+    # same decode-amplification exemption as the JPEG seam (r18 A/B).
+    return ensure_min_parallelism(docs, bytes_per_task=256).mapInPandas(
         _decode_errors_rows, schema=_DECODE_ERRORS_SCHEMA
     )

@@ -300,6 +300,14 @@ def q21_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_partkey")
         .dropDuplicates(["l_orderkey", "l_partkey"])
     )
+    # Left as three independent aggregates over the lazy fact projection
+    # (r18 measured): both sharing variants — persist the baskets and
+    # derive n/freq from them, or persist li for all three consumers —
+    # ran SLOWER locally (2.29→2.44/2.52 s interleaved A/B at sf0.1):
+    # the three aggregates execute as concurrent stages on idle cores,
+    # while a cache serializes materialize-then-read. At 100 TB the
+    # duplicated fact scans are the real cost and the basket-persist
+    # form is the right one — revisit if this entry ever tops a profile.
     n = li.agg(F.countDistinct("l_orderkey").alias("n_orders"))
     freq = li.groupBy("l_partkey").agg(F.count("*").alias("part_orders"))
     baskets = li.groupBy("l_orderkey").agg(
@@ -359,13 +367,23 @@ _PR_BASE_E6 = 150_000  # (1 - 0.85) * 1e6
 _PR_INIT_E6 = 1_000_000
 
 
-def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Symmetric co-purchase edge list (support >= the basket floor).
+def _copurchase_half_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected co-purchase half-edge list (one ``src < dst`` row per
+    pair, support >= the basket floor) — the basket-comprehension pair
+    generation from :func:`q21_copurchase_lift` (one shuffle, no fact
+    self-join), UNPERSISTED.
 
-    Reuses the basket-comprehension pair generation from
-    :func:`q21_copurchase_lift` (one shuffle, no fact self-join), then
-    mirrors each undirected pair into both directions.
-    """
+    Deliberately lazy (r18 measured): persisting here serves only the
+    2-consumer mirror union, and an interleaved A/B showed it REGRESSES
+    the light consumers locally (powerlaw 2.46→3.24 s, lift 1.96→2.44 s
+    at sf0.1) — on an idle 32-core box the two duplicate evaluations run
+    as CONCURRENT stages for free, while the cache serializes
+    materialize-then-read and adds the columnar cache-write cost.
+    Entries whose consumption is heavier (3+ reads: kcore's peel chain,
+    reach2's four branches, triangle's orientation) persist at THEIR
+    level, where the A/B showed real wins. At 100 TB the duplication is
+    no longer free (cores are busy) and the per-entry persists bound the
+    basket DAG to ≤2 evaluations per query."""
     li = (
         table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
@@ -376,17 +394,14 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Pair enumeration via two chained generators (r17 opt): posexplode
     # picks each src with its index, a second explode over the tail
-    # slice yields each dst. The previous nested-transform/flatten HOF
-    # built every pair struct through INTERPRETED lambda evaluation
-    # (higher-order-function lambdas never enter whole-stage codegen —
-    # the round-16 payload_energy finding); generators and slice() are
-    # codegen'd. Identical pair multiset, same single shuffle, measured
-    # 2.53 s → 1.61 s for the edge list alone at sf0.1 — a saving every
-    # q21 graph entry inherits.
+    # slice yields each dst — all codegen; the earlier nested
+    # transform×flatten HOF ran its lambdas interpreted (round-16
+    # finding). Identical pair multiset, same single shuffle, measured
+    # 2.53 s → 1.61 s for the edge list alone at sf0.1.
     srcs = baskets.select(
         F.col("parts"), F.posexplode(F.col("parts")).alias("i", "src")
     )
-    pairs = (
+    return (
         srcs.select(
             "src",
             F.explode(
@@ -402,6 +417,18 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("pair_orders") >= _BASKET_MIN_PAIR_ORDERS)
         .select("src", "dst")
     )
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric co-purchase edge list (support >= the basket floor).
+
+    Reuses the basket-comprehension pair generation from
+    :func:`q21_copurchase_lift` (one shuffle, no fact self-join), then
+    mirrors each undirected pair into both directions. The half list is
+    persisted in :func:`_copurchase_half_edges`, so the mirror union
+    reads the cache twice instead of running the basket DAG twice.
+    """
+    pairs = _copurchase_half_edges(spark, sf_dir)
     return pairs.union(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
@@ -490,10 +517,16 @@ def q21_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     canonical "beyond SQL" analytics capability Redshift ships as an
     extension; here it is native and oracle-checked.
     """
-    edges = _copurchase_edges(spark, sf_dir)
+    # Persist edges and degrees (r18, guide §5): edges feed the degree
+    # aggregate plus one join per power iteration (4 consumers), deg
+    # feeds the rank seed plus every iteration's rebuild — without the
+    # caches each consumer re-executes the basket DAG (before-plan: 28
+    # parquet scans, 0 ReusedExchange). With identical cached inputs the
+    # per-iteration src-hash Exchange also becomes reusable.
+    edges = _copurchase_edges(spark, sf_dir).persist()
     deg = edges.groupBy(F.col("src").alias("node")).agg(
         F.count("*").alias("degree")
-    )
+    ).persist()
     ranks = deg.select(
         "node", "degree", F.lit(_PR_INIT_E6).cast("bigint").alias("rank_e6")
     )
@@ -792,10 +825,17 @@ def reach2_over(edges: DataFrame) -> DataFrame:
     edge list — factored out (r13 verdict item 7) so ``tools/
     scale_curve.py`` can measure the registered plan at synthesized
     10x edge count. The registered entry calls this with its own
-    co-purchase edges, so its plan and output are unchanged."""
+    co-purchase edges, so its plan and output are unchanged.
+
+    Persists (r18, guide §5): EDGES is consumed by four plan branches
+    (degree aggregate, both hop sides, the 1-hop union arm) and DEG by
+    two (histogram chain + the cap filter) — with no cache every branch
+    re-executed the upstream basket DAG (before-plan: 28 parquet scans,
+    0 ReusedExchange). Lifecycle as elsewhere (harness clearCache)."""
+    edges = edges.persist()
     deg = edges.groupBy(F.col("src").alias("node")).agg(
         F.count("*").alias("deg")
-    )
+    ).persist()
     hist = deg.groupBy("deg").agg(F.count("*").cast("bigint").alias("cnt"))
     w_cum = Window.orderBy("deg").rangeBetween(
         Window.unboundedPreceding, Window.currentRow
@@ -914,10 +954,12 @@ def q21_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     no BNLJ — plan-pinned); the rank tie-break rides inside the join
     as a codegen struct comparison, never a second shuffle.
     """
-    und = (
-        _copurchase_edges(spark, sf_dir)
-        .filter(F.col("src") < F.col("dst"))
-        .select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    # The half-edge list IS the undirected edge set (src < dst by the
+    # sorted-basket construction): consume it directly (r18) instead of
+    # mirroring into the symmetric list and filtering back down — the
+    # union+filter round-trip doubled the plan for zero information.
+    und = _copurchase_half_edges(spark, sf_dir).select(
+        F.col("src").alias("u"), F.col("dst").alias("v")
     )
     return triangle_membership_over(und)
 
@@ -928,7 +970,13 @@ def triangle_membership_over(und: DataFrame) -> DataFrame:
     out (r13 verdict item 7) so ``tools/scale_curve.py`` can measure
     the degree-ordering orientation at synthesized 10x edges. The
     registered entry calls this with its own co-purchase half edges,
-    so its plan and output are unchanged."""
+    so its plan and output are unchanged.
+
+    UND is persisted here (r18, guide §5): three branches consume it
+    (both arms of the degree union + the oriented join input) and
+    nothing reuses exchanges across them — the before-plan held 100
+    parquet-scan references for one query."""
+    und = und.persist()
     deg = (
         und.select(F.col("u").alias("node"))
         .unionAll(und.select(F.col("v").alias("node")))
@@ -2243,11 +2291,15 @@ def q21_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the fixpoint loop replaces the fixed unroll).
     edges = _copurchase_edges(spark, sf_dir).select("src", "dst").persist()
     for _ in range(_KCORE_ROUNDS):
+        # keep is consumed by BOTH semi-joins (src side + dst side);
+        # persisting it (r18) computes the round's degree aggregate
+        # once instead of once per broadcast build.
         keep = (
             edges.groupBy("src")
             .agg(F.count("*").alias("deg"))
             .filter(F.col("deg") >= _KCORE_K)
             .select("src")
+            .persist()
         )
         edges = edges.join(keep, "src", "left_semi").join(
             keep.select(F.col("src").alias("dst")), "dst", "left_semi"

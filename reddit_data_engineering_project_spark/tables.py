@@ -151,7 +151,16 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-def ensure_min_parallelism(df: DataFrame) -> DataFrame:
+#: Byte floor per widened task (r18): one Python-worker/interpreted task
+#: per ~32 KiB of estimated input. At sf0.1 this lands the census stages
+#: on the A/B-measured optimum (~8 fat tasks); any production input
+#: saturates it to defaultParallelism immediately.
+_MIN_BYTES_PER_TASK = 32 * 1024
+
+
+def ensure_min_parallelism(
+    df: DataFrame, bytes_per_task: int | None = None
+) -> DataFrame:
     """Redistribute a too-narrow scan before a CPU-bound stage.
 
     Interpreted expression paths (higher-order-function lambdas, Arrow →
@@ -174,8 +183,35 @@ def ensure_min_parallelism(df: DataFrame) -> DataFrame:
     the caller's deliberate partitioning would be destroyed anyway).
     Inputs that already passed a shuffle are already parallel; skip the
     widening there.
+
+    Fan-out is BYTE-BOUNDED (r18, verdict item 3): blindly widening to
+    ``defaultParallelism`` spun up 32 Python workers over kilobyte
+    inputs, and the per-stage worker fan-out cost exceeded the compute —
+    the driver's r17 scaling block showed 8 cores beating 32 on the
+    census families, and the r18 interleaved A/B confirmed it in one
+    session (char census 1.21→0.76 s, byte census 1.03→0.69 s at sf0.1
+    with 8-way instead of 32-way fan-out). The target is now
+    ``min(defaultParallelism, ceil(estimated_bytes / 32 KiB))`` from the
+    optimizer's plan-time size estimate (no job): small inputs get a
+    few fat tasks, and at 100 TB the byte bound saturates far above
+    ``defaultParallelism`` so the scale path is byte-for-byte the old
+    one.
+
+    ``bytes_per_task`` overrides the floor for stages whose compute is
+    AMPLIFIED per input byte (codec decodes: the JPEG seam measured 2×
+    slower under the census floor because its work scales with decode
+    cost, not input bytes) — pass a floor matched to the stage's
+    bytes-to-compute ratio.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
+    floor = _MIN_BYTES_PER_TASK if bytes_per_task is None else bytes_per_task
+    try:
+        size = int(
+            str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        )
+        target = max(1, min(target, -(-size // floor)))
+    except Exception:
+        pass  # estimate unavailable: keep the conservative full fan-out
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
